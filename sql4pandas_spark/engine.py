@@ -1,0 +1,130 @@
+"""The reference-style user API: register named tables, execute SQL, fetch
+pandas (SURVEY.md §1.1 — the reference is a SQL layer over in-memory pandas
+DataFrames with a DB-API-ish cursor; checkout empty this round, reconstruction
+per SURVEY.md §3.1).
+
+Same contract, Spark engine underneath:
+
+    eng = Engine()
+    eng.register("people", pandas_df)          # Arrow upload, temp view
+    out = eng.sql("SELECT name, age FROM people WHERE age > 30")
+    out.to_pandas()                            # Arrow download
+    cur = eng.cursor(); cur.execute(q); cur.fetchall()
+
+Because registration creates a temp view over a Spark DataFrame, registered
+pandas frames, parquet tables, and streaming sources all join freely in one
+SQL statement — that is the upgrade over the reference, where everything had
+to fit in one process's memory.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from sql4pandas_spark.session import configure_session, get_spark
+from sql4pandas_spark.sources.parquet import register_tables
+
+
+class Result:
+    """Lazy query result: a Spark DataFrame with pandas-flavored accessors."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    def to_pandas(self) -> pd.DataFrame:
+        """Materialize via Arrow (spark.sql.execution.arrow.pyspark.enabled)."""
+        return self.df.toPandas()
+
+    def collect(self) -> list[Any]:
+        return self.df.collect()
+
+    @property
+    def columns(self) -> list[str]:
+        return self.df.columns
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Result({self.df.schema.simpleString()})"
+
+
+class Cursor:
+    """DB-API-flavored cursor (execute / fetchone / fetchmany / fetchall /
+    description), mirroring the reference's cursor-style surface."""
+
+    def __init__(self, engine: "Engine"):
+        self._engine = engine
+        self._rows: list[tuple] | None = None
+        self._pos = 0
+        self.description: list[tuple] | None = None
+
+    def execute(self, sql: str) -> "Cursor":
+        df = self._engine.sql(sql).df
+        self.description = [
+            (f.name, f.dataType.simpleString(), None, None, None, None, f.nullable)
+            for f in df.schema.fields
+        ]
+        self._rows = [tuple(r) for r in df.collect()]
+        self._pos = 0
+        return self
+
+    def fetchone(self) -> tuple | None:
+        if self._rows is None or self._pos >= len(self._rows):
+            return None
+        row = self._rows[self._pos]
+        self._pos += 1
+        return row
+
+    def fetchmany(self, size: int = 1) -> list[tuple]:
+        if self._rows is None:
+            return []
+        out = self._rows[self._pos : self._pos + size]
+        self._pos += len(out)
+        return out
+
+    def fetchall(self) -> list[tuple]:
+        if self._rows is None:
+            return []
+        out = self._rows[self._pos :]
+        self._pos = len(self._rows)
+        return out
+
+
+class Engine:
+    """SQL over named tables; pandas in, pandas out; Spark underneath."""
+
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = configure_session(spark) if spark is not None else get_spark()
+
+    # -- registration ------------------------------------------------------
+    def register(self, name: str, data: pd.DataFrame | DataFrame) -> None:
+        """Register a pandas or Spark DataFrame under a table name.
+
+        pandas frames upload via Arrow (columnar, zero row-wise pickling).
+        Note the NULL-semantics upgrade: pandas NaN/NaT become real SQL NULLs.
+        """
+        df = (
+            self.spark.createDataFrame(data)
+            if isinstance(data, pd.DataFrame)
+            else data
+        )
+        df.createOrReplaceTempView(name)
+
+    def register_parquet(self, name: str, path: str) -> None:
+        self.spark.read.parquet(path).createOrReplaceTempView(name)
+
+    def register_fixtures(self, sf_dir: str) -> None:
+        """Register the ten fixture tables from a scale-factor directory."""
+        register_tables(self.spark, sf_dir)
+
+    # -- execution ---------------------------------------------------------
+    def sql(self, statement: str) -> Result:
+        """Execute SQL → lazy Result (Catalyst parses/optimizes/plans)."""
+        return Result(self.spark.sql(statement))
+
+    def cursor(self) -> Cursor:
+        return Cursor(self)
+
+    def tables(self) -> list[str]:
+        return [t.name for t in self.spark.catalog.listTables()]

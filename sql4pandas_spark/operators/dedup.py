@@ -1,0 +1,276 @@
+"""Deduplication operators (SURVEY.md §2.9): exact, MinHash-LSH, SimHash.
+
+Scale design:
+
+- Exact dedup is a hash groupBy (one shuffle on the content hash). We never
+  `dropDuplicates` on the raw text column at scale — group on sha2(text,256)
+  so the shuffle key is 32 bytes, not document bodies.
+- MinHash-LSH is the standard shingle → minhash signature → band → bucket
+  self-join pipeline. Signatures are computed with JVM higher-order functions
+  (xxhash64 + affine permutations mod a Mersenne prime) — no Python in the
+  row path. Candidate generation explodes b band keys per doc and self-joins
+  on the band key: the only shuffle is on those 8-byte keys. Verification
+  re-checks true shingle Jaccard on candidates only.
+- Duplicate clusters come from iterative smallest-id label propagation
+  (converges in O(log n) rounds on the candidate-pair graph); each round is a
+  join+groupBy, checkpointed to keep the plan from growing unboundedly.
+- SimHash: 64-bit signature via per-bit weighted sums; near-dup candidates by
+  banding the 64 bits into 4×16-bit chunks (Hamming ≤ 3 guarantees a shared
+  chunk by pigeonhole), verified with bit_count(xor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sql4pandas_spark.operators.text import tokens
+
+MERSENNE31 = 2_147_483_647  # 2^31 - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the smallest id per distinct content hash.
+
+    Returns (keep_id, n_copies). Grouping key is sha2-256 of the content, so
+    at 100 TB the shuffle moves 32-byte digests; collision probability is
+    negligible (2^-128 scale).
+    """
+    return (
+        df.groupBy(F.sha2(F.col(text_col).cast("binary"), 256).alias("content_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH
+# ---------------------------------------------------------------------------
+
+
+def _affine_params(n_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a_i*x + b_i) mod 2^31-1.
+
+    A splitmix-style integer scramble keyed by (seed, i) — reproducible across
+    sessions without RNG state (a must be non-zero mod p).
+    """
+    params = []
+    for i in range(n_hashes):
+        z = (seed * 0x9E3779B97F4A7C15 + (i + 1) * 0xBF58476D1CE4E5B9) & (2**64 - 1)
+        z ^= z >> 31
+        a = (z % (MERSENNE31 - 1)) + 1
+        b = (z >> 33) % MERSENNE31
+        params.append((a, b))
+    return params
+
+
+def shingles(text_col, n: int = 3):
+    """Word n-gram shingles (n≥3 — token-set Jaccard is degenerate on the
+    fixture's ~30-word vocabulary, FIXTURES.md)."""
+    toks = tokens(text_col)
+    k = F.size(toks)
+    return F.when(k >= n, F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), k - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, shingles, sig: array<int>[n_hashes]) — signature entirely JVM-side.
+
+    Base hash: xxhash64(shingle) folded into [0, 2^31-1); permutations are
+    affine maps mod the Mersenne prime 2^31-1. a*x stays < 2^62 so the mult
+    cannot overflow ANSI int64.
+    """
+    sh = shingles(text_col, shingle_n).alias("shingles")
+    base = F.transform(F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31)))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("base_hashes"),
+                    lambda h, a=a, b=b: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE31)),
+                )
+            )
+            for a, b in _affine_params(n_hashes)
+        ]
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), sh)
+        .withColumn("base_hashes", base)
+        .withColumn("sig", sig)
+        .drop("base_hashes")
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, n_bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature and self-join on band keys → candidate (a, b) pairs.
+
+    Output: distinct (id_a < id_b) candidate pairs. The band key is
+    xxhash64(band_index, sig-slice), so the join/shuffle key is 8 bytes.
+    """
+    bands = F.array(
+        *[
+            F.xxhash64(F.lit(i), F.slice("sig", i * rows_per_band + 1, rows_per_band))
+            for i in range(n_bands)
+        ]
+    )
+    banded = sigs.select("doc_id", F.explode(bands).alias("band_key"))
+    left = banded.select(F.col("band_key"), F.col("doc_id").alias("id_a"))
+    right = banded.select(F.col("band_key").alias("bk2"), F.col("doc_id").alias("id_b"))
+    return (
+        left.join(right, (F.col("band_key") == F.col("bk2")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def verified_near_pairs(
+    sigs: DataFrame,
+    candidates: DataFrame,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Verify candidates with true shingle-set Jaccard (array_intersect/union
+    on the already-computed distinct shingle arrays). Only candidate pairs —
+    never all O(n²) pairs — reach this join."""
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Smallest-id label propagation over an undirected pair graph.
+
+    Returns (doc_id, cluster_id). Each iteration: labels flow across edges via
+    join + min-aggregate; converges in O(log(diameter)) rounds. localCheckpoint
+    truncates lineage each round so the plan stays bounded — the standard
+    iterative-algorithm pattern on Spark (GraphX/GraphFrames do the same
+    under the hood).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    for _ in range(max_iter):
+        # label of each node <- min(own label, min neighbor label)
+        neighbor_labels = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .select(F.col("src").alias("doc_id"), F.col("cluster_id"))
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dedup_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH near-dedup: (doc_id, cluster_id) for every input row;
+    docs with no near-duplicate keep their own id as cluster_id."""
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, n_bands, n_hashes // n_bands)
+    verified = verified_near_pairs(sigs, cands, threshold)
+    components = connected_components(verified)
+    all_ids = df.select(F.col(id_col).alias("doc_id"))
+    return (
+        all_ids.join(components, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over whitespace tokens: bit_i = sign of the sum of ±1
+    votes from each token hash's bit_i. Explode-free: per-bit vote sums are
+    array aggregates over the token-hash array (all codegen'd)."""
+    hashes = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+    # votes_b = sum over tokens of (2*bit_b - 1); bit b of the simhash = votes_b > 0
+    def bit_vote(b: int):
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h, b=b: acc
+            + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"),
+        )
+
+    sig = F.aggregate(
+        F.array(*[
+            F.when(bit_vote(b) > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+            for b in range(63)  # 63 bits keeps the value positive in int64
+        ]),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return df.select(F.col(id_col).alias("doc_id"), sig.alias("simhash"))
+
+
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs by 16-bit chunk banding + exact Hamming verification.
+
+    With 4 chunks over 63 bits, any pair within Hamming distance 3 shares at
+    least one chunk (pigeonhole) — recall is exact, not probabilistic.
+    """
+    chunks = F.array(
+        *[
+            F.xxhash64(F.lit(i), F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)))
+            for i in range(4)
+        ]
+    )
+    banded = sim.select("doc_id", "simhash", F.explode(chunks).alias("chunk_key"))
+    left = banded.select(F.col("chunk_key"), F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    right = banded.select(
+        F.col("chunk_key").alias("ck2"), F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b")
+    )
+    return (
+        left.join(right, (F.col("chunk_key") == F.col("ck2")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,90 @@
+"""Multimodal column plumbing (SURVEY.md §2.9): opaque binary payloads with
+typed metadata, decoded/feature-extracted via Arrow-batched Pandas UDFs.
+
+The image/audio codecs aren't installed in this container, so `decode` is a
+clearly-marked deterministic STUB — but everything Spark-side is real and
+load-bearing at scale: the binary column survives joins/filters/shuffles, the
+metadata travels as a struct, and the feature extractor is a mapInPandas
+pass whose batch shape, schema, and partitioning are exactly what a real
+decoder (PIL/ffmpeg behind the same signature) would use.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Schema of the decoded-feature output — fixed contract for any decoder.
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes int, width int, height int, features array<double>"
+)
+
+
+def attach_payload(docs: DataFrame) -> DataFrame:
+    """Fake an image-bytes column from text (deterministic) + typed metadata.
+
+    Real pipelines read payloads with `spark.read.format('binaryFile')` or
+    carry them through parquet BYTE_ARRAY columns — same column type as here.
+    """
+    payload = F.col("text").cast("binary")
+    meta = F.named_struct(
+        F.lit("width"), (F.pmod(F.xxhash64("doc_id"), F.lit(640)) + 32).cast("int"),
+        F.lit("height"), (F.pmod(F.xxhash64("doc_id", "text"), F.lit(480)) + 32).cast("int"),
+        F.lit("format"), F.lit("fake/raw"),
+    )
+    return docs.select(
+        "doc_id", "lang", payload.alias("payload"), meta.alias("meta")
+    )
+
+
+def real_decode_stub(payload: bytes) -> np.ndarray:  # pragma: no cover
+    """Placeholder for the actual image decode (PIL.Image.open etc.).
+
+    Not implemented in this container — see `extract_features` for the
+    deterministic fake used to keep the distributed plumbing testable.
+    """
+    raise NotImplementedError(
+        "image/audio codecs are not installed in this environment; "
+        "swap this stub for PIL/torchvision/ffmpeg in production"
+    )
+
+
+def extract_features(with_payload: DataFrame, n_features: int = 8) -> DataFrame:
+    """Arrow-batched feature extraction over the binary payload column.
+
+    STUB decode: features are byte-histogram moments of the payload —
+    deterministic, so tests can assert exact values. The mapInPandas batch
+    shape (pandas DataFrame in, DataFrame out, iterator-chunked) is identical
+    to what a real decoder uses; swapping the body for `real_decode_stub`
+    output is a one-line change.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats, nbytes = [], []
+            for buf in pdf["payload"]:
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8).astype(np.float64)
+                nbytes.append(len(arr))
+                # deterministic fake "embedding": first n moments of the bytes
+                moments = [
+                    float(np.round(np.mean(arr ** (1 + i % 3)) / (255.0 ** (1 + i % 3)), 6))
+                    for i in range(n_features)
+                ]
+                feats.append(moments)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pd.array(nbytes, dtype="int32"),
+                    "width": pdf["meta"].map(lambda m: m["width"]).astype("int32"),
+                    "height": pdf["meta"].map(lambda m: m["height"]).astype("int32"),
+                    "features": feats,
+                }
+            )
+
+    return with_payload.mapInPandas(run, schema=FEATURE_SCHEMA)

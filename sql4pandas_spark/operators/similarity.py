@@ -1,0 +1,162 @@
+"""Similarity search over the `embeddings` table (SURVEY.md §2.9).
+
+Three tiers, matching how you'd actually run this at increasing scale:
+
+1. `cosine_query_topk` — one query vector vs N rows: the vector is inlined as
+   a literal array, the dot product is a JVM higher-order expression
+   (zip_with + aggregate), and top-k compiles to TakeOrderedAndProject. Zero
+   Python, zero broadcast machinery; scales to any N.
+
+2. `cosine_pairs_topk` — exact top-k pairs. The naive theta self-join is a
+   broadcast-nested-loop with a per-row lambda (measured 68× slower than
+   DuckDB at sf0.1 — BASELINE.md note ²). Instead: broadcast the embedding
+   matrix (fixtures: 2000×64 fp32 ≈ 0.5 MB; the pattern holds while one side
+   fits in executor memory — the classic "small matrix × big stream" shape),
+   then mapInPandas computes a NumPy block matmul per Arrow batch and emits
+   each batch's top-k under the FINAL ordering (rounded sim desc, id_a, id_b)
+   so per-partition top-k ∪ global top-k is exact, not approximate.
+
+3. `ann_lsh_topk` — when neither side fits: random-hyperplane LSH buckets
+   (sign-bit sketch over d fixed hyperplanes), candidates only within a
+   bucket, exact re-scoring inside buckets. Approximate recall, all
+   joins/shuffles; the bucket key is an 8-byte hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot_expr(vec_col, query_vec: list[float]):
+    """JVM-side dot(col, literal_query) with float32→double casts (§2.12 #9)."""
+    lit = F.array(*[F.lit(float(x)) for x in query_vec])
+    return F.aggregate(
+        F.zip_with(vec_col, lit, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_query_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10, id_col: str = "vec_id"
+) -> DataFrame:
+    """Top-k neighbors of one query vector (vectors are unit-norm → dot =
+    cosine). ORDER BY sim DESC, id → TakeOrderedAndProject (per-partition
+    heap, no global sort)."""
+    return (
+        emb.select(
+            F.col(id_col),
+            F.round(_dot_expr(F.col("embedding"), query_vec), 4).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_pairs_topk(emb: DataFrame, k: int = 20, id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k cosine pairs via broadcast matrix + per-batch NumPy matmul.
+
+    Output: (id_a, id_b, sim) with id_a < id_b, ordered by (sim desc, id_a,
+    id_b). Correctness of the distributed top-k: each Arrow batch emits its
+    top-k under the same total order the final sort uses, and the global
+    top-k of a union of per-batch top-k's equals the true top-k.
+    """
+    rows = emb.select(id_col, "embedding").toPandas()
+    ids = rows[id_col].to_numpy()
+    mat = np.stack(rows["embedding"].to_numpy()).astype(np.float64)
+    spark = emb.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def block_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a_ids = pdf[id_col].to_numpy()
+            a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            sims = np.round(a @ all_mat.T, 4)  # (batch, N)
+            mask = a_ids[:, None] < all_ids[None, :]  # id_a < id_b only
+            ai, bj = np.nonzero(mask)
+            if len(ai) == 0:
+                continue
+            flat = pd.DataFrame(
+                {"id_a": a_ids[ai], "id_b": all_ids[bj], "sim": sims[ai, bj]}
+            )
+            flat = flat.sort_values(
+                ["sim", "id_a", "id_b"], ascending=[False, True, True]
+            ).head(k)
+            yield flat
+
+    out_schema = f"id_a long, id_b long, sim double"
+    local = emb.select(id_col, "embedding").mapInPandas(block_topk, schema=out_schema)
+    return local.orderBy(F.col("sim").desc(), "id_a", "id_b").limit(k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 13) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes (no RNG state — splitmix ints
+    mapped to [-1, 1); good enough for sign sketches)."""
+    z = (np.arange(dim * n_planes, dtype=np.uint64) + 1) * np.uint64(0x9E3779B97F4A7C15)
+    z = z + np.uint64(seed) * np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(31)
+    vals = (z.astype(np.float64) / 2**64) * 2.0 - 1.0
+    return vals.reshape(n_planes, dim)
+
+
+def lsh_bucket_key(vec_col, planes: np.ndarray):
+    """Sign-bit sketch as a single long: bit_i = (v · plane_i) > 0.
+
+    Built from zip_with dot products per plane — JVM-side, no UDF.
+    """
+    bits = []
+    for i, plane in enumerate(planes):
+        lit = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec_col, lit, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long")))
+    key = bits[0]
+    for b in bits[1:]:
+        key = key + b
+    return key
+
+
+def ann_lsh_topk(
+    emb: DataFrame, k: int = 20, n_planes: int = 8, id_col: str = "vec_id"
+) -> DataFrame:
+    """Approximate top-k cosine pairs: candidates share an LSH bucket.
+
+    Scale: the self-join key is the bucket id (long); within-bucket pairs are
+    scored with the exact JVM dot product. Recall is tested against the
+    brute-force result at sf0.001 (tests/test_similarity.py). More planes →
+    smaller buckets → cheaper join, lower recall; n_planes=8 ≈ 256 buckets.
+    """
+    dim = len(emb.select("embedding").first()[0])
+    planes = _hyperplanes(dim, n_planes)
+    keyed = emb.select(
+        F.col(id_col), "embedding", lsh_bucket_key(F.col("embedding"), planes).alias("bucket")
+    )
+    a = keyed.select(
+        F.col("bucket"), F.col(id_col).alias("id_a"), F.col("embedding").alias("emb_a")
+    )
+    b = keyed.select(
+        F.col("bucket").alias("bucket_b"), F.col(id_col).alias("id_b"), F.col("embedding").alias("emb_b")
+    )
+    dot = F.aggregate(
+        F.zip_with("emb_a", "emb_b", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", F.round(dot, 4).alias("sim"))
+        .orderBy(F.col("sim").desc(), "id_a", "id_b")
+        .limit(k)
+    )

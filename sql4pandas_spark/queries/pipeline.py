@@ -1,0 +1,308 @@
+"""Tier-C declared queries: dedup / similarity / text analysis / multimodal /
+sinks (SURVEY.md §2.9) — the LLM-training-data-pipeline surface.
+
+SQL-expressible ops carry DuckDB oracles; the genuinely non-SQL ones
+(MinHash-LSH clustering, SimHash, ANN, HLL sketches, the decode stub) are
+declared without an oracle → the driver records the weaker rows-only check,
+and tests/test_dedup.py + tests/test_similarity.py hold the real invariants
+(brute-force recall at sf0.001, determinism, cluster sanity).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql4pandas_spark.operators import dedup, multimodal, similarity, text
+from sql4pandas_spark.queries.catalog import query
+from sql4pandas_spark.sources.parquet import register_tables
+
+
+@query(
+    "dedup_exact_documents",
+    oracle="SELECT count(*) AS total, count(DISTINCT text) AS distinct_texts FROM documents",
+    tags=("tier-c", "dedup_exact"),
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir, ("documents",))
+    return t["documents"].agg(
+        F.count(F.lit(1)).alias("total"),
+        F.countDistinct("text").alias("distinct_texts"),
+    )
+
+
+@query(
+    "dedup_exact_keepers",
+    oracle="""
+    SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY text ORDER BY keep_id LIMIT 50
+    """,
+    tags=("tier-c", "dedup_exact"),
+)
+def dedup_exact_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keep-list via content-hash groupBy (operators/dedup.py —
+    shuffles 32-byte digests, not document bodies)."""
+    t = register_tables(spark, sf_dir, ("documents",))
+    return (
+        dedup.exact_dedup(t["documents"])
+        .orderBy("keep_id")
+        .limit(50)
+    )
+
+
+@query(
+    "wordcount_documents",
+    oracle="""
+    SELECT w AS word, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+    WHERE w <> '' GROUP BY w ORDER BY n DESC, word LIMIT 25
+    """,
+    tags=("tier-c", "text_tokenize"),
+)
+def wordcount_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical tokenize+explode+count — partial aggregation on the map
+    side keeps the shuffle at one row per distinct word per task."""
+    t = register_tables(spark, sf_dir, ("documents",))
+    return (
+        t["documents"]
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(25)
+    )
+
+
+@query(
+    "text_stats_by_lang",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+           round(avg(CAST(length(text) AS DOUBLE)), 4) AS avg_chars,
+           round(avg(CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS DOUBLE)), 4) AS avg_tokens
+    FROM documents GROUP BY lang, source ORDER BY lang, source
+    """,
+    tags=("tier-c", "text_stats"),
+)
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir, ("documents",))
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    return (
+        t["documents"]
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.length("text").cast("double")), 4).alias("avg_chars"),
+            F.round(F.avg(F.size(toks).cast("double")), 4).alias("avg_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@query(
+    "text_quality_scores",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(length(text) AS INTEGER) AS n_chars_actual,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks,
+             CAST(length(text) - length(translate(text, '.,!?;:''"', '')) AS INTEGER) AS n_punct
+      FROM documents)
+    SELECT doc_id, n_chars_actual,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           round(list_sum(list_transform(toks, t -> CAST(length(t) AS DOUBLE))) / len(toks), 4) AS avg_token_len,
+           round(CAST(n_punct AS DOUBLE) / n_chars_actual, 4) AS punct_ratio,
+           round(CAST(len(list_filter(toks, t -> t IN ('the','and','of','to','join','filter'))) AS DOUBLE) / len(toks), 4) AS stopword_ratio
+    FROM q ORDER BY doc_id LIMIT 100
+    """,
+    tags=("tier-c", "text_stats", "quality"),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-style quality features (operators/text.quality_features)."""
+    t = register_tables(spark, sf_dir, ("documents",))
+    return text.quality_features(t["documents"]).orderBy("doc_id").limit(100)
+
+
+@query(
+    "token_count_bpe",
+    oracle=f"""
+    SELECT lang,
+           round(avg(CAST(len(regexp_extract_all(text, '{text.BPE_TOKEN_RE}')) AS DOUBLE)), 4) AS avg_bpe_tokens
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("tier-c", "text_tokenize"),
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenization counts — regexp_extract_all exists in both
+    engines with compatible pattern syntax for this character-class regex."""
+    t = register_tables(spark, sf_dir, ("documents",))
+    return (
+        t["documents"]
+        .groupBy("lang")
+        .agg(F.round(F.avg(text.bpe_token_count("text").cast("double")), 4).alias("avg_bpe_tokens"))
+        .orderBy("lang")
+    )
+
+
+@query("lang_id_documents", oracle=None, tags=("tier-c", "text_analysis", "rows-only"))
+def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID (deterministic heuristic; invariants in
+    tests/test_text.py). No oracle: the scoring rule isn't ANSI-SQL-portable."""
+    t = register_tables(spark, sf_dir, ("documents",))
+    return text.lang_id(t["documents"]).orderBy("doc_id").limit(200)
+
+
+@query("doc_fingerprints", oracle=None, tags=("tier-c", "fingerprint", "rows-only"))
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (operators/text.winnow_fingerprint)."""
+    t = register_tables(spark, sf_dir, ("documents",))
+    return text.winnow_fingerprint(t["documents"]).orderBy("doc_id").limit(200)
+
+
+@query("dedup_near_minhash", oracle=None, tags=("tier-c", "dedup_near", "rows-only"))
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dedup clusters (word-3-gram shingles, 64 hashes,
+    16 bands × 4 rows). Recall vs brute-force Jaccard is asserted in
+    tests/test_dedup.py at sf0.001; this declared entry gives the driver the
+    deterministic (doc_id, cluster_id) assignment."""
+    t = register_tables(spark, sf_dir, ("documents",))
+    return dedup.near_dedup_minhash(t["documents"]).orderBy("doc_id")
+
+
+@query("dedup_simhash_pairs", oracle=None, tags=("tier-c", "dedup_near", "rows-only"))
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures + exact-recall chunk-banded near pairs (Hamming ≤ 3)."""
+    t = register_tables(spark, sf_dir, ("documents",))
+    sim = dedup.simhash(t["documents"])
+    return dedup.simhash_near_pairs(sim).orderBy("id_a", "id_b").limit(500)
+
+
+@query(
+    "cosine_top20_pairs",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])) AS DOUBLE), 4) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ORDER BY sim DESC, id_a, id_b LIMIT 20
+    """,
+    tags=("tier-c", "sim_topk_bruteforce", "bench"),
+)
+def cosine_top20_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 cosine pairs via broadcast-matrix NumPy matmul
+    (operators/similarity.cosine_pairs_topk — the 68×-faster rewrite of the
+    naive theta join, BASELINE.md note ²)."""
+    t = register_tables(spark, sf_dir, ("embeddings",))
+    return similarity.cosine_pairs_topk(t["embeddings"], k=20)
+
+
+@query(
+    "sim_query_top10",
+    oracle="""
+    SELECT e.vec_id,
+           round(CAST(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))
+                 AS DOUBLE), 4) AS sim
+    FROM embeddings e
+    WHERE e.vec_id <> 0
+    ORDER BY sim DESC, e.vec_id LIMIT 10
+    """,
+    tags=("tier-c", "sim_search_query"),
+)
+def sim_query_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 neighbors of vec_id=0: the query vector is inlined as a literal
+    array; dot product runs as a JVM zip_with/aggregate inside codegen."""
+    t = register_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return similarity.cosine_query_topk(
+        emb.filter(F.col("vec_id") != 0), list(qvec), k=10
+    )
+
+
+@query("ann_lsh_top10", oracle=None, tags=("tier-c", "sim_search_ann", "rows-only"))
+def ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 pairs via random-hyperplane LSH buckets; recall vs
+    the exact result is asserted in tests/test_similarity.py."""
+    t = register_tables(spark, sf_dir, ("embeddings",))
+    return similarity.ann_lsh_topk(t["embeddings"], k=10)
+
+
+@query("approx_distinct_events", oracle=None, tags=("tier-c", "agg_approx", "rows-only"))
+def approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approx_count_distinct next to the exact count — the 100 TB way to
+    count uniques (no distinct-expand shuffle). rsd asserted in tests."""
+    t = register_tables(spark, sf_dir, ("events",))
+    return t["events"].agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("event_id", 0.02).alias("approx_events"),
+    )
+
+
+@query(
+    "multimodal_payload_stats",
+    oracle="""
+    SELECT lang, count(*) AS n,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("tier-c", "multimodal_cols"),
+)
+def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload columns surviving aggregation — byte-length stats over
+    the attached payload (operators/multimodal.attach_payload)."""
+    t = register_tables(spark, sf_dir, ("documents",))
+    with_payload = multimodal.attach_payload(t["documents"])
+    return (
+        with_payload.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("payload")).alias("total_bytes"),
+            F.max(F.length("payload")).cast("long").alias("max_bytes"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query("multimodal_decode_features", oracle=None, tags=("tier-c", "multimodal_cols", "rows-only"))
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode/feature-extract plumbing (deterministic STUB body,
+    real mapInPandas batch shape — operators/multimodal.extract_features)."""
+    t = register_tables(spark, sf_dir, ("documents",))
+    feats = multimodal.extract_features(multimodal.attach_payload(t["documents"]))
+    return feats.orderBy("doc_id").limit(100)
+
+
+@query(
+    "sink_parquet_roundtrip",
+    oracle="""
+    SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE lang IN ('en', 'fr') GROUP BY lang ORDER BY lang
+    """,
+    tags=("tier-c", "sink_parquet", "scan_parquet"),
+)
+def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a filtered projection to parquet, re-read it, aggregate — proves
+    the sink path (df.write.parquet) preserves values/schema. Output parquet
+    is partitioned by lang (partition pruning on re-read)."""
+    t = register_tables(spark, sf_dir, ("documents",))
+    out = os.path.join(tempfile.gettempdir(), "s4ps_sink_roundtrip")
+    (
+        t["documents"]
+        .filter(F.col("lang").isin("en", "fr"))
+        .select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang")
+    )

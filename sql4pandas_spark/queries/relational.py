@@ -1,0 +1,699 @@
+"""Tier-A relational core + set ops + subqueries (SURVEY.md §2.1-2.4, §2.6).
+
+Reference parity: these are the operators the reference library implements by
+compiling SQL to pandas (`pd.merge` chains, boolean masks, `np.select`,
+`groupby().agg`, `sort_values` — SURVEY.md §3.1; the /root/reference checkout
+is empty this round, so citations are to SURVEY.md's reconstruction). Here
+each is the declarative Spark form, so Catalyst gets to pick broadcast-hash vs
+sort-merge joins, push filters into the parquet scan, and reorder join chains
+— the properties that matter at 100 TB.
+
+Scale notes per operator live on the builder docstrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql4pandas_spark.queries.catalog import query
+from sql4pandas_spark.sources.parquet import register_tables
+
+
+def _ts(lit: str) -> F.Column:
+    return F.lit(lit).cast("timestamp")
+
+
+# ---------------------------------------------------------------------------
+# scan_parquet / project / filter_cmp / agg_group / order_by — the flagship
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                         AS sum_qty,
+           round(sum(l_extendedprice), 2)                    AS sum_base,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4)                         AS avg_qty,
+           count(*)                                          AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("tier-a", "scan_parquet", "project", "filter_cmp", "agg_group", "order_by", "bench"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary.
+
+    Scale: single scan → partial/final HashAggregate on 6 groups; the shipdate
+    filter is pushed to parquet row-groups (asserted in tests/test_plans.py),
+    only 6 of 16 lineitem columns are read, and whole-stage codegen covers
+    scan→filter→project→partial-agg in one pipeline. No join, one shuffle of
+    6 tiny partial rows per task — this plan is shape-identical at 100 TB.
+    """
+    t = register_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= _ts("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT o.o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey ASC
+    LIMIT 10
+    """,
+    tags=("tier-a", "join_multi", "filter_bool", "limit", "bench"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + grouped top-k.
+
+    Scale: customer (small side after the segment filter) broadcasts into
+    orders, lineitem joins on the shuffled o_orderkey; ORDER BY+LIMIT compiles
+    to TakeOrderedAndProject (per-partition top-k, no global sort). Ties
+    broken by o_orderkey so the row set is deterministic (§2.12 #2).
+    """
+    t = register_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    c = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    o = t["orders"].filter(F.col("o_orderdate") < _ts("1998-03-15"))
+    li = t["lineitem"]
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+    tags=("tier-a", "join_multi", "bench"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-way star join through the full schema.
+
+    Scale: region/nation/supplier/customer are dimension tables → Catalyst
+    auto-broadcasts everything under the 10 MB threshold, so the only big
+    shuffle is lineitem⋈orders. `broadcast()` hints are left implicit: AQE's
+    runtime size stats make the right call even when static stats are absent.
+    """
+    t = register_tables(spark, sf_dir)
+    r = t["region"].filter(F.col("r_name") == "ASIA")
+    joined = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# case_when / null functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "case_priority_buckets",
+    oracle="""
+    SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'high'
+                WHEN o_orderpriority = '3-MEDIUM'             THEN 'mid'
+                ELSE 'low' END AS prio_class,
+           count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    tags=("tier-a", "case_when"),
+)
+def case_priority_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN (the reference compiles this to np.select — SURVEY §2.2)."""
+    t = register_tables(spark, sf_dir, ("orders",))
+    prio = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "mid")
+        .otherwise("low")
+        .alias("prio_class")
+    )
+    return (
+        t["orders"]
+        .select(prio, "o_totalprice")
+        .groupBy("prio_class")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+        .orderBy("prio_class")
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins: left / right / full / semi / anti / theta
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "left_join_missing_orders",
+    oracle="""
+    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey ORDER BY n_orders ASC, c.c_custkey LIMIT 20
+    """,
+    tags=("tier-a", "join_left"),
+)
+def left_join_missing_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT JOIN + count(col) null semantics (count skips NULLs — a deliberate
+    upgrade over the reference's NaN-based pandas behavior, SURVEY §1.1)."""
+    t = register_tables(spark, sf_dir, ("customer", "orders"))
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy(F.col("n_orders").asc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "right_join_orders_customers",
+    oracle="""
+    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey ORDER BY n_orders ASC, c.c_custkey LIMIT 20
+    """,
+    tags=("tier-a", "join_right"),
+)
+def right_join_orders_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir, ("customer", "orders"))
+    return (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"), "right")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy(F.col("n_orders").asc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "full_outer_join_counts",
+    oracle="""
+    SELECT count(*)                                          AS n_rows,
+           count(CASE WHEN c.c_custkey IS NULL THEN 1 END)   AS n_no_customer,
+           count(CASE WHEN o.o_orderkey IS NULL THEN 1 END)  AS n_no_order
+    FROM (SELECT c_custkey FROM customer WHERE c_acctbal < 0) c
+    FULL JOIN (SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 350000) o
+      ON c.c_custkey = o.o_custkey
+    """,
+    tags=("tier-a", "join_full", "null_fns"),
+)
+def full_outer_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER with unmatched rows on both sides (filters create misses)."""
+    t = register_tables(spark, sf_dir, ("customer", "orders"))
+    c = t["customer"].filter(F.col("c_acctbal") < 0).select("c_custkey")
+    o = t["orders"].filter(F.col("o_totalprice") > 350000).select("o_orderkey", "o_custkey")
+    j = c.join(o, c.c_custkey == o.o_custkey, "full")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("n_no_customer"),
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("n_no_order"),
+    )
+
+
+@query(
+    "semi_customers",
+    oracle="""
+    SELECT count(*) AS n_with FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("tier-b", "join_semi"),
+)
+def semi_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → left-semi join (no row multiplication, unlike inner+distinct)."""
+    t = register_tables(spark, sf_dir, ("customer", "orders"))
+    semi = t["customer"].join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+    return semi.agg(F.count(F.lit(1)).alias("n_with"))
+
+
+@query(
+    "anti_customers",
+    oracle="""
+    SELECT count(*) AS n_without FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("tier-b", "join_anti"),
+)
+def anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir, ("customer", "orders"))
+    anti = t["customer"].join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+    return anti.agg(F.count(F.lit(1)).alias("n_without"))
+
+
+@query(
+    "theta_join_supplier_pairs",
+    oracle="""
+    SELECT s1.s_nationkey AS nk, count(*) AS n_pairs
+    FROM supplier s1
+    JOIN supplier s2 ON s1.s_nationkey = s2.s_nationkey AND s1.s_suppkey < s2.s_suppkey
+    GROUP BY s1.s_nationkey ORDER BY nk
+    """,
+    tags=("tier-b", "join_theta"),
+)
+def theta_join_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + inequality self-join.
+
+    Scale: the equi key (nationkey) drives a hash join; the `<` predicate is a
+    post-join filter, so this avoids the O(n²) broadcast-nested-loop a pure
+    theta join would cost. Pattern matters: always give Catalyst an equi key
+    when one exists.
+    """
+    t = register_tables(spark, sf_dir, ("supplier",))
+    s1 = t["supplier"].select(F.col("s_nationkey").alias("nk"), F.col("s_suppkey").alias("k1"))
+    s2 = t["supplier"].select(F.col("s_nationkey").alias("nk2"), F.col("s_suppkey").alias("k2"))
+    return (
+        s1.join(s2, (F.col("nk") == F.col("nk2")) & (F.col("k1") < F.col("k2")))
+        .groupBy("nk")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("nk")
+    )
+
+
+@query(
+    "range_join_close_events",
+    oracle="""
+    SELECT a.user_id, count(*) AS n_close
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 MINUTE
+    GROUP BY a.user_id ORDER BY a.user_id
+    """,
+    tags=("tier-c", "join_range"),
+)
+def range_join_close_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join: successor events within 1 minute, per user.
+
+    Scale: equi key (user_id) + range predicate → hash join with a residual
+    filter. For a range join with NO equi key, bucketize time into
+    interval-width bins and join on bin±1 (turns BNL into an equi join) —
+    that variant is operators/relational_ext.bucketed_range_join.
+    """
+    t = register_tables(spark, sf_dir, ("events",))
+    a = t["events"].select(F.col("user_id"), F.col("ts").alias("ts_a"))
+    b = t["events"].select(F.col("user_id").alias("user_b"), F.col("ts").alias("ts_b"))
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("user_b"))
+            & (F.col("ts_b") > F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 1 MINUTE")),
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_close"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "asof_join_purchase_click",
+    oracle="""
+    SELECT p.event_id, p.user_id, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id LIMIT 200
+    """,
+    tags=("tier-c", "join_asof"),
+)
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest click at-or-before each purchase, per user.
+
+    Spark lacks a native ASOF JOIN; the scalable formulation is the
+    union+window trick: tag both streams, sort by (ts, kind) within user, and
+    carry the last seen click ts forward with last(ignorenulls=True). One
+    shuffle on user_id, no nested loop, no applyInPandas — works at any
+    cardinality and is exactly DuckDB's `ASOF JOIN ... ON p.ts >= c.ts`.
+    """
+    from pyspark.sql import Window
+
+    t = register_tables(spark, sf_dir, ("events",))
+    e = t["events"]
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts"), F.lit(0).alias("kind"), F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("click_ts_src"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts"), F.lit(1).alias("kind"), F.col("event_id"),
+        F.lit(None).cast("timestamp").alias("click_ts_src"),
+    )
+    # clicks sort before purchases at identical ts → "at-or-before" inclusive.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = clicks.unionByName(purchases).withColumn(
+        "click_ts", F.last("click_ts_src", ignorenulls=True).over(w)
+    )
+    return (
+        tagged.filter(F.col("kind") == 1)
+        .select("event_id", "user_id", "click_ts")
+        .orderBy("event_id")
+        .limit(200)
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregation: global / distinct / stats / having / rollup / cube
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_global_lineitem",
+    oracle="""
+    SELECT count(*) AS n,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           round(avg(l_discount), 4)      AS avg_disc,
+           round(min(l_quantity), 2)      AS min_qty,
+           round(max(l_quantity), 2)      AS max_qty
+    FROM lineitem
+    """,
+    tags=("tier-a", "agg_global"),
+)
+def agg_global_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir, ("lineitem",))
+    return t["lineitem"].agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.round(F.min("l_quantity"), 2).alias("min_qty"),
+        F.round(F.max("l_quantity"), 2).alias("max_qty"),
+    )
+
+
+@query(
+    "agg_distinct_customer",
+    oracle="""
+    SELECT count(DISTINCT c_nationkey) AS n_nations,
+           count(DISTINCT c_mktsegment) AS n_segments,
+           count(*) AS n_rows
+    FROM customer
+    """,
+    tags=("tier-a", "agg_distinct"),
+)
+def agg_distinct_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT): Spark expands to a two-phase expand+agg — scales via
+    partial distinct on the mappers rather than collecting values."""
+    t = register_tables(spark, sf_dir, ("customer",))
+    return t["customer"].agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "agg_stats_orders",
+    oracle="""
+    SELECT o_orderstatus,
+           round(stddev_samp(o_totalprice), 4) AS sd,
+           round(var_samp(o_totalprice), 2)    AS var,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS med,
+           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("tier-b", "agg_stats"),
+)
+def agg_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev/variance/exact percentiles. Spark `percentile` interpolates the
+    same way as SQL percentile_cont. For 100 TB use approx_percentile
+    (t-digest-style sketch, no sort) — see approx_distinct_events."""
+    t = register_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.stddev_samp("o_totalprice"), 4).alias("sd"),
+            F.round(F.var_samp("o_totalprice"), 2).alias("var"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("med"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "rollup_region_nation",
+    oracle="""
+    SELECT r.r_name, n.n_name, count(*) AS n
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    ORDER BY r.r_name NULLS FIRST, n.n_name NULLS FIRST
+    """,
+    tags=("tier-b", "rollup_cube"),
+)
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP via df.rollup — Spark plans one Expand + single aggregate, not
+    one pass per grouping set. NULLS FIRST made explicit (§2.12 #6)."""
+    t = register_tables(spark, sf_dir, ("customer", "nation", "region"))
+    j = (
+        t["customer"]
+        .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+@query(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    tags=("tier-b", "rollup_cube"),
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    tags=("tier-b", "rollup_cube"),
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# distinct / set ops / subqueries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "distinct_segments",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    tags=("tier-a", "distinct"),
+)
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir, ("customer",))
+    return t["customer"].select("c_mktsegment").distinct().orderBy("c_mktsegment")
+
+
+@query(
+    "setop_intersect",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+    ORDER BY c_custkey
+    """,
+    tags=("tier-b", "intersect"),
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir, ("customer", "orders"))
+    building = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = t["orders"].filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return building.intersect(big).orderBy("c_custkey")
+
+
+@query(
+    "setop_except",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+    ORDER BY c_custkey
+    """,
+    tags=("tier-b", "except"),
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_tables(spark, sf_dir, ("customer", "orders"))
+    building = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = t["orders"].filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return building.subtract(big).orderBy("c_custkey")
+
+
+@query(
+    "setop_union_counts",
+    oracle="""
+    SELECT
+      (SELECT count(*) FROM (
+         SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         UNION
+         SELECT o_custkey FROM orders WHERE o_totalprice > 300000)) AS n_union,
+      (SELECT count(*) FROM (
+         SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         UNION ALL
+         SELECT o_custkey FROM orders WHERE o_totalprice > 300000)) AS n_union_all
+    """,
+    tags=("tier-b", "union_all", "union"),
+)
+def setop_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) vs UNION ALL — DataFrame forms are unionByName
+    (+.distinct()); expressed via scalar subqueries to stay one lazy plan."""
+    register_tables(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT
+          (SELECT count(*) FROM (
+             SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             UNION
+             SELECT o_custkey FROM orders WHERE o_totalprice > 300000)) AS n_union,
+          (SELECT count(*) FROM (
+             SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             UNION ALL
+             SELECT o_custkey FROM orders WHERE o_totalprice > 300000)) AS n_union_all
+        """
+    )
+
+
+@query(
+    "subq_big_spenders",
+    oracle="""
+    SELECT t.c_custkey, t.total FROM (
+      SELECT o_custkey AS c_custkey, round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY o_custkey HAVING count(*) >= 5) t
+    ORDER BY t.total DESC, t.c_custkey LIMIT 15
+    """,
+    tags=("tier-a", "subquery_from", "having"),
+)
+def subq_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FROM-subquery + HAVING (post-aggregation filter = .agg().filter())."""
+    t = register_tables(spark, sf_dir, ("orders",))
+    inner = (
+        t["orders"]
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+        .select("c_custkey", "total")
+    )
+    return inner.orderBy(F.col("total").desc(), "c_custkey").limit(15)
+
+
+@query(
+    "scalar_subq_above_avg",
+    oracle="""
+    SELECT count(*) AS n FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    """,
+    tags=("tier-b", "subquery_scalar"),
+)
+def scalar_subq_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery — left to Catalyst (RewriteCorrelatedScalarSubquery
+    plans it as a broadcast of the 1-row aggregate, not a driver round-trip)."""
+    register_tables(spark, sf_dir, ("orders",))
+    return spark.sql(
+        "SELECT count(*) AS n FROM orders "
+        "WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)"
+    )
+
+
+@query(
+    "in_subq_customers",
+    oracle="""
+    SELECT count(*) AS n FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    """,
+    tags=("tier-b", "subquery_in"),
+)
+def in_subq_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery — Catalyst rewrites to a left-semi join."""
+    register_tables(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        "SELECT count(*) AS n FROM customer "
+        "WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)"
+    )

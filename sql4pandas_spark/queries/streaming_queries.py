@@ -1,0 +1,172 @@
+"""Declared streaming queries (SURVEY.md §2.10) — every entry that can be
+SQL-verified runs the REAL streaming path (readStream → availableNow →
+memory sink) and is checked against the batch-form DuckDB oracle; window
+semantics (tumble/slide/session) also get batch-mode entries so the window
+operators themselves are oracle-verified independent of the streaming runtime.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql4pandas_spark.queries.catalog import query
+from sql4pandas_spark.sources.parquet import register_tables
+from sql4pandas_spark.streaming.windows import (
+    read_events_stream,
+    run_available_now,
+    session_windows_10m,
+    sliding_30m,
+    tumbling_hourly,
+    watermarked_hourly,
+)
+
+_HOURLY_ORACLE = """
+    SELECT date_trunc('hour', ts) AS w, event_type, count(*) AS n,
+           round(sum(value), 2) AS v
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query(
+    "events_hourly",
+    oracle=_HOURLY_ORACLE,
+    tags=("tier-c", "stream_tumble", "batch_form", "bench"),
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling windows, batch mode: F.window on a static frame — the same
+    plan the streaming entry incrementalizes."""
+    t = register_tables(spark, sf_dir, ("events",))
+    return tumbling_hourly(t["events"]).orderBy("w", "event_type")
+
+
+@query(
+    "stream_tumble_hourly",
+    oracle=_HOURLY_ORACLE,
+    tags=("tier-c", "stream_tumble", "scan_stream"),
+)
+def stream_tumble_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming tumbling agg: readStream → availableNow → memory sink,
+    complete mode. Result must equal the batch oracle (batch-equivalence)."""
+    events = read_events_stream(spark, sf_dir)
+    return run_available_now(tumbling_hourly(events), mode="complete").orderBy(
+        "w", "event_type"
+    )
+
+
+@query(
+    "stream_watermark_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS w, event_type, count(*) AS n
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("tier-c", "stream_watermark", "scan_stream"),
+)
+def stream_watermark_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming agg (update mode). The fixture has no late data,
+    so the drained result equals the batch form; the late-row-drop semantics
+    are exercised in tests/test_streaming.py with injected late rows."""
+    events = read_events_stream(spark, sf_dir)
+    return run_available_now(watermarked_hourly(events), mode="update").orderBy(
+        "w", "event_type"
+    )
+
+
+@query(
+    "events_sliding_30m",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, value, ts,
+             date_trunc('hour', ts)
+               + CASE WHEN extract('minute' FROM ts) >= 30
+                      THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 SECOND END AS s0
+      FROM events)
+    SELECT w_start, event_type, count(*) AS n, round(sum(value), 2) AS v
+    FROM (SELECT event_type, value, ts,
+                 unnest([s0, s0 - INTERVAL 30 MINUTE]) AS w_start
+          FROM e) x
+    WHERE ts >= w_start AND ts < w_start + INTERVAL 60 MINUTE
+    GROUP BY w_start, event_type ORDER BY w_start, event_type
+    """,
+    tags=("tier-c", "stream_slide", "batch_form"),
+)
+def events_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h / 30 min) — each event in exactly 2 windows; the
+    oracle materializes both candidate starts per event and filters."""
+    t = register_tables(spark, sf_dir, ("events",))
+    return sliding_30m(t["events"]).orderBy("w_start", "event_type")
+
+
+@query(
+    "events_session_windows",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g)
+    SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL 10 MINUTE AS s_end,
+           count(*) AS n
+    FROM s GROUP BY user_id, sid ORDER BY user_id, s_start
+    """,
+    tags=("tier-c", "stream_session", "batch_form"),
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (batch mode — session_window works on static
+    frames; the streaming variant is exercised in tests). The oracle rebuilds
+    sessions with lag + cumulative-sum: a new session starts when the gap to
+    the previous event is >= 10 min, end = last event + gap."""
+    t = register_tables(spark, sf_dir, ("events",))
+    return session_windows_10m(t["events"]).orderBy("user_id", "s_start")
+
+
+@query(
+    "stream_stateful_user_counts",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, max(ts) AS last_ts
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("tier-c", "stream_stateful", "scan_stream"),
+)
+def stream_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing: applyInPandasWithState keeps a per-user
+    (count, last_ts) state across micro-batches and emits the running totals
+    each batch. Drained with availableNow over one fixture file → the final
+    emission equals the batch aggregate, which DuckDB verifies."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = read_events_stream(spark, sf_dir).select("user_id", "ts")
+
+    def track(key, pdfs, state: GroupState):
+        n, last_us = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                # pandas datetime64[us/ns] → int µs since epoch (state must be
+                # simple types)
+                mx = int(pd.Timestamp(pdf["ts"].max()).value // 1000)
+                last_us = max(last_us, mx)
+        state.update((n, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "last_ts": [pd.Timestamp(last_us * 1000)],
+            }
+        )
+
+    result = events.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType="user_id long, n_events long, last_ts timestamp",
+        stateStructType="n long, last_us long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_available_now(result, mode="update").orderBy("user_id")

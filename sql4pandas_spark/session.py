@@ -1,0 +1,83 @@
+"""SparkSession factory with the configs this engine depends on.
+
+Design notes (scale):
+
+- One shared session everywhere (startup is ~10-13 s locally; on a cluster the
+  session is the app). Tests share a module fixture, bench amortizes startup.
+- ``spark.sql.shuffle.partitions`` defaults low for local fixtures; on a real
+  cluster AQE coalescing makes the static number mostly a ceiling — we leave
+  AQE on (Spark 4 default) so runtime re-planning (skew-join split, SMJ→BHJ
+  conversion, partition coalescing) applies at any scale.
+- ``spark.sql.session.timeZone=UTC`` so collected timestamps are stable across
+  machines (SURVEY.md §2.12 #3).
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` because the ``events`` fixture
+  stores INT64 TIMESTAMP(NANOS) which PySpark 4.x refuses by default
+  (FIXTURES.md). The long→timestamp conversion happens in sources/parquet.py.
+- Arrow on for the pandas interop path (the reference's identity is pandas in
+  / pandas out).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Session-level (runtime-settable) confs. These are also applied defensively
+#: to externally-provided sessions (the driver creates its own session and
+#: passes it to the catalog builders) via :func:`configure_session`.
+SESSION_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+}
+
+
+def default_parallelism() -> int:
+    """Worker thread count: $SPARK_GRAFT_CPUS, else 8 (the BASELINE.md config).
+
+    More threads than ~8 hurt on the small local fixtures (task scheduling
+    overhead dominates); on a real cluster this knob is replaced by executor
+    sizing.
+    """
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+
+
+def get_spark(
+    app_name: str = "sql4pandas-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the pinned local SparkSession."""
+    cpus = cpus or default_parallelism()
+    shuffle_partitions = shuffle_partitions or max(2 * cpus, 16)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
+    )
+    for key, value in SESSION_CONFS.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    configure_session(spark)
+    return spark
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable confs to an existing session.
+
+    The correctness driver constructs its own SparkSession; every catalog
+    builder routes through here so the parity-critical confs (UTC, nanos
+    workaround, Arrow) hold no matter who built the session.
+    """
+    for key, value in SESSION_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - static conf on a running session
+            pass
+    return spark

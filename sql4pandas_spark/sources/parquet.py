@@ -1,0 +1,75 @@
+"""Parquet sources: load the fixture tables and register them as temp views.
+
+Scale notes:
+
+- ``spark.read.parquet`` is the vectorized reader; filters and column pruning
+  reach the scan (verify with ``df.explain`` → ``PushedFilters`` /
+  ``ReadSchema``) so a 100 TB table is only read in the columns/row-groups a
+  query touches. tests/test_plans.py asserts this stays true.
+- Views are lazy: registering all ten tables costs only schema reads.
+- The ``events.ts`` column is INT64 TIMESTAMP(NANOS) parquet, which PySpark
+  4.x cannot read natively (FIXTURES.md). With
+  ``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as a long; we
+  convert with integer division ``ts div 1000`` → ``timestamp_micros``.
+  Integer division is deliberate: a double round-trip (``ts/1000``) loses
+  precision at 2^63-scale nanos and can flip a microsecond near boundaries,
+  while DuckDB (the correctness oracle) truncates exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql4pandas_spark.session import configure_session
+
+#: All fixture tables, in FK-dependency order (dims first).
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ns-as-long → µs timestamp; `div` keeps the math in exact int64.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table (events gets its timestamp normalized)."""
+    configure_session(spark)
+    return _load(spark, sf_dir, name)
+
+
+def register_tables(
+    spark: SparkSession,
+    sf_dir: str = DEFAULT_SF_DIR,
+    tables: tuple[str, ...] = TABLES,
+) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view named after the table.
+
+    Idempotent (``createOrReplaceTempView``) and lazy — call it at the top of
+    any query builder; repeated calls only re-read parquet footers.
+    """
+    configure_session(spark)
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        df = _load(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

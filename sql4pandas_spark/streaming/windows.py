@@ -1,0 +1,102 @@
+"""Structured Streaming over the `events` table (SURVEY.md §2.10).
+
+Testable-by-construction streaming: every stream here reads the fixture
+parquet with `readStream` and drains it with `trigger(availableNow=True)`, so
+the stream terminates deterministically and its result can be compared to the
+batch form (which DuckDB can verify). That batch-equivalence IS the
+correctness contract for the streaming operators — no wall-clock tests.
+
+Scale notes: file-source streams partition work by file; watermarks bound
+state store size (without one, a streaming agg keeps every window in state
+forever — fine for a drained fixture, fatal for a real unbounded stream, so
+the watermarked variant is the production form). State lives in the
+executor-local StateStore and survives micro-batches via the checkpoint dir.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql4pandas_spark.sources.parquet import table
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as an unbounded-style stream (schema from the batch
+    reader; ns-timestamp normalization matches sources/parquet.py)."""
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = spark.readStream.schema(batch.schema).parquet(f"{sf_dir}/events.parquet")
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
+
+
+def run_available_now(
+    result: DataFrame, mode: str = "complete", timeout_sec: int = 120
+) -> DataFrame:
+    """Drain a streaming DataFrame into a memory sink and return the final
+    table. availableNow processes everything currently on disk, then stops —
+    the deterministic trigger for batch-equivalence testing."""
+    name = f"s4ps_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="s4ps_ckpt_")
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:  # pragma: no cover - defensive stop on hang
+        q.stop()
+    return result.sparkSession.table(name)
+
+
+def tumbling_hourly(events: DataFrame) -> DataFrame:
+    """Tumbling 1 h windows per event_type (works on batch AND stream input —
+    the same plan incrementalizes under MicroBatchExecution)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .select(F.col("win.start").alias("w"), "event_type", "n", "v")
+    )
+
+
+def sliding_30m(events: DataFrame) -> DataFrame:
+    """Sliding windows: 1 h length, 30 min slide — each event lands in 2 windows."""
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .select(F.col("win.start").alias("w_start"), "event_type", "n", "v")
+    )
+
+
+def session_windows_10m(events: DataFrame) -> DataFrame:
+    """Gap-based session windows (10 min inactivity closes a session)."""
+    return (
+        events.groupBy(F.session_window("ts", "10 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("s_start"),
+            F.col("win.end").alias("s_end"),
+            "n",
+        )
+    )
+
+
+def watermarked_hourly(events: DataFrame, delay: str = "2 hours") -> DataFrame:
+    """Tumbling agg with a watermark: lets the engine evict window state and
+    drop data later than `delay` — the production form of tumbling_hourly.
+    On the drained fixture nothing is late, so the result equals the batch
+    form (asserted by the driver's oracle and tests)."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("w"), "event_type", "n")
+    )
