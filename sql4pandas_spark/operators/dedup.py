@@ -92,14 +92,14 @@ def minhash_signatures(
     """
     sh = shingles(text_col, shingle_n).alias("shingles")
     base = F.transform(F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31)))
+
+    def _perm(a: int, b: int):
+        # closure factory (HOF lambdas must be single-parameter)
+        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE31))
+
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(
-                    F.col("base_hashes"),
-                    lambda h, a=a, b=b: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE31)),
-                )
-            )
+            F.array_min(F.transform(F.col("base_hashes"), _perm(a, b)))
             for a, b in _affine_params(n_hashes)
         ]
     )
@@ -233,12 +233,10 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     hashes = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
     # votes_b = sum over tokens of (2*bit_b - 1); bit b of the simhash = votes_b > 0
     def bit_vote(b: int):
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h, b=b: acc
-            + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"),
-        )
+        def step(acc, h):
+            return acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
+
+        return F.aggregate(hashes, F.lit(0), step)
 
     sig = F.aggregate(
         F.array(*[

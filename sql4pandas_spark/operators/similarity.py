@@ -102,17 +102,16 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 13) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes (no RNG state — splitmix ints
     mapped to [-1, 1); good enough for sign sketches)."""
     z = (np.arange(dim * n_planes, dtype=np.uint64) + 1) * np.uint64(0x9E3779B97F4A7C15)
-    z = z + np.uint64(seed) * np.uint64(0xBF58476D1CE4E5B9)
+    z = z + np.uint64((seed * 0xBF58476D1CE4E5B9) & (2**64 - 1))
     z ^= z >> np.uint64(31)
     vals = (z.astype(np.float64) / 2**64) * 2.0 - 1.0
     return vals.reshape(n_planes, dim)
 
 
-def lsh_bucket_key(vec_col, planes: np.ndarray):
-    """Sign-bit sketch as a single long: bit_i = (v · plane_i) > 0.
-
-    Built from zip_with dot products per plane — JVM-side, no UDF.
-    """
+def lsh_bucket_key(vec_col, planes: np.ndarray, table_id: int):
+    """Sign-bit sketch of one LSH table as a single long: bit_i = (v ·
+    plane_i) > 0, offset by the table id so keys from different tables never
+    collide. Built from zip_with dot products per plane — JVM-side, no UDF."""
     bits = []
     for i, plane in enumerate(planes):
         lit = F.array(*[F.lit(float(x)) for x in plane])
@@ -122,27 +121,44 @@ def lsh_bucket_key(vec_col, planes: np.ndarray):
             lambda acc, v: acc + v,
         )
         bits.append(F.when(dot > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long")))
-    key = bits[0]
-    for b in bits[1:]:
+    key = F.lit(table_id * (2 ** len(planes))).cast("long")
+    for b in bits:
         key = key + b
     return key
 
 
 def ann_lsh_topk(
-    emb: DataFrame, k: int = 20, n_planes: int = 8, id_col: str = "vec_id"
+    emb: DataFrame,
+    k: int = 20,
+    n_tables: int = 8,
+    planes_per_table: int = 4,
+    id_col: str = "vec_id",
 ) -> DataFrame:
-    """Approximate top-k cosine pairs: candidates share an LSH bucket.
+    """Approximate top-k cosine pairs via multi-table random-hyperplane LSH.
 
-    Scale: the self-join key is the bucket id (long); within-bucket pairs are
-    scored with the exact JVM dot product. Recall is tested against the
-    brute-force result at sf0.001 (tests/test_similarity.py). More planes →
-    smaller buckets → cheaper join, lower recall; n_planes=8 ≈ 256 buckets.
+    OR-construction over L tables of p planes: per-table collision prob for
+    angle θ is (1-θ/π)^p, overall 1-(1-(1-θ/π)^p)^L — with L=8, p=4 a
+    0.6-cosine pair collides with ~90% probability while random pairs
+    (cosine≈0) collide at ~1-(1-1/16)^8 ≈ 40% of tables... of 16-bucket
+    tables, i.e. candidate volume stays ~L·n²/2^p, far below n². Candidates
+    are scored with the exact JVM dot product; recall measured in
+    tests/test_similarity.py.
+
+    Scale: bucket keys are 8-byte longs (table-id offset keeps tables
+    disjoint); the only shuffle is the explode + self-join on those keys.
     """
     dim = len(emb.select("embedding").first()[0])
-    planes = _hyperplanes(dim, n_planes)
-    keyed = emb.select(
-        F.col(id_col), "embedding", lsh_bucket_key(F.col("embedding"), planes).alias("bucket")
+    keys = F.array(
+        *[
+            lsh_bucket_key(
+                F.col("embedding"),
+                _hyperplanes(dim, planes_per_table, seed=13 + 7 * t),
+                table_id=t,
+            )
+            for t in range(n_tables)
+        ]
     )
+    keyed = emb.select(F.col(id_col), "embedding", F.explode(keys).alias("bucket"))
     a = keyed.select(
         F.col("bucket"), F.col(id_col).alias("id_a"), F.col("embedding").alias("emb_a")
     )
@@ -156,6 +172,10 @@ def ann_lsh_topk(
     )
     return (
         a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+        .distinct()
+        .join(emb.select(F.col(id_col).alias("id_a"), F.col("embedding").alias("emb_a")), "id_a")
+        .join(emb.select(F.col(id_col).alias("id_b"), F.col("embedding").alias("emb_b")), "id_b")
         .select("id_a", "id_b", F.round(dot, 4).alias("sim"))
         .orderBy(F.col("sim").desc(), "id_a", "id_b")
         .limit(k)

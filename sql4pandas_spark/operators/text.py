@@ -45,8 +45,8 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = tokens(text_col)
     n_chars = F.length(F.col(text_col))
     n_tokens = F.size(toks)
-    stop = LANG_STOPWORDS["en"]
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stop)))
+    stop_arr = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     n_punct = n_chars - F.length(F.translate(F.col(text_col), ".,!?;:'\"", ""))
     return df.select(
         "doc_id",
@@ -74,10 +74,17 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     no shuffle, no UDF.
     """
     toks = tokens(text_col)
+
+    def _contains(words: tuple[str, ...]):
+        # closure factory: Spark HOF lambdas must have exactly one parameter,
+        # so the stopword array is captured, not passed as a default arg
+        arr = F.array(*[F.lit(w) for w in words])
+        return lambda t: F.array_contains(arr, t)
+
     scored = F.array(
         *[
             F.struct(
-                F.size(F.filter(toks, lambda t, sw=sw: t.isin(*sw))).alias("hits"),
+                F.size(F.filter(toks, _contains(sw))).alias("hits"),
                 F.lit(lang).alias("lang"),
             )
             for lang, sw in sorted(LANG_STOPWORDS.items())

@@ -25,13 +25,15 @@ def formatted_plan(df: DataFrame) -> str:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle boundaries in the physical plan."""
+    """Number of shuffle boundaries in the physical plan (distinct operator
+    ids — formatted output mentions each operator in both the tree and the
+    details section)."""
+    import re
+
     plan = formatted_plan(df)
-    return sum(
-        1
-        for line in plan.splitlines()
-        if "Exchange" in line and "Columnar" not in line and "reuses" not in line.lower()
-    )
+    ids = set(re.findall(r"Exchange \((\d+)\)", plan))
+    ids |= set(re.findall(r"\((\d+)\) Exchange", plan))
+    return len(ids)
 
 
 def has_pushed_filters(df: DataFrame, fragment: str | None = None) -> bool:

@@ -21,7 +21,7 @@ from sql4pandas_spark.sources.parquet import register_tables
 @query(
     "window_top3_orders_per_customer",
     oracle="""
-    SELECT * FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
              row_number() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey) AS rn

@@ -15,6 +15,7 @@ executor-local StateStore and survives micro-batches via the checkpoint dir.
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -24,11 +25,24 @@ from pyspark.sql import functions as F
 from sql4pandas_spark.sources.parquet import table
 
 
+def _stream_dir(sf_dir: str) -> str:
+    """The file stream source requires a directory; the fixtures are single
+    read-only files. Stage a stable symlink dir per fixture file (cheap,
+    idempotent; mirrors how a real stream would watch a landing directory)."""
+    key = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), f"s4ps_stream_{key}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as an unbounded-style stream (schema from the batch
     reader; ns-timestamp normalization matches sources/parquet.py)."""
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    stream = spark.readStream.schema(batch.schema).parquet(f"{sf_dir}/events.parquet")
+    stream = spark.readStream.schema(batch.schema).parquet(_stream_dir(sf_dir))
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return stream

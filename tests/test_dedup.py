@@ -1,0 +1,116 @@
+"""Invariant tests for the non-SQL dedup operators (SURVEY.md §5.3 #3):
+MinHash-LSH recall against brute-force Jaccard on planted near-duplicates,
+SimHash guarantees, connected-component sanity."""
+
+from __future__ import annotations
+
+import itertools
+
+import pandas as pd
+import pytest
+
+from sql4pandas_spark.operators import dedup
+from tests.conftest import SF_SMALL
+
+
+def _brute_force_pairs(texts: dict[int, str], n: int = 3, threshold: float = 0.7):
+    def sh(t: str) -> set[str]:
+        toks = [w for w in t.lower().split() if w]
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    shs = {i: sh(t) for i, t in texts.items()}
+    out = set()
+    for a, b in itertools.combinations(sorted(texts), 2):
+        inter = len(shs[a] & shs[b])
+        union = len(shs[a] | shs[b])
+        if union and inter / union >= threshold:
+            out.add((a, b))
+    return out
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """50 fixture docs + planted near-duplicates (one token edited) + one
+    exact duplicate — known ground truth for recall measurement."""
+    src = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .limit(50)
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    rows = [{"doc_id": int(r.doc_id), "text": r.text} for r in src.itertuples()]
+    next_id = max(r["doc_id"] for r in rows) + 1
+    for i in range(0, 20):  # plant 20 near-dups of the first 20 docs
+        toks = rows[i]["text"].split()
+        toks[len(toks) // 2] = "EDITED"
+        rows.append({"doc_id": next_id, "text": " ".join(toks)})
+        next_id += 1
+    rows.append({"doc_id": next_id, "text": rows[0]["text"]})  # exact dup
+    pdf = pd.DataFrame(rows)
+    return spark.createDataFrame(pdf), {r["doc_id"]: r["text"] for r in rows}
+
+
+def test_minhash_lsh_recall_vs_brute_force(spark, planted):
+    df, texts = planted
+    truth = _brute_force_pairs(texts, n=3, threshold=0.7)
+    assert truth, "planted near-dups must create true pairs"
+    sigs = dedup.minhash_signatures(df)
+    cands = dedup.lsh_candidate_pairs(sigs)
+    found = {
+        (r.id_a, r.id_b)
+        for r in dedup.verified_near_pairs(sigs, cands, 0.7).collect()
+    }
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} < 0.9 ({len(truth)} true pairs)"
+    # verification step guarantees precision = 1.0 vs true Jaccard
+    assert found <= truth, f"false positives after verification: {found - truth}"
+
+
+def test_near_dedup_clusters_planted_duplicates(spark, planted):
+    df, texts = planted
+    clusters = dedup.near_dedup_minhash(df, threshold=0.7).toPandas()
+    by_doc = dict(zip(clusters.doc_id, clusters.cluster_id))
+    truth = _brute_force_pairs(texts, threshold=0.7)
+    same = sum(1 for a, b in truth if by_doc[a] == by_doc[b])
+    assert same / len(truth) >= 0.9
+    # cluster representative is the smallest member id
+    assert all(c <= d for d, c in by_doc.items())
+
+
+def test_exact_dedup_counts(spark, planted):
+    df, texts = planted
+    out = dedup.exact_dedup(df).toPandas()
+    n_distinct = len(set(texts.values()))
+    assert len(out) == n_distinct
+    assert out.n_copies.sum() == len(texts)
+    assert (out.n_copies >= 2).sum() == 1  # exactly one planted exact dup
+
+
+def test_simhash_deterministic_and_near_for_small_edits(spark, planted):
+    df, _ = planted
+    sim1 = dedup.simhash(df).toPandas().set_index("doc_id")["simhash"]
+    sim2 = dedup.simhash(df).toPandas().set_index("doc_id")["simhash"]
+    pd.testing.assert_series_equal(sim1, sim2)
+    # identical texts → identical simhash (the planted exact dup)
+    ids = sorted(sim1.index)
+    assert sim1[ids[0]] == sim1[ids[-1]]
+
+
+def test_simhash_band_recall_is_exact_within_hamming3(spark, planted):
+    df, _ = planted
+    sim = dedup.simhash(df)
+    pairs = dedup.simhash_near_pairs(sim, max_hamming=3).toPandas()
+    pdf = sim.toPandas()
+    # brute-force hamming over all pairs
+    import numpy as np
+
+    vals = pdf.set_index("doc_id")["simhash"]
+    truth = set()
+    for a, b in itertools.combinations(sorted(vals.index), 2):
+        h = bin(int(vals[a]) ^ int(vals[b])).count("1")
+        if h <= 3:
+            truth.add((a, b))
+    found = {(r.id_a, r.id_b) for r in pairs.itertuples()}
+    assert found == truth, "chunk banding must have exact recall for d<=3"

@@ -1,0 +1,72 @@
+"""Physical-plan regression tests — the 100 TB properties (SURVEY.md §4.2).
+
+Correctness tests prove the small-SF answer; these prove the plan SHAPE that
+makes the same query viable at cluster scale: filters reaching the parquet
+scan, pruned read schemas, broadcast joins for dimensions, rank-limit
+pushdown for per-group top-k. If a refactor silently loses one of these, this
+file fails even though every value still matches."""
+
+from __future__ import annotations
+
+from sql4pandas_spark.plans import (
+    count_exchanges,
+    formatted_plan,
+    has_broadcast_join,
+    has_pushed_filters,
+    read_schema_columns,
+)
+from sql4pandas_spark.queries import load_catalog
+from tests.conftest import SF_SMALL
+
+CATALOG = load_catalog()
+
+
+def test_q1_filter_pushdown_and_column_pruning(spark):
+    df = CATALOG["q1_pricing_summary"].build(spark, SF_SMALL)
+    assert has_pushed_filters(df, "l_shipdate"), "shipdate filter must reach the scan"
+    cols = set(read_schema_columns(df))
+    assert cols <= {
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_shipdate",
+    }, f"scan reads more than the 6 needed columns: {cols}"
+
+
+def test_q1_single_aggregation_shuffle(spark):
+    df = CATALOG["q1_pricing_summary"].build(spark, SF_SMALL)
+    # one exchange for the partial->final agg, one for the tiny final sort
+    assert count_exchanges(df) <= 2, formatted_plan(df)
+
+
+def test_q5_broadcasts_dimension_tables(spark):
+    df = CATALOG["q5_local_supplier_volume"].build(spark, SF_SMALL)
+    assert has_broadcast_join(df), "dimension joins should be broadcast-hash"
+
+
+def test_q3_uses_top_k_sort_not_global_sort(spark):
+    df = CATALOG["q3_shipping_priority"].build(spark, SF_SMALL)
+    assert "TakeOrderedAndProject" in formatted_plan(df), (
+        "ORDER BY + LIMIT must compile to a top-k, not a full sort"
+    )
+
+
+def test_window_topk_rank_limit_pushdown(spark):
+    df = CATALOG["window_top3_orders_per_customer"].build(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan, (
+        "rn<=3 should push a per-group rank limit below the window sort"
+    )
+
+
+def test_semi_join_plans_as_semi_not_inner(spark):
+    df = CATALOG["semi_customers"].build(spark, SF_SMALL)
+    assert "LeftSemi" in formatted_plan(df)
+
+
+def test_dedup_exact_shuffles_digest_not_text(spark):
+    df = CATALOG["dedup_exact_keepers"].build(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "sha2" in plan, "exact dedup must group on the content digest"

@@ -1,0 +1,68 @@
+"""Similarity-search invariants: the distributed top-k must equal NumPy
+brute force exactly (it's an exact algorithm, only the execution is
+distributed); ANN recall is measured, not assumed."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sql4pandas_spark.operators import similarity
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def brute(emb):
+    pdf = emb.toPandas()
+    ids = pdf.vec_id.to_numpy()
+    mat = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    sims = np.round(mat @ mat.T, 4)
+    pairs = []
+    n = len(ids)
+    iu = np.triu_indices(n, k=1)
+    for i, j in zip(*iu):
+        pairs.append((int(ids[i]), int(ids[j]), float(sims[i, j])))
+    pairs.sort(key=lambda p: (-p[2], p[0], p[1]))
+    return ids, mat, pairs
+
+
+def test_pairs_topk_equals_brute_force(emb, brute):
+    _, _, pairs = brute
+    got = [(r.id_a, r.id_b, r.sim) for r in similarity.cosine_pairs_topk(emb, k=20).collect()]
+    assert got == pairs[:20]
+
+
+def test_query_topk_equals_brute_force(emb, brute):
+    ids, mat, _ = brute
+    q = mat[list(ids).index(0)]
+    sims = np.round(mat @ q, 4)
+    expect = sorted(
+        ((int(i), float(s)) for i, s in zip(ids, sims) if i != 0),
+        key=lambda p: (-p[1], p[0]),
+    )[:10]
+    got = [
+        (r.vec_id, r.sim)
+        for r in similarity.cosine_query_topk(
+            emb.filter(emb.vec_id != 0), list(q), k=10
+        ).collect()
+    ]
+    assert got == expect
+
+
+def test_ann_lsh_recall_at_least_half(emb, brute):
+    """Sign-LSH with 8 planes: the top pairs are the most-aligned vectors, so
+    bucket collision probability is high for them; require recall@20 >= 0.5
+    and exact scores for whatever it returns."""
+    _, _, pairs = brute
+    truth = {(a, b) for a, b, _ in pairs[:20]}
+    got = similarity.ann_lsh_topk(emb, k=20).collect()
+    found = {(r.id_a, r.id_b) for r in got}
+    sims = {(a, b): s for a, b, s in pairs}
+    assert all(abs(sims[(r.id_a, r.id_b)] - r.sim) < 1e-9 for r in got)
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.5, f"ANN recall@20 = {recall}"
