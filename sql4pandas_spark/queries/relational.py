@@ -96,6 +96,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     broken by o_orderkey so the row set is deterministic (§2.12 #2).
     """
     t = register_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    # customer scales with SF — no broadcast hint; AQE converts to BHJ while
+    # the filtered side is small and keeps a shuffle join when it isn't
     c = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
     o = t["orders"].filter(F.col("o_orderdate") < _ts("1998-03-15"))
     li = t["lineitem"]
@@ -129,19 +131,24 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Six-way star join through the full schema.
 
-    Scale: region/nation/supplier/customer are dimension tables → Catalyst
-    auto-broadcasts everything under the 10 MB threshold, so the only big
-    shuffle is lineitem⋈orders. `broadcast()` hints are left implicit: AQE's
-    runtime size stats make the right call even when static stats are absent.
+    Scale: region (5 rows) and nation (25 rows) are FIXED-size dimensions —
+    explicit `broadcast()` hints are always correct for them and skip AQE's
+    runtime SMJ→BHJ conversion. customer/supplier grow with the scale factor,
+    so they are deliberately NOT hinted: AQE broadcasts them while they're
+    small and falls back to shuffle joins when they aren't — hard-coding a
+    broadcast there would OOM a 100 TB run. The big shuffle is
+    lineitem⋈orders on the order key.
     """
-    t = register_tables(spark, sf_dir)
-    r = t["region"].filter(F.col("r_name") == "ASIA")
+    t = register_tables(
+        spark, sf_dir, ("customer", "orders", "lineitem", "supplier", "nation", "region")
+    )
+    r = F.broadcast(t["region"].filter(F.col("r_name") == "ASIA"))
     joined = (
         t["customer"]
         .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
         .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
     )
     return (

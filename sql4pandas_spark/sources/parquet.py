@@ -41,12 +41,24 @@ TABLES: tuple[str, ...] = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: (session id, sf_dir, table) -> DataFrame. Loading a parquet DataFrame
+#: reads the file footer synchronously on the driver; with ten tables per
+#: register_tables call that driver-side latency dominates small local
+#: queries. The fixtures are read-only, so caching the (lazy) DataFrame
+#: handles is safe and makes repeat registration free.
+_df_cache: dict[tuple[int, str, str], DataFrame] = {}
+
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    cached = _df_cache.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ns-as-long → µs timestamp; `div` keeps the math in exact int64.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    _df_cache[key] = df
     return df
 
 
