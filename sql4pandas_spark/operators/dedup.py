@@ -222,6 +222,68 @@ def near_dedup_minhash(
 
 
 # ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (inverted-index AllPairs)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs via an inverted shingle index.
+
+    The classic AllPairs shape: explode distinct word n-grams, self-join on
+    the shingle (only docs sharing ≥1 shingle ever meet — never the O(n²)
+    cross product), count intersections per pair, then
+    ``jaccard = |∩| / (|A| + |B| - |∩|)``. Output: (id_a, id_b, jaccard)
+    with id_a < id_b and jaccard ≥ threshold, jaccard rounded to 4dp.
+
+    Scale: the shuffles are (a) explode+groupBy on shingle strings and
+    (b) groupBy on (id_a, id_b) int pairs. The failure mode at 100 TB is a
+    *hot shingle* (a boilerplate phrase shared by millions of docs → a
+    quadratic bucket); ``max_doc_freq`` drops shingles appearing in more
+    than that many documents — the standard stopword-shingle cap, which
+    can only lose pairs whose overlap is dominated by boilerplate. Leave
+    None for exact semantics (the oracle-checked mode).
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    a = sh.select("shingle", F.col("doc_id").alias("id_a"))
+    b = sh.select(F.col("shingle").alias("sh2"), F.col("doc_id").alias("id_b"))
+    inter = (
+        a.join(b, (F.col("shingle") == F.col("sh2")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ca = card.select(F.col("doc_id").alias("id_a"), F.col("c").alias("ca"))
+    cb = card.select(F.col("doc_id").alias("id_b"), F.col("c").alias("cb"))
+    # Filter on the UNROUNDED ratio: both engines derive it from identical
+    # int64 counts, so the doubles are bit-identical — no boundary flakes.
+    jac = F.col("i").cast("double") / (F.col("ca") + F.col("cb") - F.col("i"))
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

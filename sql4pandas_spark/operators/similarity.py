@@ -98,6 +98,137 @@ def cosine_pairs_topk(emb: DataFrame, k: int = 20, id_col: str = "vec_id") -> Da
     return local.orderBy(F.col("sim").desc(), "id_a", "id_b").limit(k)
 
 
+def cosine_near_pairs(
+    emb: DataFrame, threshold: float = 0.45, id_col: str = "vec_id"
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: every (id_a < id_b) pair with
+    cosine ≥ threshold, ordered by (sim desc, id_a, id_b).
+
+    Same broadcast-matrix + per-batch NumPy matmul shape as
+    `cosine_pairs_topk`, but emits *all* pairs over the threshold instead of
+    a top-k — the primitive behind embedding-based near-dedup (feed the
+    output to `dedup.connected_components` for cluster ids). Rows are
+    L2-normalized before the matmul so the value is true cosine, matching
+    DuckDB's `list_cosine_similarity` exactly.
+
+    Scale: holds while one side's matrix broadcasts (~GBs); beyond that,
+    swap candidate generation to `ann_lsh_topk`'s bucketed self-join and
+    keep this exact scorer for verification only.
+    """
+    rows = emb.select(id_col, "embedding").toPandas()
+    ids = rows[id_col].to_numpy()
+    mat = np.stack(rows["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    spark = emb.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def block_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a_ids = pdf[id_col].to_numpy()
+            a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            sims = a @ all_mat.T
+            mask = (a_ids[:, None] < all_ids[None, :]) & (sims >= threshold)
+            ai, bj = np.nonzero(mask)
+            if len(ai) == 0:
+                continue
+            yield pd.DataFrame(
+                {"id_a": a_ids[ai], "id_b": all_ids[bj], "sim": np.round(sims[ai, bj], 4)}
+            )
+
+    pairs = emb.select(id_col, "embedding").mapInPandas(
+        block_pairs, schema="id_a long, id_b long, sim double"
+    )
+    return pairs.orderBy(F.col("sim").desc(), "id_a", "id_b")
+
+
+def _train_centroids(sample: np.ndarray, n_cells: int, iters: int = 8) -> np.ndarray:
+    """Spherical k-means (Lloyd) on a driver-side sample — how real IVF
+    indexes are trained (faiss trains the coarse quantizer on a bounded
+    sample too; only the *assignment* pass must be distributed). Init is the
+    first n_cells sample rows (the sample is already hash-shuffled →
+    deterministic pseudo-random init, no RNG state). Empty cells keep their
+    previous centroid."""
+    cents = sample[:n_cells].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    cents[c] = m / norm
+    return cents
+
+
+def ann_ivf_query_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate nearest-neighbor query search.
+
+    Index build: a deterministic centroid sample — the `n_cells` vectors with
+    the smallest xxhash64(id) (hash-order ≈ uniform random, but reproducible
+    with no RNG state). Every vector is assigned to its nearest centroid with
+    one NumPy matmul per Arrow batch (`mapInPandas`, broadcast centroids).
+    Query: rank centroids by dot with the query, keep the `n_probe` nearest
+    cells, exact-rescore only those cells' vectors with the JVM-side
+    zip_with/aggregate dot product → TakeOrderedAndProject top-k.
+
+    Scale: at 100 TB the assignment runs once and is *persisted* partitioned
+    by cell id (`.write.partitionBy("cell")`), so a query's `isin(probed)`
+    filter becomes partition pruning — the scan touches n_probe/n_cells of
+    the data. Centroids would come from k-means (e.g. pyspark.ml KMeans) on a
+    sample; the hash-sample here keeps the declared query dependency-free and
+    deterministic. Recall vs brute force is asserted in
+    tests/test_similarity.py.
+    """
+    train_rows = (
+        emb.select(id_col, "embedding")
+        .orderBy(F.xxhash64(F.col(id_col).cast("long")), F.col(id_col))
+        .limit(max(2048, 8 * n_cells))  # bounded TRAINING SAMPLE, not the data
+        .collect()
+    )
+    sample = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in train_rows])
+    cents = _train_centroids(sample, n_cells)
+    q = np.asarray(query_vec, dtype=np.float64)
+    probed = [int(c) for c in np.argsort(-(cents @ q))[:n_probe]]
+    b_cents = emb.sparkSession.sparkContext.broadcast(cents)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = b_cents.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col], "cell": np.argmax(m @ c.T, axis=1).astype("int32")}
+            )
+
+    assigned = emb.select(id_col, "embedding").mapInPandas(
+        assign, schema="vec_id long, cell int"
+    )
+    cand_ids = assigned.filter(F.col("cell").isin(probed)).select("vec_id")
+    return (
+        emb.join(cand_ids, emb[id_col] == cand_ids["vec_id"], "left_semi")
+        .select(
+            F.col(id_col),
+            F.round(_dot_expr(F.col("embedding"), query_vec), 4).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 13) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes (no RNG state — splitmix ints
     mapped to [-1, 1); good enough for sign sketches)."""

@@ -172,6 +172,78 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dedup_minhash(t["documents"]).orderBy("doc_id")
 
 
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS w
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (SELECT doc_id,
+                   unnest([array_to_string(list_slice(w, i, i+2), ' ') FOR i IN range(1, len(w)-1)]) AS shingle
+            FROM toks)),
+    card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(CAST(i AS DOUBLE) / (ca.c + cb.c - i), 4) AS jaccard
+    FROM inter JOIN card ca ON inter.id_a = ca.doc_id
+               JOIN card cb ON inter.id_b = cb.doc_id
+    WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5
+    ORDER BY jaccard DESC, id_a, id_b
+    """,
+    tags=("tier-c", "dedup_near"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT word-3-gram Jaccard near-dup pairs (≥ 0.5) via the inverted
+    shingle index (operators/dedup.ngram_jaccard_pairs) — the ground truth
+    the MinHash-LSH recall tests measure against, and itself fully
+    SQL-expressible so it carries a DuckDB oracle."""
+    t = register_tables(spark, sf_dir, ("documents",))
+    return (
+        dedup.ngram_jaccard_pairs(t["documents"], threshold=0.5)
+        .orderBy(F.col("jaccard").desc(), "id_a", "id_b")
+    )
+
+
+@query(
+    "dedup_embedding_pairs",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(CAST(list_cosine_similarity(a.emb, b.emb) AS DOUBLE), 4) AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(CAST(list_cosine_similarity(a.emb, b.emb) AS DOUBLE), 4) >= 0.45
+    ORDER BY sim DESC, id_a, id_b
+    """,
+    tags=("tier-c", "dedup_near", "embedding"),
+)
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim ≥ 0.45; the fixture's max
+    pairwise cosine is ~0.51, so 0.45 exercises a non-degenerate cut).
+    Broadcast-matmul scorer (operators/similarity.cosine_near_pairs); feed
+    to dedup.connected_components for cluster assignment at scale."""
+    t = register_tables(spark, sf_dir, ("embeddings",))
+    return similarity.cosine_near_pairs(t["embeddings"], threshold=0.45)
+
+
+@query("ann_ivf_query_top10", oracle=None, tags=("tier-c", "sim_search_ann", "rows-only"))
+def ann_ivf_query_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 neighbors of vec_id=0 (16 hash-sampled
+    centroids, probe 4). Recall vs brute force asserted in
+    tests/test_similarity.py; persisted-partition scale path documented in
+    operators/similarity.ann_ivf_query_topk."""
+    t = register_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return similarity.ann_ivf_query_topk(
+        emb.filter(F.col("vec_id") != 0), list(qvec), k=10
+    )
+
+
 @query("dedup_simhash_pairs", oracle=None, tags=("tier-c", "dedup_near", "rows-only"))
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures + exact-recall chunk-banded near pairs (Hamming ≤ 3)."""

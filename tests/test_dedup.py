@@ -114,3 +114,33 @@ def test_simhash_band_recall_is_exact_within_hamming3(spark, planted):
             truth.add((a, b))
     found = {(r.id_a, r.id_b) for r in pairs.itertuples()}
     assert found == truth, "chunk banding must have exact recall for d<=3"
+
+
+def test_ngram_jaccard_is_exact_ground_truth(spark, planted):
+    """ngram_jaccard_pairs must equal brute-force shingle-set Jaccard
+    computed in Python over the same planted corpus."""
+    df, _ = planted
+    rows = df.select("doc_id", "text").collect()
+
+    def sh(text, n=3):
+        toks = [t for t in text.lower().split() if t]
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    docs = {r.doc_id: sh(r.text) for r in rows}
+    ids = sorted(docs)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(docs[a] & docs[b])
+            if inter == 0:
+                continue
+            j = inter / len(docs[a] | docs[b])
+            if j >= 0.5:
+                expect[(a, b)] = round(j, 4)
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    assert got == expect
