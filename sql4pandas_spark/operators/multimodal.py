@@ -53,6 +53,51 @@ def real_decode_stub(payload: bytes) -> np.ndarray:  # pragma: no cover
     )
 
 
+#: Output contract of `sample_frames` — what a real ffmpeg frame sampler
+#: would emit per kept frame.
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes int, brightness double"
+
+
+def sample_frames(
+    with_payload: DataFrame, frame_size: int = 64, stride: int = 4
+) -> DataFrame:
+    """Video-style frame sampling over the opaque payload column.
+
+    STUB decode: the payload is treated as a concatenation of fixed-size
+    "frames" (`frame_size` bytes each) and every `stride`-th frame is kept,
+    with a per-frame mean-byte "brightness" standing in for real pixel
+    statistics. A real pipeline swaps the body for ffmpeg keyframe extraction
+    behind the same mapInPandas signature and FRAME_SCHEMA contract; the
+    Spark-side shape — one input row fanning out to a variable number of
+    output rows inside an Arrow batch — is exactly the real decoder's.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            doc_ids, idxs, sizes, bright = [], [], [], []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+                n_frames = max(1, len(arr) // frame_size)
+                for fi in range(0, n_frames, stride):
+                    frame = arr[fi * frame_size : (fi + 1) * frame_size]
+                    doc_ids.append(doc_id)
+                    idxs.append(fi)
+                    sizes.append(len(frame))
+                    bright.append(float(np.round(frame.mean() / 255.0, 6)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame_bytes": pd.array(sizes, dtype="int32"),
+                    "brightness": bright,
+                }
+            )
+
+    return with_payload.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def extract_features(with_payload: DataFrame, n_features: int = 8) -> DataFrame:
     """Arrow-batched feature extraction over the binary payload column.
 

@@ -350,6 +350,16 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.orderBy("doc_id").limit(100)
 
 
+@query("multimodal_frame_sample", oracle=None, tags=("tier-c", "multimodal_cols", "rows-only"))
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling plumbing: one payload row fans out to
+    variable per-frame rows inside a mapInPandas batch (deterministic STUB
+    decode — operators/multimodal.sample_frames)."""
+    t = register_tables(spark, sf_dir, ("documents",))
+    frames = multimodal.sample_frames(multimodal.attach_payload(t["documents"]))
+    return frames.orderBy("doc_id", "frame_idx").limit(200)
+
+
 @query(
     "sink_parquet_roundtrip",
     oracle="""

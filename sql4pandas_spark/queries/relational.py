@@ -704,3 +704,89 @@ def in_subq_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT count(*) AS n FROM customer "
         "WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)"
     )
+
+
+# ---------------------------------------------------------------------------
+# pivot / unpivot / correlated subqueries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pivot_status_by_year",
+    oracle="""
+    SELECT year(o_orderdate) AS y,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    tags=("tier-b", "pivot"),
+)
+def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with an EXPLICIT value list — without it Spark runs
+    an extra distinct-collect job to discover pivot columns and the output
+    schema becomes data-dependent (a 100 TB anti-pattern; explicit values
+    keep the plan static and one-pass)."""
+    t = register_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .groupBy(F.year("o_orderdate").cast("long").alias("y"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .orderBy("y")
+    )
+
+
+@query(
+    "unpivot_part_metrics",
+    oracle="""
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+    ORDER BY p_partkey, metric LIMIT 100
+    """,
+    tags=("tier-b", "unpivot"),
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.unpivot (melt): wide → long without a shuffle — it's a
+    per-row flatMap, so it composes with downstream groupBy on (metric)."""
+    t = register_tables(spark, sf_dir, ("part",))
+    return (
+        t["part"]
+        .select(
+            "p_partkey",
+            F.col("p_retailprice"),
+            F.col("p_size").cast("double").alias("p_size"),
+        )
+        .unpivot("p_partkey", ["p_retailprice", "p_size"], "metric", "value")
+        .orderBy("p_partkey", "metric")
+        .limit(100)
+    )
+
+
+@query(
+    "corr_subq_cheapest_per_brand",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand, round(p.p_retailprice, 2) AS price
+    FROM part p
+    WHERE p.p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
+                             WHERE p2.p_brand = p.p_brand)
+    ORDER BY p.p_brand, p.p_partkey
+    """,
+    tags=("tier-b", "subquery_scalar", "correlated"),
+)
+def corr_subq_cheapest_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H q2's shape). Catalyst decorrelates
+    it into an aggregate + join — no per-row re-execution; at scale this is
+    one shuffle on the correlation key, same as the hand-written window/join
+    rewrite."""
+    register_tables(spark, sf_dir, ("part",))
+    return spark.sql(
+        """
+        SELECT p.p_partkey, p.p_brand, round(p.p_retailprice, 2) AS price
+        FROM part p
+        WHERE p.p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
+                                 WHERE p2.p_brand = p.p_brand)
+        ORDER BY p.p_brand, p.p_partkey
+        """
+    )
