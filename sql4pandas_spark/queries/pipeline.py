@@ -361,6 +361,99 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_csv_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS total_bal
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("tier-c", "scan_csv", "sink_csv"),
+)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink: write customer as CSV, re-read with an EXPLICIT
+    schema (schema inference is an extra full pass over the data — never at
+    100 TB), aggregate. Spark's CSV writer emits round-trippable shortest
+    representations for doubles, so the 2dp-rounded sums match the parquet
+    oracle exactly."""
+    t = register_tables(spark, sf_dir, ("customer",))
+    out = os.path.join(tempfile.gettempdir(), "s4ps_csv_roundtrip")
+    t["customer"].write.mode("overwrite").option("header", True).csv(out)
+    schema = "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string"
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .csv(out)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "scan_json_roundtrip",
+    oracle="""
+    SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("tier-c", "scan_json", "sink_json"),
+)
+def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source/sink with explicit schema on re-read — same
+    no-inference rule as CSV; integer columns survive exactly."""
+    t = register_tables(spark, sf_dir, ("documents",))
+    out = os.path.join(tempfile.gettempdir(), "s4ps_json_roundtrip")
+    t["documents"].select("doc_id", "lang", "n_chars").write.mode("overwrite").json(out)
+    return (
+        spark.read.schema("doc_id long, lang string, n_chars long")
+        .json(out)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang")
+    )
+
+
+_ZONES = [(k, f"Z{k % 5}") for k in range(25)]
+
+
+@query(
+    "scan_pandas_join",
+    oracle="""
+    WITH zones (n_nationkey, zone) AS (VALUES {values})
+    SELECT z.zone, count(*) AS n_customers, round(sum(c.c_acctbal), 2) AS total_bal
+    FROM customer c JOIN zones z ON c.c_nationkey = z.n_nationkey
+    GROUP BY z.zone ORDER BY z.zone
+    """.format(values=", ".join(f"({k}, '{z}')" for k, z in _ZONES)),
+    tags=("tier-c", "scan_pandas"),
+)
+def scan_pandas_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference's core API (SURVEY.md §2.1 scan_pandas): an in-memory
+    pandas DataFrame registered as a table and joined against a parquet
+    fixture in one query. The pandas frame travels over Arrow
+    (spark.createDataFrame) and — being dimension-sized by construction —
+    is broadcast into the join. The oracle replays the same constants as a
+    VALUES list, so this entry is fully hash-checked despite the Python-side
+    source object."""
+    import pandas as pd
+
+    t = register_tables(spark, sf_dir, ("customer",))
+    zones_pdf = pd.DataFrame(_ZONES, columns=["n_nationkey", "zone"])
+    zones = F.broadcast(
+        spark.createDataFrame(zones_pdf).withColumn(
+            "n_nationkey", F.col("n_nationkey").cast("int")
+        )
+    )
+    return (
+        t["customer"]
+        .join(zones, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("zone")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("zone")
+    )
+
+
+@query(
     "sink_parquet_roundtrip",
     oracle="""
     SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars

@@ -1,0 +1,90 @@
+"""Property-based differential hardening (SURVEY.md §5.3.4): hypothesis
+generates random filter predicates + group-key subsets over `orders`; the
+SAME ANSI SQL text runs on Spark and DuckDB and must agree exactly.
+
+Grammar is deliberately restricted to the cross-engine-safe surface the
+declared catalog relies on (§2.12): rounded double aggregates, tie-broken
+ordering, no NULL-producing constructs (the fixture has no NULLs and inner
+predicates can't create them).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from sql4pandas_spark.sources.parquet import register_tables
+from tests.conftest import SF_SMALL, assert_frames_match
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _views(spark):
+    register_tables(spark, SF_SMALL, ("orders",))
+
+_NUM_COLS = ["o_totalprice", "o_custkey", "o_orderkey"]
+_STR_COLS = {
+    "o_orderstatus": ["F", "O", "P"],
+    "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+}
+_GROUP_COLS = ["o_orderstatus", "o_orderpriority", "year(o_orderdate)"]
+
+
+@st.composite
+def predicates(draw) -> str:
+    clauses = []
+    for _ in range(draw(st.integers(1, 3))):
+        kind = draw(st.sampled_from(["num", "str", "in", "between"]))
+        if kind == "num":
+            col = draw(st.sampled_from(_NUM_COLS))
+            op = draw(st.sampled_from(["<", "<=", ">", ">=", "<>"]))
+            val = draw(st.integers(0, 400_000))
+            clauses.append(f"{col} {op} {val}")
+        elif kind == "str":
+            col = draw(st.sampled_from(list(_STR_COLS)))
+            val = draw(st.sampled_from(_STR_COLS[col]))
+            clauses.append(f"{col} = '{val}'")
+        elif kind == "in":
+            col = draw(st.sampled_from(list(_STR_COLS)))
+            vals = draw(
+                st.lists(st.sampled_from(_STR_COLS[col]), min_size=1, max_size=3, unique=True)
+            )
+            quoted = ", ".join(f"'{v}'" for v in vals)
+            clauses.append(f"{col} IN ({quoted})")
+        else:
+            col = draw(st.sampled_from(_NUM_COLS))
+            lo = draw(st.integers(0, 200_000))
+            hi = lo + draw(st.integers(0, 200_000))
+            clauses.append(f"{col} BETWEEN {lo} AND {hi}")
+    joiner = draw(st.sampled_from([" AND ", " OR "]))
+    return joiner.join(clauses)
+
+
+@st.composite
+def group_keys(draw) -> list[str]:
+    return draw(
+        st.lists(st.sampled_from(_GROUP_COLS), min_size=1, max_size=2, unique=True)
+    )
+
+
+@given(pred=predicates(), keys=group_keys())
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_filter_group_agg_matches_duckdb(spark, duck, pred, keys):
+    key_list = ", ".join(keys)
+    aliases = ", ".join(f"{k} AS k{i}" for i, k in enumerate(keys))
+    sql = (
+        f"SELECT {aliases}, count(*) AS n, round(sum(o_totalprice), 2) AS s "
+        f"FROM orders WHERE {pred} GROUP BY {key_list} ORDER BY {key_list}"
+    )
+    actual = spark.sql(sql).toPandas()
+    expected = duck.execute(sql).fetch_df()
+    # year() dtype differs (int32 vs int64) — align before exact compare
+    for c in actual.columns:
+        if str(actual[c].dtype) == "int32":
+            actual[c] = actual[c].astype("int64")
+    assert_frames_match(actual, expected, f"property[{sql}]")
