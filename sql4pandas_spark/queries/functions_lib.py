@@ -336,3 +336,32 @@ def struct_funcs_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("c_custkey")
         .limit(30)
     )
+
+
+@query(
+    "map_funcs_events",
+    oracle="""
+    SELECT array_to_string(list_sort(json_keys(props)), ',') AS keysig,
+           count(*) AS n,
+           round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    tags=("tier-b", "map_fns", "json_fns"),
+)
+def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: from_json → map<string,string>, map_keys, element
+    access. Map rendering isn't portable, so the oracle compares a SORTED
+    key signature string plus an element-access aggregate — both engines'
+    canonical forms of the same map."""
+    t = register_tables(spark, sf_dir, ("events",))
+    m = F.from_json("props", "map<string,string>")
+    return (
+        t["events"]
+        .select(
+            F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keysig"),
+            m.getItem("k").cast("double").alias("k_val"),
+        )
+        .groupBy("keysig")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("k_val"), 4).alias("avg_k"))
+        .orderBy("keysig")
+    )
