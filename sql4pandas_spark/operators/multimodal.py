@@ -98,6 +98,44 @@ def sample_frames(
     return with_payload.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+def resize_payloads(
+    with_payload: DataFrame, target_w: int = 32, target_h: int = 32
+) -> DataFrame:
+    """Image-resize plumbing: payload bytes → fixed (target_w × target_h)
+    "image" via nearest-neighbor index sampling over the byte buffer.
+
+    STUB decode: a real implementation decodes to HxWxC pixels (PIL) and
+    interpolates; this deterministic fake treats the byte buffer as a 1-D
+    signal and samples `target_w*target_h` evenly-spaced bytes, preserving
+    the exact contract that matters Spark-side — binary in, fixed-size
+    binary out, metadata struct updated to the new dimensions, executed as
+    an Arrow-batched mapInPandas pass.
+    """
+    n_out = target_w * target_h
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            resized = []
+            for buf in pdf["payload"]:
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+                idx = np.linspace(0, len(arr) - 1, n_out).astype(np.int64)
+                resized.append(arr[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": resized,
+                    "width": pd.array([target_w] * len(pdf), dtype="int32"),
+                    "height": pd.array([target_h] * len(pdf), dtype="int32"),
+                }
+            )
+
+    return with_payload.mapInPandas(
+        run, schema="doc_id long, payload binary, width int, height int"
+    )
+
+
 def extract_features(with_payload: DataFrame, n_features: int = 8) -> DataFrame:
     """Arrow-batched feature extraction over the binary payload column.
 

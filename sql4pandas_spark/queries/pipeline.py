@@ -350,6 +350,23 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.orderBy("doc_id").limit(100)
 
 
+@query(
+    "multimodal_resize_stats",
+    oracle="SELECT count(*) AS n_resized FROM documents",
+    tags=("tier-c", "multimodal_cols", "resize"),
+)
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: every payload must land at exactly 32×32=1024 bytes
+    with updated metadata after the mapInPandas resize pass. The Spark side
+    counts only rows satisfying that invariant, so any resize defect shows
+    up as a count mismatch against the oracle's total."""
+    t = register_tables(spark, sf_dir, ("documents",))
+    resized = multimodal.resize_payloads(multimodal.attach_payload(t["documents"]))
+    return resized.filter(
+        (F.length("payload") == 32 * 32) & (F.col("width") == 32) & (F.col("height") == 32)
+    ).agg(F.count(F.lit(1)).alias("n_resized"))
+
+
 @query("multimodal_frame_sample", oracle=None, tags=("tier-c", "multimodal_cols", "rows-only"))
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling plumbing: one payload row fans out to
