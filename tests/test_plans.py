@@ -70,3 +70,31 @@ def test_dedup_exact_shuffles_digest_not_text(spark):
     df = CATALOG["dedup_exact_keepers"].build(spark, SF_SMALL)
     plan = formatted_plan(df)
     assert "sha2" in plan, "exact dedup must group on the content digest"
+
+
+def test_ngram_jaccard_has_no_cartesian_product(spark):
+    """The inverted-index join must never degrade to a cross product — at
+    scale that's the difference between n·shingles and n² pairs."""
+    df = CATALOG["dedup_ngram_jaccard"].build(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scan_pandas_dim_is_broadcast(spark):
+    df = CATALOG["scan_pandas_join"].build(spark, SF_SMALL)
+    assert has_broadcast_join(df), "the 25-row pandas dim must broadcast"
+
+
+def test_pivot_has_static_schema_without_distinct_job(spark):
+    """Explicit pivot values → output schema is known before any job runs."""
+    df = CATALOG["pivot_status_by_year"].build(spark, SF_SMALL)
+    assert df.columns == ["y", "F", "O", "P"]
+
+
+def test_corr_subquery_is_decorrelated_to_aggregate_join(spark):
+    """Catalyst must rewrite the correlated scalar subquery into agg+join —
+    a per-row re-execution plan would be unrunnable at scale."""
+    df = CATALOG["corr_subq_cheapest_per_brand"].build(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "min(" in plan and ("Join" in plan or "BroadcastHashJoin" in plan)
