@@ -16,7 +16,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sql4pandas_spark.operators import dedup, multimodal, similarity, text
+from sql4pandas_spark.operators import dedup, joins, multimodal, similarity, text
 from sql4pandas_spark.queries.catalog import query
 from sql4pandas_spark.sources.parquet import register_tables
 
@@ -375,6 +375,70 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_tables(spark, sf_dir, ("documents",))
     frames = multimodal.sample_frames(multimodal.attach_payload(t["documents"]))
     return frames.orderBy("doc_id", "frame_idx").limit(200)
+
+
+_SEG_JOIN_ORACLE = """
+    SELECT c.c_mktsegment, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+"""
+
+
+@query(
+    "salted_join_segments",
+    oracle=_SEG_JOIN_ORACLE,
+    tags=("tier-c", "join_salted", "skew"),
+)
+def salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders⋈customer through the skew-salting path
+    (operators/joins.salted_join) — must be value-identical to the plain
+    join the oracle runs."""
+    t = register_tables(spark, sf_dir, ("orders", "customer"))
+    j = joins.salted_join(t["orders"], t["customer"], "o_custkey", "c_custkey")
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "bucketed_join_segments",
+    oracle=_SEG_JOIN_ORACLE,
+    tags=("tier-c", "join_bucketed"),
+)
+def bucketed_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same join via pre-bucketed tables (operators/joins.write_bucketed):
+    both sides hash-bucketed on their join key, so the join itself needs no
+    exchange — the write is the once-per-dataset shuffle that every later
+    join reuses. Shuffle elimination is asserted in tests/test_joins.py."""
+    t = register_tables(spark, sf_dir, ("orders", "customer"))
+    joins.write_bucketed(
+        t["orders"].select("o_custkey", "o_totalprice"), "b_orders", "o_custkey"
+    )
+    joins.write_bucketed(
+        t["customer"].select("c_custkey", "c_mktsegment"), "b_customer", "c_custkey"
+    )
+    j = spark.table("b_orders").join(
+        spark.table("b_customer"), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query("approx_quantiles_orders", oracle=None, tags=("tier-c", "agg_approx", "rows-only"))
+def approx_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (Greenwald-Khanna sketch) next to the exact
+    percentile — the mergeable-sketch way to get quantiles in one pass at
+    100 TB. Error bound asserted in tests/test_joins.py."""
+    t = register_tables(spark, sf_dir, ("orders",))
+    return t["orders"].agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10_000).alias("approx_q"),
+        F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").alias("exact_q"),
+    )
 
 
 @query(
