@@ -177,3 +177,41 @@ def stream_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_available_now(result, mode="update").orderBy("user_id")
+
+
+@query(
+    "gapfill_hourly_counts",
+    oracle="""
+    WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+               FROM events),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS w FROM b),
+    agg AS (SELECT date_trunc('hour', ts) AS w, count(*) AS n FROM events GROUP BY 1)
+    SELECT s.w, coalesce(a.n, 0) AS n
+    FROM spine s LEFT JOIN agg a ON s.w = a.w ORDER BY s.w
+    """,
+    tags=("tier-c", "timeseries", "gapfill"),
+)
+def gapfill_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-spine gap filling: generate the full hourly spine with
+    sequence()+explode (one row in, n out — no driver loop), left-join the
+    hourly aggregate, fill missing hours with 0. The spine build is O(range)
+    independent of data volume, so it costs the same at 100 TB; the join is
+    a broadcast of the (tiny) spine. Injected-gap semantics asserted in
+    tests/test_streaming.py."""
+    t = register_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("w")
+    )
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("w")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        spine.join(hourly, "w", "left")
+        .select("w", F.coalesce("n", F.lit(0).cast("long")).alias("n"))
+        .orderBy("w")
+    )

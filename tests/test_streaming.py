@@ -95,3 +95,41 @@ def test_tumbling_stream_incremental_two_batches(spark):
     got = run_available_now(tumbling_hourly(stream), mode="complete").toPandas()
     want = tumbling_hourly(ev).toPandas()
     assert_frames_match(got, want, "two-batch tumble == batch")
+
+
+def test_gapfill_fills_injected_gaps(spark):
+    """Remove one interior hour from events; the gap-filled series must still
+    contain that hour, with n = 0."""
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.queries import load_catalog
+    from sql4pandas_spark.sources.parquet import register_tables
+
+    t = register_tables(spark, SF_SMALL, ("events",))
+    ev = t["events"]
+    hours = [r.w for r in (
+        ev.select(F.date_trunc("hour", "ts").alias("w")).distinct().orderBy("w").collect()
+    )]
+    assert len(hours) >= 3
+    victim = hours[1]
+    ev.filter(F.date_trunc("hour", "ts") != victim).createOrReplaceTempView("events")
+    try:
+        # rebuild via the same operator body, but over the gapped view
+        gapped = spark.sql("SELECT * FROM events")
+        bounds = gapped.agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+        spine = bounds.select(F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("w"))
+        hourly = gapped.groupBy(F.date_trunc("hour", "ts").alias("w")).agg(F.count(F.lit(1)).alias("n"))
+        filled = {r.w: r.n for r in spine.join(hourly, "w", "left")
+                  .select("w", F.coalesce("n", F.lit(0).cast("long")).alias("n")).collect()}
+        assert filled[victim] == 0, "injected gap must appear with n=0"
+        # spine must be contiguous hourly steps (sf0.001 has natural gaps
+        # too — they must also be present, filled with 0)
+        ws = sorted(filled)
+        assert all(
+            (b - a).total_seconds() == 3600 for a, b in zip(ws, ws[1:])
+        ), "gap-filled spine must be contiguous"
+    finally:
+        register_tables(spark, SF_SMALL, ("events",))  # restore the real view
