@@ -215,3 +215,66 @@ def gapfill_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w", F.coalesce("n", F.lit(0).cast("long")).alias("n"))
         .orderBy("w")
     )
+
+
+@query(
+    "stream_dedup_events",
+    oracle="""
+    SELECT count(*) AS n_distinct
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    """,
+    tags=("tier-c", "stream_dedup", "scan_stream"),
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING deduplication: dropDuplicates on (user_id, event_type) over
+    the event stream — the state-store-backed dedup every streaming ingest
+    pipeline needs (the watermark bounds state lifetime in production; the
+    drained fixture emits exactly the distinct keys). The drained first-seen
+    rows are then counted batch-side, matching the batch DISTINCT oracle."""
+    events = read_events_stream(spark, sf_dir)
+    deduped = (
+        events.withWatermark("ts", "24 hours")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    drained = run_available_now(deduped, mode="append")
+    return drained.agg(F.count(F.lit(1)).alias("n_distinct"))
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT count(*) AS n_pairs
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+    tags=("tier-c", "stream_stream_join", "scan_stream"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join: clicks joined to purchases of the same user
+    within the preceding hour. Both sides carry watermarks and the join has
+    an explicit time constraint — the two requirements that let the state
+    store evict matched rows instead of buffering both streams forever. On
+    the drained fixture the emitted matches equal the batch join, which the
+    oracle verifies."""
+    events = read_events_stream(spark, sf_dir)
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("interval 1 hour"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    drained = run_available_now(joined, mode="append")
+    return drained.agg(F.count(F.lit(1)).alias("n_pairs"))
