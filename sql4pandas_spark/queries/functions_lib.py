@@ -93,7 +93,7 @@ def date_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey,
            o_orderdate + INTERVAL 30 DAY AS due_date,
-           date_trunc('month', o_orderdate) AS month_start,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
            CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER) AS days_since_epoch_start
     FROM orders ORDER BY o_orderkey LIMIT 50
     """,

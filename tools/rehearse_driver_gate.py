@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Rehearse the driver's t2 correctness gate exactly: run every
+__spark_entry__.queries() entry at sf0.01 and compare to oracle_sql() in
+DuckDB by row count, sorted column names, and order-insensitive STRINGIFIED
+value hash — the same stringent comparison the driver applies.
+
+This intentionally does NOT reuse the pytest comparator: pandas-level
+normalization (tests/conftest.py) can mask type-rendering divergence that a
+string hash sees (e.g. DuckDB date_trunc('month') returns DATE where Spark
+returns TIMESTAMP — caught by this script, invisible to toPandas compare).
+
+Run before every round handoff:  python tools/rehearse_driver_gate.py
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from sql4pandas_spark.session import get_spark  # noqa: E402
+from sql4pandas_spark.sources.parquet import TABLES  # noqa: E402
+
+
+def canon_hash(rows: list[tuple], cols: list[str]) -> str:
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon = sorted(tuple(str(r[i]) for i in idx) for r in rows)
+    return hashlib.md5(str(canon).encode()).hexdigest()
+
+
+def main() -> int:
+    sf = os.environ.get("S4PS_REHEARSE_SF_DIR", "/root/testdata/sf0.01")
+    spark = get_spark(app_name="s4ps-rehearsal")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+
+    queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    bad: list[tuple[str, str]] = []
+    n_sql = n_rows = 0
+    t0 = time.time()
+    for name, build in queries.items():
+        try:
+            sdf = build(spark, sf)
+            srows = [tuple(r) for r in sdf.collect()]
+            if name in oracles:
+                res = con.execute(oracles[name])
+                orows = res.fetchall()
+                ocols = [d[0] for d in res.description]
+                if len(srows) != len(orows):
+                    bad.append((name, f"rowcount {len(srows)} vs {len(orows)}"))
+                elif sorted(sdf.columns) != sorted(ocols):
+                    bad.append((name, f"cols {sorted(sdf.columns)} vs {sorted(ocols)}"))
+                elif canon_hash(srows, sdf.columns) != canon_hash(orows, ocols):
+                    bad.append((name, "value-hash mismatch"))
+                else:
+                    n_sql += 1
+            elif not srows:
+                bad.append((name, "empty rows-only result"))
+            else:
+                n_rows += 1
+        except Exception as ex:  # noqa: BLE001 - report, don't abort the sweep
+            bad.append((name, f"ERROR {str(ex)[:120]}"))
+
+    n_entry = len(entrymod.entry(spark).collect())
+    print(
+        f"{time.time() - t0:.0f}s: {n_sql} oracle MATCH, {n_rows} rows-only OK, "
+        f"entry()={n_entry} rows, {len(bad)} problems"
+    )
+    for name, msg in bad:
+        print(f"  {name} -> {msg}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
