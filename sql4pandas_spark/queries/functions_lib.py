@@ -365,3 +365,87 @@ def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("k_val"), 4).alias("avg_k"))
         .orderBy("keysig")
     )
+
+
+@query(
+    "agg_collect_ordered",
+    oracle="""
+    SELECT c_mktsegment,
+           list_sort(list(DISTINCT c_nationkey)) AS nations,
+           CAST(len(list(c_custkey)) AS BIGINT) AS n
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("tier-b", "agg_collect", "array_fns"),
+)
+def agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect aggregates with deterministic rendering: collect_set order is
+    engine-dependent, so the contract sorts it (sort_array ↔ list_sort) —
+    the only portable way to hash-compare a collected column. The list
+    itself shuffles as an array value; at scale prefer collect only after a
+    reducing groupBy (here: 25 ints per segment, bounded)."""
+    t = register_tables(spark, sf_dir, ("customer",))
+    return (
+        t["customer"]
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sort_array(F.collect_set("c_nationkey")).alias("nations"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "try_funcs_part",
+    oracle="""
+    SELECT p_partkey,
+           TRY_CAST(p_brand AS INTEGER) AS brand_num,
+           TRY_CAST(substr(p_brand, 7) AS INTEGER) AS brand_suffix,
+           CASE WHEN p_size = 0 THEN NULL ELSE round(p_retailprice / p_size, 4) END AS price_per_size
+    FROM part ORDER BY p_partkey LIMIT 50
+    """,
+    tags=("tier-b", "null_fns", "try_fns"),
+)
+def try_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expressions: try_cast returns NULL instead of failing the
+    task — at 100 TB one malformed value must never kill a 10-hour job.
+    try_divide mirrors the guarded division the oracle spells with CASE."""
+    t = register_tables(spark, sf_dir, ("part",))
+    return (
+        t["part"]
+        .select(
+            "p_partkey",
+            F.try_to_number("p_brand", F.lit("999999")).cast("int").alias("brand_num"),
+            F.expr("try_cast(substr(p_brand, 7) AS INT)").alias("brand_suffix"),
+            F.round(F.try_divide("p_retailprice", F.col("p_size")), 4).alias("price_per_size"),
+        )
+        .orderBy("p_partkey")
+        .limit(50)
+    )
+
+
+@query(
+    "histogram_order_totals",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(avg(o_totalprice), 2) AS avg_total
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    tags=("tier-b", "histogram", "agg_group"),
+)
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram by floor-division binning — one scan, one
+    aggregation shuffle; the binning expression is identical SQL in both
+    engines (unlike width_bucket, which DuckDB 1.0 lacks)."""
+    t = register_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .groupBy(
+            (F.floor(F.col("o_totalprice") / 50000) * 50000)
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("o_totalprice"), 2).alias("avg_total"))
+        .orderBy("bucket")
+    )
