@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Scaling probe: replicate the sf0.1 fixtures ~Nx into /tmp (join keys
+shifted consistently so query semantics are preserved), then run the
+headline catalog queries unchanged against the synthetic dir and report
+runtime scaling vs sf0.1.
+
+Purpose: measured evidence for the scale story — the catalog builders take
+an sf_dir, so the SAME code paths that pass the correctness gate are timed
+at 10x data. Writes nothing inside the repo; synthetic data lives in /tmp.
+
+Run:  python tools/scale_probe.py [replication_factor]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from sql4pandas_spark.queries import load_catalog  # noqa: E402
+from sql4pandas_spark.session import get_spark  # noqa: E402
+from sql4pandas_spark.sources.parquet import TABLES  # noqa: E402
+
+BASE_SF = "/root/testdata/sf0.1"
+#: headline queries: scan+agg, 3-way join+topk, window, tumbling agg
+QUERIES = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "window_top3_orders_per_customer",
+    "events_hourly",
+)
+#: fact tables replicated with shifted keys; everything else symlinks (dims)
+SHIFTS = {
+    "lineitem": ("l_orderkey",),
+    "orders": ("o_orderkey",),
+    "events": ("event_id",),
+}
+
+
+def build_scaled(spark, out_dir: str, factor: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if t not in SHIFTS:
+            if not os.path.exists(dst):
+                os.symlink(os.path.join(BASE_SF, f"{t}.parquet"), dst)
+            continue
+        if os.path.exists(dst):
+            continue
+        df = spark.read.parquet(os.path.join(BASE_SF, f"{t}.parquet"))
+        key = SHIFTS[t][0]
+        span = df.agg(F.max(key)).collect()[0][0] + 1
+        parts = [
+            df.select(
+                *[
+                    (F.col(c) + i * span).alias(c) if c == key else F.col(c)
+                    for c in df.columns
+                ]
+            )
+            for i in range(factor)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        # several files so the scan parallelizes (single-row-group fixture
+        # files cap scan parallelism at 1 task — see BASELINE.md)
+        out.repartition(8).write.mode("overwrite").parquet(dst)
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    catalog = load_catalog()
+    times = {}
+    for name in QUERIES:
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            catalog[name].build(spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
+    return times
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_dir = f"/tmp/s4ps_scale_x{factor}"
+    spark = get_spark(app_name="s4ps-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    build_scaled(spark, out_dir, factor)
+    build_s = round(time.time() - t0, 1)
+    base = time_queries(spark, BASE_SF)
+    scaled = time_queries(spark, out_dir)
+    report = {
+        "factor": factor,
+        "build_s": build_s,
+        "base_s": base,
+        "scaled_s": scaled,
+        "scaling": {
+            q: round(scaled[q] / base[q], 2) if base[q] else None for q in QUERIES
+        },
+    }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
