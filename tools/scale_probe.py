@@ -56,7 +56,17 @@ def build_scaled(spark, out_dir: str, factor: int) -> None:
             continue
         df = spark.read.parquet(os.path.join(BASE_SF, f"{t}.parquet"))
         key = SHIFTS[t][0]
-        span = df.agg(F.max(key)).collect()[0][0] + 1
+        if key.endswith("_orderkey"):
+            # lineitem and orders MUST share one span or replica joins
+            # misalign (safe today only because every order has lineitems)
+            span = max(
+                spark.read.parquet(os.path.join(BASE_SF, "lineitem.parquet"))
+                .agg(F.max("l_orderkey")).collect()[0][0],
+                spark.read.parquet(os.path.join(BASE_SF, "orders.parquet"))
+                .agg(F.max("o_orderkey")).collect()[0][0],
+            ) + 1
+        else:
+            span = df.agg(F.max(key)).collect()[0][0] + 1
         parts = [
             df.select(
                 *[
