@@ -80,4 +80,13 @@ def configure_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(key, value)
         except Exception:  # pragma: no cover - static conf on a running session
             pass
+    try:
+        # An externally-built session (the correctness driver's) arrives with
+        # Spark's stock 200 shuffle partitions — 12× the useful width for the
+        # local fixtures. Only touch the untouched default: a deliberately
+        # configured value (ours or the driver's) is preserved.
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", "64")
+    except Exception:  # pragma: no cover
+        pass
     return spark

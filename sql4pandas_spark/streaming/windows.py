@@ -22,6 +22,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sql4pandas_spark.session import configure_session
 from sql4pandas_spark.sources.parquet import table
 
 
@@ -40,7 +41,13 @@ def _stream_dir(sf_dir: str) -> str:
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as an unbounded-style stream (schema from the batch
-    reader; ns-timestamp normalization matches sources/parquet.py)."""
+    reader; ns-timestamp normalization matches sources/parquet.py).
+
+    configure_session FIRST: on an externally-built session (the driver's),
+    the ns-parquet workaround must be applied before the first events read —
+    a streaming query must not depend on a batch query having run earlier.
+    """
+    configure_session(spark)
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     stream = spark.readStream.schema(batch.schema).parquet(_stream_dir(sf_dir))
     if dict(stream.dtypes).get("ts") == "bigint":
