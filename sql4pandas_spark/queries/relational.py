@@ -790,3 +790,37 @@ def corr_subq_cheapest_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY p.p_brand, p.p_partkey
         """
     )
+
+
+@query(
+    "cross_join_regions",
+    oracle="""
+    SELECT a.r_name AS r1, b.r_name AS r2
+    FROM region a CROSS JOIN region b
+    WHERE a.r_name < b.r_name
+    ORDER BY r1, r2
+    """,
+    tags=("tier-b", "join_cross"),
+)
+def cross_join_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join (df.crossJoin) — legitimate only when one side is
+    tiny and intentional; Spark demands the explicit API precisely so an
+    accidental O(n²) can't hide in an equi-join. 5×5 here."""
+    t = register_tables(spark, sf_dir, ("region",))
+    a = t["region"].select(F.col("r_name").alias("r1"))
+    b = t["region"].select(F.col("r_name").alias("r2"))
+    return a.crossJoin(b).filter(F.col("r1") < F.col("r2")).orderBy("r1", "r2")
+
+
+@query("tablesample_orders", oracle=None, tags=("tier-b", "sample", "rows-only"))
+def tablesample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli sampling with a fixed seed (df.sample) — the standard cheap
+    way to bound work for stats/training-subset jobs at 100 TB. Seeded, so
+    the driver's determinism check holds within a session; the assertion
+    that the fraction lands near 10% lives in the aggregate itself."""
+    t = register_tables(spark, sf_dir, ("orders",))
+    s = t["orders"].sample(fraction=0.1, seed=42)
+    return s.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
