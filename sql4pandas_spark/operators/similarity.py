@@ -58,6 +58,19 @@ def cosine_query_topk(
     )
 
 
+def _broadcast_embedding_matrix(emb: DataFrame, id_col: str, normalize: bool = False):
+    """Collect the (bounded, broadcastable) embedding matrix driver-side and
+    broadcast (ids, matrix) — the shared setup of every matmul-scored
+    operator here. `normalize` L2-normalizes rows so dot == true cosine."""
+    rows = emb.select(id_col, "embedding").toPandas()
+    ids = rows[id_col].to_numpy()
+    mat = np.stack(rows["embedding"].to_numpy()).astype(np.float64)
+    if normalize:
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    spark = emb.sparkSession
+    return spark.sparkContext.broadcast(ids), spark.sparkContext.broadcast(mat)
+
+
 def cosine_pairs_topk(emb: DataFrame, k: int = 20, id_col: str = "vec_id") -> DataFrame:
     """Exact top-k cosine pairs via broadcast matrix + per-batch NumPy matmul.
 
@@ -66,12 +79,7 @@ def cosine_pairs_topk(emb: DataFrame, k: int = 20, id_col: str = "vec_id") -> Da
     top-k under the same total order the final sort uses, and the global
     top-k of a union of per-batch top-k's equals the true top-k.
     """
-    rows = emb.select(id_col, "embedding").toPandas()
-    ids = rows[id_col].to_numpy()
-    mat = np.stack(rows["embedding"].to_numpy()).astype(np.float64)
-    spark = emb.sparkSession
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    b_ids, b_mat = _broadcast_embedding_matrix(emb, id_col)
 
     def block_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         all_ids, all_mat = b_ids.value, b_mat.value
@@ -115,13 +123,7 @@ def cosine_near_pairs(
     swap candidate generation to `ann_lsh_topk`'s bucketed self-join and
     keep this exact scorer for verification only.
     """
-    rows = emb.select(id_col, "embedding").toPandas()
-    ids = rows[id_col].to_numpy()
-    mat = np.stack(rows["embedding"].to_numpy()).astype(np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    spark = emb.sparkSession
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    b_ids, b_mat = _broadcast_embedding_matrix(emb, id_col, normalize=True)
 
     def block_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         all_ids, all_mat = b_ids.value, b_mat.value

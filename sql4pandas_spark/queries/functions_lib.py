@@ -415,7 +415,7 @@ def try_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["part"]
         .select(
             "p_partkey",
-            F.try_to_number("p_brand", F.lit("999999")).cast("int").alias("brand_num"),
+            F.expr("try_cast(p_brand AS INT)").alias("brand_num"),
             F.expr("try_cast(substr(p_brand, 7) AS INT)").alias("brand_suffix"),
             F.round(F.try_divide("p_retailprice", F.col("p_size")), 4).alias("price_per_size"),
         )

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import sys
 import time
 
@@ -36,35 +35,42 @@ QUERIES = (
     "window_top3_orders_per_customer",
     "events_hourly",
 )
-#: fact tables replicated with shifted keys; everything else symlinks (dims)
-SHIFTS = {
-    "lineitem": ("l_orderkey",),
-    "orders": ("o_orderkey",),
-    "events": ("event_id",),
+#: fact tables replicated with a shifted key; everything else symlinks (dims)
+SHIFT_KEY = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
 }
+
+
+def _orderkey_span(spark) -> int:
+    """lineitem and orders MUST share one span or replica joins misalign
+    (safe today only because every order has lineitems — shared max is the
+    defensive form)."""
+    return max(
+        spark.read.parquet(os.path.join(BASE_SF, "lineitem.parquet"))
+        .agg(F.max("l_orderkey")).collect()[0][0],
+        spark.read.parquet(os.path.join(BASE_SF, "orders.parquet"))
+        .agg(F.max("o_orderkey")).collect()[0][0],
+    ) + 1
 
 
 def build_scaled(spark, out_dir: str, factor: int) -> None:
     os.makedirs(out_dir, exist_ok=True)
+    shared_span = None
     for t in TABLES:
         dst = os.path.join(out_dir, f"{t}.parquet")
-        if t not in SHIFTS:
+        if t not in SHIFT_KEY:
             if not os.path.exists(dst):
                 os.symlink(os.path.join(BASE_SF, f"{t}.parquet"), dst)
             continue
         if os.path.exists(dst):
             continue
         df = spark.read.parquet(os.path.join(BASE_SF, f"{t}.parquet"))
-        key = SHIFTS[t][0]
+        key = SHIFT_KEY[t]
         if key.endswith("_orderkey"):
-            # lineitem and orders MUST share one span or replica joins
-            # misalign (safe today only because every order has lineitems)
-            span = max(
-                spark.read.parquet(os.path.join(BASE_SF, "lineitem.parquet"))
-                .agg(F.max("l_orderkey")).collect()[0][0],
-                spark.read.parquet(os.path.join(BASE_SF, "orders.parquet"))
-                .agg(F.max("o_orderkey")).collect()[0][0],
-            ) + 1
+            shared_span = shared_span or _orderkey_span(spark)
+            span = shared_span
         else:
             span = df.agg(F.max(key)).collect()[0][0] + 1
         parts = [
