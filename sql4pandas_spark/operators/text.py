@@ -66,6 +66,49 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the standard
+    pre-embedding/pretraining chunker. Output: one row per chunk with
+    (doc_id, chunk_idx, chunk_text, n_tokens).
+
+    Stride = chunk_tokens - overlap. Chunk starts are a `sequence`, chunk
+    bodies are `slice`+`array_join` — all JVM higher-order functions, so the
+    row fan-out happens inside whole-stage codegen with no Python and no
+    shuffle (a pure flatMap shape: input splits stay independent at 100 TB).
+    The final (short) chunk is kept iff it starts before the token end.
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toks = tokens(text_col)
+    n = F.size(toks)
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+        lambda s: s < n,
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.array_join(F.slice(toks, s + 1, chunk_tokens), " ").alias("chunk_text"),
+            F.least(n - s, F.lit(chunk_tokens)).alias("n_tokens"),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(chunks).alias("chunk_idx", "c")
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )
+
+
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: argmax of stopword hits per language.
 

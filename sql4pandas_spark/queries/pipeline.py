@@ -77,6 +77,83 @@ def wordcount_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("stratified_sample_mix", oracle=None, tags=("tier-c", "sample", "data_mix", "rows-only"))
+def stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (df.sampleBy) — the data-mixing primitive: set a
+    per-stratum keep fraction to hit a target corpus mix (here: keep all
+    'en', downsample other languages hard). Seeded and aggregated, so the
+    result is deterministic within a session."""
+    t = register_tables(spark, sf_dir, ("documents",))
+    fractions = {"en": 1.0, "fr": 0.25, "es": 0.25, "de": 0.25, "zh": 0.25}
+    mixed = t["documents"].sampleBy("lang", fractions, seed=7)
+    return (
+        mixed.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("lang")
+    )
+
+
+@query(
+    "scrub_patterns_events",
+    oracle="""
+    SELECT regexp_replace(props, '[0-9]+', '#', 'g') AS masked,
+           count(*) AS n,
+           CAST(sum(length(props) - length(regexp_replace(props, '[0-9]+', '', 'g'))) AS BIGINT)
+             AS digits_removed
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    tags=("tier-c", "text_scrub", "string_fns"),
+)
+def scrub_patterns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern scrubbing — the PII-masking shape of a training-data pipeline
+    (swap '[0-9]+' for email/phone/SSN patterns in production). Spark
+    regexp_replace replaces ALL matches by default = DuckDB's 'g' flag; the
+    masked shape becomes the group key, plus an audit count of removed
+    characters. Pure JVM string ops, one scan."""
+    t = register_tables(spark, sf_dir, ("events",))
+    masked = F.regexp_replace("props", "[0-9]+", "#")
+    stripped = F.regexp_replace("props", "[0-9]+", "")
+    return (
+        t["events"]
+        .select(
+            masked.alias("masked"),
+            (F.length("props") - F.length(stripped)).alias("d"),
+        )
+        .groupBy("masked")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("d").cast("long").alias("digits_removed"))
+        .orderBy("masked")
+    )
+
+
+@query(
+    "chunk_documents_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS w
+      FROM documents),
+    starts AS (
+      SELECT doc_id, w, unnest([s FOR s IN range(1, len(w) + 1, 24)]) AS s1
+      FROM toks)
+    SELECT doc_id,
+           CAST((s1 - 1) / 24 AS INTEGER) AS chunk_idx,
+           array_to_string(list_slice(w, s1, s1 + 31), ' ') AS chunk_text,
+           CAST(least(len(w) - s1 + 1, 32) AS INTEGER) AS n_tokens
+    FROM starts ORDER BY doc_id, chunk_idx LIMIT 300
+    """,
+    tags=("tier-c", "text_chunk"),
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token chunking (32-token windows, 8-token overlap) — the
+    pre-embedding chunker (operators/text.chunk_documents), entirely JVM
+    higher-order functions, one row fanning out per chunk with no shuffle."""
+    t = register_tables(spark, sf_dir, ("documents",))
+    return (
+        text.chunk_documents(t["documents"], chunk_tokens=32, overlap=8)
+        .orderBy("doc_id", "chunk_idx")
+        .limit(300)
+    )
+
+
 @query(
     "text_stats_by_lang",
     oracle="""
