@@ -88,3 +88,57 @@ def test_random_filter_group_agg_matches_duckdb(spark, duck, pred, keys):
         if str(actual[c].dtype) == "int32":
             actual[c] = actual[c].astype("int64")
     assert_frames_match(actual, expected, f"property[{sql}]")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _join_views(spark):
+    register_tables(spark, SF_SMALL, ("orders", "customer"))
+
+
+@given(pred=predicates(), how=st.sampled_from(["JOIN", "LEFT JOIN"]))
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_join_agg_matches_duckdb(spark, duck, pred, how):
+    """Random filtered equi-joins (inner + left) with aggregation — the same
+    ANSI text on both engines. LEFT JOIN exercises the NULL-count path
+    (count(col) skips NULLs in both)."""
+    sql = (
+        "SELECT c_mktsegment AS seg, count(o_orderkey) AS n, "
+        "round(coalesce(sum(o_totalprice), 0), 2) AS s "
+        f"FROM customer {how} orders ON o_custkey = c_custkey AND ({pred}) "
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+    )
+    actual = spark.sql(sql).toPandas()
+    expected = duck.execute(sql).fetch_df()
+    assert_frames_match(actual, expected, f"join-property[{sql}]")
+
+
+@given(k=st.integers(1, 5), keys=group_keys())
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_window_topk_matches_duckdb(spark, duck, k, keys):
+    """Random top-k-per-partition windows, tie-broken by the unique order
+    key so the row set is engine-independent."""
+    part = keys[0]
+    sql = (
+        "SELECT * FROM ("
+        f"  SELECT o_orderkey, {part} AS p, o_totalprice,"
+        f"         row_number() OVER (PARTITION BY {part} "
+        "                             ORDER BY o_totalprice DESC, o_orderkey) AS rn"
+        "  FROM orders) t "
+        f"WHERE rn <= {k} ORDER BY p, rn"
+    )
+    actual = spark.sql(sql).toPandas()
+    expected = duck.execute(sql).fetch_df()
+    for c in actual.columns:
+        if str(actual[c].dtype) == "int32":
+            actual[c] = actual[c].astype("int64")
+    assert_frames_match(actual, expected, f"window-property[{sql}]")
