@@ -454,6 +454,27 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.orderBy("doc_id", "frame_idx").limit(200)
 
 
+@query("scan_python_datasource", oracle=None, tags=("tier-c", "scan_custom", "rows-only"))
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 plugin API, sources/synthetic.py):
+    deterministic generator with partition planning + event_type filter
+    pushdown. The aggregate is a pure function of the row index, so the
+    driver's determinism check holds across sessions."""
+    from sql4pandas_spark.sources.synthetic import read_synthetic
+
+    ev = read_synthetic(spark, n_rows=20_000, n_partitions=8)
+    return (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _SEG_JOIN_ORACLE = """
     SELECT c.c_mktsegment, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey

@@ -32,6 +32,9 @@ SESSION_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # custom Python data sources (sources/synthetic.py) declare pushFilters;
+    # Spark refuses to plan them unless pushdown is explicitly enabled
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

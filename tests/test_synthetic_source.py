@@ -1,0 +1,70 @@
+"""Custom Python DataSource invariants (sources/synthetic.py): determinism,
+partition invariance, pushdown correctness vs the pure row function, and the
+documented Spark reader-caching sharp edge."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sql4pandas_spark.sources.synthetic import read_synthetic, row_at
+
+N = 5000
+
+
+def _expected(pred=lambda r: True):
+    return [row_at(i) for i in range(N) if pred(row_at(i))]
+
+
+def test_full_scan_matches_row_function(spark):
+    got = sorted(tuple(r) for r in read_synthetic(spark, N, 4).collect())
+    exp = sorted(_expected())
+    assert len(got) == N
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    assert got[0][3] == exp[0][3] and got[-1][4] == exp[-1][4]
+
+
+def test_partition_invariance(spark):
+    a = sorted(tuple(r) for r in read_synthetic(spark, N, 4).collect())
+    b = sorted(tuple(r) for r in read_synthetic(spark, N, 13).collect())
+    assert a == b
+
+
+def test_equalto_pushdown_count(spark):
+    got = read_synthetic(spark, N, 4).filter(F.col("event_type") == "click").count()
+    assert got == len(_expected(lambda r: r[3] == "click"))
+
+
+def test_in_pushdown_count(spark):
+    got = (
+        read_synthetic(spark, N, 4)
+        .filter(F.col("event_type").isin("click", "view"))
+        .count()
+    )
+    assert got == len(_expected(lambda r: r[3] in ("click", "view")))
+
+
+def test_unsupported_filter_still_applied_post_scan(spark):
+    got = (
+        read_synthetic(spark, N, 4)
+        .filter((F.col("event_type") == "click") & (F.col("value") > 50))
+        .count()
+    )
+    assert got == len(_expected(lambda r: r[3] == "click" and r[4] > 50))
+
+
+def test_fresh_relations_are_isolated(spark):
+    """The sharp edge documented on pushFilters: a fresh load per query must
+    not see another query's pushed filters. (Reusing ONE handle for a
+    filtered then unfiltered query DOES leak in Spark 4.1 — that behavior is
+    why read_synthetic exists.)"""
+    assert read_synthetic(spark, N, 4).filter(F.col("event_type") == "click").count() < N
+    assert read_synthetic(spark, N, 4).count() == N
+
+
+def test_joins_with_fixture_tables(spark):
+    """The custom source composes with ordinary relations (the point of a
+    data source: it's just another table)."""
+    ev = read_synthetic(spark, N, 4)
+    by_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    assert by_user.filter(F.col("user_id") < 0).count() == 0
+    assert by_user.agg(F.sum("n")).collect()[0][0] == N
