@@ -475,6 +475,26 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("stream_python_datasource", oracle=None, tags=("tier-c", "scan_custom", "scan_stream", "rows-only"))
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING read of the custom Python source (SimpleDataSourceStreamReader
+    with dict offsets): availableNow drains the finite generator and the
+    grouped counts equal the batch read — asserted with checkpoint-resume
+    exactly-once semantics in tests/test_synthetic_source.py."""
+    from sql4pandas_spark.sources.synthetic import register_synthetic_source
+    from sql4pandas_spark.streaming.windows import run_available_now
+
+    register_synthetic_source(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("n_rows", 20_000)
+        .option("batch_rows", 20_000)
+        .load()
+    )
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return run_available_now(agg, mode="complete").orderBy("event_type")
+
+
 _SEG_JOIN_ORACLE = """
     SELECT c.c_mktsegment, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey

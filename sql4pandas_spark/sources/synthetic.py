@@ -34,6 +34,7 @@ from pyspark.sql.datasource import (
     Filter,
     In,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -114,6 +115,33 @@ class _SyntheticReader(DataSourceReader):
                 yield row
 
 
+class _SyntheticStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked STREAMING read of the same row function: each
+    micro-batch emits the next `batch_rows` indices, capped at `n_rows` so
+    `trigger(availableNow=True)` drains the source to a finite end — the
+    batch-equivalence testing mode. Offsets are plain dicts checkpointed by
+    the engine; `commit` has nothing to clean up because the generator is
+    stateless."""
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 10_000))
+        self.batch_rows = int(options.get("batch_rows", 1_000))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        lo = start["i"]
+        hi = min(lo + self.batch_rows, self.n_rows)
+        return (iter([row_at(i) for i in range(lo, hi)]), {"i": hi})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([row_at(i) for i in range(start["i"], end["i"])])
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class SyntheticEventsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -124,6 +152,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> _SyntheticReader:
         return _SyntheticReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> _SyntheticStreamReader:
+        return _SyntheticStreamReader(self.options)
 
 
 def register_synthetic_source(spark: SparkSession) -> None:

@@ -68,3 +68,56 @@ def test_joins_with_fixture_tables(spark):
     by_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     assert by_user.filter(F.col("user_id") < 0).count() == 0
     assert by_user.agg(F.sum("n")).collect()[0][0] == N
+
+
+def test_stream_full_drain_equals_batch(spark):
+    """availableNow over the streaming reader (batch_rows >= n_rows → one
+    micro-batch drains everything) must equal the batch-mode read of the
+    same source — the plugin's batch-equivalence contract."""
+    from sql4pandas_spark.sources.synthetic import register_synthetic_source
+    from sql4pandas_spark.streaming.windows import run_available_now
+
+    register_synthetic_source(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("n_rows", N).option("batch_rows", N).load()
+    )
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    streamed = {
+        (r.event_type, r.n) for r in run_available_now(agg, mode="complete").collect()
+    }
+    batch = {
+        (r.event_type, r.n)
+        for r in read_synthetic(spark, N, 4)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert streamed == batch
+
+
+def test_stream_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Each availableNow run resumes at the checkpointed offset: three runs
+    with batch_rows=1000 land exactly rows 0..2999, no gaps, no duplicates —
+    offset persistence + file-sink exactly-once."""
+    from sql4pandas_spark.sources.synthetic import register_synthetic_source
+
+    register_synthetic_source(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.format("synthetic_events")
+            .option("n_rows", N).option("batch_rows", 1000).load()
+        )
+        q = (
+            stream.writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(60)
+        return spark.read.parquet(out).count()
+
+    assert [drain(), drain(), drain()] == [1000, 2000, 3000]
+    ids = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert ids == list(range(3000))
