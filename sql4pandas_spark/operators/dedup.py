@@ -12,11 +12,14 @@ Scale design:
   on the band key: the only shuffle is on those 8-byte keys. Verification
   re-checks true shingle Jaccard on candidates only.
 - Duplicate clusters come from iterative smallest-id label propagation
-  (converges in O(log n) rounds on the candidate-pair graph); each round is a
-  join+groupBy, checkpointed to keep the plan from growing unboundedly.
-- SimHash: 64-bit signature via per-bit weighted sums; near-dup candidates by
-  banding the 64 bits into 4×16-bit chunks (Hamming ≤ 3 guarantees a shared
-  chunk by pigeonhole), verified with bit_count(xor).
+  (converges in O(graph diameter) rounds on the candidate-pair graph); each
+  round is a join+groupBy, checkpointed to keep the plan from growing
+  unboundedly, and non-convergence raises instead of returning wrong labels.
+- SimHash: 60-bit signature via per-bit weighted sums; near-dup candidates by
+  banding the bits into 4×16-bit chunks (Hamming ≤ 3 guarantees a shared
+  chunk by pigeonhole), verified with bit_count(xor). Token hashes use the
+  md5-based portable_hash60 so DuckDB can replay the whole signature pipeline
+  as a value-checked oracle.
 """
 
 from __future__ import annotations
@@ -24,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sql4pandas_spark.operators.text import tokens
+from sql4pandas_spark.operators.text import portable_hash60, tokens
 
 MERSENNE31 = 2_147_483_647  # 2^31 - 1
 
@@ -156,14 +159,18 @@ def verified_near_pairs(
     )
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     """Smallest-id label propagation over an undirected pair graph.
 
     Returns (doc_id, cluster_id). Each iteration: labels flow across edges via
-    join + min-aggregate; converges in O(log(diameter)) rounds. localCheckpoint
-    truncates lineage each round so the plan stays bounded — the standard
-    iterative-algorithm pattern on Spark (GraphX/GraphFrames do the same
-    under the hood).
+    join + min-aggregate; min-label propagation converges in O(graph diameter)
+    rounds (NOT O(log n) — a chain of d near-dups needs d rounds; use
+    pointer-doubling/large-star if log-round convergence is ever needed).
+    localCheckpoint truncates lineage each round so the plan stays bounded —
+    the standard iterative-algorithm pattern on Spark (GraphX/GraphFrames do
+    the same under the hood). Raises RuntimeError if labels are still moving
+    after `max_iter` rounds — silently returning partial clusters would
+    under-merge duplicates downstream.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -175,6 +182,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
     )
+    changed = 1
     for _ in range(max_iter):
         # label of each node <- min(own label, min neighbor label)
         neighbor_labels = (
@@ -196,6 +204,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "the candidate-pair graph has a longer chain than expected; "
+            "raise max_iter or switch to pointer-doubling"
+        )
     return labels
 
 
@@ -300,11 +314,15 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+SIMHASH_BITS = 60  # portable_hash60 provides 60 hash bits
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over whitespace tokens: bit_i = sign of the sum of ±1
+    """60-bit SimHash over whitespace tokens: bit_i = sign of the sum of ±1
     votes from each token hash's bit_i. Explode-free: per-bit vote sums are
-    array aggregates over the token-hash array (all codegen'd)."""
-    hashes = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+    array aggregates over the token-hash array (all codegen'd). Uses
+    portable_hash60 so the DuckDB oracle can recompute identical signatures."""
+    hashes = F.transform(tokens(text_col), portable_hash60)
     # votes_b = sum over tokens of (2*bit_b - 1); bit b of the simhash = votes_b > 0
     def bit_vote(b: int):
         def step(acc, h):
@@ -315,7 +333,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     sig = F.aggregate(
         F.array(*[
             F.when(bit_vote(b) > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
-            for b in range(63)  # 63 bits keeps the value positive in int64
+            for b in range(SIMHASH_BITS)
         ]),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
@@ -326,8 +344,9 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Candidate pairs by 16-bit chunk banding + exact Hamming verification.
 
-    With 4 chunks over 63 bits, any pair within Hamming distance 3 shares at
-    least one chunk (pigeonhole) — recall is exact, not probabilistic.
+    With 4 chunks over the 60 signature bits, any pair within Hamming
+    distance 3 shares at least one chunk (pigeonhole) — recall is exact, not
+    probabilistic.
     """
     chunks = F.array(
         *[

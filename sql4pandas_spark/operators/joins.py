@@ -33,7 +33,18 @@ def salted_join(
     now peaks at p/n_salts per task. AQE's skew-join split handles most of
     this automatically; explicit salting is for the cases AQE can't see
     (first shuffle of a stage, or skew inside a single huge key).
+
+    `how` is restricted to joins where replicating the SMALL side is
+    row-preserving: right/full outer would emit each unmatched small-side
+    row once per salt replica.
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports how in {sorted(allowed)} (got {how!r}): "
+            "small-side salt replication would duplicate unmatched rows "
+            "under right/full outer joins"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     b = big.withColumn("_salt", salt)
     s = small.withColumn(
@@ -72,3 +83,45 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    max_gap_seconds: int,
+) -> DataFrame:
+    """Range join with NO equi key, as a hash join via interval bucketing.
+
+    Returns left ⋈ right on ``right_ts ∈ (left_ts, left_ts + max_gap]`` —
+    "every right event strictly after, but within `max_gap_seconds` of, a
+    left event". A naive formulation is a pure theta join → Catalyst plans a
+    broadcast-nested-loop / cartesian product, O(n·m) at any scale.
+
+    Instead: bucket both sides by ``floor(epoch / max_gap)``. A right row
+    within (t, t + gap] of a left row must land in the left row's bucket or
+    the next one, so exploding the LEFT side into {b, b+1} and equi-joining
+    on the bucket id turns the plan into a shuffled hash join whose residual
+    range filter runs per bucket — each row meets only the ~2·gap-width
+    neighborhood, never the whole other side. The 2× left fan-out is the
+    entire overhead; shuffle keys are 8-byte longs. Works identically for
+    interval containment (bucket the interval ends instead).
+    """
+    bucket = F.floor(F.unix_timestamp(F.col(left_ts)) / max_gap_seconds)
+    l_exploded = left.withColumn(
+        "_bkt", F.explode(F.array(bucket.cast("long"), (bucket + 1).cast("long")))
+    )
+    r_bucketed = right.withColumn(
+        "_bkt_r", F.floor(F.unix_timestamp(F.col(right_ts)) / max_gap_seconds).cast("long")
+    )
+    joined = l_exploded.join(
+        r_bucketed,
+        (F.col("_bkt") == F.col("_bkt_r"))
+        & (F.col(right_ts) > F.col(left_ts))
+        & (
+            F.col(right_ts)
+            <= F.col(left_ts) + F.make_dt_interval(secs=F.lit(max_gap_seconds))
+        ),
+    )
+    return joined.drop("_bkt", "_bkt_r")

@@ -58,10 +58,33 @@ def cosine_query_topk(
     )
 
 
-def _broadcast_embedding_matrix(emb: DataFrame, id_col: str, normalize: bool = False):
+#: Hard cap on rows collected for a driver-side broadcast matrix. At 64-dim
+#: float64 this is ~2 GB — beyond it the broadcast-matmul plan is the wrong
+#: tool and the caller must switch to the bucketed LSH path.
+BROADCAST_MAX_ROWS = 4_000_000
+
+
+def _broadcast_embedding_matrix(
+    emb: DataFrame,
+    id_col: str,
+    normalize: bool = False,
+    max_rows: int = BROADCAST_MAX_ROWS,
+):
     """Collect the (bounded, broadcastable) embedding matrix driver-side and
     broadcast (ids, matrix) — the shared setup of every matmul-scored
-    operator here. `normalize` L2-normalizes rows so dot == true cosine."""
+    operator here. `normalize` L2-normalizes rows so dot == true cosine.
+
+    Guarded: raises ValueError when the table exceeds `max_rows` instead of
+    silently OOM-ing the driver — the count is parquet-metadata cheap and the
+    error names the scale path (`ann_lsh_topk`)."""
+    n = emb.count()
+    if n > max_rows:
+        raise ValueError(
+            f"embedding table has {n:,} rows > broadcast cap {max_rows:,}; "
+            "the broadcast-matmul plan collects one side driver-side — use "
+            "the bucketed candidate path (similarity.ann_lsh_topk) and keep "
+            "exact scoring for candidates only"
+        )
     rows = emb.select(id_col, "embedding").toPandas()
     ids = rows[id_col].to_numpy()
     mat = np.stack(rows["embedding"].to_numpy()).astype(np.float64)

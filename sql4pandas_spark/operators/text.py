@@ -38,6 +38,29 @@ def bpe_token_count(text: Column | str) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), F.lit(0)))
 
 
+def portable_hash60(col: Column) -> Column:
+    """60-bit token hash computable identically in Spark AND DuckDB.
+
+    ``conv(substr(md5(x), 1, 15), 16, 10)`` — the first 15 hex digits of the
+    md5 digest parsed as an integer (< 2^60, so it always fits a positive
+    int64, ANSI-safe). md5 produces identical hex in both engines, which is
+    what lets simhash / winnowing fingerprints carry value-checked DuckDB
+    oracles. The DuckDB spelling of the same value is
+    :data:`DUCKDB_HASH60_SQL`. Still JVM-side and codegen-friendly; for
+    oracle-free hot paths xxhash64 is ~2× cheaper.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+#: DuckDB expression template for :func:`portable_hash60` — format with the
+#: token expression, e.g. ``DUCKDB_HASH60_SQL.format(expr="t")``.
+DUCKDB_HASH60_SQL = (
+    "list_sum(list_transform(range(1, 16), i ->"
+    " (strpos('0123456789abcdef', substr(md5({expr}), i, 1)) - 1)::BIGINT"
+    " << (4 * (15 - i))))::BIGINT"
+)
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality features: char/token counts, mean token length,
     punctuation ratio, stopword ratio — the standard cheap quality filters of
@@ -113,10 +136,12 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: argmax of stopword hits per language.
 
     Scale: builds one score column per language (5 JVM expressions) then takes
-    a deterministic argmax (ties → lexicographically first language). One scan,
-    no shuffle, no UDF.
+    a deterministic argmax — ties go to the lexicographically FIRST language
+    (plain SQL ``ORDER BY hits DESC, lang ASC`` semantics, so the DuckDB
+    oracle can replay the exact rule). One scan, no shuffle, no UDF.
     """
     toks = tokens(text_col)
+    langs = sorted(LANG_STOPWORDS)
 
     def _contains(words: tuple[str, ...]):
         # closure factory: Spark HOF lambdas must have exactly one parameter,
@@ -124,28 +149,20 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         arr = F.array(*[F.lit(w) for w in words])
         return lambda t: F.array_contains(arr, t)
 
+    # struct max compares fields in order: (hits, rank) where rank is the
+    # language's position in REVERSE alphabetical order — on a hits tie the
+    # max rank wins, i.e. the alphabetically first language.
     scored = F.array(
         *[
             F.struct(
-                F.size(F.filter(toks, _contains(sw))).alias("hits"),
+                F.size(F.filter(toks, _contains(LANG_STOPWORDS[lang]))).alias("hits"),
+                F.lit(len(langs) - 1 - i).alias("rank"),
                 F.lit(lang).alias("lang"),
             )
-            for lang, sw in sorted(LANG_STOPWORDS.items())
+            for i, lang in enumerate(langs)
         ]
     )
-    best = F.array_max(
-        F.transform(
-            scored,
-            # invert lang ordering inside the tiebreak so array_max's
-            # (hits desc, lang asc) pick is deterministic: max on struct
-            # compares fields in order, so negate nothing — encode lang rank.
-            lambda s: F.struct(
-                s.getField("hits").alias("hits"),
-                (-F.ascii(F.substring(s.getField("lang"), 1, 1))).alias("neg_l"),
-                s.getField("lang").alias("lang"),
-            ),
-        )
-    )
+    best = F.array_max(scored)
     return df.select(
         "doc_id", "lang", best.getField("lang").alias("lang_pred"), best.getField("hits").alias("hits")
     )
@@ -156,12 +173,13 @@ def winnow_fingerprint(
 ) -> DataFrame:
     """Winnowing-style document fingerprint (rolling min over token hashes).
 
-    Each document maps to (a) a single 64-bit fingerprint (min token-window
-    hash — usable as a cheap near-dup blocking key) and (b) the count of
-    distinct window minima. All array ops, no explode, no shuffle.
+    Each document maps to (a) a single fingerprint (min token-window hash —
+    usable as a cheap near-dup blocking key) and (b) the count of distinct
+    window minima. All array ops, no explode, no shuffle. Token hashes use
+    :func:`portable_hash60` so the DuckDB oracle reproduces values exactly.
     """
     toks = tokens(text_col)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, portable_hash60)
     n = F.size(hashes)
     mins = F.transform(
         F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),

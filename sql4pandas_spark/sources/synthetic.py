@@ -96,11 +96,18 @@ class _SyntheticReader(DataSourceReader):
         self.keep_types = None
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("event_type",):
-                self.keep_types = {f.value}
+                matched: set[str] = {f.value}
             elif isinstance(f, In) and f.attribute == ("event_type",):
-                self.keep_types = set(f.value)
+                matched = set(f.value)
             else:
                 yield f  # unsupported — Spark evaluates it post-scan
+                continue
+            # conjunctive filters INTERSECT: consuming `IN ('a','b')` and
+            # `= 'b'` must keep only 'b' (Catalyst doesn't fold same-column
+            # equalities, and consumed filters are never re-applied)
+            self.keep_types = (
+                matched if self.keep_types is None else self.keep_types & matched
+            )
 
     def partitions(self) -> Sequence[InputPartition]:
         step = max(1, self.n_rows // self.n_partitions)
