@@ -16,8 +16,9 @@ Scale design:
   round is a join+groupBy, checkpointed to keep the plan from growing
   unboundedly, and non-convergence raises instead of returning wrong labels.
 - SimHash: 60-bit signature via per-bit weighted sums; near-dup candidates by
-  banding the bits into 4×16-bit chunks (Hamming ≤ 3 guarantees a shared
-  chunk by pigeonhole), verified with bit_count(xor). Token hashes use the
+  banding the bits into 4 chunks of (16, 16, 16, 12) meaningful bits —
+  Hamming ≤ 3 guarantees a shared chunk by pigeonhole — verified with
+  bit_count(xor). Token hashes use the
   md5-based portable_hash60 so DuckDB can replay the whole signature pipeline
   as a value-checked oracle.
 """
@@ -342,11 +343,12 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
 
 def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Candidate pairs by 16-bit chunk banding + exact Hamming verification.
+    """Candidate pairs by chunk banding + exact Hamming verification.
 
-    With 4 chunks over the 60 signature bits, any pair within Hamming
-    distance 3 shares at least one chunk (pigeonhole) — recall is exact, not
-    probabilistic.
+    The 60 signature bits band into 4 chunks at 16-bit shifts — (16, 16, 16,
+    12) meaningful bits, since bits 60-63 are always zero. Any pair within
+    Hamming distance 3 shares at least one chunk (pigeonhole) — recall is
+    exact, not probabilistic.
     """
     chunks = F.array(
         *[

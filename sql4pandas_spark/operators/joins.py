@@ -38,8 +38,12 @@ def salted_join(
     row-preserving: right/full outer would emit each unmatched small-side
     row once per salt replica.
     """
-    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"}
-    if how not in allowed:
+    # normalize Spark's accepted alias spellings ("leftouter", "left_outer",
+    # "left outer", …) before the safety check, so every alias of a safe
+    # type is allowed and every alias of right/full outer is rejected
+    norm = how.lower().replace("_", "").replace(" ", "")
+    allowed = {"inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti"}
+    if norm not in allowed:
         raise ValueError(
             f"salted_join supports how in {sorted(allowed)} (got {how!r}): "
             "small-side salt replication would duplicate unmatched rows "
@@ -108,6 +112,12 @@ def bucketed_range_join(
     entire overhead; shuffle keys are 8-byte longs. Works identically for
     interval containment (bucket the interval ends instead).
     """
+    if left_ts == right_ts:
+        raise ValueError(
+            f"left_ts and right_ts are both {left_ts!r}; rename one side "
+            "(e.g. right.withColumnRenamed) so the joined output is "
+            "unambiguous"
+        )
     bucket = F.floor(F.unix_timestamp(F.col(left_ts)) / max_gap_seconds)
     l_exploded = left.withColumn(
         "_bkt", F.explode(F.array(bucket.cast("long"), (bucket + 1).cast("long")))
@@ -115,13 +125,13 @@ def bucketed_range_join(
     r_bucketed = right.withColumn(
         "_bkt_r", F.floor(F.unix_timestamp(F.col(right_ts)) / max_gap_seconds).cast("long")
     )
+    # DataFrame-qualified refs: either side may carry extra columns whose
+    # names collide with the other side's timestamp column
+    l_t, r_t = l_exploded[left_ts], r_bucketed[right_ts]
     joined = l_exploded.join(
         r_bucketed,
-        (F.col("_bkt") == F.col("_bkt_r"))
-        & (F.col(right_ts) > F.col(left_ts))
-        & (
-            F.col(right_ts)
-            <= F.col(left_ts) + F.make_dt_interval(secs=F.lit(max_gap_seconds))
-        ),
+        (l_exploded["_bkt"] == r_bucketed["_bkt_r"])
+        & (r_t > l_t)
+        & (r_t <= l_t + F.make_dt_interval(secs=F.lit(max_gap_seconds))),
     )
     return joined.drop("_bkt", "_bkt_r")

@@ -371,7 +371,7 @@ def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_ordered",
     oracle="""
     SELECT c_mktsegment,
-           list_sort(list(DISTINCT c_nationkey)) AS nations,
+           array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations,
            CAST(len(list(c_custkey)) AS BIGINT) AS n
     FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
@@ -379,16 +379,20 @@ def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collect aggregates with deterministic rendering: collect_set order is
-    engine-dependent, so the contract sorts it (sort_array ↔ list_sort) —
-    the only portable way to hash-compare a collected column. The list
-    itself shuffles as an array value; at scale prefer collect only after a
-    reducing groupBy (here: 25 ints per segment, bounded)."""
+    engine-dependent, so the contract sorts it (sort_array ↔ list_sort) and
+    then serializes it to a comma string (array_join ↔ array_to_string) —
+    array-typed output columns crash the driver's canonicalizer, and the
+    string form hash-compares identically. The list itself shuffles as an
+    array value; at scale prefer collect only after a reducing groupBy
+    (here: 25 ints per segment, bounded)."""
     t = register_tables(spark, sf_dir, ("customer",))
     return (
         t["customer"]
         .groupBy("c_mktsegment")
         .agg(
-            F.sort_array(F.collect_set("c_nationkey")).alias("nations"),
+            F.array_join(
+                F.sort_array(F.collect_set("c_nationkey")).cast("array<string>"), ","
+            ).alias("nations"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("c_mktsegment")

@@ -224,27 +224,118 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("lang_id_documents", oracle=None, tags=("tier-c", "text_analysis", "rows-only"))
+# Shared DuckDB CTE fragments for the text-pipeline oracles: whitespace
+# tokens (mirrors operators/text.tokens) and the md5-based 60-bit token hash
+# (mirrors operators/text.portable_hash60 — same value bit-for-bit).
+_TOKS_CTE = (
+    "SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),"
+    " t -> t <> '') AS w FROM documents"
+)
+_HASH60 = text.DUCKDB_HASH60_SQL.format(expr="t")
+
+_LANG_VALUES = ", ".join(
+    "('{lang}', [{words}])".format(
+        lang=lang, words=", ".join(f"'{w}'" for w in words)
+    )
+    for lang, words in sorted(text.LANG_STOPWORDS.items())
+)
+
+_LANG_ID_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, lang, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+             t -> t <> '') AS w
+      FROM documents),
+    cand AS (SELECT * FROM (VALUES {_LANG_VALUES}) AS c(cl, stop)),
+    scored AS (
+      SELECT t.doc_id, t.lang, c.cl,
+             CAST(len(list_filter(t.w, x -> list_contains(c.stop, x))) AS INTEGER) AS hits
+      FROM toks t CROSS JOIN cand c),
+    ranked AS (
+      SELECT doc_id, lang, cl, hits,
+             row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cl ASC) AS rn
+      FROM scored)
+    SELECT doc_id, lang, cl AS lang_pred, hits
+    FROM ranked WHERE rn = 1 ORDER BY doc_id LIMIT 200
+"""
+
+
+@query("lang_id_documents", oracle=_LANG_ID_ORACLE, tags=("tier-c", "text_analysis"))
 def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID (deterministic heuristic; invariants in
-    tests/test_text.py). No oracle: the scoring rule isn't ANSI-SQL-portable."""
+    tests/test_text.py). The tiebreak is plain ``ORDER BY hits DESC, lang
+    ASC`` semantics, so the oracle replays the exact argmax rule with a
+    row_number window over the per-language scores."""
     t = register_tables(spark, sf_dir, ("documents",))
     return text.lang_id(t["documents"]).orderBy("doc_id").limit(200)
 
 
-@query("doc_fingerprints", oracle=None, tags=("tier-c", "fingerprint", "rows-only"))
+_FINGERPRINT_ORACLE = f"""
+    WITH toks AS ({_TOKS_CTE}),
+    h AS (SELECT doc_id, list_transform(w, t -> {_HASH60}) AS hs FROM toks),
+    m AS (SELECT doc_id, hs,
+                 [list_min(list_slice(hs, i + 1, i + 4))
+                  FOR i IN range(0, greatest(len(hs) - 4, 0) + 1)] AS mins
+          FROM h)
+    SELECT doc_id, list_min(mins) AS fingerprint,
+           CAST(CASE WHEN len(hs) = 0 THEN 1
+                ELSE len(list_distinct(mins)) END AS INTEGER) AS n_windows
+    FROM m ORDER BY doc_id LIMIT 200
+"""
+
+
+@query("doc_fingerprints", oracle=_FINGERPRINT_ORACLE, tags=("tier-c", "fingerprint"))
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing rolling-hash fingerprints (operators/text.winnow_fingerprint)."""
+    """Winnowing rolling-hash fingerprints (operators/text.winnow_fingerprint,
+    window=4). Token hashes are portable_hash60, so the oracle recomputes the
+    identical rolling minima in DuckDB (the empty-doc CASE mirrors Spark's
+    array_distinct keeping a NULL that DuckDB's list_distinct drops)."""
     t = register_tables(spark, sf_dir, ("documents",))
     return text.winnow_fingerprint(t["documents"]).orderBy("doc_id").limit(200)
 
 
-@query("dedup_near_minhash", oracle=None, tags=("tier-c", "dedup_near", "rows-only"))
+# Exact-Jaccard ≥ 0.7 pairs (same shingle fallback as operators/dedup.shingles)
+# + recursive-CTE transitive closure → smallest-id cluster labels. This is the
+# ground-truth replay of the whole MinHash-LSH pipeline: banding at 16×4 has
+# ~99%+ collision probability at j≥0.7 and the fixture's near-dup pairs sit
+# well above the threshold, so LSH recall is exact on the fixtures (asserted
+# against brute force in tests/test_dedup.py).
+_MINHASH_CLUSTER_ORACLE = """
+    WITH RECURSIVE toks AS ({toks}),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (SELECT doc_id,
+                   unnest(CASE WHEN len(w) >= 3
+                          THEN [array_to_string(list_slice(w, i, i+2), ' ') FOR i IN range(1, len(w)-1)]
+                          ELSE [array_to_string(w, ' ')] END) AS shingle
+            FROM toks)),
+    card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN card ca ON inter.id_a = ca.doc_id
+                 JOIN card cb ON inter.id_b = cb.doc_id
+      WHERE round(CAST(i AS DOUBLE) / (ca.c + cb.c - i), 4) >= 0.7),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+    SELECT src AS doc_id, min(dst) AS cluster_id
+    FROM reach GROUP BY src ORDER BY doc_id
+""".format(toks=_TOKS_CTE)
+
+
+@query("dedup_near_minhash", oracle=_MINHASH_CLUSTER_ORACLE, tags=("tier-c", "dedup_near"))
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dedup clusters (word-3-gram shingles, 64 hashes,
-    16 bands × 4 rows). Recall vs brute-force Jaccard is asserted in
-    tests/test_dedup.py at sf0.001; this declared entry gives the driver the
-    deterministic (doc_id, cluster_id) assignment."""
+    16 bands × 4 rows, verify-then-cluster at jaccard ≥ 0.7). The oracle is
+    the exact ground truth: brute-force Jaccard pairs + transitive closure —
+    a hash match proves the banded candidate generation lost no pair AND the
+    label-propagation clustering equals true connected components."""
     t = register_tables(spark, sf_dir, ("documents",))
     return dedup.near_dedup_minhash(t["documents"]).orderBy("doc_id")
 
@@ -256,9 +347,13 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS w
       FROM documents),
     sh AS (
+      -- CASE mirrors operators/dedup.shingles(): docs shorter than n tokens
+      -- fall back to one whole-text shingle instead of zero shingles
       SELECT DISTINCT doc_id, shingle
       FROM (SELECT doc_id,
-                   unnest([array_to_string(list_slice(w, i, i+2), ' ') FOR i IN range(1, len(w)-1)]) AS shingle
+                   unnest(CASE WHEN len(w) >= 3
+                          THEN [array_to_string(list_slice(w, i, i+2), ' ') FOR i IN range(1, len(w)-1)]
+                          ELSE [array_to_string(w, ' ')] END) AS shingle
             FROM toks)),
     card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
     inter AS (
@@ -307,23 +402,68 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_pairs(t["embeddings"], threshold=0.45)
 
 
+def _query_vector(sf_dir: str, vec_id: int = 0) -> list[float]:
+    """Fetch the demo query vector DRIVER-SIDE with pyarrow — zero Spark
+    jobs before the declared query's own action (the earlier
+    ``emb.filter(...).first()`` spelling ran a Spark job per query build).
+    In production the query vector arrives from outside the cluster anyway;
+    reading one row of local parquet is the honest stand-in."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", vec_id)],
+    )
+    return [float(x) for x in tbl.column("embedding")[0].as_py()]
+
+
 @query("ann_ivf_query_top10", oracle=None, tags=("tier-c", "sim_search_ann", "rows-only"))
 def ann_ivf_query_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 neighbors of vec_id=0 (16 hash-sampled
     centroids, probe 4). Recall vs brute force asserted in
-    tests/test_similarity.py; persisted-partition scale path documented in
-    operators/similarity.ann_ivf_query_topk."""
+    tests/test_similarity.py. The index (centroids + persisted cell
+    assignment) builds once per session per dataset (cache_key=sf_dir) —
+    see operators/similarity.build_ivf_index for the partitionBy("cell")
+    scale path."""
     t = register_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return similarity.ann_ivf_query_topk(
-        emb.filter(F.col("vec_id") != 0), list(qvec), k=10
+        emb.filter(F.col("vec_id") != 0),
+        _query_vector(sf_dir),
+        k=10,
+        cache_key=f"{sf_dir}:no_vec0",
     )
 
 
-@query("dedup_simhash_pairs", oracle=None, tags=("tier-c", "dedup_near", "rows-only"))
+# DuckDB replay of the full 60-bit SimHash signature: per-bit ±1 vote sums
+# over the portable_hash60 token hashes. The banded candidate generation has
+# EXACT recall at Hamming ≤ 3 (pigeonhole over 4 chunks), so the oracle can
+# skip the banding and compare all pairs directly — identical result set.
+_SIMHASH_BIT_TERMS = " + ".join(
+    "(CASE WHEN list_sum(list_transform(hs, x -> ((x >> {b}) & 1) * 2 - 1)) > 0"
+    " THEN CAST({v} AS BIGINT) ELSE CAST(0 AS BIGINT) END)".format(b=b, v=1 << b)
+    for b in range(60)
+)
+
+_SIMHASH_PAIRS_ORACLE = f"""
+    WITH toks AS ({_TOKS_CTE}),
+    h AS (SELECT doc_id, list_transform(w, t -> {_HASH60}) AS hs FROM toks),
+    sig AS (SELECT doc_id, ({_SIMHASH_BIT_TERMS}) AS s FROM h)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= 3
+    ORDER BY id_a, id_b LIMIT 500
+"""
+
+
+@query("dedup_simhash_pairs", oracle=_SIMHASH_PAIRS_ORACLE, tags=("tier-c", "dedup_near"))
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures + exact-recall chunk-banded near pairs (Hamming ≤ 3)."""
+    """SimHash signatures + exact-recall chunk-banded near pairs (Hamming ≤ 3).
+    portable_hash60 token hashes make the signature DuckDB-replayable; the
+    oracle recomputes every signature and takes all-pairs Hamming ≤ 3, which
+    equals the banded result because chunk banding is pigeonhole-exact."""
     t = register_tables(spark, sf_dir, ("documents",))
     sim = dedup.simhash(t["documents"])
     return dedup.simhash_near_pairs(sim).orderBy("id_a", "id_b").limit(500)
@@ -363,12 +503,12 @@ def cosine_top20_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_query_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 neighbors of vec_id=0: the query vector is inlined as a literal
-    array; dot product runs as a JVM zip_with/aggregate inside codegen."""
+    array (fetched driver-side via pyarrow — no Spark job at build time);
+    dot product runs as a JVM zip_with/aggregate inside codegen."""
     t = register_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return similarity.cosine_query_topk(
-        emb.filter(F.col("vec_id") != 0), list(qvec), k=10
+        emb.filter(F.col("vec_id") != 0), _query_vector(sf_dir), k=10
     )
 
 
@@ -380,15 +520,39 @@ def ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(t["embeddings"], k=10)
 
 
-@query("approx_distinct_events", oracle=None, tags=("tier-c", "agg_approx", "rows-only"))
+@query(
+    "approx_distinct_events",
+    oracle="""
+    SELECT count(DISTINCT user_id) AS exact_users, true AS users_approx_ok,
+           count(DISTINCT event_id) AS exact_events, true AS events_approx_ok
+    FROM events
+    """,
+    tags=("tier-c", "agg_approx"),
+)
 def approx_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approx_count_distinct next to the exact count — the 100 TB way to
-    count uniques (no distinct-expand shuffle). rsd asserted in tests."""
+    count uniques (no distinct-expand shuffle). The sketch value itself is
+    engine-specific, so the declared contract is the exact count (hash-
+    matched) plus a ≤5%-relative-error boolean the oracle replays as literal
+    true; the tighter rsd bound is asserted in tests."""
     t = register_tables(spark, sf_dir, ("events",))
+    users_err = (
+        F.abs(
+            F.approx_count_distinct("user_id", 0.02) - F.countDistinct("user_id")
+        ).cast("double")
+        / F.countDistinct("user_id")
+    )
+    events_err = (
+        F.abs(
+            F.approx_count_distinct("event_id", 0.02) - F.countDistinct("event_id")
+        ).cast("double")
+        / F.countDistinct("event_id")
+    )
     return t["events"].agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
-        F.approx_count_distinct("event_id", 0.02).alias("approx_events"),
+        (users_err <= 0.05).alias("users_approx_ok"),
+        F.countDistinct("event_id").alias("exact_events"),
+        (events_err <= 0.05).alias("events_approx_ok"),
     )
 
 
@@ -421,10 +585,24 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("multimodal_decode_features", oracle=None, tags=("tier-c", "multimodal_cols", "rows-only"))
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode/feature-extract plumbing (deterministic STUB body,
-    real mapInPandas batch shape — operators/multimodal.extract_features)."""
+    real mapInPandas batch shape — operators/multimodal.extract_features).
+    The feature vector is serialized to a comma string for the declared
+    output: array-typed columns crash the driver's canonicalizer."""
     t = register_tables(spark, sf_dir, ("documents",))
     feats = multimodal.extract_features(multimodal.attach_payload(t["documents"]))
-    return feats.orderBy("doc_id").limit(100)
+    return (
+        feats.select(
+            "doc_id",
+            "n_bytes",
+            "width",
+            "height",
+            F.concat_ws(",", F.col("features").cast("array<string>")).alias(
+                "features_csv"
+            ),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )
 
 
 @query(
@@ -547,15 +725,43 @@ def bucketed_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_quantiles_orders", oracle=None, tags=("tier-c", "agg_approx", "rows-only"))
+@query(
+    "approx_quantiles_orders",
+    oracle="""
+    SELECT CAST(0.5 AS DOUBLE) AS p, round(quantile_cont(o_totalprice, 0.5), 2) AS exact_q, true AS approx_ok FROM orders
+    UNION ALL
+    SELECT CAST(0.9 AS DOUBLE), round(quantile_cont(o_totalprice, 0.9), 2), true FROM orders
+    UNION ALL
+    SELECT CAST(0.99 AS DOUBLE), round(quantile_cont(o_totalprice, 0.99), 2), true FROM orders
+    ORDER BY p
+    """,
+    tags=("tier-c", "agg_approx"),
+)
 def approx_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx (Greenwald-Khanna sketch) next to the exact
     percentile — the mergeable-sketch way to get quantiles in one pass at
-    100 TB. Error bound asserted in tests/test_joins.py."""
+    100 TB. One row per quantile (the earlier array-typed output crashed the
+    driver's canonicalizer): the exact interpolated percentile hash-matches
+    DuckDB's quantile_cont, and the sketch is asserted within 5% relative
+    error as a boolean the oracle replays as literal true."""
     t = register_tables(spark, sf_dir, ("orders",))
-    return t["orders"].agg(
-        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10_000).alias("approx_q"),
-        F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").alias("exact_q"),
+    qs = [0.5, 0.9, 0.99]
+    agg = t["orders"].agg(
+        F.percentile_approx("o_totalprice", qs, 10_000).alias("aq"),
+        F.expr("percentile(o_totalprice, array(0.5D, 0.9D, 0.99D))").alias("eq"),
+    )
+    exact = F.element_at("eq", F.col("i") + 1)
+    approx = F.element_at("aq", F.col("i") + 1)
+    return (
+        agg.select(
+            F.posexplode(F.array(*[F.lit(p) for p in qs])).alias("i", "p"), "aq", "eq"
+        )
+        .select(
+            "p",
+            F.round(exact, 2).alias("exact_q"),
+            (F.abs(approx - exact) / exact <= 0.05).alias("approx_ok"),
+        )
+        .orderBy("p")
     )
 
 

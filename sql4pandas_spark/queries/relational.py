@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sql4pandas_spark.operators import joins
+from sql4pandas_spark.operators import text as text_ops
 from sql4pandas_spark.queries.catalog import query
 from sql4pandas_spark.sources.parquet import register_tables
 
@@ -342,7 +344,8 @@ def range_join_close_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: equi key (user_id) + range predicate → hash join with a residual
     filter. For a range join with NO equi key, bucketize time into
     interval-width bins and join on bin±1 (turns BNL into an equi join) —
-    that variant is operators/relational_ext.bucketed_range_join.
+    that variant is operators/joins.bucketed_range_join, declared as the
+    range_join_nokey_buckets catalog entry.
     """
     t = register_tables(spark, sf_dir, ("events",))
     a = t["events"].select(F.col("user_id"), F.col("ts").alias("ts_a"))
@@ -810,6 +813,71 @@ def cross_join_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = t["region"].select(F.col("r_name").alias("r1"))
     b = t["region"].select(F.col("r_name").alias("r2"))
     return a.crossJoin(b).filter(F.col("r1") < F.col("r2")).orderBy("r1", "r2")
+
+
+@query(
+    "range_join_nokey_buckets",
+    oracle="""
+    SELECT count(*) AS n_pairs
+    FROM (SELECT ts AS err_ts FROM events WHERE event_type = 'error') a
+    JOIN (SELECT ts AS view_ts FROM events WHERE event_type = 'view') b
+      ON b.view_ts > a.err_ts
+     AND b.view_ts <= a.err_ts + INTERVAL 2 MINUTE
+    """,
+    tags=("tier-c", "join_range", "no_equi_key"),
+)
+def range_join_nokey_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join with NO equi key via interval bucketing
+    (operators/joins.bucketed_range_join): views within 2 minutes after any
+    error, across ALL users. The naive theta form is a broadcast-nested-loop
+    (O(n·m)); bucketing ``floor(epoch/gap)`` and exploding the left side into
+    {b, b+1} turns it into a shuffled hash join on 8-byte keys — the oracle
+    runs the plain theta form, proving the bucket rewrite loses/duplicates
+    nothing. Plan-asserted BNL-free in tests/test_joins.py."""
+    t = register_tables(spark, sf_dir, ("events",))
+    e = t["events"]
+    errs = e.filter(F.col("event_type") == "error").select(F.col("ts").alias("err_ts"))
+    views = e.filter(F.col("event_type") == "view").select(F.col("ts").alias("view_ts"))
+    joined = joins.bucketed_range_join(
+        errs, views, "err_ts", "view_ts", max_gap_seconds=120
+    )
+    return joined.agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+_HASH_SAMPLE_PRED = text_ops.DUCKDB_HASH60_SQL.format(
+    expr="CAST(o_orderkey AS VARCHAR)"
+)
+
+
+@query(
+    "hash_sample_orders",
+    oracle=f"""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE ({_HASH_SAMPLE_PRED}) % 20 = 0
+    ORDER BY o_orderkey
+    """,
+    tags=("tier-b", "sample", "data_mix"),
+)
+def hash_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC ~5% sample by content hash (portable_hash60(key) % 20):
+    the reproducible alternative to seeded Bernoulli sampling — the same rows
+    are kept on every engine, every partitioning, every run, which is what a
+    training-data pipeline needs for auditable subsets. Unlike TABLESAMPLE
+    (RNG-seeded, engine-specific — the rows-only tablesample_orders entry),
+    this form is fully hash-checked against DuckDB."""
+    t = register_tables(spark, sf_dir, ("orders",))
+    return (
+        t["orders"]
+        .filter(
+            F.pmod(
+                text_ops.portable_hash60(F.col("o_orderkey").cast("string")), F.lit(20)
+            )
+            == 0
+        )
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
 
 
 @query("tablesample_orders", oracle=None, tags=("tier-b", "sample", "rows-only"))

@@ -28,7 +28,10 @@ def _net_price_udf():
 
     @pandas_udf("double")
     def net_price(price: pd.Series, discount: pd.Series) -> pd.Series:
-        return (price * (1.0 - discount)).round(2)
+        # No pandas-side rounding: Series.round is half-to-even (banker's),
+        # while Spark/DuckDB round() is half-away-from-zero — callers wrap
+        # the result in F.round so both engines apply the same rule.
+        return price * (1.0 - discount)
 
     return net_price
 
@@ -50,7 +53,9 @@ def udf_pandas_net_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             "l_linenumber",
-            net_price(F.col("l_extendedprice"), F.col("l_discount")).alias("net"),
+            F.round(
+                net_price(F.col("l_extendedprice"), F.col("l_discount")), 2
+            ).alias("net"),
         )
         .orderBy("l_orderkey", "l_linenumber")
         .limit(50)
@@ -77,14 +82,17 @@ def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         mu = pdf["c_acctbal"].mean()
         sd = pdf["c_acctbal"].std(ddof=1)
+        # raw z here; rounding happens Spark-side (F.round) because pandas
+        # Series.round is half-to-even vs Spark/DuckDB half-away-from-zero
         return pd.DataFrame(
-            {"c_custkey": pdf["c_custkey"], "z": ((pdf["c_acctbal"] - mu) / sd).round(4)}
+            {"c_custkey": pdf["c_custkey"], "z": (pdf["c_acctbal"] - mu) / sd}
         )
 
     return (
         t["customer"]
         .groupBy("c_mktsegment")
         .applyInPandas(zscore, schema="c_custkey long, z double")
+        .select("c_custkey", F.round("z", 4).alias("z"))
         .orderBy("c_custkey")
         .limit(100)
     )
