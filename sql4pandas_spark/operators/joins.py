@@ -135,3 +135,69 @@ def bucketed_range_join(
         & (r_t <= l_t + F.make_dt_interval(secs=F.lit(max_gap_seconds))),
     )
     return joined.drop("_bkt", "_bkt_r")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str] | None = None,
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """As-of join: for every left row, the LATEST right row with
+    ``right_ts <= left_ts`` sharing the key `on` (pandas ``merge_asof``
+    'backward' semantics; DuckDB ``ASOF LEFT JOIN``). Returns every left row
+    plus `value_cols` from the matched right row (NULL when nothing
+    precedes it, or when the match is older than `tolerance_seconds`).
+
+    Spark has no native ASOF JOIN; the naive formulation (theta join +
+    row_number) builds an O(n·m) intermediate per key. This is the scalable
+    union+window form: tag both inputs, sort by (ts, kind) within each key
+    (right rows first on ties → "at-or-before" is inclusive), and carry the
+    last seen right values forward with last(ignorenulls). ONE shuffle on
+    the key, no nested loop, works at any per-key cardinality.
+    """
+    from pyspark.sql import Window
+
+    value_cols = (
+        list(value_cols)
+        if value_cols is not None
+        else [c for c in right.columns if c not in (on, right_ts)]
+    )
+    clash = [c for c in value_cols if c in left.columns]
+    if clash:
+        raise ValueError(f"value_cols {clash} already exist on the left side")
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_asof_ts"),
+        F.lit(0).alias("_kind"),
+        F.col(right_ts).alias("_asof_matched_ts"),
+        *[F.col(c).alias(f"_asof_v_{c}") for c in value_cols],
+    )
+    l = left.withColumn("_asof_ts", F.col(left_ts)).withColumn("_kind", F.lit(1))
+    tagged = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_asof_ts", "_kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched_ts = F.last("_asof_matched_ts", ignorenulls=True).over(w)
+    in_tolerance = (
+        F.lit(True)
+        if tolerance_seconds is None
+        else F.col(left_ts).cast("long") - matched_ts.cast("long") <= tolerance_seconds
+    )
+    carried = tagged.select(
+        "*",
+        *[
+            F.when(in_tolerance, F.last(f"_asof_v_{c}", ignorenulls=True).over(w))
+            .alias(c)
+            for c in value_cols
+        ],
+    )
+    drop = ["_kind", "_asof_ts", "_asof_matched_ts"] + [
+        f"_asof_v_{c}" for c in value_cols
+    ]
+    return carried.filter(F.col("_kind") == 1).drop(*drop)

@@ -135,6 +135,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "approx_distinct_events",
     "range_join_nokey_buckets",
     "hash_sample_orders",
+    "pipeline_end_to_end",
     "agg_stats_orders",
     "distinct_segments",
     "agg_global_lineitem",

@@ -465,7 +465,10 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes every signature and takes all-pairs Hamming ≤ 3, which
     equals the banded result because chunk banding is pigeonhole-exact."""
     t = register_tables(spark, sf_dir, ("documents",))
-    sim = dedup.simhash(t["documents"])
+    # persist: both sides of the banded self-join read the signature frame —
+    # without it the 60-bit signature expression is compiled and computed
+    # twice (measured 10 s vs 4 s cold at sf0.01; signatures are 16 B/doc)
+    sim = dedup.simhash(t["documents"]).persist()
     return dedup.simhash_near_pairs(sim).orderBy("id_a", "id_b").limit(500)
 
 
@@ -671,6 +674,79 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     return run_available_now(agg, mode="complete").orderBy("event_type")
+
+
+_PIPELINE_E2E_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, lang, text,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS w
+      FROM documents),
+    q AS (
+      SELECT * FROM toks
+      WHERE len(w) >= 20
+        AND CAST(length(text) - length(translate(text, '.,!?;:''"', '')) AS DOUBLE)
+              / length(text) <= 0.2),
+    kept AS (
+      SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                     FROM q) WHERE rn = 1),
+    samp AS (
+      SELECT * FROM kept
+      WHERE ({text.DUCKDB_HASH60_SQL.format(expr="CAST(doc_id AS VARCHAR)")}) % 10 < 8),
+    chunks AS (
+      SELECT doc_id, least(len(w) - s1 + 1, 32) AS c_tokens
+      FROM (SELECT doc_id, w, unnest([s FOR s IN range(1, len(w) + 1, 24)]) AS s1
+            FROM samp))
+    SELECT s.lang,
+           count(DISTINCT c.doc_id) AS n_docs,
+           count(*) AS n_chunks,
+           round(avg(CAST(c_tokens AS DOUBLE)), 4) AS avg_chunk_tokens
+    FROM chunks c JOIN samp s ON c.doc_id = s.doc_id
+    GROUP BY s.lang ORDER BY s.lang
+"""
+
+
+@query(
+    "pipeline_end_to_end",
+    oracle=_PIPELINE_E2E_ORACLE,
+    tags=("tier-c", "pipeline", "dedup_exact", "quality", "sample", "text_chunk"),
+)
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite training-data pipeline in ONE declared query:
+    quality gate (≥20 tokens, punctuation ratio ≤ 0.2) → exact dedup
+    keep-list (smallest doc_id per sha2 content digest) → deterministic
+    80% hash sample (portable_hash60 % 10 < 8 — auditable, engine-
+    independent) → overlapping 32/8 token chunking → per-language corpus
+    stats. Every stage is the same operator the standalone entries declare;
+    the oracle replays the whole chain, so a hash match proves the stages
+    compose without semantic drift. Plan: one scan, one dedup shuffle (on
+    32-byte digests), one broadcast-able join of chunks to doc metadata —
+    the chunker itself is a no-shuffle flatMap shape."""
+    from pyspark.sql import Window
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    toks = text.tokens("text")
+    n_punct = F.length("text") - F.length(F.translate(F.col("text"), ".,!?;:'\"", ""))
+    quality = docs.filter(
+        (F.size(toks) >= 20)
+        & (n_punct.cast("double") / F.length("text") <= 0.2)
+    )
+    w = Window.partitionBy(F.sha2(F.col("text").cast("binary"), 256)).orderBy("doc_id")
+    kept = quality.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    sampled = kept.filter(
+        F.pmod(text.portable_hash60(F.col("doc_id").cast("string")), F.lit(10)) < 8
+    ).select("doc_id", "lang", "text")
+    chunks = text.chunk_documents(sampled, chunk_tokens=32, overlap=8)
+    return (
+        chunks.join(sampled.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.round(F.avg(F.col("n_tokens").cast("double")), 4).alias("avg_chunk_tokens"),
+        )
+        .orderBy("lang")
+    )
 
 
 _SEG_JOIN_ORACLE = """

@@ -377,35 +377,25 @@ def range_join_close_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: latest click at-or-before each purchase, per user.
 
-    Spark lacks a native ASOF JOIN; the scalable formulation is the
-    union+window trick: tag both streams, sort by (ts, kind) within user, and
-    carry the last seen click ts forward with last(ignorenulls=True). One
+    Spark lacks a native ASOF JOIN; operators/joins.asof_join is the
+    scalable union+window formulation (tag both streams, sort by (ts, kind)
+    within user, carry the last click forward with last(ignorenulls)). One
     shuffle on user_id, no nested loop, no applyInPandas — works at any
     cardinality and is exactly DuckDB's `ASOF JOIN ... ON p.ts >= c.ts`.
     """
-    from pyspark.sql import Window
-
     t = register_tables(spark, sf_dir, ("events",))
     e = t["events"]
     clicks = e.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("ts"), F.lit(0).alias("kind"), F.lit(None).cast("long").alias("event_id"),
-        F.col("ts").alias("click_ts_src"),
+        "user_id", "ts", F.col("ts").alias("click_ts")
     )
     purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts"), F.lit(1).alias("kind"), F.col("event_id"),
-        F.lit(None).cast("timestamp").alias("click_ts_src"),
-    )
-    # clicks sort before purchases at identical ts → "at-or-before" inclusive.
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "kind")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    tagged = clicks.unionByName(purchases).withColumn(
-        "click_ts", F.last("click_ts_src", ignorenulls=True).over(w)
+        "event_id", "user_id", "ts"
     )
     return (
-        tagged.filter(F.col("kind") == 1)
+        joins.asof_join(
+            purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+            value_cols=["click_ts"],
+        )
         .select("event_id", "user_id", "click_ts")
         .orderBy("event_id")
         .limit(200)

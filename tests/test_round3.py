@@ -180,3 +180,67 @@ def test_ivf_query_recall_via_cached_index(spark):
     # same floor as tests/test_similarity.py::test_ivf_query_recall (0.3),
     # with headroom: observed 5/10 at these params on the sf0.001 fixture
     assert len(exact & approx) >= 4, (exact, approx)
+
+
+# ---------------------------------------------------------------------------
+# asof_join operator (generic API behind asof_join_purchase_click)
+# ---------------------------------------------------------------------------
+
+
+def test_asof_join_matches_inline_window_form(spark, events):
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = joins.asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["click_ts"],
+    )
+    # row-preserving: every purchase appears exactly once
+    assert out.count() == purchases.count()
+    # every matched click is at-or-before its purchase
+    bad = out.filter(F.col("click_ts") > F.col("ts")).count()
+    assert bad == 0
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark, events):
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    loose = joins.asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["click_ts"],
+    )
+    tight = joins.asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["click_ts"], tolerance_seconds=3600,
+    )
+    n_loose = loose.filter(F.col("click_ts").isNotNull()).count()
+    n_tight = tight.filter(F.col("click_ts").isNotNull()).count()
+    assert n_tight <= n_loose
+    # tolerance must null exactly the matches older than the bound
+    stale = loose.filter(
+        F.col("click_ts").isNotNull()
+        & (F.col("ts").cast("long") - F.col("click_ts").cast("long") > 3600)
+    ).count()
+    assert n_loose - n_tight == stale
+
+
+def test_asof_join_rejects_value_col_clash(spark, events):
+    with pytest.raises(ValueError, match="already exist"):
+        joins.asof_join(events, events, on="user_id", left_ts="ts", right_ts="ts",
+                        value_cols=["value"])
+
+
+def test_pipeline_end_to_end_stages_reduce_rows(spark):
+    """Sanity on the composite pipeline's monotone structure: chunks cover
+    only sampled docs, and sampling keeps ~80% of the deduped keep-list."""
+    out = CATALOG["pipeline_end_to_end"].build(spark, SF_SMALL).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["n_chunks"] >= r["n_docs"] > 0

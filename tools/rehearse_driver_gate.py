@@ -46,10 +46,16 @@ def main() -> int:
         )
 
     queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    # S4PS_REHEARSE_LIMIT=50 rehearses exactly the driver's verification
+    # window (the first 50 iteration-order entries) with per-query timing.
+    limit = int(os.environ.get("S4PS_REHEARSE_LIMIT", "0"))
+    if limit:
+        queries = dict(list(queries.items())[:limit])
     bad: list[tuple[str, str]] = []
     n_sql = n_rows = 0
     t0 = time.time()
     for name, build in queries.items():
+        tq = time.time()
         try:
             sdf = build(spark, sf)
             srows = [tuple(r) for r in sdf.collect()]
@@ -71,6 +77,8 @@ def main() -> int:
                 n_rows += 1
         except Exception as ex:  # noqa: BLE001 - report, don't abort the sweep
             bad.append((name, f"ERROR {str(ex)[:120]}"))
+        if os.environ.get("S4PS_REHEARSE_TIMES"):
+            print(f"  {time.time() - tq:6.1f}s {name}", flush=True)
 
     n_entry = len(entrymod.entry(spark).collect())
     print(
