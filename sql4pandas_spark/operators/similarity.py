@@ -107,25 +107,46 @@ def cosine_pairs_topk(emb: DataFrame, k: int = 20, id_col: str = "vec_id") -> Da
 
     def block_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         all_ids, all_mat = b_ids.value, b_mat.value
+        n = len(all_ids)
+        # Bound the sims matrix to ~256 MB of doubles regardless of N — an
+        # Arrow batch is up to 10k rows, and 10k x N pairs materialized flat
+        # (the previous spelling) is O(batch*N) memory: measured hang at
+        # N=20k in the 10x scale probe.
+        row_chunk = max(64, int(32_000_000 / max(n, 1)))
         for pdf in batches:
             if pdf.empty:
                 continue
-            a_ids = pdf[id_col].to_numpy()
-            a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            sims = np.round(a @ all_mat.T, 4)  # (batch, N)
-            mask = a_ids[:, None] < all_ids[None, :]  # id_a < id_b only
-            ai, bj = np.nonzero(mask)
-            if len(ai) == 0:
-                continue
-            flat = pd.DataFrame(
-                {"id_a": a_ids[ai], "id_b": all_ids[bj], "sim": sims[ai, bj]}
-            )
-            flat = flat.sort_values(
-                ["sim", "id_a", "id_b"], ascending=[False, True, True]
-            ).head(k)
-            yield flat
+            best: pd.DataFrame | None = None
+            for start in range(0, len(pdf), row_chunk):
+                sub = pdf.iloc[start : start + row_chunk]
+                a_ids = sub[id_col].to_numpy()
+                a = np.stack(sub["embedding"].to_numpy()).astype(np.float64)
+                sims = np.round(a @ all_mat.T, 4)  # (chunk, N)
+                sims[a_ids[:, None] >= all_ids[None, :]] = -np.inf  # id_a < id_b
+                kk = min(k, n)
+                # Per-row selection boundary: keep every pair whose sim ties
+                # or beats the row's kk-th largest. Ties at the boundary are
+                # ALL kept, so the later (sim desc, id_a, id_b) sort sees the
+                # full tie group and the distributed top-k stays exact.
+                if n > kk:
+                    bound = np.partition(sims, n - kk, axis=1)[:, n - kk]
+                else:
+                    bound = np.full(len(a_ids), -np.inf)
+                sel = (sims >= bound[:, None]) & np.isfinite(sims)
+                ai, bj = np.nonzero(sel)
+                if len(ai) == 0:
+                    continue
+                cand = pd.DataFrame(
+                    {"id_a": a_ids[ai], "id_b": all_ids[bj], "sim": sims[ai, bj]}
+                )
+                cand = pd.concat([best, cand]) if best is not None else cand
+                best = cand.sort_values(
+                    ["sim", "id_a", "id_b"], ascending=[False, True, True]
+                ).head(k)
+            if best is not None:
+                yield best
 
-    out_schema = f"id_a long, id_b long, sim double"
+    out_schema = "id_a long, id_b long, sim double"
     local = emb.select(id_col, "embedding").mapInPandas(block_topk, schema=out_schema)
     return local.orderBy(F.col("sim").desc(), "id_a", "id_b").limit(k)
 
@@ -151,20 +172,28 @@ def cosine_near_pairs(
 
     def block_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         all_ids, all_mat = b_ids.value, b_mat.value
+        n = len(all_ids)
+        row_chunk = max(64, int(32_000_000 / max(n, 1)))  # ~256 MB sims cap
         for pdf in batches:
             if pdf.empty:
                 continue
-            a_ids = pdf[id_col].to_numpy()
-            a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            a /= np.linalg.norm(a, axis=1, keepdims=True)
-            sims = a @ all_mat.T
-            mask = (a_ids[:, None] < all_ids[None, :]) & (sims >= threshold)
-            ai, bj = np.nonzero(mask)
-            if len(ai) == 0:
-                continue
-            yield pd.DataFrame(
-                {"id_a": a_ids[ai], "id_b": all_ids[bj], "sim": np.round(sims[ai, bj], 4)}
-            )
+            for start in range(0, len(pdf), row_chunk):
+                sub = pdf.iloc[start : start + row_chunk]
+                a_ids = sub[id_col].to_numpy()
+                a = np.stack(sub["embedding"].to_numpy()).astype(np.float64)
+                a /= np.linalg.norm(a, axis=1, keepdims=True)
+                sims = a @ all_mat.T
+                mask = (a_ids[:, None] < all_ids[None, :]) & (sims >= threshold)
+                ai, bj = np.nonzero(mask)
+                if len(ai) == 0:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "id_a": a_ids[ai],
+                        "id_b": all_ids[bj],
+                        "sim": np.round(sims[ai, bj], 4),
+                    }
+                )
 
     pairs = emb.select(id_col, "embedding").mapInPandas(
         block_pairs, schema="id_a long, id_b long, sim double"

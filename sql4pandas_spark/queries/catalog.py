@@ -136,6 +136,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "range_join_nokey_buckets",
     "hash_sample_orders",
     "pipeline_end_to_end",
+    "scan_orc_roundtrip",
     "agg_stats_orders",
     "distinct_segments",
     "agg_global_lineitem",

@@ -935,6 +935,37 @@ def scan_pandas_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_orc_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("tier-c", "scan_orc", "sink_orc"),
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink (Spark's built-in vectorized ORC reader/writer):
+    write a projection of orders as ORC, re-read, aggregate. Same
+    no-schema-inference rule as the CSV/JSON roundtrips; ORC preserves
+    types natively so the re-read needs no explicit schema. The oracle
+    aggregates the original parquet — value equality proves the ORC
+    round-trip is lossless."""
+    t = register_tables(spark, sf_dir, ("orders",))
+    out = os.path.join(tempfile.gettempdir(), "s4ps_orc_roundtrip")
+    (
+        t["orders"]
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite")
+        .orc(out)
+    )
+    return (
+        spark.read.orc(out)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
     "sink_parquet_roundtrip",
     oracle="""
     SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars

@@ -142,3 +142,56 @@ def test_random_window_topk_matches_duckdb(spark, duck, k, keys):
         if str(actual[c].dtype) == "int32":
             actual[c] = actual[c].astype("int64")
     assert_frames_match(actual, expected, f"window-property[{sql}]")
+
+
+@given(keys=group_keys(), agg=st.sampled_from(["sum", "min", "max", "count"]))
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_window_running_frame_matches_duckdb(spark, duck, keys, agg):
+    """Random running-frame window aggregates (ROWS UNBOUNDED PRECEDING →
+    CURRENT ROW), ordered by the unique key so frames are deterministic.
+    Aggregates run over exact integer cents — running float sums accumulate
+    in engine-specific order (Spark streaming frame vs DuckDB segment tree),
+    so a double column here would diverge on round-boundary values; the
+    point of this test is frame semantics, not float associativity."""
+    part = keys[0]
+    sql = (
+        f"SELECT o_orderkey, {part} AS p, "
+        f"       CAST({agg}(CAST(round(o_totalprice * 100) AS BIGINT)) "
+        f"            OVER (PARTITION BY {part} "
+        "              ORDER BY o_orderkey "
+        "              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS r "
+        "FROM orders ORDER BY o_orderkey LIMIT 500"
+    )
+    actual = spark.sql(sql).toPandas()
+    expected = duck.execute(sql).fetch_df()
+    for c in actual.columns:
+        if str(actual[c].dtype) == "int32":
+            actual[c] = actual[c].astype("int64")
+    assert_frames_match(actual, expected, f"frame-property[{sql}]")
+
+
+@given(keys=group_keys(), off=st.integers(1, 3))
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_window_lag_matches_duckdb(spark, duck, keys, off):
+    """Random lag offsets with an explicit default — NULL-free, so the only
+    cross-engine risk is frame/ordering semantics, which must agree."""
+    part = keys[0]
+    sql = (
+        f"SELECT o_orderkey, "
+        f"       round(o_totalprice - lag(o_totalprice, {off}, 0.0) "
+        f"             OVER (PARTITION BY {part} ORDER BY o_orderkey), 2) AS delta "
+        "FROM orders ORDER BY o_orderkey LIMIT 500"
+    )
+    actual = spark.sql(sql).toPandas()
+    expected = duck.execute(sql).fetch_df()
+    assert_frames_match(actual, expected, f"lag-property[{sql}]")

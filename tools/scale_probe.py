@@ -27,19 +27,30 @@ from sql4pandas_spark.session import get_spark  # noqa: E402
 from sql4pandas_spark.sources.parquet import TABLES  # noqa: E402
 
 BASE_SF = "/root/testdata/sf0.1"
-#: headline queries: scan+agg, 3-way join+topk, window, tumbling agg
+#: headline queries: scan+agg, 3-way join+topk, window, tumbling agg, plus
+#: the round-3 pipeline surface: composite training-data pipeline (stresses
+#: the dedup digest shuffle at 10× input), deterministic hash sampling, and
+#: the broadcast-matmul pair search. range_join_nokey_buckets is NOT probed:
+#: replication multiplies event density in a FIXED time range, so its output
+#: pair count grows quadratically by construction — a data-shape artifact,
+#: not an operator-scaling signal.
 QUERIES = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "window_top3_orders_per_customer",
     "events_hourly",
+    "pipeline_end_to_end",
+    "hash_sample_orders",
+    "cosine_top20_pairs",
 )
 #: fact tables replicated with a shifted key; everything else symlinks (dims)
 SHIFT_KEY = {
     "lineitem": "l_orderkey",
     "orders": "o_orderkey",
     "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
 }
 
 
