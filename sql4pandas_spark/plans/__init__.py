@@ -62,3 +62,17 @@ def read_schema_columns(df: DataFrame) -> list[str]:
 
 def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in formatted_plan(df)
+
+
+def has_partition_filters(df: DataFrame, fragment: str | None = None) -> bool:
+    """True if the file scan carries a non-empty PartitionFilters list
+    (optionally containing `fragment`, e.g. the partition column name).
+
+    On a hive-partitioned layout this is the difference between listing a
+    handful of directories and scanning every file of a 100 TB table."""
+    plan = formatted_plan(df)
+    for line in plan.splitlines():
+        if "PartitionFilters" in line and "[]" not in line.replace(" ", ""):
+            if fragment is None or fragment in line:
+                return True
+    return False

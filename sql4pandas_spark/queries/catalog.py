@@ -137,6 +137,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "hash_sample_orders",
     "pipeline_end_to_end",
     "scan_orc_roundtrip",
+    "compact_documents_files",
     "agg_stats_orders",
     "distinct_segments",
     "agg_global_lineitem",

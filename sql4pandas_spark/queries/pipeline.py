@@ -993,3 +993,34 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("total_chars"))
         .orderBy("lang")
     )
+
+
+@query(
+    "compact_documents_files",
+    oracle="""
+    SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("tier-c", "maintenance", "compact_files"),
+)
+def compact_documents_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (operators/maintenance.compact_parquet_dir):
+    deliberately fragment documents into 64 tiny files, compact the
+    directory into ceil(rows/target) evenly-sized files, and aggregate the
+    compacted copy. The oracle aggregates the ORIGINAL table — a hash match
+    proves compaction is lossless; the file-count collapse itself is
+    asserted in tests/test_maintenance.py."""
+    from sql4pandas_spark.operators.maintenance import compact_parquet_dir
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    frag = os.path.join(tempfile.gettempdir(), "s4ps_compact_frag")
+    comp = os.path.join(tempfile.gettempdir(), "s4ps_compact_out")
+    t["documents"].select("doc_id", "lang", "n_chars").repartition(64).write.mode(
+        "overwrite"
+    ).parquet(frag)
+    out = compact_parquet_dir(spark, frag, comp, target_records_per_file=500_000)
+    return (
+        out.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang")
+    )

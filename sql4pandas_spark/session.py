@@ -71,13 +71,24 @@ def get_spark(
     return spark
 
 
+#: Sessions already configured — every catalog builder calls
+#: configure_session, and each un-memoized call costs ~8 driver↔JVM conf
+#: round-trips; at one builder per query that latency lands on every
+#: sub-second query.
+_configured: set[int] = set()
+
+
 def configure_session(spark: SparkSession) -> SparkSession:
-    """Apply the runtime-settable confs to an existing session.
+    """Apply the runtime-settable confs to an existing session (once per
+    session — memoized).
 
     The correctness driver constructs its own SparkSession; every catalog
     builder routes through here so the parity-critical confs (UTC, nanos
     workaround, Arrow) hold no matter who built the session.
     """
+    if id(spark) in _configured:
+        return spark
+    _configured.add(id(spark))
     for key, value in SESSION_CONFS.items():
         try:
             spark.conf.set(key, value)

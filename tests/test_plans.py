@@ -98,3 +98,29 @@ def test_corr_subquery_is_decorrelated_to_aggregate_join(spark):
     df = CATALOG["corr_subq_cheapest_per_brand"].build(spark, SF_SMALL)
     plan = formatted_plan(df)
     assert "min(" in plan and ("Join" in plan or "BroadcastHashJoin" in plan)
+
+
+def test_partitioned_sink_prunes_partitions(spark):
+    """A filter on the partition column of a partitionBy() sink must become
+    PartitionFilters (directory pruning), not a data filter over every file."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.plans import has_partition_filters
+    from sql4pandas_spark.sources.parquet import register_tables
+
+    t = register_tables(spark, SF_SMALL, ("documents",))
+    out = os.path.join(tempfile.gettempdir(), "s4ps_prune_probe")
+    (
+        t["documents"]
+        .select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(out)
+    )
+    df = spark.read.parquet(out).filter(F.col("lang") == "en").select("doc_id")
+    assert has_partition_filters(df, "lang"), (
+        "partition-column filter must prune directories, not scan all files"
+    )
