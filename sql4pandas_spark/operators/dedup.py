@@ -376,3 +376,49 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def contamination_overlap(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_overlap: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: per candidate document, the number of
+    distinct word n-gram shingles it shares with a benchmark corpus, plus a
+    contamination flag at ``min_overlap`` — the standard n-gram-overlap
+    check run before training on scraped data (eval questions leaking into
+    the corpus).
+
+    Shape for 100 TB: the benchmark side is always small (eval suites are
+    KBs-to-MBs), so its distinct shingle set is BROADCAST and the only work
+    over the big side is explode + broadcast hash join + per-doc count —
+    no shuffle of document text, no driver collect. Candidates with zero
+    overlap are kept via a left join so the output is a complete audit
+    table, not just the hits.
+    """
+    doc_sh = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle")
+    ).distinct()
+    bench_sh = (
+        bench.select(F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"))
+        .distinct()
+    )
+    overlap = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        docs.select(id_col)
+        .join(overlap, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) >= min_overlap).alias(
+                "contaminated"
+            ),
+        )
+    )

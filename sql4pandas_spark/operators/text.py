@@ -89,6 +89,41 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals: duplicate-word fraction and
+    top-bigram fraction (high values flag boilerplate / degenerate text — a
+    standard pretraining filter alongside :func:`quality_features`).
+
+    All higher-order JVM expressions over the token array — one scan, no
+    UDF, no shuffle, so it composes into any quality gate for free. The
+    top-bigram count is O(d²) in DISTINCT bigrams per document, evaluated
+    row-local — fine for document-sized rows at any corpus scale.
+    """
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n_tokens - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    top_bigram_n = F.array_max(
+        F.transform(
+            F.array_distinct(bigrams),
+            lambda d: F.size(F.filter(bigrams, lambda x: x == d)),
+        )
+    )
+    return df.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n_tokens, 4
+        ).alias("dup_word_frac"),
+        F.when(
+            n_tokens >= 2,
+            F.round(top_bigram_n.cast("double") / (n_tokens - 1), 4),
+        ).alias("top_bigram_frac"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

@@ -138,6 +138,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "pipeline_end_to_end",
     "scan_orc_roundtrip",
     "compact_documents_files",
+    "quality_repetition_documents",
+    "decontaminate_documents",
     "agg_stats_orders",
     "distinct_segments",
     "agg_global_lineitem",

@@ -1024,3 +1024,72 @@ def compact_documents_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("total_chars"))
         .orderBy("lang")
     )
+
+
+@query(
+    "quality_repetition_documents",
+    oracle="""
+    WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS w FROM documents),
+    bg AS (SELECT doc_id, w,
+                  CASE WHEN len(w) >= 2
+                       THEN [array_to_string(list_slice(w, i, i + 1), ' ') FOR i IN range(1, len(w))]
+                  END AS b
+           FROM toks)
+    SELECT doc_id,
+           CAST(len(w) AS INTEGER) AS n_tokens,
+           round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4) AS dup_word_frac,
+           CASE WHEN len(w) >= 2
+                THEN round(CAST(list_max(list_transform(list_distinct(b),
+                                d -> len(list_filter(b, x -> x = d)))) AS DOUBLE) / (len(w) - 1), 4)
+           END AS top_bigram_frac
+    FROM bg ORDER BY doc_id LIMIT 100
+    """,
+    tags=("tier-c", "quality", "repetition"),
+)
+def quality_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (operators/text.repetition_stats):
+    duplicate-word fraction and top-bigram fraction — the boilerplate /
+    degenerate-text filters a pretraining pipeline runs next to the cheap
+    quality features. All JVM higher-order expressions, one scan."""
+    t = register_tables(spark, sf_dir, ("documents",))
+    return text.repetition_stats(t["documents"]).orderBy("doc_id").limit(100)
+
+
+@query(
+    "decontaminate_documents",
+    oracle="""
+    WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (SELECT doc_id,
+                   unnest(CASE WHEN len(w) >= 3
+                          THEN [array_to_string(list_slice(w, i, i+2), ' ') FOR i IN range(1, len(w)-1)]
+                          ELSE [array_to_string(w, ' ')] END) AS shingle
+            FROM toks)),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+    ov AS (SELECT s.doc_id, count(*) AS n_overlap
+           FROM sh s JOIN bench b ON s.shingle = b.shingle
+           WHERE s.doc_id >= 20 GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           COALESCE(ov.n_overlap, 0) >= 5 AS contaminated
+    FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+    WHERE d.doc_id >= 20 ORDER BY d.doc_id LIMIT 100
+    """,
+    tags=("tier-c", "decontamination", "dedup_ngram_jaccard"),
+)
+def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.contamination_overlap):
+    treat the 20 lowest-id documents as the "benchmark corpus" and audit
+    every other document's distinct-shingle overlap with it. The benchmark
+    shingle set is broadcast — at 100 TB the big side only explodes,
+    broadcast-joins, and counts; document text never shuffles."""
+    t = register_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    bench = docs.filter(F.col("doc_id") < 20)
+    cand = docs.filter(F.col("doc_id") >= 20)
+    return (
+        dedup.contamination_overlap(cand, bench)
+        .orderBy("doc_id")
+        .limit(100)
+    )

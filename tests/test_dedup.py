@@ -144,3 +144,32 @@ def test_ngram_jaccard_is_exact_ground_truth(spark, planted):
         for r in dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
     }
     assert got == expect
+
+
+def test_contamination_overlap_counts_and_flag(spark):
+    import pandas as pd
+
+    from sql4pandas_spark.operators.dedup import contamination_overlap
+
+    bench = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["alpha beta gamma delta"]})
+    )
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [10, 11, 12],
+                "text": [
+                    "alpha beta gamma delta epsilon",  # shares 2 shingles
+                    "zeta eta theta iota",             # shares 0
+                    "tiny doc",                        # <3 tokens: whole-text shingle, no match
+                ],
+            }
+        )
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in contamination_overlap(docs, bench, min_overlap=2).collect()
+    }
+    assert rows[10]["n_overlap"] == 2 and rows[10]["contaminated"] is True
+    assert rows[11]["n_overlap"] == 0 and rows[11]["contaminated"] is False
+    assert rows[12]["n_overlap"] == 0 and rows[12]["contaminated"] is False

@@ -124,3 +124,10 @@ def test_partitioned_sink_prunes_partitions(spark):
     assert has_partition_filters(df, "lang"), (
         "partition-column filter must prune directories, not scan all files"
     )
+
+
+def test_decontamination_broadcasts_benchmark_side(spark):
+    """The benchmark shingle set must broadcast — shuffling exploded document
+    shingles against a KB-sized benchmark would be the wrong plan at 100 TB."""
+    df = CATALOG["decontaminate_documents"].build(spark, SF_SMALL)
+    assert has_broadcast_join(df), "benchmark shingle join should be broadcast-hash"

@@ -81,3 +81,27 @@ def test_bpe_token_count_matches_python_regex(docs):
     }
     for r in rows:
         assert got[r.doc_id] == len(pat.findall(r.text)), r.doc_id
+
+
+def test_repetition_stats_edges_and_values(spark):
+    import pandas as pd
+
+    from sql4pandas_spark.operators.text import repetition_stats
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "a a a a",          # one distinct word, one distinct bigram
+                "one",               # single token: no bigrams -> NULL frac
+                "x y x y z",         # 'x y' appears twice of 4 bigrams
+            ],
+        }
+    )
+    out = {
+        r["doc_id"]: r
+        for r in repetition_stats(spark.createDataFrame(pdf)).collect()
+    }
+    assert out[1]["dup_word_frac"] == 0.75 and out[1]["top_bigram_frac"] == 1.0
+    assert out[2]["top_bigram_frac"] is None and out[2]["dup_word_frac"] == 0.0
+    assert out[3]["n_tokens"] == 5 and out[3]["top_bigram_frac"] == 0.5
