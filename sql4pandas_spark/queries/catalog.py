@@ -140,6 +140,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "compact_documents_files",
     "quality_repetition_documents",
     "decontaminate_documents",
+    "ivf_full_probe_top10",
     "agg_stats_orders",
     "distinct_segments",
     "agg_global_lineitem",

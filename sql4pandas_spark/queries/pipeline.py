@@ -436,6 +436,38 @@ def ann_ivf_query_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ivf_full_probe_top10",
+    oracle="""
+    SELECT e.vec_id,
+           round(CAST(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))
+                 AS DOUBLE), 4) AS sim
+    FROM embeddings e
+    WHERE e.vec_id <> 0
+    ORDER BY sim DESC, e.vec_id LIMIT 10
+    """,
+    tags=("tier-c", "sim_search_ann"),
+)
+def ivf_full_probe_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with n_probe = n_cells: every cell is probed, so the candidate set
+    is the whole table and the result is MATHEMATICALLY exact — identical to
+    brute force. This gives the IVF machinery (train → assign → probe →
+    rescore) a hash-checked oracle; `ann_ivf_query_top10` is the same engine
+    at n_probe=4, where recall is asserted statistically instead. Reuses the
+    session-cached index built for the ANN entry (same cache_key)."""
+    t = register_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    return similarity.ann_ivf_query_topk(
+        emb.filter(F.col("vec_id") != 0),
+        _query_vector(sf_dir),
+        k=10,
+        n_cells=16,
+        n_probe=16,
+        cache_key=f"{sf_dir}:no_vec0",
+    )
+
+
 # DuckDB replay of the full 60-bit SimHash signature: per-bit ±1 vote sums
 # over the portable_hash60 token hashes. The banded candidate generation has
 # EXACT recall at Hamming ≤ 3 (pigeonhole over 4 chunks), so the oracle can
