@@ -141,6 +141,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "quality_repetition_documents",
     "decontaminate_documents",
     "ivf_full_probe_top10",
+    "stratified_mix_hash",
+    "scan_python_datasource",
     "agg_stats_orders",
     "distinct_segments",
     "agg_global_lineitem",

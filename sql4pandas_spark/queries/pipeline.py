@@ -667,12 +667,24 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.orderBy("doc_id", "frame_idx").limit(200)
 
 
-@query("scan_python_datasource", oracle=None, tags=("tier-c", "scan_custom", "rows-only"))
+@query(
+    "scan_python_datasource",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('click',    CAST(3834 AS BIGINT), CAST(187605.03 AS DOUBLE), CAST(983 AS BIGINT)),
+        ('purchase', CAST(4082 AS BIGINT), CAST(203472.08 AS DOUBLE), CAST(979 AS BIGINT)))
+    AS t(event_type, n, total_value, n_users) ORDER BY event_type
+    """,
+    tags=("tier-c", "scan_custom"),
+)
 def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom Python DataSource (Spark 4 plugin API, sources/synthetic.py):
     deterministic generator with partition planning + event_type filter
-    pushdown. The aggregate is a pure function of the row index, so the
-    driver's determinism check holds across sessions."""
+    pushdown. Every row is a pure function of its global index (splitmix64),
+    so the expected aggregate is a CONSTANT — the oracle pins it as a VALUES
+    list computed from sources/synthetic.row_at (re-derived in
+    tests/test_synthetic_source.py, so a generator change fails tests before
+    it can silently invalidate this oracle)."""
     from sql4pandas_spark.sources.synthetic import read_synthetic
 
     ev = read_synthetic(spark, n_rows=20_000, n_partitions=8)
@@ -1124,4 +1136,39 @@ def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.contamination_overlap(cand, bench)
         .orderBy("doc_id")
         .limit(100)
+    )
+
+
+_MIX_HASH_PRED = text.DUCKDB_HASH60_SQL.format(expr="CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "stratified_mix_hash",
+    oracle=f"""
+    WITH kept AS (
+      SELECT lang, n_chars FROM documents
+      WHERE ({_MIX_HASH_PRED}) % 100 <
+            CASE lang WHEN 'en' THEN 100 ELSE 25 END)
+    SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+    tags=("tier-c", "data_mix", "sample_hash"),
+)
+def stratified_mix_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified data mix: per-stratum keep fractions via
+    portable_hash60(doc_id) % 100 < pct[lang] (keep all 'en', ~25% of every
+    other language). The auditable alternative to seeded sampleBy
+    (`stratified_sample_mix`, rows-only): the SAME documents are kept on
+    every engine, partitioning, and run — which is what a reproducible
+    training-data mix actually requires — so this form is fully
+    hash-checked against DuckDB."""
+    t = register_tables(spark, sf_dir, ("documents",))
+    pct = F.when(F.col("lang") == "en", F.lit(100)).otherwise(F.lit(25))
+    kept = t["documents"].filter(
+        F.pmod(text.portable_hash60(F.col("doc_id").cast("string")), F.lit(100)) < pct
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang")
     )

@@ -121,3 +121,26 @@ def test_stream_checkpoint_resume_exactly_once(spark, tmp_path):
     assert [drain(), drain(), drain()] == [1000, 2000, 3000]
     ids = sorted(r.event_id for r in spark.read.parquet(out).collect())
     assert ids == list(range(3000))
+
+
+def test_values_oracle_constants_match_row_function():
+    """scan_python_datasource pins its expected aggregate as a VALUES-list
+    oracle; re-derive those constants from the pure row function so any
+    generator change fails HERE before it can invalidate the oracle."""
+    from collections import defaultdict
+
+    from sql4pandas_spark.sources.synthetic import row_at
+
+    agg = defaultdict(lambda: [0, 0.0, set()])
+    for i in range(20_000):
+        _, _, user, et, val = row_at(i)
+        if et in ("click", "purchase"):
+            a = agg[et]
+            a[0] += 1
+            a[1] += val
+            a[2].add(user)
+    got = {et: (a[0], round(a[1], 2), len(a[2])) for et, a in agg.items()}
+    assert got == {
+        "click": (3834, 187605.03, 983),
+        "purchase": (4082, 203472.08, 979),
+    }
