@@ -143,6 +143,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ivf_full_probe_top10",
     "stratified_mix_hash",
     "scan_python_datasource",
+    "stream_python_datasource",
+    "multimodal_frame_sample",
     "agg_stats_orders",
     "distinct_segments",
     "agg_global_lineitem",

@@ -617,23 +617,41 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_decode_features", oracle=None, tags=("tier-c", "multimodal_cols", "rows-only"))
+_MOMENT_SQL = "round(list_avg(list_transform(ch, c -> unicode(c) ** {p})) / (255.0 ** {p}), 6)"
+_FEATURE_COLS_SQL = ", ".join(
+    _MOMENT_SQL.format(p=1 + i % 3) + f" AS f{i + 1}" for i in range(8)
+)
+
+
+@query(
+    "multimodal_decode_features",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, CAST(length(text) AS INTEGER) AS n_bytes,
+                      string_split(text, '') AS ch FROM documents)
+    SELECT doc_id, n_bytes, {_FEATURE_COLS_SQL}
+    FROM p ORDER BY doc_id LIMIT 100
+    """,
+    tags=("tier-c", "multimodal_cols"),
+)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode/feature-extract plumbing (deterministic STUB body,
     real mapInPandas batch shape — operators/multimodal.extract_features).
-    The feature vector is serialized to a comma string for the declared
-    output: array-typed columns crash the driver's canonicalizer."""
+
+    Declared output = scalar columns (doc_id, n_bytes, f1..f8): the feature
+    moments unpacked via element_at (array columns crash the driver's
+    canonicalizer). DuckDB replays each byte-histogram moment char-by-char
+    (fixture text is pure ASCII, so code point == byte) — bit-exact because
+    both engines sum the same float64 values in the same order. The
+    hash-derived width/height metadata stays out of the declared output
+    (Spark xxhash64 has no DuckDB spelling); it is covered by
+    tests/test_text.py's multimodal unit tests instead."""
     t = register_tables(spark, sf_dir, ("documents",))
     feats = multimodal.extract_features(multimodal.attach_payload(t["documents"]))
     return (
         feats.select(
             "doc_id",
             "n_bytes",
-            "width",
-            "height",
-            F.concat_ws(",", F.col("features").cast("array<string>")).alias(
-                "features_csv"
-            ),
+            *[F.element_at("features", i + 1).alias(f"f{i + 1}") for i in range(8)],
         )
         .orderBy("doc_id")
         .limit(100)
@@ -657,11 +675,32 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_resized"))
 
 
-@query("multimodal_frame_sample", oracle=None, tags=("tier-c", "multimodal_cols", "rows-only"))
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH p AS (SELECT doc_id, text, length(text) AS nb FROM documents),
+    f AS (SELECT doc_id, text, nb,
+                 unnest([i FOR i IN range(0, greatest(nb // 64, 1), 4)]) AS fi
+          FROM p)
+    SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+           CAST(least(64, nb - fi*64) AS INTEGER) AS frame_bytes,
+           round(list_avg(list_transform(
+                 string_split(substr(text, CAST(fi*64 + 1 AS INTEGER), 64), ''),
+                 c -> unicode(c))) / 255.0, 6) AS brightness
+    FROM f ORDER BY doc_id, frame_idx LIMIT 200
+    """,
+    tags=("tier-c", "multimodal_cols"),
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling plumbing: one payload row fans out to
     variable per-frame rows inside a mapInPandas batch (deterministic STUB
-    decode — operators/multimodal.sample_frames)."""
+    decode — operators/multimodal.sample_frames).
+
+    The stub "decodes" the payload (the doc's UTF-8 bytes) as 64-byte
+    frames with a mean-byte brightness, which DuckDB can replay char-by-char
+    because the fixture text is pure ASCII (code point == byte; verified:
+    octet_length == length for every row). A real codec body keeps the
+    Spark-side contract but would drop this oracle back to rows-only."""
     t = register_tables(spark, sf_dir, ("documents",))
     frames = multimodal.sample_frames(multimodal.attach_payload(t["documents"]))
     return frames.orderBy("doc_id", "frame_idx").limit(200)
@@ -700,12 +739,27 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_python_datasource", oracle=None, tags=("tier-c", "scan_custom", "scan_stream", "rows-only"))
+@query(
+    "stream_python_datasource",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('click',    CAST(3834 AS BIGINT)),
+        ('error',    CAST(4038 AS BIGINT)),
+        ('purchase', CAST(4082 AS BIGINT)),
+        ('signup',   CAST(4051 AS BIGINT)),
+        ('view',     CAST(3995 AS BIGINT)))
+    AS t(event_type, n) ORDER BY event_type
+    """,
+    tags=("tier-c", "scan_custom", "scan_stream"),
+)
 def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING read of the custom Python source (SimpleDataSourceStreamReader
     with dict offsets): availableNow drains the finite generator and the
     grouped counts equal the batch read — asserted with checkpoint-resume
-    exactly-once semantics in tests/test_synthetic_source.py."""
+    exactly-once semantics in tests/test_synthetic_source.py. Rows are a pure
+    splitmix64 function of the index, so the fully-drained aggregate is a
+    CONSTANT, pinned as a VALUES oracle (constants re-derived from row_at in
+    tests/test_synthetic_source.py)."""
     from sql4pandas_spark.sources.synthetic import register_synthetic_source
     from sql4pandas_spark.streaming.windows import run_available_now
 

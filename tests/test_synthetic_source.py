@@ -144,3 +144,20 @@ def test_values_oracle_constants_match_row_function():
         "click": (3834, 187605.03, 983),
         "purchase": (4082, 203472.08, 979),
     }
+
+
+def test_stream_values_oracle_constants_match_row_function():
+    """stream_python_datasource pins the fully-drained per-type counts as a
+    VALUES oracle; re-derive them from the pure row function."""
+    from collections import Counter
+
+    from sql4pandas_spark.sources.synthetic import row_at
+
+    got = Counter(row_at(i)[3] for i in range(20_000))
+    assert dict(got) == {
+        "click": 3834,
+        "error": 4038,
+        "purchase": 4082,
+        "signup": 4051,
+        "view": 3995,
+    }
