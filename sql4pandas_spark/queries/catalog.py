@@ -145,6 +145,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "scan_python_datasource",
     "stream_python_datasource",
     "multimodal_frame_sample",
+    "lateral_top_orders",
     "agg_stats_orders",
     "distinct_segments",
     "agg_global_lineitem",

@@ -943,3 +943,25 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
     )
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c, LATERAL (
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey LIMIT 50
+"""
+
+
+@query("lateral_top_orders", oracle=_LATERAL_SQL, tags=("tier-a", "subquery_lateral"))
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the SQL
+    spelling of per-group top-k. Both engines accept the identical statement;
+    Catalyst decorrelates it into a window/rank plan rather than re-running
+    the subquery per customer row (same rewrite family as
+    corr_subq_cheapest_per_brand), so it scales as one shuffle, not N
+    subquery executions."""
+    register_tables(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_LATERAL_SQL)

@@ -131,3 +131,12 @@ def test_decontamination_broadcasts_benchmark_side(spark):
     shingles against a KB-sized benchmark would be the wrong plan at 100 TB."""
     df = CATALOG["decontaminate_documents"].build(spark, SF_SMALL)
     assert has_broadcast_join(df), "benchmark shingle join should be broadcast-hash"
+
+
+def test_lateral_subquery_decorrelates_to_window_rank(spark):
+    """The correlated LATERAL top-k must rewrite to a window/rank-limit plan
+    (one shuffle), never a per-row subquery re-execution or nested loop."""
+    df = CATALOG["lateral_top_orders"].build(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan, "per-group LIMIT should push a rank limit"
+    assert "BroadcastNestedLoopJoin" not in plan

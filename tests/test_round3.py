@@ -32,10 +32,11 @@ def test_catalog_first_50_is_the_driver_priority_prefix():
     assert names[: len(DRIVER_PRIORITY)] == list(DRIVER_PRIORITY)
     window = names[:50]
     assert len(set(window)) == 50
-    # every window entry below the three declared rows-only groups carries an
-    # oracle — a window slot spent on a rows-only check is wasted evidence
+    # every window entry carries an oracle — a window slot spent on a
+    # rows-only check is wasted evidence (multimodal_decode_features was the
+    # last holdout until its stub decode gained a bit-exact DuckDB replay)
     rows_only = [n for n in window if CATALOG[n].oracle is None]
-    assert rows_only == ["multimodal_decode_features"], rows_only
+    assert rows_only == [], rows_only
 
 
 def test_driver_priority_names_all_resolve():
