@@ -146,6 +146,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_python_datasource",
     "multimodal_frame_sample",
     "lateral_top_orders",
+    "stream_foreach_batch_sink",
     "agg_stats_orders",
     "distinct_segments",
     "agg_global_lineitem",

@@ -16,6 +16,7 @@ from sql4pandas_spark.sources.parquet import register_tables
 from sql4pandas_spark.streaming.windows import (
     read_events_stream,
     run_available_now,
+    run_foreach_batch_parquet,
     session_windows_10m,
     sliding_30m,
     tumbling_hourly,
@@ -278,3 +279,34 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drained = run_available_now(joined, mode="append")
     return drained.agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@query(
+    "stream_foreach_batch_sink",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("tier-c", "scan_stream", "sink_parquet", "foreach_batch"),
+)
+def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ETL into a table: filter the event stream and land every
+    micro-batch in parquet via foreachBatch
+    (streaming/windows.run_foreach_batch_parquet), then aggregate the SINK.
+    The oracle runs the same filter+aggregate on the batch table — equality
+    proves the foreachBatch path delivered every row exactly once."""
+    import os
+    import tempfile
+
+    events = read_events_stream(spark, sf_dir)
+    filtered = events.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id", "event_type", "value"
+    )
+    out = os.path.join(tempfile.gettempdir(), "s4ps_foreach_batch_sink")
+    sink = run_foreach_batch_parquet(filtered, out)
+    return (
+        sink.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("event_type")
+    )

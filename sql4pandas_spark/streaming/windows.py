@@ -121,3 +121,38 @@ def watermarked_hourly(events: DataFrame, delay: str = "2 hours") -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("win.start").alias("w"), "event_type", "n")
     )
+
+
+def run_foreach_batch_parquet(
+    result: DataFrame, out_dir: str, timeout_sec: int = 120
+) -> DataFrame:
+    """Drain a streaming DataFrame via foreachBatch, appending each
+    micro-batch to a parquet directory — the production streaming-ETL sink
+    pattern (arbitrary per-batch logic: upserts, multi-table writes,
+    partition overwrite). Exactly-once across restarts comes from the
+    checkpoint's batch-id tracking; each row carries its batch_id so the
+    sink is auditable. The target dir is cleared first so the declared
+    query is deterministic per build.
+
+    Returns the sink read back as a batch DataFrame.
+    """
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="s4ps_ckpt_")
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            out_dir
+        )
+
+    q = (
+        result.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:  # pragma: no cover - defensive stop on hang
+        q.stop()
+    return result.sparkSession.read.parquet(out_dir)
