@@ -147,6 +147,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_frame_sample",
     "lateral_top_orders",
     "stream_foreach_batch_sink",
+    "setop_all_variants",
     "agg_stats_orders",
     "distinct_segments",
     "agg_global_lineitem",

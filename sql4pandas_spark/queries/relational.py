@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from sql4pandas_spark.operators import joins
 from sql4pandas_spark.operators import text as text_ops
-from sql4pandas_spark.queries.catalog import query
+from sql4pandas_spark.queries.catalog import CATALOG, query
 from sql4pandas_spark.sources.parquet import register_tables
 
 
@@ -965,3 +965,30 @@ def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery executions."""
     register_tables(spark, sf_dir, ("customer", "orders"))
     return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "setop_all_variants",
+    oracle="""
+    SELECT
+      (SELECT count(*) FROM (
+         SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+         INTERSECT ALL
+         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')) AS n_intersect_all,
+      (SELECT count(*) FROM (
+         SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+         EXCEPT ALL
+         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')) AS n_except_all
+    """,
+    tags=("tier-b", "intersect", "except"),
+)
+def setop_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — the bag-semantics set ops (per-row
+    multiplicity arithmetic, not just membership; DataFrame spellings are
+    intersectAll / exceptAll). The sides deliberately contain duplicates
+    (custkeys repeat across orders) so the ALL forms differ from the
+    DISTINCT forms and the counts pin the multiplicity math. Same scalar-
+    subquery shape as setop_union_counts: one lazy plan, zero build-time
+    jobs."""
+    register_tables(spark, sf_dir, ("orders",))
+    return spark.sql(CATALOG["setop_all_variants"].oracle)
