@@ -148,6 +148,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "lateral_top_orders",
     "stream_foreach_batch_sink",
     "setop_all_variants",
+    "hll_sketch_users",
     "agg_stats_orders",
     "distinct_segments",
     "agg_global_lineitem",

@@ -1226,3 +1226,37 @@ def stratified_mix_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("total_chars"))
         .orderBy("lang")
     )
+
+
+@query(
+    "hll_sketch_users",
+    oracle="""
+    SELECT count(DISTINCT user_id) AS exact_total, true AS merged_ok FROM events
+    """,
+    tags=("tier-c", "agg_approx", "sketch_merge"),
+)
+def hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Spark 4 Apache DataSketches HLL):
+    build one sketch per event_type (hll_sketch_agg), then union the
+    sketches (hll_union_agg) into a global estimate WITHOUT rescanning the
+    data — the pre-aggregation pattern for distincts at 100 TB: a KB-sized
+    sketch table maintained per ingest batch answers global distinct
+    queries with no shuffle of raw ids. The sketch bytes are
+    engine-specific, so the declared contract is the exact count
+    (hash-matched) plus a ≤5%-relative-error boolean on the merged
+    estimate, replayed by the oracle as literal true."""
+    t = register_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    est = (
+        ev.groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_total"))
+    rel_err = (
+        F.abs(F.col("est") - F.col("exact_total")).cast("double")
+        / F.col("exact_total")
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_total", (rel_err <= 0.05).alias("merged_ok")
+    )
