@@ -295,7 +295,9 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch in parquet via foreachBatch
     (streaming/windows.run_foreach_batch_parquet), then aggregate the SINK.
     The oracle runs the same filter+aggregate on the batch table — equality
-    proves the foreachBatch path delivered every row exactly once."""
+    proves the foreachBatch path delivered every row, none duplicated, for
+    this drain (crash-recovery idempotence is the batch_id column's job —
+    see the helper's delivery-semantics note)."""
     import os
     import tempfile
 

@@ -129,9 +129,13 @@ def run_foreach_batch_parquet(
     """Drain a streaming DataFrame via foreachBatch, appending each
     micro-batch to a parquet directory — the production streaming-ETL sink
     pattern (arbitrary per-batch logic: upserts, multi-table writes,
-    partition overwrite). Exactly-once across restarts comes from the
-    checkpoint's batch-id tracking; each row carries its batch_id so the
-    sink is auditable. The target dir is cleared first so the declared
+    partition overwrite). Delivery semantics, precisely: foreachBatch
+    re-runs the last uncommitted batch after a crash, so a plain append is
+    AT-LEAST-once on recovery — exactly-once requires making the write
+    idempotent on the batch_id each row carries (overwrite-by-batch
+    partition, or MERGE on a table format). Within one clean availableNow
+    drain (this helper's use) no batch replays, so the sink equals the
+    batch result exactly. The target dir is cleared first so the declared
     query is deterministic per build.
 
     Returns the sink read back as a batch DataFrame.
