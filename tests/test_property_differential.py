@@ -195,3 +195,31 @@ def test_random_window_lag_matches_duckdb(spark, duck, keys, off):
     actual = spark.sql(sql).toPandas()
     expected = duck.execute(sql).fetch_df()
     assert_frames_match(actual, expected, f"lag-property[{sql}]")
+
+
+@given(jt=st.sampled_from(["INNER", "LEFT", "RIGHT", "FULL"]), pred=predicates())
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_join_types_match_duckdb(spark, duck, jt, pred):
+    """Random inner/outer joins between customer and a filtered orders
+    subquery — per-segment row counts plus count(o_orderkey) (non-NULL only)
+    pin the null-extension semantics of each join type. coalesce guards the
+    group key so NULL keys can't diverge on ordering."""
+    register_tables(spark, SF_SMALL, ("customer",))
+    sql = (
+        "SELECT coalesce(c_mktsegment, '?') AS seg, count(*) AS n, "
+        "       count(o_orderkey) AS n_orders "
+        f"FROM customer c {jt} JOIN "
+        f"(SELECT * FROM orders WHERE {pred}) o ON c.c_custkey = o.o_custkey "
+        "GROUP BY 1 ORDER BY 1"
+    )
+    actual = spark.sql(sql).toPandas()
+    expected = duck.execute(sql).fetch_df()
+    for c in actual.columns:
+        if str(actual[c].dtype) == "int32":
+            actual[c] = actual[c].astype("int64")
+    assert_frames_match(actual, expected, f"join-property[{sql}]")
