@@ -149,6 +149,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_foreach_batch_sink",
     "setop_all_variants",
     "hll_sketch_users",
+    "variant_props_stats",
     "agg_stats_orders",
     "distinct_segments",
     "agg_global_lineitem",

@@ -453,3 +453,43 @@ def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("o_totalprice"), 2).alias("avg_total"))
         .orderBy("bucket")
     )
+
+
+@query(
+    "variant_props_stats",
+    oracle="""
+    SELECT event_type,
+           min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+           count(CAST(json_extract_string(props, '$.missing') AS INTEGER)) AS n_missing_field
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("tier-b", "json_fns", "variant"),
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type for semi-structured data: parse_json once into
+    the binary variant encoding, then typed try_variant_get extractions —
+    the modern replacement for repeated string re-parsing (one parse, many
+    cheap typed reads; shreds into columnar storage on supported formats).
+    try_variant_get on an absent path yields NULL, which count() skips —
+    the n_missing_field column pins that missing-path semantics matches
+    DuckDB's json_extract_string returning NULL."""
+    t = register_tables(spark, sf_dir, ("events",))
+    v = F.parse_json("props")
+    return (
+        t["events"]
+        .select(
+            "event_type",
+            F.try_variant_get(v, "$.k", "int").alias("k"),
+            F.try_variant_get(v, "$.missing", "int").alias("missing"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.count("missing").alias("n_missing_field"),
+        )
+        .orderBy("event_type")
+    )
