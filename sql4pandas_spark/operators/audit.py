@@ -1,0 +1,36 @@
+"""Zero-extra-scan pipeline auditing via Spark's Observation API.
+
+A training-data pipeline must report what every gate dropped (for corpus
+accounting and debugging), but a separate count() per gate re-scans the
+input — at 100 TB that doubles the cost of every stage. ``df.observe``
+attaches aggregate metrics to the EXISTING action: the counters ride along
+with whatever job materializes the result, computed task-side at zero extra
+passes. This is the Spark-native replacement for hand-rolled accumulators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+def filter_with_audit(
+    df: DataFrame, condition: Column, name: str = "quality_gate"
+) -> tuple[DataFrame, Observation]:
+    """Filter ``df`` by ``condition`` with ride-along audit counters.
+
+    Returns ``(filtered_df, observation)``. After ANY action on the filtered
+    frame, ``observation.get`` yields ``{"rows_seen": ..., "rows_kept": ...,
+    "rows_rejected": ...}`` — exact counts measured by the same job, no
+    second scan. The observation point sits BEFORE the filter so rejected
+    rows are counted.
+    """
+    obs = Observation(name)
+    kept = F.sum(F.when(condition, 1).otherwise(0))
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        kept.alias("rows_kept"),
+        (F.count(F.lit(1)) - kept).alias("rows_rejected"),
+    )
+    return observed.filter(condition), obs
