@@ -150,6 +150,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "setop_all_variants",
     "hll_sketch_users",
     "variant_props_stats",
+    "sink_custom_jsonl",
     "agg_stats_orders",
     "distinct_segments",
     "agg_global_lineitem",

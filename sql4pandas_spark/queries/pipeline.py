@@ -1260,3 +1260,44 @@ def hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.crossJoin(F.broadcast(est)).select(
         "exact_total", (rel_err <= 0.05).alias("merged_ok")
     )
+
+
+@query(
+    "sink_custom_jsonl",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("tier-c", "sink_custom", "scan_json"),
+)
+def sink_custom_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource WRITER (sources/jsonl_sink.py): write a
+    projection of orders through the plugin sink (two-phase commit: per-task
+    part files + driver-side _SUCCESS manifest), read it back with an
+    explicit schema (house rule: no inference pass), aggregate. The oracle
+    aggregates the original parquet — equality proves the custom sink wrote
+    every row, once, losslessly."""
+    import shutil
+
+    from sql4pandas_spark.sources.jsonl_sink import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    t = register_tables(spark, sf_dir, ("orders",))
+    out = os.path.join(tempfile.gettempdir(), "s4ps_sink_custom_jsonl")
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        t["orders"]
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.format("jsonl_sink")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    back = spark.read.schema(
+        "o_orderkey long, o_orderstatus string, o_totalprice double"
+    ).json(os.path.join(out, "*.jsonl"))
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("o_orderstatus")
+    )

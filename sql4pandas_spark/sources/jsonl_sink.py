@@ -1,0 +1,76 @@
+"""Custom Python DataSource WRITER (Spark 4 plugin API): a JSON-lines sink.
+
+Completes the plugin surface next to sources/synthetic.py (batch reader +
+stream reader): `df.write.format("jsonl_sink").option("path", ...)`. Each
+task serializes its partition to a private part file and reports it in a
+commit message; the driver-side commit() publishes a _SUCCESS manifest
+listing exactly the committed parts — the standard two-phase output-commit
+shape (task files are invisible until the job-level commit, so a failed or
+speculative task can never half-publish).
+
+Scale notes: one file per task (no driver funneling), file names are
+uuid-random so concurrent/retried tasks never collide, and abort() leaves
+the previous successful manifest in place.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+
+
+@dataclass
+class _PartFile(WriterCommitMessage):
+    filename: str
+    n_rows: int
+
+
+class _JsonlWriter(DataSourceWriter):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_sink requires .option('path', <dir>)")
+
+    def write(self, rows) -> _PartFile:
+        """Runs once per partition on the executor."""
+        os.makedirs(self.path, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, name), "w") as f:
+            for row in rows:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _PartFile(filename=name, n_rows=n)
+
+    def commit(self, messages) -> None:
+        manifest = {
+            "files": sorted(m.filename for m in messages),
+            "rows": sum(m.n_rows for m in messages),
+        }
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages) -> None:  # pragma: no cover - failure path
+        for m in messages:
+            try:
+                os.remove(os.path.join(self.path, m.filename))
+            except FileNotFoundError:
+                pass
+
+
+class JsonlSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool) -> _JsonlWriter:
+        return _JsonlWriter(self.options)
+
+
+def register_jsonl_sink(spark) -> None:
+    """Idempotent registration of the jsonl_sink format."""
+    spark.dataSource.register(JsonlSinkDataSource)
