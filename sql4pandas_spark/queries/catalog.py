@@ -151,6 +151,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "hll_sketch_users",
     "variant_props_stats",
     "sink_custom_jsonl",
+    "udtf_table_arg_summary",
     "agg_stats_orders",
     "distinct_segments",
     "agg_global_lineitem",

@@ -180,3 +180,42 @@ def udf_python_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("c_custkey")
         .limit(30)
     )
+
+
+@query(
+    "udtf_table_arg_summary",
+    oracle="""
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("tier-b", "udtf", "udtf_table_arg"),
+)
+def udtf_table_arg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic UDTF over a TABLE argument (Spark 4): the function
+    receives whole partitions of `documents` (PARTITION BY lang routes every
+    row of a language to one instance), accumulates state across eval()
+    calls, and emits one summary row in terminate() — the SQL-surfaced
+    equivalent of applyInPandas, verified against the plain GROUP BY oracle.
+    Scale shape: PARTITION BY is a hash shuffle on lang; state is one
+    accumulator per instance, not a buffered partition."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="lang: string, n_docs: bigint, total_chars: bigint")
+    class LangSummary:
+        def __init__(self):
+            self._lang, self._n, self._chars = None, 0, 0
+
+        def eval(self, row):
+            self._lang = row["lang"]
+            self._n += 1
+            self._chars += int(row["n_chars"])
+
+        def terminate(self):
+            if self._lang is not None:
+                yield (self._lang, self._n, self._chars)
+
+    register_tables(spark, sf_dir, ("documents",))
+    spark.udtf.register("lang_summary", LangSummary)
+    return spark.sql(
+        "SELECT * FROM lang_summary(TABLE(documents) PARTITION BY lang) ORDER BY lang"
+    )
