@@ -152,6 +152,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "variant_props_stats",
     "sink_custom_jsonl",
     "udtf_table_arg_summary",
+    "dynamic_partition_overwrite",
     "agg_stats_orders",
     "distinct_segments",
     "agg_global_lineitem",

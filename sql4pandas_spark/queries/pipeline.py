@@ -1301,3 +1301,47 @@ def sink_custom_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "dynamic_partition_overwrite",
+    oracle="""
+    SELECT lang,
+           count(*) AS n,
+           CAST(sum(CASE WHEN lang = 'en' THEN n_chars * 2 ELSE n_chars END) AS BIGINT)
+             AS total_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("tier-c", "sink_parquet", "partition_overwrite"),
+)
+def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level upsert on plain parquet (dynamic partition overwrite):
+    seed a lang-partitioned table, then INSERT OVERWRITE with ONLY updated
+    'en' rows (n_chars doubled) under
+    spark.sql.sources.partitionOverwriteMode=dynamic — Spark rewrites just
+    the partitions present in the incoming data and leaves every other
+    partition's files untouched. This is the idempotent batch-upsert
+    pattern for hive-layout tables at 100 TB (each run replaces exactly the
+    partitions it produced; no table-format dependency). The oracle
+    computes the expected post-state: en doubled, others original."""
+    t = register_tables(spark, sf_dir, ("documents",))
+    out = os.path.join(tempfile.gettempdir(), "s4ps_dyn_overwrite")
+    base = t["documents"].select("doc_id", "lang", "n_chars")
+    base.write.mode("overwrite").partitionBy("lang").parquet(out)
+
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        updated_en = base.filter(F.col("lang") == "en").withColumn(
+            "n_chars", F.col("n_chars") * 2
+        )
+        updated_en.write.mode("overwrite").partitionBy("lang").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+
+    return (
+        spark.read.parquet(out)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang")
+    )
