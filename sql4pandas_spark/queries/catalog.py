@@ -153,6 +153,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sink_custom_jsonl",
     "udtf_table_arg_summary",
     "dynamic_partition_overwrite",
+    "join_hint_shuffle_hash",
+    "null_safe_join_counts",
     "agg_stats_orders",
     "distinct_segments",
     "agg_global_lineitem",

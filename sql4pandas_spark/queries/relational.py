@@ -992,3 +992,70 @@ def setop_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     jobs."""
     register_tables(spark, sf_dir, ("orders",))
     return spark.sql(CATALOG["setop_all_variants"].oracle)
+
+
+@query(
+    "join_hint_shuffle_hash",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_lines,
+           round(sum(l_extendedprice), 2) AS total_price
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("tier-b", "join_hint"),
+)
+def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy hint: SHUFFLE_HASH forces a shuffled-hash join (build a
+    per-partition hash table, skip both sort passes) — measured 2.4× faster
+    than sort-merge on the 30× probe's 18M-row orders⋈lineitem
+    (BASELINE.md). Hints matter at 100 TB exactly when the optimizer's
+    size estimates are wrong; the plan assertion in tests/test_plans.py
+    pins that the hint is honored, and the oracle pins that strategy choice
+    never changes the result."""
+    t = register_tables(spark, sf_dir, ("orders", "lineitem"))
+    joined = t["lineitem"].hint("shuffle_hash").join(
+        t["orders"], t["lineitem"]["l_orderkey"] == t["orders"]["o_orderkey"]
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "null_safe_join_counts",
+    oracle="""
+    WITH g AS (SELECT nullif(o_orderstatus, 'P') AS k, count(*) AS n
+               FROM orders GROUP BY 1)
+    SELECT coalesce(a.k, '(null)') AS k, a.n AS n_a, b.n AS n_b
+    FROM g a JOIN g b ON a.k IS NOT DISTINCT FROM b.k
+    ORDER BY k
+    """,
+    tags=("tier-a", "join_inner", "null_fns"),
+)
+def null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join: Spark's <=> (DuckDB: IS NOT DISTINCT FROM)
+    treats NULL as equal to NULL — without it, every NULL-keyed row silently
+    drops from an equi-join, the classic data-loss bug in pipelines whose
+    keys are nullable. One status value is nullif'd away so the fixture
+    actually exercises the NULL=NULL match."""
+    t = register_tables(spark, sf_dir, ("orders",))
+    g = (
+        t["orders"]
+        .groupBy(F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a, b = g.alias("a"), g.alias("b")
+    return (
+        a.join(b, F.expr("a.k <=> b.k"))
+        .select(
+            F.coalesce(F.col("a.k"), F.lit("(null)")).alias("k"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .orderBy("k")
+    )

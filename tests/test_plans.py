@@ -179,3 +179,11 @@ def test_aqe_splits_skewed_sort_merge_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_shuffle_hash_hint_is_honored(spark):
+    """The SHUFFLE_HASH hint must produce a ShuffledHashJoin (no sort
+    passes), not fall back to sort-merge."""
+    df = CATALOG["join_hint_shuffle_hash"].build(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "ShuffledHashJoin" in plan, "hint not honored"
