@@ -34,3 +34,36 @@ def test_compaction_collapses_files_and_preserves_rows(spark):
     compact_parquet_dir(spark, frag, comp2, target_records_per_file=half)
     expected = -(-n_rows // half)
     assert len(_parquet_files(comp2)) == expected
+
+
+def test_dynamic_overwrite_leaves_other_partitions_files_untouched(spark):
+    """Value equality is proven by the catalog oracle; this pins the PHYSICAL
+    claim — only partitions present in the incoming frame are rewritten, so
+    the other partitions' files (names + mtimes) are bit-for-bit the same
+    directory entries afterwards."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    t = register_tables(spark, SF_SMALL, ("documents",))
+    out = os.path.join(tempfile.gettempdir(), "s4ps_test_dyn_overwrite")
+    base = t["documents"].select("doc_id", "lang", "n_chars")
+    base.write.mode("overwrite").partitionBy("lang").parquet(out)
+
+    def snapshot(lang):
+        d = os.path.join(out, f"lang={lang}")
+        return {f: os.stat(os.path.join(d, f)).st_mtime_ns for f in os.listdir(d)}
+
+    before_fr, before_en = snapshot("fr"), snapshot("en")
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        base.filter(F.col("lang") == "en").withColumn(
+            "n_chars", F.col("n_chars") * 2
+        ).write.mode("overwrite").partitionBy("lang").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+    assert snapshot("fr") == before_fr, "untouched partition was rewritten"
+    assert snapshot("en") != before_en, "targeted partition was not rewritten"
