@@ -1059,3 +1059,38 @@ def null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@query(
+    "stats_corr_lineitem",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4)       AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope_price_per_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("tier-b", "agg_stats"),
+)
+def stats_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates: Pearson correlation, sample
+    covariance, and least-squares slope — all single-pass mergeable
+    aggregates (sum/sum-of-products moments), so they scale exactly like
+    sum(): partial per partition, one tiny merge. The synthetic fixture's
+    quantity/price correlation is near zero but non-degenerate, so the
+    moment math is still exercised end-to-end."""
+    t = register_tables(spark, sf_dir, ("lineitem",))
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "covar_qty_price"
+            ),
+            F.round(
+                F.expr("regr_slope(l_extendedprice, l_quantity)"), 4
+            ).alias("slope_price_per_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
