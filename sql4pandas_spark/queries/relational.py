@@ -1094,3 +1094,252 @@ def stats_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style composite queries (q7 / q10 / q14 / q19 analogs)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q7_nation_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, yr,
+           CAST(round(sum(volume), 2) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS INTEGER) AS yr,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) AS volume
+      FROM supplier s
+        JOIN lineitem l ON s.s_suppkey   = l.l_suppkey
+        JOIN orders   o ON o.o_orderkey  = l.l_orderkey
+        JOIN customer c ON c.c_custkey   = o.o_custkey
+        JOIN nation  n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation  n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+          OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+        AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, yr
+    ORDER BY supp_nation, cust_nation, yr
+    """,
+    tags=("tier-a", "join_multi"),
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q7 analog: the nation dimension joined under TWO roles
+    (supplier's nation and customer's nation) in one plan. Each role gets its
+    own aliased projection, so there is no ambiguous-column hazard, and both
+    are broadcast (nation is a fixed ~25-row dimension at any scale factor).
+    The disjunctive nation-pair filter lands on the broadcast side, so the
+    big fact shuffle (lineitem⋈orders) only carries surviving rows.
+
+    Revenue sums go through DECIMAL(18,4): per-row double→decimal quantization
+    is bit-identical on both engines, and decimal addition is exact and
+    order-independent — so the 2dp round can never land on a half-cent
+    boundary that the engines' different summation orders resolve differently
+    (q10 hit exactly that at sf0.01 with plain double sums)."""
+    t = register_tables(
+        spark, sf_dir, ("supplier", "lineitem", "orders", "customer", "nation")
+    )
+    n1 = F.broadcast(
+        t["nation"].select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        t["nation"].select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_18") & (F.col("cust_nation") == "NATION_19")
+    ) | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_18"))
+    return (
+        t["supplier"]
+        .join(t["lineitem"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .filter(
+            (F.col("l_shipdate") >= _ts("1995-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-01-01"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("yr"))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "yr")
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    FROM customer c
+      JOIN orders   o ON c.c_custkey    = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey   = o.o_orderkey
+      JOIN nation   n ON c.c_nationkey  = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey LIMIT 20
+    """,
+    tags=("tier-a", "join_multi"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q10 analog: top-20 customers by revenue lost to returns.
+    Both fact-side filters (return flag, order-date half-year) sit directly
+    on the scans so parquet pushdown prunes before the join; the final
+    ORDER BY+LIMIT compiles to TakeOrderedAndProject (per-partition heap,
+    no global sort) with c_custkey as the deterministic tie-break. Revenue
+    is an exact DECIMAL(18,4) sum so the top-20 cutoff and the 2dp round
+    are order-independent and engine-identical (see q7_nation_volume)."""
+    t = register_tables(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
+    return (
+        t["customer"]
+        .join(
+            t["orders"].filter(
+                (F.col("o_orderdate") >= _ts("1996-01-01"))
+                & (F.col("o_orderdate") < _ts("1996-07-01"))
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            t["lineitem"].filter(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q14_promo_share",
+    oracle="""
+    SELECT round(
+             100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                        AS DECIMAL(18,4))
+                              ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                   / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(18,4))) AS DOUBLE), 4) AS promo_pct,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+    tags=("tier-a", "agg_global"),
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q14 analog: promo revenue share — conditional aggregation as a
+    ratio of two sums in ONE pass (no self-join, no second scan). part joins
+    via AQE (broadcast while small, shuffle at scale); the date filter is
+    pushed to the lineitem scan. Both sums are exact DECIMAL(18,4) (see
+    q7_nation_volume), cast back to double only for the final division."""
+    t = register_tables(spark, sf_dir, ("lineitem", "part"))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-04-01"))
+        )
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(zero)).cast(
+                    "double"
+                )
+                / F.sum(vol).cast("double"),
+                4,
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_filter",
+    oracle="""
+    SELECT CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 25)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 30
+           AND l.l_quantity BETWEEN 10 AND 40)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 50)
+    """,
+    tags=("tier-a", "filter_bool"),
+)
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q19 analog: disjunction of conjunctive predicates spanning BOTH
+    join sides. Catalyst cannot push the whole OR below the join, but it CAN
+    (and does) derive the per-side implied filters — p_brand IN (...) on the
+    part scan — via constraint propagation; the residual mixed predicate
+    evaluates post-join inside whole-stage codegen. No UDF, no driver loop."""
+    t = register_tables(spark, sf_dir, ("lineitem", "part"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 30)
+            & F.col("l_quantity").between(10, 40)
+        )
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 50))
+    )
+    return (
+        t["lineitem"]
+        .join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
