@@ -1343,3 +1343,538 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H composite analogs, second batch: q8 q9 q12 q13 q15 q16 q17 q18 q21 q22
+# (q2/q11 are the two TPC-H shapes that need the partsupp table, which the
+# fixtures don't ship — their structural forms (correlated min-subquery,
+# HAVING over a global scalar) are covered by corr_subq_cheapest_per_brand
+# and scalar_subq_above_avg instead.)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT yr,
+           CAST(round(CAST(sum(CASE WHEN supp_nation = 'NATION_18' THEN vol
+                                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                      / CAST(sum(vol) AS DOUBLE), 4) AS DOUBLE) AS mkt_share
+    FROM (SELECT CAST(year(o.o_orderdate) AS INTEGER) AS yr,
+                 CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) AS vol,
+                 n1.n_name AS supp_nation
+          FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders   o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation  n2 ON c.c_nationkey = n2.n_nationkey
+          JOIN region   r ON n2.n_regionkey = r.r_regionkey
+          JOIN nation  n1 ON s.s_nationkey = n1.n_nationkey
+          WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+            AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o.o_orderdate <  TIMESTAMP '1997-01-01') all_nations
+    GROUP BY yr ORDER BY yr
+    """,
+    tags=("tier-a", "join_multi"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q8 analog: one nation's share of a region's STANDARD-part market
+    by year — an 8-table join (nation twice, under supplier and customer
+    roles) feeding a conditional-sum ratio. All four dimension joins
+    (nation x2, region, part-after-filter) broadcast; only lineitem⋈orders
+    shuffles, and it carries rows pre-pruned by the pushed date filter.
+    The share divides two exact DECIMAL(18,4) sums (numerator zeroed via
+    CASE, not filtered — one aggregation pass), cast to double only for the
+    final division + 4dp round, so both engines quantize identically."""
+    t = register_tables(
+        spark,
+        sf_dir,
+        ("part", "supplier", "lineitem", "orders", "customer", "nation", "region"),
+    )
+    n_cust = F.broadcast(
+        t["nation"].select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+        )
+    )
+    n_supp = F.broadcast(
+        t["nation"].select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        t["part"]
+        .filter(F.col("p_type") == "STANDARD")
+        .join(t["lineitem"], F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            t["orders"].filter(
+                (F.col("o_orderdate") >= _ts("1995-01-01"))
+                & (F.col("o_orderdate") < _ts("1997-01-01"))
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n_cust, F.col("c_nationkey") == F.col("cn_key"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("cn_region") == F.col("r_regionkey"),
+        )
+        .join(n_supp, F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_18", vol).otherwise(zero))
+                .cast("double")
+                / F.sum(vol).cast("double"),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("yr")
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS yr,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(18,4))), 2) AS DOUBLE) AS profit
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders   o ON o.o_orderkey = l.l_orderkey
+    JOIN nation   n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY nation, yr ORDER BY nation, yr DESC
+    """,
+    tags=("tier-a", "join_multi"),
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q9 analog: profit by supplier nation x order year for one part
+    family (p_name LIKE). The fixtures have no partsupp table, so profit is
+    gross margin (extendedprice x (1-discount)) rather than TPC-H's
+    supplycost-netted figure — the JOIN/LIKE/group structure is what q9
+    exercises. The LIKE filter shrinks part before its (broadcast) join, so
+    the fact shuffle carries only matching part families; exact decimal sums
+    as in q7_nation_volume."""
+    t = register_tables(
+        spark, sf_dir, ("part", "supplier", "lineitem", "orders", "nation")
+    )
+    return (
+        t["part"]
+        .filter(F.col("p_name").like("%widget%"))
+        .join(t["lineitem"], F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr")
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("profit")
+        )
+        .orderBy(F.col("nation"), F.col("yr").desc())
+    )
+
+
+@query(
+    "q12_late_lines_by_priority",
+    oracle="""
+    SELECT l.l_linestatus AS linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY linestatus ORDER BY linestatus
+    """,
+    tags=("tier-a", "case_when"),
+)
+def q12_late_lines_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q12 analog: priority mix of LATE lineitems. The fixtures carry
+    no shipmode/commitdate/receiptdate columns, so "late" is ship > order
+    date + 60 days and the group key is l_linestatus — same shape: a
+    cross-table date comparison that can only evaluate post-join (Catalyst
+    keeps it out of the scans but inside the join's codegen stage) feeding
+    two complementary CASE counts in one aggregation pass."""
+    t = register_tables(spark, sf_dir, ("orders", "lineitem"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("linestatus")
+    )
+
+
+@query(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c LEFT JOIN orders o
+            ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey) c_orders
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("tier-a", "join_left"),
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q13 analog: customer distribution by order count. The
+    distinguishing feature is the FILTER INSIDE THE OUTER-JOIN CONDITION:
+    `ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'` keeps every
+    customer (unlike a WHERE, which would turn the join inner) while only
+    counting non-urgent orders — count(o_orderkey) counts non-null matches
+    only. Two aggregation levels: per-customer count, then histogram."""
+    t = register_tables(spark, sf_dir, ("customer", "orders"))
+    return (
+        t["customer"]
+        .join(
+            t["orders"],
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+    tags=("tier-a", "subquery_scalar"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q15 analog: supplier(s) hitting the max quarterly revenue — a
+    reused CTE consumed twice (once per-supplier, once reduced to a scalar
+    max). The Spark build reuses ONE revenue DataFrame for both roles; the
+    scalar lands via a broadcast single-row cross join, so comparing against
+    it adds no shuffle. Revenue is rounded to 2dp *as exact decimal* before
+    the max/equality comparison, making the tie semantics engine-identical
+    (double equality on identically-quantized values). Returns all tied
+    suppliers, ordered by key."""
+    t = register_tables(spark, sf_dir, ("supplier", "lineitem"))
+    revenue = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1996-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    best = revenue.agg(F.max("total_revenue").alias("best_revenue"))
+    return (
+        t["supplier"]
+        .join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(best), F.col("total_revenue") == F.col("best_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q16_supplier_count_by_part",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#3' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1,5,10,15,20,25,30,35)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 500)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+    tags=("tier-a", "subquery_in"),
+)
+def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q16 analog: distinct supplier count per part family, excluding a
+    NOT-IN supplier subquery. lineitem stands in for partsupp as the
+    part↔supplier relation (the fixtures ship no partsupp). The NOT IN
+    compiles to a LEFT ANTI join against the (tiny, broadcast) excluded-
+    supplier set — safe here because s_suppkey is never NULL; a nullable
+    column would need null_safe_join_counts' <=> treatment. Note the anti
+    join applies to the lineitem SIDE before grouping, exactly matching the
+    SQL's per-row NOT IN semantics."""
+    t = register_tables(spark, sf_dir, ("part", "supplier", "lineitem"))
+    excluded = t["supplier"].filter(F.col("s_acctbal") < 500).select("s_suppkey")
+    return (
+        t["part"]
+        .filter(
+            (F.col("p_brand") != "Brand#3")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+        )
+        .join(t["lineitem"], F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(excluded),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q17_small_qty_revenue",
+    oracle="""
+    SELECT CAST(round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)))
+                           AS DOUBLE) / 7.0, 2) AS DOUBLE) AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#5'
+      AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+    """,
+    tags=("tier-a", "subquery_corr"),
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q17 analog: revenue from below-average-quantity lines of one
+    brand. The correlated per-part average decorrelates into a groupBy over
+    lineitem joined back on partkey — the same rewrite Catalyst/DuckDB
+    perform on the SQL form. The threshold math (0.2 x avg) is exact and
+    engine-identical: quantities are integral doubles, so their sum and the
+    sum/count division are deterministic regardless of partial-aggregation
+    order. Note the per-part averages aggregate ALL of lineitem (not just
+    Brand#5 rows) before the join, matching the subquery's scope; the
+    brand filter prunes the probe side only."""
+    t = register_tables(spark, sf_dir, ("lineitem", "part"))
+    thresholds = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("thr_partkey"))
+        .agg((0.2 * F.avg("l_quantity")).alias("qty_thr"))
+    )
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_brand") == "Brand#5")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(thresholds, F.col("thr_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(sum(l.l_quantity) AS DOUBLE) AS total_qty
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20
+    """,
+    tags=("tier-a", "subquery_in"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q18 analog: customers behind the largest-volume orders — an IN
+    subquery whose inner query is itself a grouped HAVING aggregate. The
+    Spark build computes the qualifying orderkey set once and LEFT SEMI
+    joins it (the IN rewrite), then re-aggregates quantities on the
+    surviving rows. Quantity sums are integral doubles (exact at any
+    aggregation order); top-20 tie-breaks on o_orderkey."""
+    t = register_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    big_orders = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        t["orders"]
+        .join(big_orders, F.col("o_orderkey") == F.col("big_orderkey"), "left_semi")
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q21_waiting_supplier",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 10
+    """,
+    tags=("tier-a", "subquery_corr"),
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q21 analog: the supplier who alone shipped late on multi-supplier
+    finished orders. Two correlated subqueries against the SAME fact table:
+    EXISTS (another supplier touched the order) → LEFT SEMI join; NOT EXISTS
+    (no OTHER supplier was late on it) → LEFT ANTI join whose condition
+    references both sides (the probe's o_orderdate vs the build's shipdate)
+    — the general correlated-anti form, not a plain key anti join. "Late"
+    adapts to ship > order date + 60d since the fixtures carry no
+    commit/receipt dates. Both semi/anti builds re-scan lineitem projected
+    to 2-3 columns; at scale they shuffle on l_orderkey just like the base,
+    so AQE can reuse the exchange."""
+    t = register_tables(spark, sf_dir, ("supplier", "lineitem", "orders"))
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    base = (
+        t["supplier"]
+        .join(t["lineitem"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"].filter(F.col("o_orderstatus") == "F"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(late)
+    )
+    l2 = t["lineitem"].select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    l3 = t["lineitem"].select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+        F.col("l_shipdate").alias("l3_shipdate"),
+    )
+    return (
+        base.join(
+            l2,
+            (F.col("l2_orderkey") == F.col("l_orderkey"))
+            & (F.col("l2_suppkey") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l3_orderkey") == F.col("l_orderkey"))
+            & (F.col("l3_suppkey") != F.col("l_suppkey"))
+            & (F.col("l3_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+@query(
+    "q22_idle_customers",
+    oracle="""
+    SELECT cntrycode, count(*) AS numcust,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS totacctbal
+    FROM (SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode,
+                 c_acctbal, c_custkey
+          FROM customer
+          WHERE c_nationkey % 5 IN (0, 1, 2)
+            AND c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                                         AS DOUBLE) / count(*)
+                             FROM customer
+                             WHERE c_acctbal > 0
+                               AND c_nationkey % 5 IN (0, 1, 2))) c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY cntrycode ORDER BY cntrycode
+    """,
+    tags=("tier-a", "subquery_scalar"),
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q22 analog: wealthy-but-idle customers by country code. Three
+    relational features stack: a derived grouping key (nationkey mod 5
+    stands in for the phone prefix the fixtures lack), a scalar AVG
+    threshold subquery, and a NOT EXISTS against recent orders (LEFT ANTI
+    on the date-filtered order scan). The threshold is spelled
+    sum(DECIMAL)/count — NOT avg(double) — because a double avg's partial
+    aggregation order is engine-dependent in the last ulp, and a customer
+    sitting exactly on that boundary would flip membership; the exact
+    decimal sum makes the cut deterministic on both engines."""
+    t = register_tables(spark, sf_dir, ("customer", "orders"))
+    code = (F.col("c_nationkey") % 5).cast("long")
+    eligible = t["customer"].filter(code.isin(0, 1, 2))
+    thr = (
+        eligible.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("bal_thr")
+        )
+    )
+    recent = t["orders"].filter(F.col("o_orderdate") >= _ts("1999-01-01"))
+    return (
+        eligible.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("bal_thr"))
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy(code.alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
