@@ -184,10 +184,14 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched_ts = F.last("_asof_matched_ts", ignorenulls=True).over(w)
+    # Epoch seconds via an intermediate TIMESTAMP cast: Spark 4 forbids a
+    # direct TIMESTAMP_NTZ→numeric cast, while NTZ→LTZ→long is legal and
+    # value-preserving under the pinned UTC session timezone.
+    _epoch = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
     in_tolerance = (
         F.lit(True)
         if tolerance_seconds is None
-        else F.col(left_ts).cast("long") - matched_ts.cast("long") <= tolerance_seconds
+        else _epoch(F.col(left_ts)) - _epoch(matched_ts) <= tolerance_seconds
     )
     carried = tagged.select(
         "*",

@@ -68,71 +68,32 @@ def query(
 #: already have green CORRECTNESS_r01/r02 rows (or are next in line if the
 #: window is ever wider than 50). Future rounds rotate this list.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Tier-A relational flagships (never driver-verified in r1/r2)
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    # every join variant
-    "left_join_missing_orders",
-    "right_join_orders_customers",
-    "full_outer_join_counts",
-    "semi_customers",
-    "anti_customers",
-    "theta_join_supplier_pairs",
-    "range_join_close_events",
-    "asof_join_purchase_click",
-    "cross_join_regions",
-    # grouping-set aggregates
-    "rollup_region_nation",
-    "cube_status_priority",
-    "grouping_sets_orders",
-    # set ops
-    "setop_intersect",
-    "setop_except",
-    "setop_union_counts",
-    # subqueries (all forms)
-    "subq_big_spenders",
-    "scalar_subq_above_avg",
-    "in_subq_customers",
-    "corr_subq_cheapest_per_brand",
-    # pivot / unpivot
-    "pivot_status_by_year",
-    "unpivot_part_metrics",
-    # all six window queries
-    "window_top3_orders_per_customer",
-    "window_order_gap_days",
-    "window_running_revenue",
-    "window_range_price_band",
-    "window_ntile_rank_kinds",
-    "window_first_last_order",
-    # the streaming set (events_hourly stays in the bench; its operator is
-    # driver-covered by stream_tumble_hourly)
-    "stream_tumble_hourly",
+    # ---- ROUND-5 WINDOW ----
+    # The r3/r4 `err` rows: TIMESTAMP_NTZ fix (sources/parquet.py,
+    # streaming/windows.py) — re-verify first.
     "stream_watermark_hourly",
-    "events_sliding_30m",
-    "events_session_windows",
-    "stream_stateful_user_counts",
-    "gapfill_hourly_counts",
     "stream_dedup_events",
     "stream_stream_join",
-    # the UDF surface
-    "udf_pandas_net_price",
-    "udf_grouped_zscore",
-    "udaf_weighted_avg_price",
-    "udtf_word_rows",
-    "udf_python_rowwise",
-    # the three r1/r2 `err` rows, fixed (de-arrayed outputs)
-    "agg_collect_ordered",
-    "approx_quantiles_orders",
-    "multimodal_decode_features",
-    # rows newly promoted from rows-only to hash-checked oracles
-    "lang_id_documents",
-    "dedup_simhash_pairs",
-    "dedup_near_minhash",
-    # ---- driver window (50) ends here; next-in-line if it's ever wider ----
-    "doc_fingerprints",
-    "approx_distinct_events",
+    # New this round: the asof tolerance path (same NTZ fix, operators/joins.py)
+    "asof_join_tolerance",
+    # The 41 entries that had never received driver evidence through r4
+    # (computed: CATALOG minus union of CORRECTNESS_r01..r04 keys).
+    # — TPC-H-style analogs added in round 3
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q12_late_lines_by_priority",
+    "q13_order_count_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_filter",
+    "q21_waiting_supplier",
+    "q22_idle_customers",
+    # — canonical per-operator entries
     "range_join_nokey_buckets",
     "hash_sample_orders",
     "pipeline_end_to_end",
@@ -142,9 +103,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "decontaminate_documents",
     "ivf_full_probe_top10",
     "stratified_mix_hash",
-    "scan_python_datasource",
-    "stream_python_datasource",
-    "multimodal_frame_sample",
     "lateral_top_orders",
     "stream_foreach_batch_sink",
     "setop_all_variants",
@@ -160,6 +118,21 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_global_lineitem",
     "agg_distinct_customer",
     "case_priority_buckets",
+    "tablesample_orders",
+    "stats_corr_lineitem",
+    "events_hourly",
+    # The r1/r2 `err` rows fixed since, never re-shown to the driver —
+    # highest-value five (all carry hash-checked oracles now; ann_* were
+    # promoted from rows-only to recall-bounded boolean oracles this round).
+    "doc_fingerprints",
+    "approx_distinct_events",
+    "ann_ivf_query_top10",
+    "ann_lsh_top10",
+    "scan_python_datasource",
+    # ---- driver window (50) ends here; next-in-line if it's ever wider ----
+    "stream_python_datasource",
+    "multimodal_frame_sample",
+    "stratified_sample_mix",
 )
 
 

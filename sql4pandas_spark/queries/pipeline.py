@@ -418,21 +418,40 @@ def _query_vector(sf_dir: str, vec_id: int = 0) -> list[float]:
     return [float(x) for x in tbl.column("embedding")[0].as_py()]
 
 
-@query("ann_ivf_query_top10", oracle=None, tags=("tier-c", "sim_search_ann", "rows-only"))
+@query(
+    "ann_ivf_query_top10",
+    oracle="SELECT CAST(10 AS BIGINT) AS n_ann, true AS recall_ok",
+    tags=("tier-c", "sim_search_ann"),
+)
 def ann_ivf_query_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 neighbors of vec_id=0 (16 hash-sampled
-    centroids, probe 4). Recall vs brute force asserted in
-    tests/test_similarity.py. The index (centroids + persisted cell
-    assignment) builds once per session per dataset (cache_key=sf_dir) —
-    see operators/similarity.build_ivf_index for the partitionBy("cell")
+    centroids, probe 4). The ANN result itself is engine-specific, so the
+    declared contract is the approx_distinct_events pattern: deterministic
+    facts (result cardinality) plus a recall-vs-exact bound the oracle
+    replays as literal true. Measured recall@10 is 0.5 at sf0.001 AND
+    sf0.01; the declared floor is 0.3 (same as tests/test_similarity.py).
+    Everything stays declarative — the recall join is a left-semi on the
+    exact top-10 (TakeOrderedAndProject both sides, no driver collect).
+    The index (centroids + persisted cell assignment) builds once per
+    session per dataset (cache_key=sf_dir) — see
+    operators/similarity.build_ivf_index for the partitionBy("cell")
     scale path."""
     t = register_tables(spark, sf_dir, ("embeddings",))
-    emb = t["embeddings"]
-    return similarity.ann_ivf_query_topk(
-        emb.filter(F.col("vec_id") != 0),
-        _query_vector(sf_dir),
-        k=10,
-        cache_key=f"{sf_dir}:no_vec0",
+    emb = t["embeddings"].filter(F.col("vec_id") != 0)
+    qvec = _query_vector(sf_dir)
+    ann = similarity.ann_ivf_query_topk(
+        emb, qvec, k=10, cache_key=f"{sf_dir}:no_vec0"
+    )
+    exact = similarity.cosine_query_topk(emb, qvec, k=10)
+    hits = (
+        ann.select("vec_id")
+        .join(exact.select("vec_id"), "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        ann.agg(F.count(F.lit(1)).alias("n_ann"))
+        .crossJoin(hits)
+        .select("n_ann", (F.col("hits") >= 3).alias("recall_ok"))
     )
 
 
@@ -547,12 +566,33 @@ def sim_query_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_lsh_top10", oracle=None, tags=("tier-c", "sim_search_ann", "rows-only"))
+@query(
+    "ann_lsh_top10",
+    oracle="SELECT CAST(10 AS BIGINT) AS n_ann, true AS recall_ok",
+    tags=("tier-c", "sim_search_ann"),
+)
 def ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 pairs via random-hyperplane LSH buckets; recall vs
-    the exact result is asserted in tests/test_similarity.py."""
+    """Approximate top-10 cosine pairs via random-hyperplane LSH buckets,
+    declared in recall-bounded boolean form (same pattern as
+    ann_ivf_query_top10): the oracle hash-checks result cardinality plus a
+    pair-recall-vs-exact floor of 0.4 (measured 0.6 at sf0.001, 0.7 at
+    sf0.01; tests/test_similarity.py asserts ≥0.5 at k=20). The recall
+    join is a left-semi on the exact top-10 pair keys — fully declarative,
+    no driver collect."""
     t = register_tables(spark, sf_dir, ("embeddings",))
-    return similarity.ann_lsh_topk(t["embeddings"], k=10)
+    emb = t["embeddings"]
+    lsh = similarity.ann_lsh_topk(emb, k=10)
+    exact = similarity.cosine_pairs_topk(emb, k=10)
+    hits = (
+        lsh.select("id_a", "id_b")
+        .join(exact.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        lsh.agg(F.count(F.lit(1)).alias("n_ann"))
+        .crossJoin(hits)
+        .select("n_ann", (F.col("hits") >= 4).alias("recall_ok"))
+    )
 
 
 @query(

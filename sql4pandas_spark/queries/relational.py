@@ -402,6 +402,51 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "asof_join_tolerance",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           CASE WHEN (epoch_us(p.ts) // 1000000) - (epoch_us(c.ts) // 1000000) <= 3600
+                THEN c.ts END AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id LIMIT 200
+    """,
+    tags=("tier-c", "join_asof"),
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound: the latest click at-or-before each
+    purchase counts only if it is at most 1 hour old, else NULL (pandas
+    ``merge_asof(tolerance=...)`` semantics).
+
+    Same one-shuffle union+window plan as asof_join_purchase_click; the
+    tolerance is a post-match filter on the carried value, computed in
+    floor-epoch-seconds on both engines (Spark ``cast(ts AS LONG)`` ==
+    DuckDB ``epoch_us(ts) // 1000000`` — both floor, so boundary
+    microseconds agree exactly). This entry exists so the one asof code
+    path that previously broke silently (TIMESTAMP_NTZ forbids the numeric
+    cast; fixed via an intermediate LTZ cast) stays driver-watched.
+    """
+    t = register_tables(spark, sf_dir, ("events",))
+    e = t["events"]
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        joins.asof_join(
+            purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+            value_cols=["click_ts"], tolerance_seconds=3600,
+        )
+        .select("event_id", "user_id", "click_ts")
+        .orderBy("event_id")
+        .limit(200)
+    )
+
+
 # ---------------------------------------------------------------------------
 # aggregation: global / distinct / stats / having / rollup / cube
 # ---------------------------------------------------------------------------

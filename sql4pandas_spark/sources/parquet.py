@@ -7,13 +7,15 @@ Scale notes:
   ``ReadSchema``) so a 100 TB table is only read in the columns/row-groups a
   query touches. tests/test_plans.py asserts this stays true.
 - Views are lazy: registering all ten tables costs only schema reads.
-- The ``events.ts`` column is INT64 TIMESTAMP(NANOS) parquet, which PySpark
-  4.x cannot read natively (FIXTURES.md). With
-  ``spark.sql.legacy.parquet.nanosAsLong=true`` it arrives as a long; we
-  convert with integer division ``ts div 1000`` → ``timestamp_micros``.
-  Integer division is deliberate: a double round-trip (``ts/1000``) loses
-  precision at 2^63-scale nanos and can flip a microsecond near boundaries,
-  while DuckDB (the correctness oracle) truncates exactly.
+- The ``events.ts`` column is ``timestamp[us]`` (no timezone) parquet at all
+  SFs (pyarrow-verified, FIXTURES.md), which PySpark 4 reads as
+  TIMESTAMP_NTZ. Watermarks and numeric casts reject NTZ, so we normalize to
+  TIMESTAMP (LTZ) at load — value-preserving under the pinned UTC session
+  timezone. The legacy INT64-nanos flavor (read as ``bigint`` under
+  ``spark.sql.legacy.parquet.nanosAsLong=true``) keeps its own branch:
+  integer division ``ts div 1000`` → ``timestamp_micros`` stays in exact
+  int64 (a double round-trip can flip a microsecond near boundaries, while
+  DuckDB — the correctness oracle — truncates exactly).
 """
 
 from __future__ import annotations
@@ -55,9 +57,17 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ns-as-long → µs timestamp; `div` keeps the math in exact int64.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # ns-as-long → µs timestamp; `div` keeps the math in exact int64.
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # µs-no-timezone parquet (the common flavor in the wild) arrives
+            # as TIMESTAMP_NTZ, which withWatermark rejects and which Spark 4
+            # forbids casting to numeric. Cast to TIMESTAMP (LTZ) — value-
+            # preserving because configure_session pins the session TZ to UTC.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _df_cache[key] = df
     return df
 

@@ -50,8 +50,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     stream = spark.readStream.schema(batch.schema).parquet(_stream_dir(sf_dir))
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # withWatermark hard-requires TIMESTAMP (LTZ); NTZ→LTZ is value-
+        # preserving under the pinned UTC session timezone.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
