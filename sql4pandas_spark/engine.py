@@ -34,6 +34,21 @@ class Result:
     def __init__(self, df: DataFrame):
         self.df = df
 
+    @property
+    def is_streaming(self) -> bool:
+        """True when the statement read a streaming view — call :meth:`drain`
+        (or hand ``df`` to ``writeStream``) instead of collecting."""
+        return self.df.isStreaming
+
+    def drain(self, mode: str = "complete", timeout_sec: int = 120) -> "Result":
+        """Run a streaming result to completion over everything currently on
+        disk (``trigger(availableNow=True)``) and return the final table as a
+        batch Result. The deterministic way to get SQL-over-stream answers in
+        a test or backfill; a production job would ``writeStream`` instead."""
+        from sql4pandas_spark.streaming.windows import run_available_now
+
+        return Result(run_available_now(self.df, mode=mode, timeout_sec=timeout_sec))
+
     def to_pandas(self) -> pd.DataFrame:
         """Materialize via Arrow (spark.sql.execution.arrow.pyspark.enabled)."""
         return self.df.toPandas()
@@ -112,11 +127,37 @@ class Engine:
         df.createOrReplaceTempView(name)
 
     def register_parquet(self, name: str, path: str) -> None:
-        self.spark.read.parquet(path).createOrReplaceTempView(name)
+        from sql4pandas_spark.sources.parquet import normalize_ntz
+
+        normalize_ntz(self.spark.read.parquet(path)).createOrReplaceTempView(name)
 
     def register_fixtures(self, sf_dir: str) -> None:
         """Register the ten fixture tables from a scale-factor directory."""
         register_tables(self.spark, sf_dir)
+
+    def register_stream(self, name: str, stream: DataFrame) -> None:
+        """Register a STREAMING DataFrame (``spark.readStream...``) as a view.
+
+        ``Engine.sql`` statements over the view return a streaming Result —
+        the same SQL text that works on a batch view incrementalizes under
+        MicroBatchExecution (windowed aggs, stream-stream joins, stream-static
+        joins against registered batch tables). Drain deterministically with
+        ``Result.drain()``; watermark first (``stream.withWatermark``) when
+        state must stay bounded on a real unbounded source.
+        """
+        if not stream.isStreaming:
+            raise ValueError(
+                f"register_stream({name!r}) expects a streaming DataFrame "
+                "(spark.readStream...); use register() for batch inputs"
+            )
+        stream.createOrReplaceTempView(name)
+
+    def register_events_stream(self, sf_dir: str, name: str = "events_stream") -> None:
+        """Register the fixture events table as a streaming view (timestamp
+        normalization matching the batch reader)."""
+        from sql4pandas_spark.streaming.windows import read_events_stream
+
+        self.register_stream(name, read_events_stream(self.spark, sf_dir))
 
     # -- execution ---------------------------------------------------------
     def sql(self, statement: str) -> Result:

@@ -915,17 +915,41 @@ def hash_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("tablesample_orders", oracle=None, tags=("tier-b", "sample", "rows-only"))
+@query(
+    "tablesample_orders",
+    oracle="SELECT true AS frac_ok, true AS avg_ok",
+    tags=("tier-b", "sample"),
+)
 def tablesample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bernoulli sampling with a fixed seed (df.sample) — the standard cheap
-    way to bound work for stats/training-subset jobs at 100 TB. Seeded, so
-    the driver's determinism check holds within a session; the assertion
-    that the fraction lands near 10% lives in the aggregate itself."""
+    way to bound work for stats/training-subset jobs at 100 TB.
+
+    The sampled row set is engine- AND partitioning-specific (per-partition
+    RNG), so the rows themselves can't be oracled; the statistical contract
+    can (same pattern as ann_ivf_query_top10): sampled fraction within
+    0.1 ± 0.04 (>5σ of binomial noise at every fixture SF) and sample mean
+    price within 20% of the population mean (~4.6σ at sf0.001). The oracle
+    replays both as literal true. Fully declarative — one aggregate over the
+    sample cross-joined with one over the population, no driver collect.
+    For auditable reproducible subsets use hash_sample_orders instead."""
     t = register_tables(spark, sf_dir, ("orders",))
-    s = t["orders"].sample(fraction=0.1, seed=42)
-    return s.agg(
+    orders = t["orders"]
+    s = orders.sample(fraction=0.1, seed=42).agg(
         F.count(F.lit(1)).alias("n_sampled"),
-        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.avg("o_totalprice").alias("avg_sampled"),
+    )
+    pop = orders.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.avg("o_totalprice").alias("avg_total"),
+    )
+    return s.crossJoin(pop).select(
+        (
+            F.abs(F.col("n_sampled") / F.col("n_total") - 0.1) <= 0.04
+        ).alias("frac_ok"),
+        (
+            F.abs(F.col("avg_sampled") - F.col("avg_total"))
+            <= 0.2 * F.col("avg_total")
+        ).alias("avg_ok"),
     )
 
 

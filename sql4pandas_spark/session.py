@@ -10,9 +10,11 @@ Design notes (scale):
   conversion, partition coalescing) applies at any scale.
 - ``spark.sql.session.timeZone=UTC`` so collected timestamps are stable across
   machines (SURVEY.md §2.12 #3).
-- ``spark.sql.legacy.parquet.nanosAsLong=true`` because the ``events`` fixture
-  stores INT64 TIMESTAMP(NANOS) which PySpark 4.x refuses by default
-  (FIXTURES.md). The long→timestamp conversion happens in sources/parquet.py.
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` as legacy-input support: an
+  INT64 TIMESTAMP(NANOS) parquet column (which PySpark 4.x refuses by
+  default) arrives as a long instead of erroring. The shipped fixtures are
+  ``timestamp[us]`` (read as TIMESTAMP_NTZ and normalized to LTZ); both
+  conversions happen in sources/parquet.py (FIXTURES.md).
 - Arrow on for the pandas interop path (the reference's identity is pandas in
   / pandas out).
 """

@@ -51,23 +51,37 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _df_cache: dict[tuple[int, str, str], DataFrame] = {}
 
 
+def normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to TIMESTAMP (LTZ).
+
+    µs-no-timezone parquet (the most common timestamp flavor in the wild)
+    arrives as TIMESTAMP_NTZ, which ``withWatermark`` rejects and which
+    Spark 4 forbids casting to numeric. The cast is value-preserving because
+    configure_session pins the session TZ to UTC, and it does NOT cost
+    pushdown: Catalyst unwraps the cast in comparisons, so filters on the
+    casted column still reach the parquet scan (plan-verified — PushedFilters
+    identical with and without the cast)."""
+    if not any(t == "timestamp_ntz" for _, t in df.dtypes):
+        return df
+    return df.select(
+        *[
+            F.col(c).cast("timestamp").alias(c) if t == "timestamp_ntz" else F.col(c)
+            for c, t in df.dtypes
+        ]
+    )
+
+
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (id(spark), sf_dir, name)
     cached = _df_cache.get(key)
     if cached is not None:
         return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            # ns-as-long → µs timestamp; `div` keeps the math in exact int64.
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        elif ts_type == "timestamp_ntz":
-            # µs-no-timezone parquet (the common flavor in the wild) arrives
-            # as TIMESTAMP_NTZ, which withWatermark rejects and which Spark 4
-            # forbids casting to numeric. Cast to TIMESTAMP (LTZ) — value-
-            # preserving because configure_session pins the session TZ to UTC.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # legacy ns-as-long input → µs timestamp; `div` keeps the math in
+        # exact int64 (a double round-trip can flip a µs near boundaries).
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    df = normalize_ntz(df)
     _df_cache[key] = df
     return df
 

@@ -27,15 +27,27 @@ from sql4pandas_spark.sources.parquet import table
 
 
 def _stream_dir(sf_dir: str) -> str:
-    """The file stream source requires a directory; the fixtures are single
-    read-only files. Stage a stable symlink dir per fixture file (cheap,
-    idempotent; mirrors how a real stream would watch a landing directory)."""
+    """The file stream source watches a directory of data FILES; the fixture
+    may be a single parquet file (the shipped testdata) or a Spark-written
+    directory of part files (e.g. tools/scale_probe.py output). Stage a
+    stable symlink dir per source (cheap, idempotent; mirrors how a real
+    stream would watch a landing directory). Part files are linked
+    individually — a symlink to a directory is invisible to the file stream
+    source, which lists plain files only."""
     key = sf_dir.strip("/").replace("/", "_")
     d = os.path.join(tempfile.gettempdir(), f"s4ps_stream_{key}")
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        for fname in sorted(os.listdir(src)):
+            if fname.endswith(".parquet"):
+                link = os.path.join(d, fname)
+                if not os.path.exists(link):
+                    os.symlink(os.path.join(src, fname), link)
+    else:
+        link = os.path.join(d, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
     return d
 
 
@@ -50,14 +62,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     stream = spark.readStream.schema(batch.schema).parquet(_stream_dir(sf_dir))
-    ts_type = dict(stream.dtypes).get("ts")
-    if ts_type == "bigint":
+    if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    elif ts_type == "timestamp_ntz":
-        # withWatermark hard-requires TIMESTAMP (LTZ); NTZ→LTZ is value-
-        # preserving under the pinned UTC session timezone.
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return stream
+    # withWatermark hard-requires TIMESTAMP (LTZ); NTZ→LTZ is value-
+    # preserving under the pinned UTC session timezone.
+    from sql4pandas_spark.sources.parquet import normalize_ntz
+
+    return normalize_ntz(stream)
 
 
 def run_available_now(

@@ -1,0 +1,93 @@
+"""Round-5 additions: TIMESTAMP_NTZ normalization everywhere, and
+Engine.sql over streaming views.
+
+The fixtures' timestamp columns are µs-no-timezone parquet → TIMESTAMP_NTZ
+in Spark 4, which withWatermark rejects and numeric casts refuse. Every load
+path (batch fixture reader, streaming reader, Engine.register_parquet) must
+deliver TIMESTAMP (LTZ) — value-preserving under the pinned UTC session TZ.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql4pandas_spark.engine import Engine
+from sql4pandas_spark.session import get_spark
+from sql4pandas_spark.sources.parquet import normalize_ntz, register_tables
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark()
+
+
+def test_no_ntz_survives_fixture_load(spark):
+    tables = register_tables(spark, SF)
+    leftover = {
+        name: [c for c, t in df.dtypes if t == "timestamp_ntz"]
+        for name, df in tables.items()
+        if any(t == "timestamp_ntz" for _, t in df.dtypes)
+    }
+    assert not leftover, f"TIMESTAMP_NTZ leaked through _load: {leftover}"
+
+
+def test_normalize_ntz_keeps_filter_pushdown(spark):
+    """The NTZ→LTZ cast must not cost parquet predicate pushdown — Catalyst
+    unwraps the cast in comparisons, so the scan still prunes row groups.
+    This is the 100 TB guarantee: a date-filtered scan reads only the
+    matching row groups whether or not the column needed normalization."""
+    raw = spark.read.parquet(f"{SF}/lineitem.parquet")
+    casted = normalize_ntz(raw)
+    plan = (
+        casted.filter(F.col("l_shipdate") <= "1998-09-02")
+        .select("l_quantity")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_watermark_works_on_every_fixture_timestamp(spark):
+    """Watermarks must be applicable to any loaded timestamp column, not just
+    events.ts — this is what broke silently when orders/lineitem stayed NTZ."""
+    tables = register_tables(spark, SF)
+    orders = tables["orders"]
+    # analysis (not execution) is where EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+    # used to throw; reaching the schema proves the type is watermarkable
+    assert orders.withWatermark("o_orderdate", "1 day").schema is not None
+
+
+def test_engine_sql_over_stream_matches_batch(spark):
+    """The same SQL text over a streaming view and a batch view must agree
+    once the stream is drained (availableNow batch-equivalence)."""
+    eng = Engine(spark)
+    eng.register_fixtures(SF)
+    eng.register_events_stream(SF)
+    sql = """
+        SELECT window(ts, '1 hour').start AS w, event_type,
+               count(*) AS n
+        FROM {table}
+        GROUP BY window(ts, '1 hour'), event_type
+    """
+    streamed = eng.sql(sql.format(table="events_stream"))
+    assert streamed.is_streaming
+    got = {tuple(r) for r in streamed.drain().collect()}
+    want = {tuple(r) for r in eng.sql(sql.format(table="events")).collect()}
+    assert got == want and len(want) > 0
+
+
+def test_engine_register_stream_rejects_batch(spark):
+    eng = Engine(spark)
+    with pytest.raises(ValueError, match="streaming"):
+        eng.register_stream("nope", spark.range(3))
+
+
+def test_engine_register_parquet_normalizes(spark):
+    eng = Engine(spark)
+    eng.register_parquet("orders_raw", f"{SF}/orders.parquet")
+    dtypes = dict(eng.sql("SELECT * FROM orders_raw").df.dtypes)
+    assert dtypes["o_orderdate"] == "timestamp"
