@@ -225,3 +225,47 @@ def winnow_fingerprint(
         F.array_min(mins).alias("fingerprint"),
         F.size(F.array_distinct(mins)).alias("n_windows"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    token_count: Column | None = None,
+) -> DataFrame:
+    """Contiguous-fill sequence packing: assign each document to a training
+    sequence of ~`budget_tokens` tokens (the concat-then-chunk packing used
+    to build fixed-length pretraining batches).
+
+    Documents are laid end-to-end in deterministic `order_col` order within
+    each `group_col` stream; a document belongs to the sequence its START
+    offset falls in (``seq_id = start_offset // budget``), so a straddling
+    document counts toward the sequence it begins in. This is the scalable
+    declarative form of packing: ONE shuffle on `group_col`, a single-pass
+    window cumsum, no sequential greedy loop — bin-packing variants that
+    need global first-fit state don't distribute, and real pipelines use
+    concat-then-chunk for exactly that reason.
+
+    Returns the input columns plus `n_tokens_doc` and `seq_id`. Aggregate
+    per (group, seq_id) for fill curves; at 100 TB the group column keys the
+    only shuffle and skewed groups split fine because the window is a
+    running sum (AQE handles the rest).
+    """
+    from pyspark.sql import Window
+
+    tok = (
+        token_count
+        if token_count is not None
+        else F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    )
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    start = F.coalesce(
+        F.sum(tok).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("long"),
+    )
+    return df.select(
+        "*",
+        tok.alias("n_tokens_doc"),
+        F.floor(start / budget_tokens).cast("long").alias("seq_id"),
+    )

@@ -1269,6 +1269,47 @@ def stratified_mix_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pack_sequences_bins",
+    oracle="""
+    WITH d AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
+      FROM documents),
+    s AS (
+      SELECT source, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+      FROM d)
+    SELECT source, CAST(start_off // 512 AS BIGINT) AS seq_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM s GROUP BY source, seq_id ORDER BY source, seq_id
+    """,
+    tags=("tier-c", "pack_sequences", "data_mix"),
+)
+def pack_sequences_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for fixed-length training batches: concat-then-chunk
+    documents per source stream into 512-token sequences
+    (operators/text.pack_sequences), then report per-sequence fill. The
+    oracle replays the identical window-cumsum assignment in DuckDB, so
+    packing is fully hash-checked — deterministic by construction (ordered
+    by doc_id, no RNG)."""
+    t = register_tables(spark, sf_dir, ("documents",))
+    packed = text.pack_sequences(t["documents"], budget_tokens=512)
+    return (
+        packed.groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens_doc").cast("long").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "seq_id")
+    )
+
+
+@query(
     "hll_sketch_users",
     oracle="""
     SELECT count(DISTINCT user_id) AS exact_total, true AS merged_ok FROM events

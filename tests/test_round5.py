@@ -91,3 +91,47 @@ def test_engine_register_parquet_normalizes(spark):
     eng.register_parquet("orders_raw", f"{SF}/orders.parquet")
     dtypes = dict(eng.sql("SELECT * FROM orders_raw").df.dtypes)
     assert dtypes["o_orderdate"] == "timestamp"
+
+
+def test_pack_sequences_contiguous_fill(spark):
+    """Packing semantics pinned on a hand-computable frame: docs laid
+    end-to-end per group, seq_id = start_offset // budget, straddlers belong
+    to the sequence they start in."""
+    from sql4pandas_spark.operators.text import pack_sequences
+
+    rows = [
+        # source, doc_id, text (token counts 3, 4, 2, 5)
+        ("a", 0, "w w w"),
+        ("a", 1, "x x x x"),
+        ("a", 2, "y y"),
+        ("b", 0, "z z z z z"),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    out = {
+        (r.source, r.doc_id): (r.n_tokens_doc, r.seq_id)
+        for r in pack_sequences(df, budget_tokens=5).collect()
+    }
+    # group a offsets: doc0 starts at 0 -> seq 0; doc1 starts at 3 -> seq 0
+    # (straddles into 5..6 but belongs to its start bin); doc2 starts at 7 -> seq 1
+    assert out == {
+        ("a", 0): (3, 0),
+        ("a", 1): (4, 0),
+        ("a", 2): (2, 1),
+        ("b", 0): (5, 0),
+    }
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """One shuffle only (on the group column) — the window cumsum reuses the
+    same partitioning, so packing 100 TB costs one exchange."""
+    from sql4pandas_spark.operators.text import pack_sequences
+    from sql4pandas_spark.sources.parquet import table
+
+    docs = table(spark, SF, "documents")
+    plan = (
+        pack_sequences(docs, budget_tokens=512)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
