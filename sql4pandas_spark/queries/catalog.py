@@ -133,6 +133,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_python_datasource",
     "multimodal_frame_sample",
     "stratified_sample_mix",
+    "pack_sequences_bins",
 )
 
 

@@ -135,3 +135,35 @@ def test_pack_sequences_single_shuffle(spark):
         .toString()
     )
     assert plan.count("Exchange") == 1, plan
+
+
+def test_engine_joins_pandas_parquet_and_stream(spark):
+    """The README contract: registered pandas frames, parquet tables, and
+    streaming sources join freely in one SQL statement. A stream-static join
+    (stream events x pandas dimension) grouped by a dimension attribute must
+    drain to the batch-equivalent answer."""
+    import pandas as pd
+
+    eng = Engine(spark)
+    eng.register_fixtures(SF)
+    eng.register_events_stream(SF)
+    # pandas dimension: event_type -> funnel stage
+    eng.register(
+        "stages",
+        pd.DataFrame(
+            {
+                "event_type": ["click", "view", "purchase", "signup", "error"],
+                "stage": ["mid", "top", "bottom", "top", "ops"],
+            }
+        ),
+    )
+    sql = """
+        SELECT s.stage, count(*) AS n, round(sum(e.value), 2) AS v
+        FROM {events} e JOIN stages s ON e.event_type = s.event_type
+        GROUP BY s.stage
+    """
+    streamed = eng.sql(sql.format(events="events_stream"))
+    assert streamed.is_streaming
+    got = {tuple(r) for r in streamed.drain().collect()}
+    want = {tuple(r) for r in eng.sql(sql.format(events="events")).collect()}
+    assert got == want and len(want) == 4
