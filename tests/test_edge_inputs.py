@@ -1,0 +1,145 @@
+"""Edge-input behavior of the custom operators: empty sides, null keys,
+null timestamps. At 100 TB these aren't corner cases — a partition-pruned
+scan or a selective filter routinely hands an operator zero rows, and real
+event data carries null keys — so each operator's contract under them is
+pinned here.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from sql4pandas_spark.operators import dedup, joins, text
+from sql4pandas_spark.operators.text import pack_sequences
+
+EVENTS_SCHEMA = "user_id long, ts timestamp, event_id long"
+CLICKS_SCHEMA = "user_id long, ts timestamp, click_ts timestamp"
+DOCS_SCHEMA = "source string, doc_id long, text string"
+
+T9 = datetime(2024, 1, 1, 9, 0, 0)
+T9_30S = datetime(2024, 1, 1, 9, 0, 30)
+T10 = datetime(2024, 1, 1, 10, 0, 0)
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# asof_join
+# ---------------------------------------------------------------------------
+
+
+def test_asof_join_empty_right_keeps_all_left(spark):
+    left = _df(spark, [(1, T10, 100)], EVENTS_SCHEMA)
+    right = _df(spark, [], CLICKS_SCHEMA)
+    out = joins.asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["click_ts"],
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].click_ts is None
+
+
+def test_asof_join_empty_left_is_empty(spark):
+    left = _df(spark, [], EVENTS_SCHEMA)
+    right = _df(spark, [(1, T9, T9)], CLICKS_SCHEMA)
+    out = joins.asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["click_ts"],
+    )
+    assert out.count() == 0
+
+
+def test_asof_join_null_left_ts_matches_nothing(spark):
+    """A left row with NULL ts sorts before every right row (Spark ASC NULLS
+    FIRST), so nothing precedes it and the carried value is NULL — the match
+    contract 'latest right at-or-before left_ts' is vacuous for NULL."""
+    left = _df(spark, [(1, None, 100)], EVENTS_SCHEMA)
+    right = _df(spark, [(1, T9, T9)], CLICKS_SCHEMA)
+    out = joins.asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["click_ts"],
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].click_ts is None
+
+
+# ---------------------------------------------------------------------------
+# bucketed_range_join
+# ---------------------------------------------------------------------------
+
+
+def test_range_join_empty_sides(spark):
+    left = _df(spark, [], "user_id long, ts timestamp, event_id long")
+    right = _df(spark, [(1, T9_30S, 7)],
+                "user_id long, ts2 timestamp, event_id2 long")
+    assert joins.bucketed_range_join(left, right, "ts", "ts2", 3600).count() == 0
+    assert joins.bucketed_range_join(
+        right.withColumnRenamed("ts2", "ts").withColumnRenamed("event_id2", "event_id"),
+        left.withColumnRenamed("ts", "ts2").withColumnRenamed("event_id", "event_id2"),
+        "ts", "ts2", 3600,
+    ).count() == 0
+
+
+def test_range_join_null_ts_drops_row(spark):
+    """NULL timestamps produce NULL bucket ids; null equi-keys never join —
+    the row silently drops, same as SQL inner-join semantics on NULL."""
+    left = _df(spark, [(1, None, 100)], "user_id long, ts timestamp, event_id long")
+    right = _df(spark, [(1, T9_30S, 7)],
+                "user_id long, ts2 timestamp, event_id2 long")
+    assert joins.bucketed_range_join(left, right, "ts", "ts2", 3600).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# salted_join
+# ---------------------------------------------------------------------------
+
+
+def test_salted_join_empty_and_null_keys(spark):
+    big = _df(spark, [(None, 1), (7, 2)], "k long, v long")
+    small = _df(spark, [(7, "x")], "k2 long, name string")
+    out = joins.salted_join(big, small, "k", "k2")
+    # null key never equi-joins (inner); the real key matches once
+    assert [(r.v, r.name) for r in out.collect()] == [(2, "x")]
+    empty = _df(spark, [], "k long, v long")
+    assert joins.salted_join(empty, small, "k", "k2").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_empty_and_empty_text(spark):
+    assert pack_sequences(_df(spark, [], DOCS_SCHEMA), 512).count() == 0
+    out = pack_sequences(
+        _df(spark, [("a", 0, ""), ("a", 1, "w w")], DOCS_SCHEMA), budget_tokens=5
+    ).collect()
+    by_id = {r.doc_id: (r.n_tokens_doc, r.seq_id) for r in out}
+    # empty text contributes 0 tokens and both docs share sequence 0
+    assert by_id == {0: (0, 0), 1: (2, 0)}
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dedup_empty(spark):
+    empty = _df(spark, [], DOCS_SCHEMA)
+    assert dedup.exact_dedup(empty).count() == 0
+
+
+def test_near_dedup_minhash_empty(spark):
+    empty = _df(spark, [], DOCS_SCHEMA)
+    assert dedup.near_dedup_minhash(empty).count() == 0
+
+
+def test_winnow_fingerprint_short_doc(spark):
+    """Documents shorter than the winnow window still fingerprint (the slice
+    clamps) — a 1-token doc must not error or return NULL."""
+    out = text.winnow_fingerprint(
+        _df(spark, [("a", 0, "solo")], DOCS_SCHEMA)
+    ).collect()
+    assert len(out) == 1 and out[0].fingerprint is not None
