@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Skew probe: measure a hot-key equi-join under (a) AQE skew-join split,
+(b) no mitigation, (c) explicit salting (operators/joins.salted_join).
+
+The fixtures have uniform keys (FIXTURES.md), so skew behavior can't be
+measured on them; this synthesizes a fact table where ONE key holds ~30% of
+all rows — the shape that stalls a shuffle join on the straggler task owning
+the hot key. Broadcast is disabled for the A/B because a broadcastable dim
+side has no skew problem by construction (no shuffle of the fact side); the
+scenario models two genuinely large inputs.
+
+AQE's skew split only triggers on partitions above
+``skewedPartitionThresholdInBytes`` (256 MB stock) — far above anything a
+local fixture produces — so the probe lowers the thresholds to make the
+optimizer see the (relatively) skewed partition, exactly as a cluster job
+would tune them relative to its partition sizes.
+
+Run:  python tools/skew_probe.py [n_rows] [hot_tenths]   # default 20M, 3
+      (hot_tenths = how many tenths of all rows land on the hot key)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from sql4pandas_spark.operators.joins import salted_join  # noqa: E402
+from sql4pandas_spark.session import get_spark  # noqa: E402
+
+N_KEYS = 999
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
+    hot_tenths = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    spark = get_spark(app_name="s4ps-skew-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # hot_tenths/10 of rows on key 0, the rest uniform over keys 1..N_KEYS;
+    # deterministic (hash of id, no RNG) so every branch joins identical data
+    big = spark.range(n).select(
+        F.when(F.col("id") % 10 < hot_tenths, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(N_KEYS)) + 1)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(N_KEYS + 1).select(
+        F.col("id").alias("k2"), (F.col("id") * 2).alias("w")
+    )
+    big.write.mode("overwrite").parquet("/tmp/s4ps_skew_big")
+    dim.write.mode("overwrite").parquet("/tmp/s4ps_skew_dim")
+    # carry an incompressible payload through the shuffle: with ONLY the
+    # 8-byte key in flight, the hot partition's 36M identical longs LZ4 away
+    # to under any skew threshold and AQE's byte-based detection never sees
+    # the row-count skew (measured: zero skew splits at any threshold, even
+    # force-enabled). Real joins move payload; the probe must too.
+    bigp = spark.read.parquet("/tmp/s4ps_skew_big").withColumn(
+        "pay", F.md5(F.col("v").cast("string"))
+    )
+    dimp = spark.read.parquet("/tmp/s4ps_skew_dim")
+
+    def run(tag: str, salted: bool) -> float:
+        best, plan = None, ""
+        # rebuild the DataFrame each iteration: timing a re-collect of one
+        # instance measures shuffle-file REUSE (~0.05s), not the join
+        for _ in range(2):
+            joined = (
+                salted_join(bigp, dimp, "k", "k2", n_salts=16)
+                if salted
+                else bigp.join(dimp, F.col("k") == F.col("k2"))
+            )
+            agg = joined.agg(F.count(F.lit(1)), F.sum("w"), F.max("pay"))
+            t0 = time.perf_counter()
+            agg.collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            plan = agg._jdf.queryExecution().executedPlan().toString()
+        print(f"  {tag}: {best:.2f}s (skew-split applied: {'skew=true' in plan})")
+        return best
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # stock 256MB threshold never fires at local scale; scale it to the
+        # probe's partition sizes the way a cluster job would
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4MB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    saved["spark.sql.adaptive.skewJoin.enabled"] = spark.conf.get(
+        "spark.sql.adaptive.skewJoin.enabled"
+    )
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        print(f"skew probe: {n:,} rows, key 0 holds ~{hot_tenths * 10}%")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        aqe = run("AQE skew-join split (default path)", salted=False)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        none = run("no mitigation (skew split off)   ", salted=False)
+        salted = run("explicit salted_join(n_salts=16) ", salted=True)
+        print(
+            f"straggler cost exposed: {none / aqe:.2f}x vs AQE, "
+            f"{none / salted:.2f}x vs salting"
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+if __name__ == "__main__":
+    main()
