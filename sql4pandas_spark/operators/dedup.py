@@ -422,3 +422,48 @@ def contamination_overlap(
             ),
         )
     )
+
+
+def incremental_exact_dedup(
+    batch: DataFrame,
+    store_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-batch exact dedup against a persistent digest store — the
+    continuous-ingestion primitive: each arriving batch keeps only content
+    never seen in ANY earlier batch (and once within itself, smallest id
+    wins), then appends its new digests to the store.
+
+    Scale shape: the store holds ONLY 32-byte sha2 digests — ~3 orders of
+    magnitude smaller than the corpus — so at 100 TB the anti-join shuffles
+    digests, never text, and the store stays a compact parquet directory
+    that every ingestion job shares. The text column never moves: the batch
+    is hashed in place, winners are chosen per digest, and the original
+    rows are recovered with a left-semi join on the id.
+
+    Returns the kept subset of ``batch`` (all original columns). Call once
+    per batch; wrap in foreachBatch for a streaming ingestion pipeline.
+    """
+    spark = batch.sparkSession
+    hashed = batch.select(
+        F.col(id_col),
+        F.sha2(F.col(text_col).cast("binary"), 256).alias("content_hash"),
+    )
+    try:
+        seen = spark.read.parquet(store_dir).select("content_hash")
+    except Exception:  # first batch: no store yet
+        seen = None
+    fresh = (
+        hashed.join(seen, "content_hash", "left_anti") if seen is not None else hashed
+    )
+    # materialize winners ONCE, before appending digests: the store append
+    # must not race the (lazy) anti-join against the store it extends, and
+    # the digest write + the returned join must not recompute the lineage
+    winners = (
+        fresh.groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col))
+        .localCheckpoint(eager=True)
+    )
+    winners.select("content_hash").write.mode("append").parquet(store_dir)
+    return batch.join(winners.select(id_col), id_col, "left_semi")

@@ -134,6 +134,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_frame_sample",
     "stratified_sample_mix",
     "pack_sequences_bins",
+    "incremental_dedup_batches",
 )
 
 

@@ -1269,6 +1269,53 @@ def stratified_mix_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_dedup_batches",
+    oracle="""
+    SELECT CAST(count(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) AS batch1_kept,
+           CAST(count(*) FILTER (WHERE doc_id % 2 = 1) AS BIGINT) AS batch2_kept,
+           CAST(count(*) AS BIGINT) AS store_size
+    FROM documents
+    """,
+    tags=("tier-c", "dedup_exact", "incremental"),
+)
+def incremental_dedup_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch incremental dedup (operators/dedup.incremental_exact_dedup):
+    ingest the corpus in two batches against a persistent digest store.
+    Batch 1 = even doc_ids; batch 2 = odd doc_ids PLUS 50 re-ided copies of
+    batch-1 texts (planted duplicates — the fixture itself has zero exact
+    dups, FIXTURES.md). The copies must be dropped by the store anti-join,
+    so batch2_kept equals the odd count exactly; a failed cross-batch check
+    would show up as batch2_kept = odd + 50 and hash-mismatch. The store is
+    cleared first so the declared result is deterministic per run."""
+    import shutil
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    store = os.path.join(
+        tempfile.gettempdir(),
+        f"s4ps_incr_store_{sf_dir.strip('/').replace('/', '_')}",
+    )
+    shutil.rmtree(store, ignore_errors=True)
+    batch1 = docs.filter(F.col("doc_id") % 2 == 0)
+    replayed = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .orderBy("doc_id")
+        .limit(50)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    )
+    batch2 = docs.filter(F.col("doc_id") % 2 == 1).unionByName(replayed)
+    kept1 = dedup.incremental_exact_dedup(batch1, store)
+    n1 = kept1.agg(F.count(F.lit(1)).alias("batch1_kept"))
+    kept2 = dedup.incremental_exact_dedup(batch2, store)
+    n2 = kept2.agg(F.count(F.lit(1)).alias("batch2_kept"))
+    store_n = (
+        spark.read.parquet(store)
+        .agg(F.count(F.lit(1)).alias("store_size"))
+    )
+    return n1.crossJoin(n2).crossJoin(store_n)
+
+
+@query(
     "pack_sequences_bins",
     oracle="""
     WITH d AS (

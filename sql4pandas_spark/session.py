@@ -22,6 +22,7 @@ Design notes (scale):
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -76,8 +77,10 @@ def get_spark(
 #: Sessions already configured — every catalog builder calls
 #: configure_session, and each un-memoized call costs ~8 driver↔JVM conf
 #: round-trips; at one builder per query that latency lands on every
-#: sub-second query.
-_configured: set[int] = set()
+#: sub-second query. Weak so a stopped session's entry dies with it (a set
+#: of id(spark) values can alias a NEW session onto a dead one's id after
+#: GC and silently skip configuring it).
+_configured: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
 def configure_session(spark: SparkSession) -> SparkSession:
@@ -88,9 +91,9 @@ def configure_session(spark: SparkSession) -> SparkSession:
     builder routes through here so the parity-critical confs (UTC, nanos
     workaround, Arrow) hold no matter who built the session.
     """
-    if id(spark) in _configured:
+    if spark in _configured:
         return spark
-    _configured.add(id(spark))
+    _configured.add(spark)
     for key, value in SESSION_CONFS.items():
         try:
             spark.conf.set(key, value)

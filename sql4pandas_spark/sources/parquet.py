@@ -21,6 +21,7 @@ Scale notes:
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -43,12 +44,17 @@ TABLES: tuple[str, ...] = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-#: (session id, sf_dir, table) -> DataFrame. Loading a parquet DataFrame
+#: session -> {(sf_dir, table) -> DataFrame}. Loading a parquet DataFrame
 #: reads the file footer synchronously on the driver; with ten tables per
 #: register_tables call that driver-side latency dominates small local
 #: queries. The fixtures are read-only, so caching the (lazy) DataFrame
-#: handles is safe and makes repeat registration free.
-_df_cache: dict[tuple[int, str, str], DataFrame] = {}
+#: handles is safe and makes repeat registration free. Keyed WEAKLY by the
+#: session object (not id(spark): CPython reuses ids after GC, which would
+#: hand a new session DataFrames bound to a dead one) so a stopped session's
+#: cache entries vanish with it.
+_df_cache: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def normalize_ntz(df: DataFrame) -> DataFrame:
@@ -72,8 +78,9 @@ def normalize_ntz(df: DataFrame) -> DataFrame:
 
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (id(spark), sf_dir, name)
-    cached = _df_cache.get(key)
+    per_session = _df_cache.setdefault(spark, {})
+    key = (sf_dir, name)
+    cached = per_session.get(key)
     if cached is not None:
         return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -82,7 +89,7 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # exact int64 (a double round-trip can flip a µs near boundaries).
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     df = normalize_ntz(df)
-    _df_cache[key] = df
+    per_session[key] = df
     return df
 
 

@@ -167,3 +167,23 @@ def test_engine_joins_pandas_parquet_and_stream(spark):
     got = {tuple(r) for r in streamed.drain().collect()}
     want = {tuple(r) for r in eng.sql(sql.format(events="events")).collect()}
     assert got == want and len(want) == 4
+
+
+def test_incremental_dedup_across_batches(spark, tmp_path):
+    """Cross-batch semantics: batch 2 content already in the store is
+    dropped; within-batch duplicates keep the smallest id; the store grows
+    by exactly the new distinct digests."""
+    from sql4pandas_spark.operators.dedup import incremental_exact_dedup
+
+    store = str(tmp_path / "digest_store")
+    b1 = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "alpha")], "doc_id long, text string"
+    )
+    kept1 = incremental_exact_dedup(b1, store)
+    assert sorted(r.doc_id for r in kept1.collect()) == [0, 1]  # in-batch dup drops
+    b2 = spark.createDataFrame(
+        [(10, "beta"), (11, "gamma")], "doc_id long, text string"
+    )
+    kept2 = incremental_exact_dedup(b2, store)
+    assert [r.doc_id for r in kept2.collect()] == [11]  # cross-batch dup drops
+    assert spark.read.parquet(store).count() == 3  # alpha, beta, gamma
