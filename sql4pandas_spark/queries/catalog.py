@@ -135,6 +135,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stratified_sample_mix",
     "pack_sequences_bins",
     "incremental_dedup_batches",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_dominant_suppliers",
 )
 
 

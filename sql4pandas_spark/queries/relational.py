@@ -1947,3 +1947,186 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+# ---------------------------------------------------------------------------
+# q2 / q11 / q20 analogs — completing the 22-query TPC-H-style set. The
+# fixtures ship no partsupp table, so the supplier↔part relation derives
+# from lineitem (same device as q16): unit supply cost = min observed
+# unit price, availability = total supplied quantity.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (SELECT l_partkey, l_suppkey,
+                       min(l_extendedprice / l_quantity) AS supply_cost
+                FROM lineitem GROUP BY 1, 2),
+    regional AS (
+      SELECT p.p_partkey, p.p_brand, s.s_name, s.s_acctbal, n.n_name,
+             ps.supply_cost
+      FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+              JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+              JOIN nation n ON n.n_nationkey = s.s_nationkey
+              JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE' AND p.p_size <= 10 AND p.p_type = 'STANDARD')
+    SELECT p_partkey, p_brand, s_name, round(s_acctbal, 2) AS s_acctbal,
+           n_name, round(supply_cost, 4) AS supply_cost
+    FROM (SELECT *, min(supply_cost) OVER (PARTITION BY p_partkey) AS mc
+          FROM regional)
+    WHERE supply_cost = mc
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    """,
+    tags=("tier-a", "win_rank", "join_multi"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2 analog: the cheapest supplier(s) per qualifying part within a
+    region. The spec's correlated scalar subquery (min cost over the SAME
+    region-scoped relation) is expressed as a per-part window min — the
+    scalable Spark form: one shuffle on p_partkey instead of re-evaluating
+    a five-table subquery per row, identical semantics (ties: every
+    supplier AT the min survives, as in the spec). The min-cost equality
+    compares doubles produced by identical row-level arithmetic on both
+    engines, so it is exact."""
+    t = register_tables(
+        spark, sf_dir, ("region", "nation", "supplier", "part", "lineitem")
+    )
+    ps = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost"))
+    )
+    regional = (
+        ps.join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["nation"], F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(t["region"], F.col("r_regionkey") == F.col("n_regionkey"))
+        .filter(
+            (F.col("r_name") == "EUROPE")
+            & (F.col("p_size") <= 10)
+            & (F.col("p_type") == "STANDARD")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("p_partkey")
+    return (
+        regional.withColumn("mc", F.min("supply_cost").over(w))
+        .filter(F.col("supply_cost") == F.col("mc"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "n_name",
+            F.round("supply_cost", 4).alias("supply_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH ps AS (SELECT l_partkey, l_suppkey,
+                       sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS val
+                FROM lineitem GROUP BY 1, 2),
+    scoped AS (SELECT ps.* FROM ps
+               JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+               JOIN nation n ON n.n_nationkey = s.s_nationkey
+               WHERE n.n_name IN ('NATION_3', 'NATION_7', 'NATION_11'))
+    SELECT l_partkey AS p_partkey,
+           CAST(round(sum(val), 2) AS DOUBLE) AS part_value
+    FROM scoped GROUP BY l_partkey
+    HAVING sum(val) > (SELECT sum(val) * 0.001 FROM scoped)
+    ORDER BY part_value DESC, p_partkey
+    """,
+    tags=("tier-a", "having", "subquery_scalar"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q11 analog: parts whose scoped inventory value exceeds a
+    fraction of the TOTAL scoped value — a HAVING against a scalar
+    aggregate of the same CTE. One scoped DataFrame serves both roles; the
+    scalar total arrives as a broadcast single-row cross join (no second
+    shuffle, no window-over-()). Values stay exact DECIMAL through both
+    sums so the threshold comparison can't flip on double partial-agg
+    order (q15/q22 discipline)."""
+    t = register_tables(spark, sf_dir, ("nation", "supplier", "lineitem"))
+    ps = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("val"))
+    )
+    scoped = (
+        ps.join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["nation"], F.col("n_nationkey") == F.col("s_nationkey"))
+        .filter(F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11"))
+        .select("l_partkey", "val")
+    )
+    total = scoped.agg((F.sum("val") * F.lit(0.001)).alias("threshold"))
+    return (
+        scoped.groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum("val").alias("raw_value"))
+        .join(F.broadcast(total))
+        .filter(F.col("raw_value") > F.col("threshold"))
+        .select(
+            "p_partkey",
+            F.round("raw_value", 2).cast("double").alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+    )
+
+
+@query(
+    "q20_dominant_suppliers",
+    oracle="""
+    WITH ps AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS supplied
+                FROM lineitem GROUP BY 1, 2),
+    pt AS (SELECT l_partkey, sum(supplied) AS part_total FROM ps GROUP BY 1)
+    SELECT s.s_name, round(s.s_acctbal, 2) AS s_acctbal
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name IN ('NATION_3', 'NATION_12', 'NATION_15',
+                       'NATION_18', 'NATION_19')
+      AND s.s_suppkey IN (
+        SELECT ps.l_suppkey FROM ps JOIN pt USING (l_partkey)
+        WHERE ps.l_partkey IN (SELECT p_partkey FROM part
+                               WHERE p_name LIKE 'small%')
+          AND ps.supplied > 0.05 * pt.part_total)
+    ORDER BY s_name
+    """,
+    tags=("tier-a", "join_semi", "subquery_in"),
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q20 analog: suppliers who dominate supply (>5% of a part's
+    total) of any 'small%' part, from a fixed nation set — the spec's
+    nested IN-chain (supplier IN (... part IN (...) AND correlated
+    quantity threshold)). Each IN becomes a left-semi join; the correlated
+    threshold is a part-level aggregate joined back on the part key — two
+    narrow-key shuffles, no correlated re-execution."""
+    t = register_tables(spark, sf_dir, ("nation", "supplier", "part", "lineitem"))
+    ps = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supplied"))
+    )
+    pt = ps.groupBy("l_partkey").agg(F.sum("supplied").alias("part_total"))
+    small_parts = t["part"].filter(F.col("p_name").like("small%")).select("p_partkey")
+    dominant = (
+        ps.join(small_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(pt, "l_partkey")
+        .filter(F.col("supplied") > F.lit(0.05) * F.col("part_total"))
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .join(t["nation"], F.col("n_nationkey") == F.col("s_nationkey"))
+        .filter(
+            F.col("n_name").isin(
+                "NATION_3", "NATION_12", "NATION_15", "NATION_18", "NATION_19"
+            )
+        )
+        .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
