@@ -2064,11 +2064,15 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11"))
         .select("l_partkey", "val")
     )
-    total = scoped.agg((F.sum("val") * F.lit(0.001)).alias("threshold"))
+    per_part = scoped.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.sum("val").alias("raw_value")
+    )
+    # the scalar total folds over the PER-PART frame (thousands of rows),
+    # not the lineitem-scan lineage a second time — decimal sums are
+    # associative, so sum(per-part sums) == the spec's sum over scoped
+    total = per_part.agg((F.sum("raw_value") * F.lit(0.001)).alias("threshold"))
     return (
-        scoped.groupBy(F.col("l_partkey").alias("p_partkey"))
-        .agg(F.sum("val").alias("raw_value"))
-        .join(F.broadcast(total))
+        per_part.join(F.broadcast(total))
         .filter(F.col("raw_value") > F.col("threshold"))
         .select(
             "p_partkey",
