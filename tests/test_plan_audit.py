@@ -1,0 +1,92 @@
+"""Catalog-wide physical-plan audit: no execution anti-pattern may enter the
+declared surface unnoticed.
+
+Sweeps every batch entry's executed plan for the three patterns that destroy
+scale — cartesian products, nested-loop joins, and row-at-a-time Python
+evaluation — and pins the justified exceptions as explicit allowlists. A new
+entry that accidentally plans a cartesian (e.g. a join whose predicate
+stopped being an equi-join after a refactor) fails here even while its
+values still match the oracle at fixture scale.
+
+Streaming entries are skipped: their builders RUN the drain (the returned
+frame is a memory-sink table whose plan says nothing about the stream).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sql4pandas_spark.queries import load_catalog
+
+SF = "/root/testdata/sf0.001"
+
+#: BroadcastNestedLoopJoin is legitimate exactly where one side is a
+#: BROADCAST SINGLE-ROW scalar (the idiomatic scalar-subquery join: thresholds,
+#: totals, recall counters) or the entry IS the declared cross join.
+BNLJ_ALLOWED = {
+    "cross_join_regions",        # the declared cartesian entry
+    "q11_important_stock",       # 1-row value-share threshold
+    "q22_idle_customers",        # 1-row balance threshold
+    "hll_sketch_users",          # 1-row merged-sketch estimate
+    "tablesample_orders",        # 1-row population stats
+    "ann_ivf_query_top10",       # 1-row recall counter
+    "ann_lsh_top10",             # 1-row recall counter
+    "incremental_dedup_batches", # 1-row per-batch kept counts
+}
+
+#: Row-at-a-time Python evaluation is allowed only in the declared UDTF
+#: entries (UDTFs are Python row generators by definition) and the one
+#: documented never-for-hot-paths completeness demo.
+PYTHON_EVAL_ALLOWED = {
+    "udtf_word_rows",
+    "udtf_table_arg_summary",
+    "udf_python_rowwise",
+}
+
+
+def _batch_entries():
+    for name, spec in load_catalog().items():
+        if name.startswith("stream_") or "scan_stream" in spec.tags:
+            continue
+        yield name, spec
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    spark.sparkContext.setLogLevel("ERROR")
+    return {
+        name: spec.build(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        for name, spec in _batch_entries()
+    }
+
+
+def test_no_cartesian_products(plans):
+    bad = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert bad == [], f"cartesian product planned in {bad}"
+
+
+def test_nested_loop_joins_only_where_scalar_or_declared(plans):
+    bad = [
+        n
+        for n, p in plans.items()
+        if "BroadcastNestedLoopJoin" in p and n not in BNLJ_ALLOWED
+    ]
+    assert bad == [], (
+        f"BroadcastNestedLoopJoin outside the scalar/cross-join allowlist: {bad} "
+        "— if the new usage is a 1-row broadcast scalar join, add it to "
+        "BNLJ_ALLOWED with a comment; otherwise the join lost its equi keys"
+    )
+    stale = [n for n in BNLJ_ALLOWED if n in plans and "BroadcastNestedLoopJoin" not in plans[n]]
+    assert stale == [], f"allowlisted entries no longer plan a BNLJ (prune): {stale}"
+
+
+def test_python_row_eval_only_in_declared_udf_entries(plans):
+    bad = [
+        n
+        for n, p in plans.items()
+        if "BatchEvalPython" in p and n not in PYTHON_EVAL_ALLOWED
+    ]
+    assert bad == [], (
+        f"row-at-a-time Python eval leaked into {bad} — hot paths must use "
+        "JVM expressions or Arrow-batched pandas UDFs (ArrowEvalPython)"
+    )
