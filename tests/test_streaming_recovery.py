@@ -1,0 +1,106 @@
+"""Checkpoint-recovery semantics: a streaming query killed mid-drain resumes
+from its checkpoint and processes the remaining input exactly once.
+
+This is the fault-tolerance half of the §2.10 batch-equivalence contract:
+run_available_now proves a clean drain equals the batch result; this test
+proves the recovery path — commit batch 0, crash before batch 1 writes,
+restart on the SAME checkpoint — re-reads nothing already committed and
+still converges to the exact batch answer.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def two_file_stream_dir(spark, tmp_path):
+    """events.parquet split into two files so maxFilesPerTrigger=1 yields two
+    deterministic micro-batches."""
+    src = str(tmp_path / "landing")
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    half = events.count() // 2
+    events.filter(F.col("event_id") < half).coalesce(1).write.parquet(
+        os.path.join(src, "f0")
+    )
+    events.filter(F.col("event_id") >= half).coalesce(1).write.parquet(
+        os.path.join(src, "f1")
+    )
+    # the file source watches one flat directory of part files
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    n = 0
+    for sub in ("f0", "f1"):
+        for f in sorted(os.listdir(os.path.join(src, sub))):
+            if f.endswith(".parquet"):
+                os.symlink(
+                    os.path.join(src, sub, f), os.path.join(flat, f"{n}.parquet")
+                )
+                n += 1
+    assert n == 2
+    return flat
+
+
+def test_stream_resumes_from_checkpoint_exactly_once(
+    spark, tmp_path, two_file_stream_dir
+):
+    batch_schema = spark.read.parquet(f"{SF}/events.parquet").schema
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def make_stream():
+        return (
+            spark.readStream.schema(batch_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(two_file_stream_dir)
+            .select("event_id", "event_type", "value")
+        )
+
+    class Poison(Exception):
+        pass
+
+    def poisoned_write(df, batch_id):
+        if batch_id >= 1:
+            raise Poison("injected crash before batch 1 commits")
+        df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out)
+
+    q = (
+        make_stream()
+        .writeStream.foreachBatch(poisoned_write)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+        q.processAllAvailable()  # pragma: no cover - raises above first
+    assert not q.isActive
+
+    # batch 0 committed, batch 1 never wrote
+    interim = spark.read.parquet(out)
+    total = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert 0 < interim.count() < total
+
+    def clean_write(df, batch_id):
+        df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out)
+
+    q2 = (
+        make_stream()
+        .writeStream.foreachBatch(clean_write)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    final = spark.read.parquet(out)
+    # exactly once: every event exactly one row, nothing re-written, and the
+    # restarted query continued the batch numbering from the checkpoint
+    assert final.count() == total
+    assert final.select("event_id").distinct().count() == total
+    assert final.select("batch_id").distinct().count() == 2
