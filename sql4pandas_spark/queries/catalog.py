@@ -138,6 +138,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q20_dominant_suppliers",
+    "gapfill_interpolate_15m",
 )
 
 

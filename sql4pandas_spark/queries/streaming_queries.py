@@ -219,6 +219,119 @@ def gapfill_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "gapfill_interpolate_15m",
+    oracle="""
+    WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+               FROM events),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 15 MINUTE)) AS w FROM b),
+    types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT t.event_type, s.w FROM types t CROSS JOIN spine s),
+    agg AS (SELECT event_type, date_trunc('minute', ts) - INTERVAL (minute(ts) % 15) MINUTE AS w,
+                   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS v
+            FROM events GROUP BY 1, 2),
+    series AS (SELECT g.event_type, g.w, a.v FROM grid g
+               LEFT JOIN agg a ON a.event_type = g.event_type AND a.w = g.w),
+    marked AS (
+      SELECT event_type, w, v,
+             last_value(CASE WHEN v IS NOT NULL THEN {'t': epoch(w), 'v': v} END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY w
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+             first_value(CASE WHEN v IS NOT NULL THEN {'t': epoch(w), 'v': v} END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY w
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+      FROM series)
+    SELECT event_type, w, v IS NOT NULL AS observed,
+           floor((CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN prev IS NULL OR nxt IS NULL THEN NULL
+             ELSE prev.v + (nxt.v - prev.v) * (epoch(w) - prev.t) / (nxt.t - prev.t)
+           END) * 10000) / 10000 AS v_interp
+    FROM marked ORDER BY event_type, w
+    """,
+    tags=("tier-c", "timeseries", "gapfill", "interpolate"),
+)
+def gapfill_interpolate_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series linear interpolation over a gapfilled grid — the
+    hypertable-style `interpolate()` companion to gapfill: 15-minute
+    per-event-type buckets (sparse at small SFs, so gaps are real), empty
+    buckets get the linear blend of the nearest observed neighbors,
+    leading/trailing gaps stay NULL.
+
+    The neighbor search is two windows — last(non-null (t,v)) looking back,
+    first(non-null (t,v)) looking forward — ONE shuffle on event_type, no
+    self-join, no per-gap iteration; DuckDB replays the identical windows
+    (IGNORE NULLS structs), so every interpolated value hash-matches.
+    Bucket means use the exact-decimal-sum / count discipline (q22) so both
+    engines feed bit-identical doubles into the blend."""
+    from pyspark.sql import Window
+
+    t = register_tables(spark, sf_dir, ("events",))
+    ev = t["events"]
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 15 minutes"))).alias("w")
+    )
+    grid = ev.select("event_type").distinct().crossJoin(spine)
+    bucket = F.expr(
+        "date_trunc('minute', ts) - make_dt_interval(0, 0, minute(ts) % 15, 0)"
+    )
+    agg = ev.groupBy("event_type", bucket.alias("w")).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    series = grid.join(agg, ["event_type", "w"], "left")
+    tv = F.when(
+        F.col("v").isNotNull(),
+        F.struct(F.unix_timestamp("w").alias("t"), F.col("v").alias("v")),
+    )
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("w")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("w")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev, nxt = F.last(tv, ignorenulls=True).over(back), F.first(
+        tv, ignorenulls=True
+    ).over(fwd)
+    blend = F.col("_prev.v") + (F.col("_nxt.v") - F.col("_prev.v")) * (
+        F.unix_timestamp("w") - F.col("_prev.t")
+    ) / (F.col("_nxt.t") - F.col("_prev.t"))
+    return (
+        series.select("event_type", "w", "v", prev.alias("_prev"), nxt.alias("_nxt"))
+        .select(
+            "event_type",
+            "w",
+            F.col("v").isNotNull().alias("observed"),
+            # floor-quantize, not round: both engines floor the SAME IEEE
+            # double exactly, while round() algorithms (exact-BigDecimal
+            # half-up vs scaled-double) disagree on .xxxx5 boundaries
+            (
+                F.floor(
+                    F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+                        F.when(
+                            F.col("_prev").isNotNull() & F.col("_nxt").isNotNull(),
+                            blend,
+                        )
+                    )
+                    * 10000
+                )
+                / 10000
+            ).alias("v_interp"),
+        )
+        .orderBy("event_type", "w")
+    )
+
+
+@query(
     "stream_dedup_events",
     oracle="""
     SELECT count(*) AS n_distinct
