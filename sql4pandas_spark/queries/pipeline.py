@@ -1271,10 +1271,12 @@ def stratified_mix_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "incremental_dedup_batches",
     oracle="""
-    SELECT CAST(count(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) AS batch1_kept,
-           CAST(count(*) FILTER (WHERE doc_id % 2 = 1) AS BIGINT) AS batch2_kept,
-           CAST(count(*) AS BIGINT) AS store_size
-    FROM documents
+    WITH evens AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+         odds  AS (SELECT text FROM documents WHERE doc_id % 2 = 1)
+    SELECT CAST((SELECT count(DISTINCT text) FROM evens) AS BIGINT) AS batch1_kept,
+           CAST((SELECT count(DISTINCT text) FROM odds
+                 WHERE text NOT IN (SELECT text FROM evens)) AS BIGINT) AS batch2_kept,
+           CAST((SELECT count(DISTINCT text) FROM documents) AS BIGINT) AS store_size
     """,
     tags=("tier-c", "dedup_exact", "incremental"),
 )
@@ -1282,11 +1284,12 @@ def incremental_dedup_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-batch incremental dedup (operators/dedup.incremental_exact_dedup):
     ingest the corpus in two batches against a persistent digest store.
     Batch 1 = even doc_ids; batch 2 = odd doc_ids PLUS 50 re-ided copies of
-    batch-1 texts (planted duplicates — the fixture itself has zero exact
-    dups, FIXTURES.md). The copies must be dropped by the store anti-join,
-    so batch2_kept equals the odd count exactly; a failed cross-batch check
-    would show up as batch2_kept = odd + 50 and hash-mismatch. The store is
-    cleared first so the declared result is deterministic per run."""
+    batch-1 texts (planted duplicates on top of the corpus's own: sf0.1
+    ships 8 naturally-duplicated texts — measured round 5 — so the oracle
+    counts DISTINCT texts rather than rows). The copies must be dropped by
+    the store anti-join; a failed cross-batch check surfaces as
+    batch2_kept inflated by 50 and a hash mismatch. The store is cleared
+    first so the declared result is deterministic per run."""
     import shutil
 
     t = register_tables(spark, sf_dir, ("documents",))

@@ -1972,7 +1972,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
               JOIN region r ON r.r_regionkey = n.n_regionkey
       WHERE r.r_name = 'EUROPE' AND p.p_size <= 10 AND p.p_type = 'STANDARD')
     SELECT p_partkey, p_brand, s_name, round(s_acctbal, 2) AS s_acctbal,
-           n_name, round(supply_cost, 4) AS supply_cost
+           n_name, floor(supply_cost * 10000) / 10000 AS supply_cost
     FROM (SELECT *, min(supply_cost) OVER (PARTITION BY p_partkey) AS mc
           FROM regional)
     WHERE supply_cost = mc
@@ -2020,7 +2020,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name",
             F.round("s_acctbal", 2).alias("s_acctbal"),
             "n_name",
-            F.round("supply_cost", 4).alias("supply_cost"),
+            # floor-quantize the COMPUTED quotient: round() algorithms
+            # diverge on .xxxx5 boundaries (one flip observed at sf0.1);
+            # s_acctbal is a stored 2dp value, never near a boundary
+            (F.floor(F.col("supply_cost") * 10000) / 10000).alias("supply_cost"),
         )
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
     )
