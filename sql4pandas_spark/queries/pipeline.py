@@ -77,19 +77,45 @@ def wordcount_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stratified_sample_mix", oracle=None, tags=("tier-c", "sample", "data_mix", "rows-only"))
+@query(
+    "stratified_sample_mix",
+    oracle="""
+    SELECT CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS en_kept,
+           true AS others_frac_ok
+    FROM documents
+    """,
+    tags=("tier-c", "sample", "data_mix"),
+)
 def stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling (df.sampleBy) — the data-mixing primitive: set a
     per-stratum keep fraction to hit a target corpus mix (here: keep all
-    'en', downsample other languages hard). Seeded and aggregated, so the
-    result is deterministic within a session."""
+    'en', downsample other languages hard).
+
+    The kept ROW SET is per-partition-RNG-specific, so the declared
+    contract is the statistical form (tablesample_orders pattern): a
+    fraction-1.0 stratum keeps EVERY row (hash-checked exactly — en_kept
+    equals the en total), and the pooled non-en kept fraction sits within
+    0.25 ± 0.1 (>=4σ of binomial noise at sf0.001, wider at larger SFs;
+    per-language fractions swing ±3σ at these stratum sizes — measured
+    zh 0.413 at sf0.01 — so the bound pools them). For reproducible
+    auditable mixes use stratified_mix_hash, which is fully hash-checked."""
     t = register_tables(spark, sf_dir, ("documents",))
     fractions = {"en": 1.0, "fr": 0.25, "es": 0.25, "de": 0.25, "zh": 0.25}
     mixed = t["documents"].sampleBy("lang", fractions, seed=7)
-    return (
-        mixed.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_kept"))
-        .orderBy("lang")
+    kept = mixed.agg(
+        F.count(F.when(F.col("lang") == "en", 1)).alias("en_kept"),
+        F.count(F.when(F.col("lang") != "en", 1)).alias("others_kept"),
+    )
+    others_total = (
+        t["documents"]
+        .filter(F.col("lang") != "en")
+        .agg(F.count(F.lit(1)).alias("others_total"))
+    )
+    return kept.crossJoin(others_total).select(
+        "en_kept",
+        (
+            F.abs(F.col("others_kept") / F.col("others_total") - 0.25) <= 0.1
+        ).alias("others_frac_ok"),
     )
 
 

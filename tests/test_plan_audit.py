@@ -32,6 +32,7 @@ BNLJ_ALLOWED = {
     "ann_ivf_query_top10",       # 1-row recall counter
     "ann_lsh_top10",             # 1-row recall counter
     "incremental_dedup_batches", # 1-row per-batch kept counts
+    "stratified_sample_mix",     # 1-row population total for the frac bound
     "gapfill_interpolate_15m",   # grid build: 5 event types x O(range) spine,
                                  # both tiny and data-volume-independent
 }
