@@ -130,6 +130,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_lsh_top10",
     "scan_python_datasource",
     # ---- driver window (50) ends here; next-in-line if it's ever wider ----
+    # ROUND-6 ROTATION RECIPE: these 9 have never been inside the window
+    # (the first 3 were r1/r2 errs fixed since; the rest are round-5
+    # additions, all locally differential-green with oracles). Promote them
+    # into the first 50 next round, plus any CORRECTNESS_r05 err rows,
+    # backfilling with never-green entries per tests/test_driver_window.py
+    # (which fails loudly if the window wastes slots on settled queries).
     "stream_python_datasource",
     "multimodal_frame_sample",
     "stratified_sample_mix",
