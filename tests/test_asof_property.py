@@ -129,3 +129,52 @@ def test_salted_join_equals_plain_join(spark, big, small, how):
     salted = salted_join(bdf, sdf, "k", "k2", n_salts=4, how=how)
     key = lambda r: tuple(-1 if x is None else x for x in r)  # noqa: E731
     assert sorted(map(key, salted.collect())) == sorted(map(key, plain.collect()))
+
+
+from sql4pandas_spark.operators.joins import bucketed_range_join  # noqa: E402
+
+ts_rows = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 7200)),  # (id, seconds)
+    min_size=0,
+    max_size=25,
+    unique_by=lambda r: r[0],
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(left=ts_rows, right=ts_rows, gap=st.sampled_from([60, 900, 3600]))
+def test_bucketed_range_join_equals_theta_join(spark, left, right, gap):
+    """The interval-bucketed hash formulation must return exactly the pairs
+    of the naive theta join it replaces: right_ts in (left_ts, left_ts+gap].
+    Randomized timestamps probe the bucket boundaries (rows landing exactly
+    on a gap multiple, both sides empty, dense ties)."""
+    ldf = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, _ts(s)) for i, s in left], columns=["l_id", "lts"]
+        ).astype({"l_id": "int64", "lts": "datetime64[ns]"}),
+        "l_id long, lts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, _ts(s)) for i, s in right], columns=["r_id", "rts"]
+        ).astype({"r_id": "int64", "rts": "datetime64[ns]"}),
+        "r_id long, rts timestamp",
+    )
+    got = {
+        (r.l_id, r.r_id)
+        for r in bucketed_range_join(ldf, rdf, "lts", "rts", gap)
+        .select("l_id", "r_id")
+        .collect()
+    }
+    want = {
+        (i, j)
+        for i, ls in left
+        for j, rs in right
+        if ls < rs <= ls + gap
+    }
+    assert got == want
