@@ -68,17 +68,33 @@ def query(
 #: already have green CORRECTNESS_r01/r02 rows (or are next in line if the
 #: window is ever wider than 50). Future rounds rotate this list.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- ROUND-5 WINDOW ----
-    # The r3/r4 `err` rows: TIMESTAMP_NTZ fix (sources/parquet.py,
-    # streaming/windows.py) — re-verify first.
+    # ---- ROUND-6 WINDOW ----
+    # The 9 entries that had never been inside the driver window through r5
+    # (the first 3 were r1/r2 errs fixed since; the rest are round-5
+    # additions). All locally differential-green with oracles
+    # (BASELINE.md "rehearsal" table) — promoted per the r5 rotation recipe.
+    "stream_python_datasource",
+    "multimodal_frame_sample",
+    "stratified_sample_mix",
+    "pack_sequences_bins",
+    "incremental_dedup_batches",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_dominant_suppliers",
+    "gapfill_interpolate_15m",
+    # Backfill: 41 of the 50 once-green (green only in r5) entries, per the
+    # guard test's ">=2 rounds = settled" rule. Kept in-window in preference
+    # to the 9 dropped below because their code is the freshest:
+    # — NTZ-adjacent streaming/timestamp paths (fixed r5, one green round)
     "stream_watermark_hourly",
     "stream_dedup_events",
     "stream_stream_join",
-    # New this round: the asof tolerance path (same NTZ fix, operators/joins.py)
     "asof_join_tolerance",
-    # The 41 entries that had never received driver evidence through r4
-    # (computed: CATALOG minus union of CORRECTNESS_r01..r04 keys).
-    # — TPC-H-style analogs added in round 3
+    "events_hourly",
+    # — sink_custom_jsonl: writer rewritten round 6 (batched serialization),
+    #   must be re-verified by the driver after the change.
+    "sink_custom_jsonl",
+    # — TPC-H-style analogs (first green r5)
     "q7_nation_volume",
     "q8_market_share",
     "q9_product_profit",
@@ -93,7 +109,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q19_disjunctive_filter",
     "q21_waiting_supplier",
     "q22_idle_customers",
-    # — canonical per-operator entries
+    # — canonical per-operator entries (first green r5)
     "range_join_nokey_buckets",
     "hash_sample_orders",
     "pipeline_end_to_end",
@@ -105,13 +121,25 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stratified_mix_hash",
     "lateral_top_orders",
     "stream_foreach_batch_sink",
-    "setop_all_variants",
     "hll_sketch_users",
     "variant_props_stats",
-    "sink_custom_jsonl",
     "udtf_table_arg_summary",
     "dynamic_partition_overwrite",
     "join_hint_shuffle_hash",
+    "doc_fingerprints",
+    "approx_distinct_events",
+    "ann_ivf_query_top10",
+    "ann_lsh_top10",
+    "scan_python_datasource",
+    # ---- driver window (50) ends here; next-in-line if it's ever wider ----
+    # The 9 once-green entries rotated OUT this round to make room for the
+    # never-green 9 above. All are simple canonical ANSI aggregate/set-op
+    # forms whose code has not changed since their r5 green row — the
+    # lowest-regression-risk drop. ROUND-7 ROTATION RECIPE: if CORRECTNESS_r06
+    # is all green, every entry will have >=1 green round and these 9 (plus
+    # any entries whose code changed in r6) are the natural next window,
+    # topped up with once-green rows per tests/test_driver_window.py.
+    "setop_all_variants",
     "null_safe_join_counts",
     "agg_stats_orders",
     "distinct_segments",
@@ -120,31 +148,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "case_priority_buckets",
     "tablesample_orders",
     "stats_corr_lineitem",
-    "events_hourly",
-    # The r1/r2 `err` rows fixed since, never re-shown to the driver —
-    # highest-value five (all carry hash-checked oracles now; ann_* were
-    # promoted from rows-only to recall-bounded boolean oracles this round).
-    "doc_fingerprints",
-    "approx_distinct_events",
-    "ann_ivf_query_top10",
-    "ann_lsh_top10",
-    "scan_python_datasource",
-    # ---- driver window (50) ends here; next-in-line if it's ever wider ----
-    # ROUND-6 ROTATION RECIPE: these 9 have never been inside the window
-    # (the first 3 were r1/r2 errs fixed since; the rest are round-5
-    # additions, all locally differential-green with oracles). Promote them
-    # into the first 50 next round, plus any CORRECTNESS_r05 err rows,
-    # backfilling with never-green entries per tests/test_driver_window.py
-    # (which fails loudly if the window wastes slots on settled queries).
-    "stream_python_datasource",
-    "multimodal_frame_sample",
-    "stratified_sample_mix",
-    "pack_sequences_bins",
-    "incremental_dedup_batches",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q20_dominant_suppliers",
-    "gapfill_interpolate_15m",
 )
 
 
