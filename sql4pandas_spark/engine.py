@@ -40,13 +40,22 @@ class Result:
         (or hand ``df`` to ``writeStream``) instead of collecting."""
         return self.df.isStreaming
 
-    def drain(self, mode: str = "complete", timeout_sec: int = 120) -> "Result":
+    def drain(self, mode: str | None = None, timeout_sec: int = 120) -> "Result":
         """Run a streaming result to completion over everything currently on
         disk (``trigger(availableNow=True)``) and return the final table as a
         batch Result. The deterministic way to get SQL-over-stream answers in
-        a test or backfill; a production job would ``writeStream`` instead."""
+        a test or backfill; a production job would ``writeStream`` instead.
+
+        ``mode=None`` (default) picks the output mode from the plan:
+        'complete' for aggregating results, 'append' for plain
+        SELECT/filter/join streams (Spark rejects 'complete' for those).
+        Pass an explicit mode to override — e.g. 'update' for a watermarked
+        aggregation you want incrementally."""
         from sql4pandas_spark.streaming.windows import run_available_now
 
+        if mode is None:
+            analyzed = self.df._jdf.queryExecution().analyzed().toString()
+            mode = "complete" if "Aggregate" in analyzed else "append"
         return Result(run_available_now(self.df, mode=mode, timeout_sec=timeout_sec))
 
     def to_pandas(self) -> pd.DataFrame:

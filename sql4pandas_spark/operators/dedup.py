@@ -424,11 +424,38 @@ def contamination_overlap(
     )
 
 
+def _read_digest_store(spark, store_dir: str) -> DataFrame | None:
+    """Read the digest store, returning None ONLY when the path does not
+    exist (genuine first batch). Any other failure — corrupt files,
+    permissions, FS errors — raises: silently treating a broken store as
+    'first batch' would disable cross-batch dedup and re-admit seen
+    content (silent corruption in a correctness primitive)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(store_dir)
+    except AnalysisException as exc:
+        cond = (
+            exc.getCondition() if hasattr(exc, "getCondition") else exc.getErrorClass()
+        )
+        if cond == "PATH_NOT_FOUND":
+            return None
+        raise
+
+
+#: Digest assigned to NULL-text rows: under this operator's contract all
+#: NULL texts are the same content (IS NOT DISTINCT FROM semantics), so the
+#: first NULL-text row ever ingested wins and later ones are duplicates.
+#: Cannot collide with sha2 output (not hex, wrong length).
+NULL_TEXT_DIGEST = "null-text"
+
+
 def incremental_exact_dedup(
     batch: DataFrame,
     store_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    batch_id: int | None = None,
 ) -> DataFrame:
     """Cross-batch exact dedup against a persistent digest store — the
     continuous-ingestion primitive: each arriving batch keeps only content
@@ -442,18 +469,39 @@ def incremental_exact_dedup(
     is hashed in place, winners are chosen per digest, and the original
     rows are recovered with a left-semi join on the id.
 
+    NULL contract: rows whose ``text_col`` is NULL all map to
+    :data:`NULL_TEXT_DIGEST` — they dedup against each other (and across
+    batches) exactly like any other content class instead of slipping
+    through a never-matching NULL join key.
+
+    Delivery semantics: with ``batch_id`` (foreachBatch's argument) the
+    store is partitioned by batch and each batch's digests are written via
+    dynamic partition OVERWRITE, and the anti-join excludes the current
+    batch_id's own digests — so a crash-replayed batch reproduces exactly
+    its original output and the store never accumulates duplicate digests
+    (exactly-once store semantics on top of foreachBatch's at-least-once
+    replay). Without ``batch_id`` the store is a flat append: idempotent
+    against full replays only because replayed digests are filtered by the
+    anti-join, but a crash BETWEEN the store append and the downstream sink
+    commit would drop the batch on replay — use batch_id in any restartable
+    pipeline. A store must be used consistently with or without batch_id.
+
     Returns the kept subset of ``batch`` (all original columns). Call once
     per batch; wrap in foreachBatch for a streaming ingestion pipeline.
     """
     spark = batch.sparkSession
     hashed = batch.select(
         F.col(id_col),
-        F.sha2(F.col(text_col).cast("binary"), 256).alias("content_hash"),
+        F.coalesce(
+            F.sha2(F.col(text_col).cast("binary"), 256), F.lit(NULL_TEXT_DIGEST)
+        ).alias("content_hash"),
     )
-    try:
-        seen = spark.read.parquet(store_dir).select("content_hash")
-    except Exception:  # first batch: no store yet
-        seen = None
+    store = _read_digest_store(spark, store_dir)
+    if store is not None and batch_id is not None:
+        # a replay of batch_id must see the store as it was BEFORE its
+        # original (possibly half-committed) run
+        store = store.filter(F.col("batch_id") != F.lit(batch_id))
+    seen = store.select("content_hash") if store is not None else None
     fresh = (
         hashed.join(seen, "content_hash", "left_anti") if seen is not None else hashed
     )
@@ -465,5 +513,15 @@ def incremental_exact_dedup(
         .agg(F.min(id_col).alias(id_col))
         .localCheckpoint(eager=True)
     )
-    winners.select("content_hash").write.mode("append").parquet(store_dir)
+    if batch_id is None:
+        winners.select("content_hash").write.mode("append").parquet(store_dir)
+    else:
+        (
+            winners.select("content_hash")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(store_dir)
+        )
     return batch.join(winners.select(id_col), id_col, "left_semi")

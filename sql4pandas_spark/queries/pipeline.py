@@ -1314,17 +1314,13 @@ def incremental_dedup_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ships 8 naturally-duplicated texts — measured round 5 — so the oracle
     counts DISTINCT texts rather than rows). The copies must be dropped by
     the store anti-join; a failed cross-batch check surfaces as
-    batch2_kept inflated by 50 and a hash mismatch. The store is cleared
-    first so the declared result is deterministic per run."""
-    import shutil
-
+    batch2_kept inflated by 50 and a hash mismatch. The store lives in a
+    fresh per-invocation temp directory (mkdtemp), so concurrent runs on
+    the same fixture (bench + correctness driver) can't race on shared
+    mutable state and the declared result is deterministic per run."""
     t = register_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
-    store = os.path.join(
-        tempfile.gettempdir(),
-        f"s4ps_incr_store_{sf_dir.strip('/').replace('/', '_')}",
-    )
-    shutil.rmtree(store, ignore_errors=True)
+    store = os.path.join(tempfile.mkdtemp(prefix="s4ps_incr_"), "digests")
     batch1 = docs.filter(F.col("doc_id") % 2 == 0)
     replayed = (
         docs.filter(F.col("doc_id") % 2 == 0)
@@ -1333,9 +1329,11 @@ def incremental_dedup_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
     )
     batch2 = docs.filter(F.col("doc_id") % 2 == 1).unionByName(replayed)
-    kept1 = dedup.incremental_exact_dedup(batch1, store)
+    # batch_id engages the exactly-once store path (per-batch partition
+    # overwrite + self-exclusion on replay) — the production foreachBatch form
+    kept1 = dedup.incremental_exact_dedup(batch1, store, batch_id=0)
     n1 = kept1.agg(F.count(F.lit(1)).alias("batch1_kept"))
-    kept2 = dedup.incremental_exact_dedup(batch2, store)
+    kept2 = dedup.incremental_exact_dedup(batch2, store, batch_id=1)
     n2 = kept2.agg(F.count(F.lit(1)).alias("batch2_kept"))
     store_n = (
         spark.read.parquet(store)

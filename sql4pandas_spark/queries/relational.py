@@ -2073,7 +2073,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scalar total folds over the PER-PART frame (thousands of rows),
     # not the lineitem-scan lineage a second time — decimal sums are
     # associative, so sum(per-part sums) == the spec's sum over scoped
-    total = per_part.agg((F.sum("raw_value") * F.lit(0.001)).alias("threshold"))
+    # decimal literal, not a double: 0.001 as DECIMAL(4,3) keeps the
+    # threshold (and the > comparison) in exact decimal on BOTH engines —
+    # a double threshold could flip a part within one ulp of the cut
+    total = per_part.agg(
+        (F.sum("raw_value") * F.expr("CAST(0.001 AS DECIMAL(4,3))")).alias("threshold")
+    )
     return (
         per_part.join(F.broadcast(total))
         .filter(F.col("raw_value") > F.col("threshold"))

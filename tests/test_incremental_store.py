@@ -1,0 +1,116 @@
+"""Failure-mode contract of incremental_exact_dedup's digest store.
+
+Three properties the happy-path differential can't see:
+
+1. **Crash-replay idempotency** (at-least-once foreachBatch): a batch
+   re-run with the same batch_id — after its store write already committed
+   but before the downstream sink did — must reproduce exactly its original
+   kept set, and the store must never double-count a digest.
+2. **Corrupt store raises** — a broken store read must NOT be treated as
+   "first batch" (that would silently disable cross-batch dedup); only a
+   genuinely missing path may.
+3. **NULL-text contract** — NULL texts dedup against each other across
+   batches instead of slipping through a never-matching NULL join key.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql4pandas_spark.operators.dedup import incremental_exact_dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _kept_ids(df):
+    return sorted(r.doc_id for r in df.select("doc_id").collect())
+
+
+def _store_digests(spark, store):
+    return [r.content_hash for r in spark.read.parquet(store).collect()]
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    store = str(tmp_path / "digests")
+    b1 = _docs(spark, [(1, "alpha"), (2, "beta"), (3, "alpha")])
+    b2 = _docs(spark, [(10, "beta"), (11, "gamma"), (12, "gamma")])
+
+    kept1 = _kept_ids(incremental_exact_dedup(b1, store, batch_id=0))
+    assert kept1 == [1, 2]  # smallest id per content, within-batch dup dropped
+
+    kept2 = _kept_ids(incremental_exact_dedup(b2, store, batch_id=1))
+    assert kept2 == [11]  # beta seen in batch 0; gamma kept once
+    digests_after = sorted(_store_digests(spark, store))
+
+    # crash AFTER batch 1's store write committed, BEFORE the sink commit:
+    # foreachBatch re-delivers batch_id=1 — output and store must not change
+    for _ in range(2):
+        replay = _kept_ids(incremental_exact_dedup(b2, store, batch_id=1))
+        assert replay == kept2
+        replayed_digests = sorted(_store_digests(spark, store))
+        assert replayed_digests == digests_after
+        assert len(replayed_digests) == len(set(replayed_digests)), (
+            "store double-counted a digest on replay"
+        )
+
+
+def test_replay_with_new_content_converges(spark, tmp_path):
+    """Replay where the batch carries content the ORIGINAL run also wrote:
+    dynamic partition overwrite replaces the batch's partition wholesale, so
+    even a half-committed original write converges to the full digest set."""
+    store = str(tmp_path / "digests")
+    incremental_exact_dedup(_docs(spark, [(1, "a")]), store, batch_id=0)
+    b1 = _docs(spark, [(2, "b"), (3, "c")])
+    incremental_exact_dedup(b1, store, batch_id=1)
+    # simulate the replayed batch after a clean write: same result, and the
+    # batch_id=1 partition holds exactly b/c once
+    incremental_exact_dedup(b1, store, batch_id=1)
+    per_batch = (
+        spark.read.parquet(store)
+        .groupBy("batch_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    counts = {r.batch_id: r.n for r in per_batch}
+    assert counts == {0: 1, 1: 2}
+
+
+def test_corrupt_store_raises_instead_of_readmitting(spark, tmp_path):
+    from pyspark.errors import AnalysisException
+
+    store = str(tmp_path / "digests")
+    os.makedirs(store)
+    with open(os.path.join(store, "part-00000.parquet"), "wb") as f:
+        f.write(b"this is not parquet")
+    with pytest.raises(Exception) as ei:
+        incremental_exact_dedup(_docs(spark, [(1, "a")]), store).collect()
+    # anything but the silent first-batch fallback; PATH_NOT_FOUND must not
+    # be the swallowed condition here
+    if isinstance(ei.value, AnalysisException):
+        cond = (
+            ei.value.getCondition()
+            if hasattr(ei.value, "getCondition")
+            else ei.value.getErrorClass()
+        )
+        assert cond != "PATH_NOT_FOUND"
+
+
+def test_missing_store_is_first_batch(spark, tmp_path):
+    store = str(tmp_path / "nonexistent" / "digests")
+    kept = _kept_ids(incremental_exact_dedup(_docs(spark, [(5, "x")]), store))
+    assert kept == [5]
+    assert len(_store_digests(spark, store)) == 1
+
+
+def test_null_text_rows_dedup_across_batches(spark, tmp_path):
+    store = str(tmp_path / "digests")
+    b1 = _docs(spark, [(1, None), (2, "real")])
+    b2 = _docs(spark, [(10, None), (11, None), (12, "other")])
+    assert _kept_ids(incremental_exact_dedup(b1, store, batch_id=0)) == [1, 2]
+    # every later NULL text is a duplicate of batch 0's NULL row
+    assert _kept_ids(incremental_exact_dedup(b2, store, batch_id=1)) == [12]

@@ -51,6 +51,12 @@ def main() -> int:
     limit = int(os.environ.get("S4PS_REHEARSE_LIMIT", "0"))
     if limit:
         queries = dict(list(queries.items())[:limit])
+    # S4PS_REHEARSE_ONLY=a,b,c rehearses just the named entries (fast
+    # inner-loop check after touching a specific query).
+    only = os.environ.get("S4PS_REHEARSE_ONLY", "")
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        queries = {n: queries[n] for n in names}
     bad: list[tuple[str, str]] = []
     n_sql = n_rows = 0
     t0 = time.time()
