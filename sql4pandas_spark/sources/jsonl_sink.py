@@ -10,7 +10,13 @@ speculative task can never half-publish).
 
 Scale notes: one file per task (no driver funneling), file names are
 uuid-random so concurrent/retried tasks never collide, and abort() leaves
-the previous successful manifest in place.
+the previous successful manifest in place. The writer is the Arrow variant
+of the plugin API (`DataSourceArrowWriter`): each task receives
+`pyarrow.RecordBatch` objects over the Arrow channel (no Row
+materialization) and serializes a whole batch per call through pandas'
+C-vectorized `to_json(lines=True)` — the round-5 row-at-a-time
+`json.dumps(row.asDict())` form was measured 6.0 s at sf0.1 and flagged as
+the one write path that would bottleneck at volume.
 """
 
 from __future__ import annotations
@@ -20,7 +26,11 @@ import os
 import uuid
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    WriterCommitMessage,
+)
 
 
 @dataclass
@@ -29,21 +39,33 @@ class _PartFile(WriterCommitMessage):
     n_rows: int
 
 
-class _JsonlWriter(DataSourceWriter):
+class _JsonlWriter(DataSourceArrowWriter):
     def __init__(self, options: dict):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonl_sink requires .option('path', <dir>)")
 
-    def write(self, rows) -> _PartFile:
-        """Runs once per partition on the executor."""
+    def write(self, iterator) -> _PartFile:
+        """Runs once per task on the executor; ``iterator`` yields
+        ``pyarrow.RecordBatch`` (Arrow writer API)."""
         os.makedirs(self.path, exist_ok=True)
         name = f"part-{uuid.uuid4().hex}.jsonl"
         n = 0
         with open(os.path.join(self.path, name), "w") as f:
-            for row in rows:
-                f.write(json.dumps(row.asDict(), default=str) + "\n")
-                n += 1
+            for batch in iterator:
+                if batch.num_rows == 0:
+                    continue
+                pdf = batch.to_pandas()
+                f.write(
+                    pdf.to_json(
+                        orient="records",
+                        lines=True,
+                        date_format="iso",
+                        default_handler=str,
+                    )
+                )
+                f.write("\n")
+                n += batch.num_rows
         return _PartFile(filename=name, n_rows=n)
 
     def commit(self, messages) -> None:
