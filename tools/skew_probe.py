@@ -64,15 +64,18 @@ def main() -> None:
     )
     dimp = spark.read.parquet("/tmp/s4ps_skew_dim")
 
-    def run(tag: str, salted: bool) -> float:
+    def run(tag: str, salted: bool, how: str = "inner") -> float:
         best, plan = None, ""
+        # for the outer shape, thin the dim side (keep hot key 0 matched)
+        # so unmatched left rows actually exist
+        d = dimp if how == "inner" else dimp.filter(F.col("k2") % 7 != 3)
         # rebuild the DataFrame each iteration: timing a re-collect of one
         # instance measures shuffle-file REUSE (~0.05s), not the join
         for _ in range(2):
             joined = (
-                salted_join(bigp, dimp, "k", "k2", n_salts=16)
+                salted_join(bigp, d, "k", "k2", n_salts=16, how=how)
                 if salted
-                else bigp.join(dimp, F.col("k") == F.col("k2"))
+                else bigp.join(d, F.col("k") == F.col("k2"), how)
             )
             agg = joined.agg(F.count(F.lit(1)), F.sum("w"), F.max("pay"))
             t0 = time.perf_counter()
@@ -81,6 +84,48 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
             plan = agg._jdf.queryExecution().executedPlan().toString()
         print(f"  {tag}: {best:.2f}s (skew-split applied: {'skew=true' in plan})")
+        return best
+
+    def run_distinct(tag: str, salted: bool) -> float:
+        """count(DISTINCT pay) GROUP BY k under a hot key.
+
+        MEASURED NEGATIVE FINDING (round 6): an explicit value-salted
+        two-phase variant shows NO win (0.92x) over native countDistinct,
+        because Spark's distinct-agg rewrite is already skew-safe: the
+        first Exchange keys on (k, value) — uniform under key skew — and
+        partial_count(distinct) collapses each task's share of the hot key
+        to ONE row before the k-keyed final Exchange (plan-verified). A
+        salted_count_distinct operator was built, measured at parity, and
+        rejected — exact per-key distinct counting needs no explicit skew
+        mitigation in Spark. The A/B is kept here so the claim stays
+        re-measurable.
+        """
+        best = None
+        for _ in range(2):
+            if salted:
+                # explicit value-salted two-phase (the rejected operator):
+                # count distinct per (k, salt-of-value), then sum per k —
+                # exact because each distinct value maps to ONE salt
+                per_salt = (
+                    bigp.withColumn(
+                        "_salt", F.pmod(F.xxhash64("pay"), F.lit(16))
+                    )
+                    .groupBy("k", "_salt")
+                    .agg(F.count_distinct("pay").alias("_n"))
+                )
+                agg = per_salt.groupBy("k").agg(
+                    F.sum("_n").cast("long").alias("n_distinct")
+                )
+            else:
+                agg = bigp.groupBy("k").agg(
+                    F.count_distinct("pay").alias("n_distinct")
+                )
+            out = agg.agg(F.sum("n_distinct"), F.max("k"))
+            t0 = time.perf_counter()
+            out.collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        print(f"  {tag}: {best:.2f}s")
         return best
 
     confs = {
@@ -99,6 +144,7 @@ def main() -> None:
         for k, v in confs.items():
             spark.conf.set(k, v)
         print(f"skew probe: {n:,} rows, key 0 holds ~{hot_tenths * 10}%")
+        print("shape: INNER join")
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
         aqe = run("AQE skew-join split (default path)", salted=False)
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
@@ -107,6 +153,24 @@ def main() -> None:
         print(
             f"straggler cost exposed: {none / aqe:.2f}x vs AQE, "
             f"{none / salted:.2f}x vs salting"
+        )
+        print("shape: LEFT OUTER join (dim thinned so unmatched rows exist)")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        aqe_l = run("AQE skew-join split (default path)", salted=False, how="left")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        none_l = run("no mitigation (skew split off)   ", salted=False, how="left")
+        salted_l = run("explicit salted_join(n_salts=16) ", salted=True, how="left")
+        print(
+            f"straggler cost exposed: {none_l / aqe_l:.2f}x vs AQE, "
+            f"{none_l / salted_l:.2f}x vs salting"
+        )
+        print("shape: count(DISTINCT pay) GROUP BY k")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        naive = run_distinct("native countDistinct (AQE on)    ", salted=False)
+        salted_d = run_distinct("value-salted two-phase (rejected)", salted=True)
+        print(
+            f"native/salted = {naive / salted_d:.2f}x — native distinct agg "
+            "is already skew-safe (see run_distinct docstring)"
         )
     finally:
         for k, v in saved.items():
