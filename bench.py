@@ -77,6 +77,10 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     duck_total = round(sum(duck_times.values()), 3) if duck_times else None
+    # the ratio compares IDENTICAL query sets: spark time summed only over
+    # entries the DuckDB side also ran (an oracle-less bench entry would
+    # otherwise bias the numerator with no denominator term)
+    spark_oracled = round(sum(times[n] for n in duck_times), 3)
     print(
         json.dumps(
             {
@@ -88,8 +92,9 @@ def main() -> None:
                 "duckdb_queries": duck_times,
                 "duckdb_warm_total": duck_total,
                 "spark_vs_duckdb_ratio": (
-                    round(total / duck_total, 3) if duck_total else None
+                    round(spark_oracled / duck_total, 3) if duck_total else None
                 ),
+                "ratio_skipped_queries": sorted(set(times) - set(duck_times)),
             }
         )
     )

@@ -46,17 +46,37 @@ class Result:
         batch Result. The deterministic way to get SQL-over-stream answers in
         a test or backfill; a production job would ``writeStream`` instead.
 
-        ``mode=None`` (default) picks the output mode from the plan:
+        ``mode=None`` (default) picks the output mode automatically:
         'complete' for aggregating results, 'append' for plain
         SELECT/filter/join streams (Spark rejects 'complete' for those).
-        Pass an explicit mode to override — e.g. 'update' for a watermarked
-        aggregation you want incrementally."""
+        A plan with no Aggregate node anywhere drains straight in append
+        mode; otherwise 'complete' is attempted and, if Spark rejects it
+        because the Aggregate sits on a batch branch (e.g. a stream-static
+        join against an aggregated dim), the drain falls back to 'append' —
+        a substring probe alone can't tell which branch the Aggregate is
+        on. Pass an explicit mode to override — e.g. 'update' for a
+        watermarked aggregation you want incrementally."""
+        from pyspark.errors import AnalysisException
+
         from sql4pandas_spark.streaming.windows import run_available_now
 
-        if mode is None:
-            analyzed = self.df._jdf.queryExecution().analyzed().toString()
-            mode = "complete" if "Aggregate" in analyzed else "append"
-        return Result(run_available_now(self.df, mode=mode, timeout_sec=timeout_sec))
+        if mode is not None:
+            return Result(
+                run_available_now(self.df, mode=mode, timeout_sec=timeout_sec)
+            )
+        analyzed = self.df._jdf.queryExecution().analyzed().toString()
+        if "Aggregate" not in analyzed:
+            return Result(
+                run_available_now(self.df, mode="append", timeout_sec=timeout_sec)
+            )
+        try:
+            return Result(
+                run_available_now(self.df, mode="complete", timeout_sec=timeout_sec)
+            )
+        except AnalysisException:
+            return Result(
+                run_available_now(self.df, mode="append", timeout_sec=timeout_sec)
+            )
 
     def to_pandas(self) -> pd.DataFrame:
         """Materialize via Arrow (spark.sql.execution.arrow.pyspark.enabled)."""

@@ -10,8 +10,11 @@ and tests/test_dedup.py + tests/test_similarity.py hold the real invariants
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -19,6 +22,18 @@ from pyspark.sql import functions as F
 from sql4pandas_spark.operators import dedup, joins, multimodal, similarity, text
 from sql4pandas_spark.queries.catalog import query
 from sql4pandas_spark.sources.parquet import register_tables
+
+#: process-scoped root for incremental-dedup digest stores; created lazily,
+#: removed at interpreter exit so repeated builds can't leak /tmp dirs
+_INCR_STORE_ROOT: str | None = None
+
+
+def _incr_store_root() -> str:
+    global _INCR_STORE_ROOT
+    if _INCR_STORE_ROOT is None:
+        _INCR_STORE_ROOT = tempfile.mkdtemp(prefix="s4ps_incr_")
+        atexit.register(shutil.rmtree, _INCR_STORE_ROOT, True)
+    return _INCR_STORE_ROOT
 
 
 @query(
@@ -1315,12 +1330,14 @@ def incremental_dedup_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts DISTINCT texts rather than rows). The copies must be dropped by
     the store anti-join; a failed cross-batch check surfaces as
     batch2_kept inflated by 50 and a hash mismatch. The store lives in a
-    fresh per-invocation temp directory (mkdtemp), so concurrent runs on
-    the same fixture (bench + correctness driver) can't race on shared
-    mutable state and the declared result is deterministic per run."""
+    fresh per-invocation subdirectory of a process-scoped temp root
+    (cleaned by atexit), so concurrent runs on the same fixture (bench +
+    correctness driver) can't race on shared mutable state, the declared
+    result is deterministic per run, and repeated builds don't leak /tmp
+    directories beyond the process lifetime."""
     t = register_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
-    store = os.path.join(tempfile.mkdtemp(prefix="s4ps_incr_"), "digests")
+    store = os.path.join(_incr_store_root(), uuid.uuid4().hex, "digests")
     batch1 = docs.filter(F.col("doc_id") % 2 == 0)
     replayed = (
         docs.filter(F.col("doc_id") % 2 == 0)

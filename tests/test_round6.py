@@ -50,6 +50,28 @@ def test_drain_default_still_complete_for_aggregations(spark):
     assert got == want and len(want) > 0
 
 
+def test_drain_default_handles_stream_static_join_with_batch_aggregate(spark):
+    """The plan contains an Aggregate node — but on the BATCH branch of a
+    stream-static join, where 'complete' mode is still rejected. The
+    default drain must fall back to 'append' instead of surfacing the
+    AnalysisException (round-6 review finding: a substring probe alone
+    misclassifies this shape)."""
+    eng = Engine(spark)
+    eng.register_fixtures(SF)
+    eng.register_events_stream(SF)
+    sql = (
+        "SELECT e.event_id, a.avg_v FROM {t} e JOIN "
+        "(SELECT event_type, round(avg(value), 4) AS avg_v FROM events "
+        " GROUP BY event_type) a ON e.event_type = a.event_type "
+        "WHERE e.value > 95"
+    )
+    streamed = eng.sql(sql.format(t="events_stream"))
+    assert streamed.is_streaming
+    got = {tuple(r) for r in streamed.drain().collect()}
+    want = {tuple(r) for r in eng.sql(sql.format(t="events")).collect()}
+    assert got == want and len(want) > 0
+
+
 def test_q11_threshold_is_exact_decimal(spark):
     import re
 

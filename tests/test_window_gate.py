@@ -12,21 +12,17 @@ so a round can never end with an unrehearsed window.
 
 from __future__ import annotations
 
-import hashlib
-
 import pytest
 
 from sql4pandas_spark.queries import load_catalog
 from tests.conftest import SF_SMALL
 
+# import the gate's OWN canonicalization — a local copy would silently pin
+# a stale comparison if the gate's scheme ever changed
+from tools.rehearse_driver_gate import canon_hash
+
 WINDOW = 50
 WINDOW_ENTRIES = list(load_catalog().items())[:WINDOW]
-
-
-def canon_hash(rows: list[tuple], cols: list[str]) -> str:
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    canon = sorted(tuple(str(r[i]) for i in idx) for r in rows)
-    return hashlib.md5(str(canon).encode()).hexdigest()
 
 
 @pytest.mark.parametrize(

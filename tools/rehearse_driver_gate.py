@@ -46,17 +46,22 @@ def main() -> int:
         )
 
     queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    # S4PS_REHEARSE_ONLY=a,b,c rehearses just the named entries (fast
+    # inner-loop check after touching a specific query); looked up in the
+    # FULL catalog, before any limit, and unknown names fail loudly.
+    only = os.environ.get("S4PS_REHEARSE_ONLY", "")
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in queries]
+        if unknown:
+            print(f"S4PS_REHEARSE_ONLY names unknown queries: {unknown}")
+            return 1
+        queries = {n: queries[n] for n in names}
     # S4PS_REHEARSE_LIMIT=50 rehearses exactly the driver's verification
     # window (the first 50 iteration-order entries) with per-query timing.
     limit = int(os.environ.get("S4PS_REHEARSE_LIMIT", "0"))
     if limit:
         queries = dict(list(queries.items())[:limit])
-    # S4PS_REHEARSE_ONLY=a,b,c rehearses just the named entries (fast
-    # inner-loop check after touching a specific query).
-    only = os.environ.get("S4PS_REHEARSE_ONLY", "")
-    if only:
-        names = [n.strip() for n in only.split(",") if n.strip()]
-        queries = {n: queries[n] for n in names}
     bad: list[tuple[str, str]] = []
     n_sql = n_rows = 0
     t0 = time.time()
