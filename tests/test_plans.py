@@ -187,3 +187,88 @@ def test_shuffle_hash_hint_is_honored(spark):
     df = CATALOG["join_hint_shuffle_hash"].build(spark, SF_SMALL)
     plan = formatted_plan(df)
     assert "ShuffledHashJoin" in plan, "hint not honored"
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark):
+    """A filtered dim joined to a lang-partitioned fact must inject a
+    dynamicpruning expression into the fact scan's PartitionFilters — at
+    100 TB this is the difference between scanning every partition and
+    scanning only the dim-selected ones (partitions aren't known until the
+    dim side runs, so static pruning can't do it)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.sources.parquet import register_tables
+
+    t = register_tables(spark, SF_SMALL, ("documents",))
+    out = os.path.join(tempfile.gettempdir(), "s4ps_dpp_probe")
+    (
+        t["documents"]
+        .select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(out)
+    )
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("en", "keep"), ("fr", "keep"), ("de", "drop")], "lang string, tag string"
+    )
+    df = (
+        fact.join(dim.filter(F.col("tag") == "keep"), "lang")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), (
+        "expected dynamicpruningexpression in the fact scan's "
+        f"PartitionFilters:\n{plan[:2000]}"
+    )
+
+
+def test_runtime_bloom_filter_prunes_large_shuffle_join(spark):
+    """When neither side broadcasts, a selective filter on one side must
+    inject a runtime bloom filter (might_contain) into the other side's
+    scan — Spark's row-level runtime filtering, the non-partitioned
+    counterpart of DPP. Thresholds are lowered to make the optimizer treat
+    the local fixture as 'large', exactly as a cluster job tunes them
+    relative to its table sizes."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    big_path = os.path.join(tempfile.gettempdir(), "s4ps_bloom_big")
+    med_path = os.path.join(tempfile.gettempdir(), "s4ps_bloom_med")
+    spark.range(300_000).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("pay")
+    ).write.mode("overwrite").parquet(big_path)
+    spark.range(100_000).select(
+        F.col("id").alias("k2"), (F.col("id") % 100).alias("grp")
+    ).write.mode("overwrite").parquet(med_path)
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1MB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        bigp = spark.read.parquet(big_path)
+        medp = spark.read.parquet(med_path)
+        df = bigp.join(
+            medp.filter(F.col("grp") == 7), F.col("k") == F.col("k2")
+        ).agg(F.count(F.lit(1)).alias("n"))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower(), (
+            f"expected a runtime bloom filter on the big side:\n{plan[:2000]}"
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
