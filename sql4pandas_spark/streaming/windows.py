@@ -139,20 +139,50 @@ def watermarked_hourly(events: DataFrame, delay: str = "2 hours") -> DataFrame:
     )
 
 
+def parquet_batch_writer(out_dir: str, exactly_once: bool = False):
+    """Build a foreachBatch function writing each micro-batch to parquet.
+
+    ``exactly_once=False``: plain append — AT-LEAST-once under recovery
+    (foreachBatch re-delivers the last uncommitted batch after a crash, so
+    a batch that wrote but didn't commit its checkpoint appends twice).
+
+    ``exactly_once=True``: each batch dynamically OVERWRITES its own
+    ``batch_id=`` partition — a replayed batch replaces exactly the rows
+    its crashed attempt may have half-written, never duplicating and never
+    touching other batches' partitions. This is the same idempotency shape
+    as operators/dedup.incremental_exact_dedup's digest store; both are
+    crash-replay property-tested (tests/test_streaming_recovery.py,
+    tests/test_incremental_store.py).
+    """
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        staged = df.withColumn("batch_id", F.lit(batch_id))
+        if exactly_once:
+            (
+                staged.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(out_dir)
+            )
+        else:
+            staged.write.mode("append").parquet(out_dir)
+
+    return write_batch
+
+
 def run_foreach_batch_parquet(
-    result: DataFrame, out_dir: str, timeout_sec: int = 120
+    result: DataFrame,
+    out_dir: str,
+    timeout_sec: int = 120,
+    exactly_once: bool = False,
 ) -> DataFrame:
-    """Drain a streaming DataFrame via foreachBatch, appending each
-    micro-batch to a parquet directory — the production streaming-ETL sink
-    pattern (arbitrary per-batch logic: upserts, multi-table writes,
-    partition overwrite). Delivery semantics, precisely: foreachBatch
-    re-runs the last uncommitted batch after a crash, so a plain append is
-    AT-LEAST-once on recovery — exactly-once requires making the write
-    idempotent on the batch_id each row carries (overwrite-by-batch
-    partition, or MERGE on a table format). Within one clean availableNow
-    drain (this helper's use) no batch replays, so the sink equals the
-    batch result exactly. The target dir is cleared first so the declared
-    query is deterministic per build.
+    """Drain a streaming DataFrame via foreachBatch into a parquet
+    directory — the production streaming-ETL sink pattern (arbitrary
+    per-batch logic: upserts, multi-table writes, partition overwrite).
+    Delivery semantics live in :func:`parquet_batch_writer`; within one
+    clean availableNow drain (this helper's use) no batch replays, so the
+    sink equals the batch result exactly either way. The target dir is
+    cleared first so the declared query is deterministic per build.
 
     Returns the sink read back as a batch DataFrame.
     """
@@ -161,13 +191,10 @@ def run_foreach_batch_parquet(
     shutil.rmtree(out_dir, ignore_errors=True)
     ckpt = tempfile.mkdtemp(prefix="s4ps_ckpt_")
 
-    def write_batch(df: DataFrame, batch_id: int) -> None:
-        df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            out_dir
-        )
-
     q = (
-        result.writeStream.foreachBatch(write_batch)
+        result.writeStream.foreachBatch(
+            parquet_batch_writer(out_dir, exactly_once=exactly_once)
+        )
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()

@@ -104,3 +104,70 @@ def test_stream_resumes_from_checkpoint_exactly_once(
     assert final.count() == total
     assert final.select("event_id").distinct().count() == total
     assert final.select("batch_id").distinct().count() == 2
+
+
+@pytest.mark.parametrize("exactly_once,expect_dups", [(True, False), (False, True)])
+def test_crash_after_write_before_commit(
+    spark, tmp_path, two_file_stream_dir, exactly_once, expect_dups
+):
+    """The failure mode the clean-crash test above can't see: the batch's
+    parquet WRITE lands, then the process dies BEFORE the checkpoint
+    commit. foreachBatch re-delivers that batch on restart, so a plain
+    append duplicates it (at-least-once, pinned here as expect_dups=True),
+    while the exactly-once writer overwrites its own batch_id partition
+    and converges to exactly one copy of every event."""
+    from sql4pandas_spark.streaming.windows import parquet_batch_writer
+
+    batch_schema = spark.read.parquet(f"{SF}/events.parquet").schema
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def make_stream():
+        return (
+            spark.readStream.schema(batch_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(two_file_stream_dir)
+            .select("event_id", "event_type", "value")
+        )
+
+    inner = parquet_batch_writer(out, exactly_once=exactly_once)
+
+    def write_then_crash(df, batch_id):
+        inner(df, batch_id)  # the write COMMITS to the sink...
+        if batch_id >= 1:
+            raise RuntimeError("injected crash after write, before commit")
+
+    q = (
+        make_stream()
+        .writeStream.foreachBatch(write_then_crash)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+        q.processAllAvailable()  # pragma: no cover - raises above first
+    assert not q.isActive
+
+    total = spark.read.parquet(f"{SF}/events.parquet").count()
+    # batch 1's data is already on disk despite the uncommitted checkpoint
+    assert spark.read.parquet(out).count() == total
+
+    q2 = (
+        make_stream()
+        .writeStream.foreachBatch(inner)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    final = spark.read.parquet(out)
+    assert final.select("event_id").distinct().count() == total
+    if expect_dups:
+        assert final.count() > total, (
+            "append mode should have duplicated the replayed batch — if "
+            "this starts passing, foreachBatch semantics changed"
+        )
+    else:
+        assert final.count() == total
