@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Dedup-operator scaling probe: MinHash-LSH and SimHash at Nx documents.
+
+Why a separate probe: tools/scale_probe.py replicates documents with
+IDENTICAL text (digest-shuffle stress, intended), but for near-dup
+operators identical replicas are all mutual near-dups — candidate volume
+then grows quadratically by data construction, not by operator behavior.
+Here each replica i rewrites every token ``w -> w·xi`` so replica
+namespaces are mutually DISSIMILAR: the corpus's internal near-dup
+structure repeats once per replica, clusters scale Nx, and a well-bucketed
+operator should scale ~linearly in rows. Superlinear growth here would
+mean the banded self-join is degenerating (hot buckets), which is exactly
+what the probe exists to catch before a 100 TB run does.
+
+Run:  python tools/dedup_scale_probe.py [factor ...]   # default: 2 4
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from sql4pandas_spark.operators import dedup  # noqa: E402
+from sql4pandas_spark.session import get_spark  # noqa: E402
+
+BASE = "/root/testdata/sf0.1/documents.parquet"
+
+
+def build_perturbed(spark, out_path: str, factor: int) -> None:
+    if os.path.exists(out_path):
+        return
+    docs = spark.read.parquet(BASE).select("doc_id", "text")
+    span = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    parts = []
+    for i in range(factor):
+        part = docs.select(
+            (F.col("doc_id") + i * span).alias("doc_id"),
+            # token-wise namespace rewrite: every word gets an xi suffix, so
+            # replica i's shingles never collide with replica j's
+            F.regexp_replace(F.col("text"), r"(\S+)", f"$1x{i}").alias("text")
+            if i
+            else F.col("text"),
+        )
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(8).write.mode("overwrite").parquet(out_path)
+
+
+def time_ops(spark, path: str) -> dict[str, float]:
+    docs = spark.read.parquet(path)
+
+    def minhash_pairs():
+        sigs = dedup.minhash_signatures(docs)
+        cands = dedup.lsh_candidate_pairs(sigs)
+        return dedup.verified_near_pairs(sigs, cands).agg(
+            F.count(F.lit(1)).alias("n_pairs"), F.min("id_a")
+        )
+
+    def simhash_pairs():
+        return dedup.simhash_near_pairs(dedup.simhash(docs)).agg(
+            F.count(F.lit(1)).alias("n_pairs"), F.min("id_a")
+        )
+
+    times: dict[str, float] = {}
+    for name, build in (("minhash_pairs", minhash_pairs), ("simhash_pairs", simhash_pairs)):
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            build().collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
+    return times
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [2, 4]
+    spark = get_spark(app_name="s4ps-dedup-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    # the 1x basis goes through the SAME build path (repartition(8)) as the
+    # scaled dirs: the raw fixture is a single-row-group file whose scan
+    # parallelism caps at 1 task (BASELINE.md round-5 finding), which would
+    # make every scaled factor look sub-linear by construction
+    base_path = "/tmp/s4ps_dedup_scale_x1"
+    build_perturbed(spark, base_path, 1)
+    base = time_ops(spark, base_path)
+    report = {"base_s": base, "scaled": {}}
+    for f in factors:
+        path = f"/tmp/s4ps_dedup_scale_x{f}"
+        t0 = time.time()
+        build_perturbed(spark, path, f)
+        build_s = round(time.time() - t0, 1)
+        scaled = time_ops(spark, path)
+        report["scaled"][f] = {
+            "build_s": build_s,
+            "times_s": scaled,
+            "scaling": {
+                k: round(scaled[k] / base[k], 2) if base[k] else None for k in scaled
+            },
+        }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
