@@ -273,9 +273,14 @@ def ngram_jaccard_pairs(
     (b) groupBy on (id_a, id_b) int pairs. The failure mode at 100 TB is a
     *hot shingle* (a boilerplate phrase shared by millions of docs → a
     quadratic bucket); ``max_doc_freq`` drops shingles appearing in more
-    than that many documents — the standard stopword-shingle cap, which
-    can only lose pairs whose overlap is dominated by boilerplate. Leave
-    None for exact semantics (the oracle-checked mode).
+    than that many documents — the standard stopword-shingle cap. Under
+    the cap, jaccard is computed over the REDUCED shingle sets: pairs
+    whose overlap was only boilerplate disappear, and surviving pairs are
+    re-scored on distinctive content alone — the score can move in either
+    direction (dropping shared boilerplate shrinks |∩| too), so the cap is
+    a re-weighting toward distinctive content, not an under- or
+    over-approximation (pinned in tests/test_dedup.py). Leave None for
+    exact semantics (the oracle-checked mode).
     """
     sh = df.select(
         F.col(id_col).alias("doc_id"),

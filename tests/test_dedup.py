@@ -173,3 +173,54 @@ def test_contamination_overlap_counts_and_flag(spark):
     assert rows[10]["n_overlap"] == 2 and rows[10]["contaminated"] is True
     assert rows[11]["n_overlap"] == 0 and rows[11]["contaminated"] is False
     assert rows[12]["n_overlap"] == 0 and rows[12]["contaminated"] is False
+
+
+def test_hot_shingle_cap_drops_boilerplate_pairs(spark):
+    """max_doc_freq is the 100 TB guard against quadratic hot-shingle
+    buckets. Three properties pinned: (1) a cap above the corpus's max
+    shingle document-frequency changes nothing; (2) under the cap, pairs
+    whose only overlap is boilerplate disappear; (3) pairs sharing genuine
+    content survive, re-scored on distinctive content alone (docs 1/2:
+    5 shared of 6 distinct non-boilerplate shingles = 0.8333 — lower than
+    the exact 0.9091 because the shared boilerplate left |∩| too; the
+    score can move either way, see the operator docstring)."""
+    import pandas as pd
+
+    from sql4pandas_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "subscribe to our newsletter for updates today"
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    f"{boiler} quantum flux capacitor theory primer",
+                    f"{boiler} quantum flux capacitor theory primer extended",
+                    f"{boiler} gardening tips for arid climates",
+                    f"{boiler} stock market outlook next quarter",
+                ],
+            }
+        )
+    )
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    # boilerplate alone links every pair at threshold 0.2
+    assert (3, 4) in exact and (1, 2) in exact
+
+    # (1) cap above max df (= 4 docs share the boilerplate shingles)
+    same = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.2, max_doc_freq=4).collect()
+    }
+    assert same == exact
+
+    # (2)+(3) cap at 3 drops every boilerplate-only pair, keeps the pair
+    # with real shared content, scored over the reduced sets
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.2, max_doc_freq=3).collect()
+    }
+    assert set(capped) == {(1, 2)}
+    assert capped[(1, 2)] == pytest.approx(5 / 6, abs=1e-4)
