@@ -1,4 +1,4 @@
-"""Table-maintenance operators: small-file compaction.
+"""Table-maintenance operators: small-file compaction and range clustering.
 
 The small-files problem is the classic failure mode of long-running ingest
 at scale: thousands of KB-sized parquet files per partition turn every scan
@@ -6,10 +6,18 @@ into a file-listing + task-scheduling storm (one task per file) and crush
 the NameNode/object-store listing path. The fix is a periodic compaction
 job: rewrite a directory into ceil(rows / target) evenly-sized files.
 
+Range clustering is compaction's data-skipping sibling: sort the rewrite on
+the columns queries filter by, so each parquet row group's min/max
+statistics cover a NARROW value range and a selective predicate prunes most
+row groups at scan time (the engine already pushes the filter down; whether
+the pushed filter can skip anything is a pure layout property). This is the
+single-dimension form of Z-ordering — the right tool when one column
+dominates the filter workload.
+
 Reference parity: the reference engine (in-memory pandas, SURVEY.md §1.1)
-has no table maintenance at all — this operator exists because the 100 TB
-deployment target demands it (SURVEY.md §2.9), not because the reference
-had one.
+has no table maintenance at all — these operators exist because the 100 TB
+deployment target demands them (SURVEY.md §2.9), not because the reference
+had them.
 """
 
 from __future__ import annotations
@@ -44,4 +52,41 @@ def compact_parquet_dir(
     n_rows = df.count()
     n_files = max(1, math.ceil(n_rows / target_records_per_file))
     df.repartition(n_files).write.mode("overwrite").parquet(dst)
+    return spark.read.parquet(dst)
+
+
+def cluster_parquet_dir(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    cluster_cols: list[str],
+    target_records_per_file: int = 1_000_000,
+) -> DataFrame:
+    """Rewrite a parquet directory range-clustered on ``cluster_cols``.
+
+    ``repartitionByRange`` gives each output file a disjoint value range of
+    the leading cluster column (sampled range boundaries — one shuffle),
+    and ``sortWithinPartitions`` orders rows inside each file so every
+    parquet ROW GROUP's min/max footer statistics span a narrow slice.
+    A pushed-down predicate on the cluster column then skips whole files
+    (via file-level stats) and whole row groups (via footer stats) instead
+    of decoding them — at 100 TB this is the difference between a scan
+    touching ~selectivity of the bytes and touching all of them. Values
+    are untouched; the correctness oracle is aggregate-identity, the
+    layout property is asserted directly on the parquet footers in
+    tests/test_maintenance.py.
+
+    One dimension only (the leading column dominates). For multi-column
+    point lookups an interleaved (Z-order/Hilbert) key would be the next
+    step — out of contract scope, documented for the 100 TB reader.
+    """
+    df = spark.read.parquet(src)
+    n_rows = df.count()
+    n_files = max(1, math.ceil(n_rows / target_records_per_file))
+    (
+        df.repartitionByRange(n_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+        .parquet(dst)
+    )
     return spark.read.parquet(dst)

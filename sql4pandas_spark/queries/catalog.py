@@ -115,6 +115,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "pipeline_end_to_end",
     "scan_orc_roundtrip",
     "compact_documents_files",
+    # new in round 6 (never driver-verified — takes the window slot of the
+    # stable plan-hint entry join_hint_shuffle_hash, moved below)
+    "cluster_documents_files",
     "quality_repetition_documents",
     "decontaminate_documents",
     "ivf_full_probe_top10",
@@ -125,7 +128,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "variant_props_stats",
     "udtf_table_arg_summary",
     "dynamic_partition_overwrite",
-    "join_hint_shuffle_hash",
     "doc_fingerprints",
     "approx_distinct_events",
     "ann_ivf_query_top10",
@@ -139,6 +141,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # is all green, every entry will have >=1 green round and these 9 (plus
     # any entries whose code changed in r6) are the natural next window,
     # topped up with once-green rows per tests/test_driver_window.py.
+    "join_hint_shuffle_hash",
     "setop_all_variants",
     "null_safe_join_counts",
     "agg_stats_orders",

@@ -1206,6 +1206,40 @@ def compact_documents_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cluster_documents_files",
+    oracle="""
+    SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("tier-c", "maintenance", "cluster_files"),
+)
+def cluster_documents_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range clustering (operators/maintenance.cluster_parquet_dir):
+    rewrite documents range-clustered + sorted on n_chars so row-group
+    min/max stats enable data skipping for n_chars predicates, then
+    aggregate the clustered copy. The oracle aggregates the ORIGINAL
+    table — a hash match proves the clustering rewrite is lossless; the
+    footer-stats tightening itself (the point of the operator) is
+    asserted on the parquet metadata in tests/test_maintenance.py."""
+    from sql4pandas_spark.operators.maintenance import cluster_parquet_dir
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    src = os.path.join(tempfile.gettempdir(), "s4ps_cluster_src")
+    dst = os.path.join(tempfile.gettempdir(), "s4ps_cluster_out")
+    t["documents"].select("doc_id", "lang", "n_chars").write.mode(
+        "overwrite"
+    ).parquet(src)
+    out = cluster_parquet_dir(
+        spark, src, dst, ["n_chars"], target_records_per_file=500
+    )
+    return (
+        out.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang")
+    )
+
+
+@query(
     "quality_repetition_documents",
     oracle="""
     WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS w FROM documents),

@@ -67,3 +67,54 @@ def test_dynamic_overwrite_leaves_other_partitions_files_untouched(spark):
 
     assert snapshot("fr") == before_fr, "untouched partition was rewritten"
     assert snapshot("en") != before_en, "targeted partition was not rewritten"
+
+
+def test_range_clustering_tightens_row_group_stats(spark):
+    """cluster_parquet_dir's whole value is a LAYOUT property: after
+    range-clustering on n_chars, each parquet row group's min/max footer
+    stats must cover a narrow, near-disjoint slice of the value domain
+    (that is what lets a pushed-down predicate skip row groups), while a
+    round-robin rewrite of the same rows leaves every row group spanning
+    ~the whole domain. Asserted directly on the parquet footers —
+    deterministic, no timing."""
+    import pyarrow.parquet as pq
+
+    from sql4pandas_spark.operators.maintenance import cluster_parquet_dir
+
+    t = register_tables(spark, SF_SMALL, ("documents",))
+    src_dir = os.path.join(tempfile.gettempdir(), "s4ps_test_cluster_src")
+    flat = os.path.join(tempfile.gettempdir(), "s4ps_test_cluster_flat")
+    clus = os.path.join(tempfile.gettempdir(), "s4ps_test_cluster_out")
+    src = t["documents"].select("doc_id", "lang", "n_chars")
+    n_rows = src.count()
+    src.write.mode("overwrite").parquet(src_dir)
+
+    # round-robin baseline: same rows, 4 files, no ordering
+    compact_parquet_dir(spark, src_dir, flat, target_records_per_file=-(-n_rows // 4))
+    out = cluster_parquet_dir(
+        spark, src_dir, clus, ["n_chars"], target_records_per_file=-(-n_rows // 4)
+    )
+    assert out.count() == n_rows  # lossless
+
+    def rg_spans(path: str) -> list[tuple[int, int]]:
+        spans = []
+        for f in _parquet_files(path):
+            pf = pq.ParquetFile(f)
+            idx = pf.schema_arrow.names.index("n_chars")
+            for g in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(g).column(idx).statistics
+                spans.append((st.min, st.max))
+        return spans
+
+    flat_spans, clus_spans = rg_spans(flat), rg_spans(clus)
+    lo = min(s[0] for s in flat_spans)
+    hi = max(s[1] for s in flat_spans)
+    domain = hi - lo
+    flat_cover = sum(b - a for a, b in flat_spans) / (domain * len(flat_spans))
+    clus_cover = sum(b - a for a, b in clus_spans) / (domain * len(clus_spans))
+    # round-robin row groups each span ~the full domain; clustered row
+    # groups must cover well under half of it on average
+    assert flat_cover > 0.8, (flat_cover, flat_spans)
+    assert clus_cover < 0.5 * flat_cover, (clus_cover, flat_cover, clus_spans)
+    # and the clustered spans are near-disjoint: total coverage ~1 domain
+    assert sum(b - a for a, b in clus_spans) <= 1.2 * domain, clus_spans
