@@ -87,10 +87,17 @@ def _broadcast_embedding_matrix(
             "the bucketed candidate path (similarity.ann_lsh_topk) and keep "
             "exact scoring for candidates only"
         )
-    ids = rows[id_col].to_numpy()
-    mat = np.stack(rows["embedding"].to_numpy()).astype(np.float64)
-    if normalize:
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    if len(rows) == 0:
+        # empty input (e.g. a filter selected nothing): empty matrix, so
+        # every matmul-scored operator yields an empty result instead of
+        # crashing a 100 TB job on one empty partition-pruned read
+        ids = np.array([], dtype=np.int64)
+        mat = np.zeros((0, 0), dtype=np.float64)
+    else:
+        ids = rows[id_col].to_numpy()
+        mat = np.stack(rows["embedding"].to_numpy()).astype(np.float64)
+        if normalize:
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     spark = emb.sparkSession
     return spark.sparkContext.broadcast(ids), spark.sparkContext.broadcast(mat)
 
@@ -270,8 +277,13 @@ def build_ivf_index(
         .limit(max(2048, 8 * n_cells))  # bounded TRAINING SAMPLE, not the data
         .collect()
     )
-    sample = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in train_rows])
-    cents = _train_centroids(sample, n_cells)
+    if not train_rows:  # empty table: zero centroids, queries return empty
+        cents = np.zeros((0, 0), dtype=np.float64)
+    else:
+        sample = np.stack(
+            [np.asarray(r["embedding"], dtype=np.float64) for r in train_rows]
+        )
+        cents = _train_centroids(sample, n_cells)
     b_cents = emb.sparkSession.sparkContext.broadcast(cents)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -302,9 +314,13 @@ def ivf_query_topk(
     the `n_probe` nearest cells, exact-rescore only those cells' vectors with
     the JVM-side zip_with/aggregate dot product → TakeOrderedAndProject
     top-k. Recall vs brute force is asserted in tests/test_similarity.py."""
+    id_col = index.id_col
+    if index.centroids.size == 0:  # index built over an empty table
+        return index.emb.select(
+            F.col(id_col), F.lit(0.0).alias("sim")
+        ).limit(0)
     q = np.asarray(query_vec, dtype=np.float64)
     probed = [int(c) for c in np.argsort(-(index.centroids @ q))[:n_probe]]
-    id_col = index.id_col
     cand_ids = index.assigned.filter(F.col("cell").isin(probed)).select("vec_id")
     return (
         index.emb.join(cand_ids, index.emb[id_col] == cand_ids["vec_id"], "left_semi")
@@ -383,7 +399,12 @@ def ann_lsh_topk(
     Scale: bucket keys are 8-byte longs (table-id offset keeps tables
     disjoint); the only shuffle is the explode + self-join on those keys.
     """
-    dim = len(emb.select("embedding").first()[0])
+    first = emb.select("embedding").first()
+    if first is None:  # empty input: empty pair set, standard schema
+        return emb.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, sim double"
+        )
+    dim = len(first[0])
     keys = F.array(
         *[
             lsh_bucket_key(

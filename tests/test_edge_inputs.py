@@ -143,3 +143,21 @@ def test_winnow_fingerprint_short_doc(spark):
         _df(spark, [("a", 0, "solo")], DOCS_SCHEMA)
     ).collect()
     assert len(out) == 1 and out[0].fingerprint is not None
+
+
+def test_similarity_operators_handle_empty_input(spark):
+    """A partition-pruned or filtered-to-empty read must yield empty
+    results, not crash the job driver-side (np.stack of zero arrays,
+    first()[0] on None, k-means over an empty sample — all round-6 fixed).
+    The dedup/text operators were already empty-safe (pure DataFrame
+    lineage); the matmul/index operators collect driver-side and need
+    explicit guards."""
+    from sql4pandas_spark.operators import similarity
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert similarity.cosine_pairs_topk(emb).count() == 0
+    assert similarity.cosine_near_pairs(emb).count() == 0
+    out = similarity.ann_lsh_topk(emb)
+    assert out.count() == 0 and out.columns == ["id_a", "id_b", "sim"]
+    q = similarity.ann_ivf_query_topk(emb, [0.0, 1.0], k=5)
+    assert q.count() == 0 and q.columns == ["vec_id", "sim"]
