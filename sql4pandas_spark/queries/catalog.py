@@ -124,9 +124,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stratified_mix_hash",
     "lateral_top_orders",
     "stream_foreach_batch_sink",
+    # new in round 6 (never driver-verified — takes the slot of the stable
+    # UDTF entry udtf_table_arg_summary, moved below)
+    "stream_stateful_sessions",
     "hll_sketch_users",
     "variant_props_stats",
-    "udtf_table_arg_summary",
     "dynamic_partition_overwrite",
     "doc_fingerprints",
     "approx_distinct_events",
@@ -142,6 +144,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # any entries whose code changed in r6) are the natural next window,
     # topped up with once-green rows per tests/test_driver_window.py.
     "join_hint_shuffle_hash",
+    "udtf_table_arg_summary",
     "setop_all_variants",
     "null_safe_join_counts",
     "agg_stats_orders",

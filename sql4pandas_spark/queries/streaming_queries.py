@@ -181,6 +181,57 @@ def stream_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stateful_sessions",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g),
+    agg AS (
+      SELECT user_id, sid, min(ts) AS s_start,
+             max(ts) + INTERVAL 10 MINUTE AS s_end, count(*) AS n
+      FROM s GROUP BY user_id, sid),
+    wm AS (SELECT max(ts) - INTERVAL 1 MINUTE AS w FROM events)
+    SELECT user_id, s_start, s_end, n
+    FROM agg, wm
+    WHERE sid < (SELECT max(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
+       OR s_end < w
+    ORDER BY user_id, s_start
+    """,
+    tags=("tier-c", "stream_stateful", "stream_session", "scan_stream"),
+)
+def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time-timeout sessionization (streaming/stateful.py): the
+    custom-stateful form of session windows, applyInPandasWithState with
+    GroupStateTimeout.EventTimeTimeout. Drained availableNow over the one
+    fixture file: every data-closed session emits in the data batch, and
+    the final no-data flush batch (measured semantics, documented in the
+    operator module) additionally times out every still-open session whose
+    close time sits below the final watermark (global max ts − 1 min delay).
+    The oracle encodes exactly that union: lag + cumulative-sum sessions
+    where the session is not the user's last (data-closed) OR
+    ``s_end < max(ts) − 1 min`` (flush-batch timeout). The cross-batch
+    timeout path is pinned by tests/test_stateful_sessions.py."""
+    from sql4pandas_spark.streaming.stateful import sessionize_stateful
+
+    events = (
+        read_events_stream(spark, sf_dir)
+        .select("user_id", "ts")
+        .withWatermark("ts", "1 minute")
+    )
+    return run_available_now(
+        sessionize_stateful(events, gap_minutes=10), mode="append"
+    ).orderBy("user_id", "s_start")
+
+
+@query(
     "gapfill_hourly_counts",
     oracle="""
     WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi

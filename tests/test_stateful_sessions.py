@@ -1,0 +1,90 @@
+"""Cross-batch semantics of the event-time-timeout sessionizer.
+
+The catalog entry drains the fixture in one data batch (+ the final flush
+batch); this test drives THREE time-split micro-batches so every delivery
+path fires, with hand-computed expectations (validated interactively,
+round 6):
+
+- u1's first session (00:00–00:05, 2 events) ends long before batch 2's
+  data — the event-time TIMEOUT closes it once the watermark passes.
+- u2's only session times out the same way (no later data for u2 at all —
+  the pure-timeout path a data-closed design would miss).
+- u3's 01:00 session is DATA-closed by u3's own 02:01 event (gap > 10 min)
+  in batch 3.
+- u1's 02:00 and u3's 02:01 sessions stay OPEN: the final watermark
+  (02:01 − 1 min = 02:00) has not passed their close times (02:10/02:11),
+  so even the final flush batch leaves them in state.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sql4pandas_spark.streaming.stateful import sessionize_stateful
+from sql4pandas_spark.streaming.windows import run_available_now
+
+BATCHES = [
+    [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:05:00"), (2, "2024-01-01 00:02:00")],
+    [(3, "2024-01-01 01:00:00")],  # advances the watermark past u1/u2 timeouts
+    [(1, "2024-01-01 02:00:00"), (3, "2024-01-01 02:01:00")],
+]
+
+
+@pytest.fixture()
+def time_split_stream_dir(spark, tmp_path):
+    src = tmp_path / "src"
+    flat = tmp_path / "flat"
+    os.makedirs(flat)
+    n = 0
+    for i, rows in enumerate(BATCHES):
+        d = str(src / f"f{i}")
+        (
+            spark.createDataFrame(rows, "user_id long, ts_s string")
+            .select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+            .coalesce(1)
+            .write.parquet(d)
+        )
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                os.symlink(os.path.join(d, f), str(flat / f"{n:02d}.parquet"))
+                n += 1
+    assert n == 3
+    return str(flat)
+
+
+def test_timeout_and_data_closed_paths(spark, time_split_stream_dir):
+    events = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(time_split_stream_dir)
+        .withWatermark("ts", "1 minute")
+    )
+    out = run_available_now(
+        sessionize_stateful(events, gap_minutes=10), mode="append"
+    )
+    got = sorted(
+        (r.user_id, str(r.s_start), str(r.s_end), r.n) for r in out.collect()
+    )
+    gap = pd.Timedelta(minutes=10)
+
+    def sess(uid, start, end, n):
+        return (
+            uid,
+            str(pd.Timestamp(start)),
+            str(pd.Timestamp(end) + gap),
+            n,
+        )
+
+    assert got == sorted(
+        [
+            sess(1, "2024-01-01 00:00:00", "2024-01-01 00:05:00", 2),  # timeout
+            sess(2, "2024-01-01 00:02:00", "2024-01-01 00:02:00", 1),  # timeout
+            sess(3, "2024-01-01 01:00:00", "2024-01-01 01:00:00", 1),  # data-closed
+        ]
+    ), got
+    # u1@02:00 and u3@02:01 must NOT appear (still open at final watermark)
+    assert all(not s[1].startswith("2024-01-01 02:") for s in got)
