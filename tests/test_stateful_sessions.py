@@ -88,3 +88,87 @@ def test_timeout_and_data_closed_paths(spark, time_split_stream_dir):
     ), got
     # u1@02:00 and u3@02:01 must NOT appear (still open at final watermark)
     assert all(not s[1].startswith("2024-01-01 02:") for s in got)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def event_sets(draw):
+    n_users = draw(st.integers(1, 3))
+    rows = []
+    for uid in range(1, n_users + 1):
+        n_ev = draw(st.integers(1, 8))
+        offsets = sorted(
+            draw(
+                st.lists(
+                    st.integers(0, 600),  # minutes over a 10h span
+                    min_size=n_ev,
+                    max_size=n_ev,
+                    unique=True,
+                )
+            )
+        )
+        rows += [(uid, off) for off in offsets]
+    return rows
+
+
+@given(rows=event_sets())
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_single_batch_drain_matches_batch_derivation(spark, tmp_path, rows):
+    """Property: for ANY event set drained in one data batch, the stateful
+    sessionizer's output equals the batch-mode session_window result minus
+    the sessions the final watermark (max ts − delay) hasn't closed — the
+    same rule the catalog oracle encodes, here exercised on randomized
+    shapes instead of the one fixture."""
+    import uuid as _uuid
+
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    pdf = pd.DataFrame(
+        {
+            "user_id": [r[0] for r in rows],
+            "ts": [base + pd.Timedelta(minutes=r[1]) for r in rows],
+        }
+    )
+    src = str(tmp_path / f"ev_{_uuid.uuid4().hex[:8]}")
+    batch_df = spark.createDataFrame(pdf)
+    batch_df.coalesce(1).write.parquet(src)
+
+    streamed = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .parquet(src)
+        .withWatermark("ts", "1 minute")
+    )
+    got = {
+        (r.user_id, str(r.s_start), str(r.s_end), r.n)
+        for r in run_available_now(
+            sessionize_stateful(streamed, gap_minutes=10), mode="append"
+        ).collect()
+    }
+
+    # batch derivation: gaps-and-islands sessions, then the oracle's rule
+    gap = pd.Timedelta(minutes=10)
+    final_wm = pdf["ts"].max() - pd.Timedelta(minutes=1)
+    want = set()
+    for uid, g in pdf.groupby("user_id"):
+        ts = sorted(g["ts"])
+        sessions, cur = [], [ts[0]]
+        for t in ts[1:]:
+            if t - cur[-1] < gap:
+                cur.append(t)
+            else:
+                sessions.append(cur)
+                cur = [t]
+        sessions.append(cur)
+        for i, s in enumerate(sessions):
+            closed_by_data = i < len(sessions) - 1
+            timed_out = (s[-1] + gap) < final_wm
+            if closed_by_data or timed_out:
+                want.add((uid, str(s[0]), str(s[-1] + gap), len(s)))
+    assert got == want, (got, want)
