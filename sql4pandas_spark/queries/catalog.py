@@ -127,8 +127,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # new in round 6 (never driver-verified — takes the slot of the stable
     # UDTF entry udtf_table_arg_summary, moved below)
     "stream_stateful_sessions",
+    # new in round 6 (never driver-verified — takes the slot of the stable
+    # VARIANT entry variant_props_stats, moved below)
+    "heavy_hitters_events",
     "hll_sketch_users",
-    "variant_props_stats",
     "dynamic_partition_overwrite",
     "doc_fingerprints",
     "approx_distinct_events",
@@ -145,6 +147,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # topped up with once-green rows per tests/test_driver_window.py.
     "join_hint_shuffle_hash",
     "udtf_table_arg_summary",
+    "variant_props_stats",
     "setop_all_variants",
     "null_safe_join_counts",
     "agg_stats_orders",

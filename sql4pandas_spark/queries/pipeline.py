@@ -637,6 +637,30 @@ def ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "heavy_hitters_events",
+    oracle="""
+    SELECT user_id AS item, count(*) AS n
+    FROM events GROUP BY user_id ORDER BY n DESC, item LIMIT 10
+    """,
+    tags=("tier-c", "agg_approx", "heavy_hitters"),
+)
+def heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase heavy hitters (operators/sketches.heavy_hitters_topk):
+    per-Arrow-batch candidate top-M map-side, then an exact recount
+    restricted to the broadcast candidate set — the high-cardinality-safe
+    top-k by frequency. M=2048 exceeds the fixture's user cardinality at
+    every SF (1,500 at sf0.1), so the result is provably EXACT here and
+    the oracle is the plain SQL top-10; the approximate regime
+    (cardinality >> M, skewed) is pinned in tests/test_sketches.py."""
+    from sql4pandas_spark.operators.sketches import heavy_hitters_topk
+
+    t = register_tables(spark, sf_dir, ("events",))
+    return heavy_hitters_topk(
+        t["events"], "user_id", k=10, candidates_per_batch=2048
+    )
+
+
+@query(
     "approx_distinct_events",
     oracle="""
     SELECT count(DISTINCT user_id) AS exact_users, true AS users_approx_ok,
