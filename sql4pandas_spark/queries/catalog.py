@@ -142,9 +142,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # never-green 9 above. All are simple canonical ANSI aggregate/set-op
     # forms whose code has not changed since their r5 green row — the
     # lowest-regression-risk drop. ROUND-7 ROTATION RECIPE: if CORRECTNESS_r06
-    # is all green, every entry will have >=1 green round and these 9 (plus
-    # any entries whose code changed in r6) are the natural next window,
-    # topped up with once-green rows per tests/test_driver_window.py.
+    # is all green, every entry will have >=1 green round. The natural r7
+    # window: the 12 below (once-green r5, rotated out during r6) plus any
+    # r6 err rows and any entries whose code changes in r7, topped up with
+    # remaining once-green rows (prefer ones whose code changed in r6:
+    # sink_custom_jsonl, incremental_dedup_batches, q11_important_stock,
+    # the three r6-new entries cluster_documents_files /
+    # stream_stateful_sessions / heavy_hitters_events if not yet green)
+    # per tests/test_driver_window.py.
     "join_hint_shuffle_hash",
     "udtf_table_arg_summary",
     "variant_props_stats",
