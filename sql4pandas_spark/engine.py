@@ -82,6 +82,14 @@ class Result:
         """Materialize via Arrow (spark.sql.execution.arrow.pyspark.enabled)."""
         return self.df.toPandas()
 
+    def explain(self, mode: str = "formatted") -> str:
+        """Return the query plan as a string (default 'formatted': the
+        physical plan with codegen stages — the thing to read before
+        running anything at scale). Modes as in DataFrame.explain."""
+        return self.df.sparkSession._jvm.PythonSQLUtils.explainString(
+            self.df._jdf.queryExecution(), mode
+        )
+
     def collect(self) -> list[Any]:
         return self.df.collect()
 

@@ -71,3 +71,10 @@ def test_null_semantics_upgrade(engine):
 
 def test_tables_listing(engine):
     assert {"customer", "orders", "lineitem"} <= set(engine.tables())
+
+
+def test_result_explain_returns_formatted_plan(engine):
+    plan = engine.sql("SELECT 1 AS x").explain()
+    assert "Physical Plan" in plan
+    plan2 = engine.sql("SELECT 1 AS x").explain("simple")
+    assert "Physical Plan" in plan2
