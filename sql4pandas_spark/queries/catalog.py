@@ -118,6 +118,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # new in round 6 (never driver-verified — takes the window slot of the
     # stable plan-hint entry join_hint_shuffle_hash, moved below)
     "cluster_documents_files",
+    # new in round 6 (never driver-verified — takes the slot of the stable
+    # partition-overwrite entry dynamic_partition_overwrite, moved below)
+    "zorder_documents_files",
     "quality_repetition_documents",
     "decontaminate_documents",
     "ivf_full_probe_top10",
@@ -131,7 +134,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # VARIANT entry variant_props_stats, moved below)
     "heavy_hitters_events",
     "hll_sketch_users",
-    "dynamic_partition_overwrite",
     "doc_fingerprints",
     "approx_distinct_events",
     "ann_ivf_query_top10",
@@ -147,12 +149,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # r6 err rows and any entries whose code changes in r7, topped up with
     # remaining once-green rows (prefer ones whose code changed in r6:
     # sink_custom_jsonl, incremental_dedup_batches, q11_important_stock,
-    # the three r6-new entries cluster_documents_files /
+    # the four r6-new entries cluster_documents_files / zorder_documents_files /
     # stream_stateful_sessions / heavy_hitters_events if not yet green)
     # per tests/test_driver_window.py.
     "join_hint_shuffle_hash",
     "udtf_table_arg_summary",
     "variant_props_stats",
+    "dynamic_partition_overwrite",
     "setop_all_variants",
     "null_safe_join_counts",
     "agg_stats_orders",

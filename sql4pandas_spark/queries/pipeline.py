@@ -1264,6 +1264,40 @@ def cluster_documents_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "zorder_documents_files",
+    oracle="""
+    SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("tier-c", "maintenance", "cluster_files", "zorder"),
+)
+def zorder_documents_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column Z-order rewrite (operators/maintenance.zorder_parquet_dir):
+    Morton-interleave (doc_id, n_chars) so BOTH dimensions' row-group
+    min/max stats tighten — predicates on either column (or both) skip row
+    groups, which single-column clustering cannot give. The oracle
+    aggregates the ORIGINAL table: hash match proves the rewrite is
+    lossless; the per-dimension footer-stats property is asserted in
+    tests/test_maintenance.py."""
+    from sql4pandas_spark.operators.maintenance import zorder_parquet_dir
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    src = os.path.join(tempfile.gettempdir(), "s4ps_zorder_src")
+    dst = os.path.join(tempfile.gettempdir(), "s4ps_zorder_out")
+    t["documents"].select("doc_id", "lang", "n_chars").write.mode(
+        "overwrite"
+    ).parquet(src)
+    out = zorder_parquet_dir(
+        spark, src, dst, ["doc_id", "n_chars"], target_records_per_file=500
+    )
+    return (
+        out.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang")
+    )
+
+
+@query(
     "quality_repetition_documents",
     oracle="""
     WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS w FROM documents),

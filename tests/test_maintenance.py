@@ -118,3 +118,51 @@ def test_range_clustering_tightens_row_group_stats(spark):
     assert clus_cover < 0.5 * flat_cover, (clus_cover, flat_cover, clus_spans)
     # and the clustered spans are near-disjoint: total coverage ~1 domain
     assert sum(b - a for a, b in clus_spans) <= 1.2 * domain, clus_spans
+
+
+def test_zorder_tightens_stats_on_every_dimension(spark):
+    """Multi-column Z-order: after a Morton-interleaved rewrite on
+    (doc_id, n_chars), BOTH dimensions' row-group spans must shrink well
+    below the full domain — the property single-column clustering can't
+    give (it tightens its sort column and leaves the others full-width).
+    Assertions on parquet footers; thresholds leave headroom over the
+    theoretical ~N^(-1/2) per-dimension coverage of 8 row groups."""
+    import pyarrow.parquet as pq
+
+    from sql4pandas_spark.operators.maintenance import zorder_parquet_dir
+
+    t = register_tables(spark, SF_SMALL, ("documents",))
+    src_dir = os.path.join(tempfile.gettempdir(), "s4ps_test_z_src")
+    flat = os.path.join(tempfile.gettempdir(), "s4ps_test_z_flat")
+    zdir = os.path.join(tempfile.gettempdir(), "s4ps_test_z_out")
+    src = t["documents"].select("doc_id", "lang", "n_chars")
+    n_rows = src.count()
+    src.write.mode("overwrite").parquet(src_dir)
+
+    per_file = -(-n_rows // 8)
+    compact_parquet_dir(spark, src_dir, flat, target_records_per_file=per_file)
+    out = zorder_parquet_dir(
+        spark, src_dir, zdir, ["doc_id", "n_chars"], target_records_per_file=per_file
+    )
+    assert out.count() == n_rows  # lossless
+    assert sorted(r.doc_id for r in out.select("doc_id").collect()) == sorted(
+        r.doc_id for r in src.select("doc_id").collect()
+    )
+
+    def coverage(path: str, col: str) -> float:
+        spans, lo, hi = [], None, None
+        for f in _parquet_files(path):
+            pf = pq.ParquetFile(f)
+            idx = pf.schema_arrow.names.index(col)
+            for g in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(g).column(idx).statistics
+                spans.append((st.min, st.max))
+        lo = min(s[0] for s in spans)
+        hi = max(s[1] for s in spans)
+        return sum(b - a for a, b in spans) / ((hi - lo) * len(spans))
+
+    for col in ("doc_id", "n_chars"):
+        flat_cov = coverage(flat, col)
+        z_cov = coverage(zdir, col)
+        assert flat_cov > 0.8, (col, flat_cov)
+        assert z_cov < 0.6, (col, z_cov)
