@@ -161,3 +161,39 @@ def test_similarity_operators_handle_empty_input(spark):
     assert out.count() == 0 and out.columns == ["id_a", "id_b", "sim"]
     q = similarity.ann_ivf_query_topk(emb, [0.0, 1.0], k=5)
     assert q.count() == 0 and q.columns == ["vec_id", "sim"]
+
+
+def test_text_operators_handle_unicode_null_and_empty(spark):
+    """Pin round-6 probed behavior: diacritics, CJK, Cyrillic,
+    astral-plane emoji, RTL text, NULL, and empty strings all flow through
+    the text/dedup operators without error, with sensible per-row
+    contracts (NULL text → NULL token count, empty → 0; every non-null row
+    gets a hash/signature)."""
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators import dedup, text
+
+    rows = [
+        (1, "héllo wörld café naïve"),
+        (2, "こんにちは 世界 これはテストです"),
+        (3, "привет мир тест документа"),
+        (4, "emoji 😀 test 🎉 party"),
+        (5, "mixed English و العربية text"),
+        (6, None),
+        (7, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    counts = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(text.tokens(F.col("text"))).alias("n")
+        ).collect()
+    }
+    assert counts[6] is None and counts[7] == 0
+    assert all(counts[i] >= 3 for i in (1, 2, 3, 4, 5))
+
+    assert text.quality_features(docs).count() == 7
+    assert dedup.exact_dedup(docs).count() == 7  # all texts distinct (incl. NULL, "")
+    sigs = dedup.simhash(docs)
+    assert sigs.filter(F.col("simhash").isNotNull()).count() >= 5
