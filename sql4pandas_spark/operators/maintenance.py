@@ -103,6 +103,13 @@ def zorder_key(
     terms, whole-stage-codegen-friendly) — no UDF.
     """
     n = len(quantized)
+    if n * bits_per_col > 63:
+        raise ValueError(
+            f"{n} columns x {bits_per_col} bits = {n * bits_per_col} bits "
+            "does not fit a signed long (max 63): the top bit would flip "
+            "the sign and Java masks shift amounts mod 64, silently "
+            f"corrupting the ordering — use bits_per_col<={63 // n}"
+        )
     terms = [
         F.shiftleft(
             F.shiftright(q, b).bitwiseAND(F.lit(1)), b * n + c
@@ -138,22 +145,38 @@ def zorder_parquet_dir(
     tests/test_maintenance.py.
     """
     df = spark.read.parquet(src)
-    n_rows = df.count()
-    n_files = max(1, math.ceil(n_rows / target_records_per_file))
-    bounds = df.agg(
+    # ONE pre-write scan: row count (sizes the job) and per-column bounds
+    # (quantization) in the same aggregate — a second full pass purely for
+    # count() would double the read cost at the 100 TB target
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
         *[F.min(c).alias(f"mn_{c}") for c in cluster_cols],
         *[F.max(c).alias(f"mx_{c}") for c in cluster_cols],
     ).collect()[0]
+    n_rows = stats["n_rows"]
+    if n_rows == 0:  # empty source: an empty (lossless) rewrite
+        df.write.mode("overwrite").parquet(dst)
+        return spark.read.parquet(dst)
+    n_files = max(1, math.ceil(n_rows / target_records_per_file))
     top = (1 << bits_per_col) - 1
     quantized = []
     for c in cluster_cols:
-        mn = float(bounds[f"mn_{c}"])
-        span = float(bounds[f"mx_{c}"]) - mn
+        if stats[f"mn_{c}"] is None:
+            raise ValueError(
+                f"cluster column {c!r} is entirely NULL — it carries no "
+                "ordering information; drop it from cluster_cols"
+            )
+        mn = float(stats[f"mn_{c}"])
+        span = float(stats[f"mx_{c}"]) - mn
         frac = (F.col(c).cast("double") - F.lit(mn)) / F.lit(span or 1.0)
         quantized.append(
-            F.least(
-                F.lit(top),
-                F.floor(frac * F.lit(float(top + 1))).cast("long"),
+            # NULL rows quantize to bucket 0 (co-located at the low end,
+            # not silently mixed into the max bucket as least() would do)
+            F.when(F.col(c).isNull(), F.lit(0)).otherwise(
+                F.least(
+                    F.lit(top),
+                    F.floor(frac * F.lit(float(top + 1))).cast("long"),
+                )
             )
         )
     z = df.withColumn("_z", zorder_key(quantized, bits_per_col))

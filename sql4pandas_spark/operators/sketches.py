@@ -5,12 +5,13 @@ approximate top-k by frequency — is not).
 heavy_hitters_topk is the two-phase candidate/recount shape used at scale:
 
 1. **Candidate generation, map-side only**: every Arrow batch counts its
-   own values in pandas and emits just its top-M (item, partial count)
-   rows. No shuffle, no aggregation state proportional to global
-   cardinality — the reason this exists: a plain groupBy+count over a
-   high-cardinality column (URLs, doc hashes) carries every distinct item
-   through partial-agg hash maps and the shuffle, while this carries at
-   most M rows per batch.
+   own values in pandas and emits just its top-M items (the per-batch
+   counts are discarded — phase 2 recounts exactly, so shipping them
+   would be dead data). No shuffle, no aggregation state proportional to
+   global cardinality — the reason this exists: a plain groupBy+count
+   over a high-cardinality column (URLs, doc hashes) carries every
+   distinct item through partial-agg hash maps and the shuffle, while
+   this carries at most M rows per batch.
 2. **Exact recount of candidates only**: the (tiny) candidate set
    broadcast-semi-joins the input, and the exact groupBy runs over rows of
    candidate items alone → TakeOrdered top-k.
@@ -53,19 +54,24 @@ def heavy_hitters_topk(
         for pdf in batches:
             if pdf.empty:
                 continue
-            top = pdf[item_col].value_counts().head(m)
-            yield pd.DataFrame({"item": top.index, "partial_n": top.to_numpy()})
+            # dropna=False: NULL is a countable value class (SQL GROUP BY
+            # has a NULL group) — dropping it would silently omit a
+            # NULL-heavy column's true top hitter
+            top = pdf[item_col].value_counts(dropna=False).head(m)
+            yield pd.DataFrame({"item": top.index})
 
     candidates = (
         df.select(item_col)
-        .mapInPandas(batch_topm, schema=f"item {df.schema[item_col].dataType.simpleString()}, partial_n long")
-        .select("item")
+        .mapInPandas(
+            batch_topm,
+            schema=f"item {df.schema[item_col].dataType.simpleString()}",
+        )
         .distinct()
     )
     return (
         df.join(
             F.broadcast(candidates),
-            df[item_col] == candidates["item"],
+            df[item_col].eqNullSafe(candidates["item"]),  # NULL must survive
             "left_semi",
         )
         .groupBy(F.col(item_col).alias("item"))

@@ -145,7 +145,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # forms whose code has not changed since their r5 green row — the
     # lowest-regression-risk drop. ROUND-7 ROTATION RECIPE: if CORRECTNESS_r06
     # is all green, every entry will have >=1 green round. The natural r7
-    # window: the 12 below (once-green r5, rotated out during r6) plus any
+    # window: the 13 below (once-green r5, rotated out during r6) plus any
     # r6 err rows and any entries whose code changes in r7, topped up with
     # remaining once-green rows (prefer ones whose code changed in r6:
     # sink_custom_jsonl, incremental_dedup_batches, q11_important_stock,

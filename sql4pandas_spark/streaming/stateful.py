@@ -62,20 +62,33 @@ def sessionize_stateful(
             closed.append((uid, s, e, c))
             state.remove()
         else:
-            s, e, c = state.get if state.exists else (None, None, 0)
             ts_us = sorted(
                 int(t.value // 1000)  # pandas ns → µs
                 for pdf in pdfs
                 for t in pdf[ts_col]
             )
-            for t in ts_us:
-                if e is not None and t - e < gap_us:
-                    e = max(e, t)
-                    c += 1
+            # per-event intervals + the carried OPEN session, merged with
+            # one sorted gaps-and-islands pass over intervals. The carried
+            # session participates as an interval because a watermark-valid
+            # LATE event can precede it — a plain t-after-e check would
+            # silently absorb earlier events without moving s_start (found
+            # by round-6 review; pinned in tests/test_stateful_sessions.py)
+            intervals: list[list[int]] = [[t, t, 1] for t in ts_us]
+            if state.exists:
+                intervals.append(list(state.get))
+                intervals.sort()
+            sessions: list[list[int]] = []
+            for iv in intervals:
+                if sessions and iv[0] - sessions[-1][1] < gap_us:
+                    sessions[-1][1] = max(sessions[-1][1], iv[1])
+                    sessions[-1][2] += iv[2]
                 else:
-                    if e is not None:
-                        closed.append((uid, s, e, c))
-                    s, e, c = t, t, 1
+                    sessions.append(iv)
+            # everything but the latest interval is closed; the latest
+            # stays open in state awaiting more data or its timeout
+            for s, e, c in sessions[:-1]:
+                closed.append((uid, s, e, c))
+            s, e, c = sessions[-1]
             state.update((s, e, c))
             # timeout once the watermark passes the session's close time
             state.setTimeoutTimestamp((e + gap_us) // 1000)  # ms

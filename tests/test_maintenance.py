@@ -166,3 +166,33 @@ def test_zorder_tightens_stats_on_every_dimension(spark):
         z_cov = coverage(zdir, col)
         assert flat_cov > 0.8, (col, flat_cov)
         assert z_cov < 0.6, (col, z_cov)
+
+
+def test_zorder_guards(spark, tmp_path):
+    """Bit-budget and degenerate inputs must fail loudly or behave, never
+    corrupt silently (round-6 review findings)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.maintenance import (
+        zorder_key,
+        zorder_parquet_dir,
+    )
+
+    # 5 cols x 16 bits would wrap Java's mod-64 shift -> must raise
+    with _pytest.raises(ValueError, match="bits_per_col<=12"):
+        zorder_key([F.lit(0)] * 5, bits_per_col=16)
+
+    # empty source: lossless empty rewrite, no crash
+    src = str(tmp_path / "empty_src")
+    spark.createDataFrame([], "a long, b long").write.parquet(src)
+    out = zorder_parquet_dir(spark, src, str(tmp_path / "empty_dst"), ["a", "b"])
+    assert out.count() == 0
+
+    # all-NULL cluster column: explicit error, not a silent garbage sort
+    src2 = str(tmp_path / "null_src")
+    spark.range(10).select(
+        F.col("id").alias("a"), F.lit(None).cast("long").alias("b")
+    ).write.parquet(src2)
+    with _pytest.raises(ValueError, match="entirely NULL"):
+        zorder_parquet_dir(spark, src2, str(tmp_path / "null_dst"), ["a", "b"])

@@ -64,3 +64,16 @@ def test_candidate_side_is_broadcast(spark):
 def test_empty_input_yields_empty_topk(spark):
     empty = spark.createDataFrame([], "item string")
     assert heavy_hitters_topk(empty, "item", k=5).count() == 0
+
+
+def test_null_heavy_column_keeps_null_in_topk(spark):
+    """Round-6 review finding: NULL is a countable value class (SQL GROUP
+    BY has a NULL group). A column whose most frequent value is NULL must
+    report it — value_counts(dropna=False) + an eqNullSafe semi-join."""
+    df = spark.range(1000).select(
+        F.when(F.col("id") % 2 == 0, None)
+        .otherwise(F.concat(F.lit("v"), (F.col("id") % 50).cast("string")))
+        .alias("item")
+    ).repartition(4)
+    top = [(r.item, r.n) for r in heavy_hitters_topk(df, "item", k=3).collect()]
+    assert top[0] == (None, 500), top

@@ -172,3 +172,52 @@ def test_single_batch_drain_matches_batch_derivation(spark, tmp_path, rows):
             if closed_by_data or timed_out:
                 want.add((uid, str(s[0]), str(s[-1] + gap), len(s)))
     assert got == want, (got, want)
+
+
+def test_late_event_extends_session_start(spark, tmp_path):
+    """Round-6 review finding: a watermark-valid LATE event arriving in a
+    later batch that belongs to the carried open session must move
+    s_start/n, and a late event within gap on the EARLY side must merge —
+    the original t-after-e check silently absorbed it without moving
+    s_start."""
+    batches = [
+        # open session for u1 at 10:29:50; u9 pushes the watermark only to
+        # 10:29:00 (delay 1 min), so 10:29:10 is still on time
+        [(1, "2024-01-01 10:29:50"), (9, "2024-01-01 10:30:00")],
+        # late event BEFORE the open session's start, within gap
+        [(1, "2024-01-01 10:29:10")],
+        # u1 jumps a gap -> the merged session closes with the late start
+        [(1, "2024-01-01 11:00:00"), (9, "2024-01-01 11:00:01")],
+    ]
+    src = tmp_path / "src"
+    flat = tmp_path / "flat"
+    os.makedirs(flat)
+    n = 0
+    for i, rows in enumerate(batches):
+        d = str(src / f"f{i}")
+        (
+            spark.createDataFrame(rows, "user_id long, ts_s string")
+            .select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+            .coalesce(1)
+            .write.parquet(d)
+        )
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                os.symlink(os.path.join(d, f), str(flat / f"{n:02d}.parquet"))
+                n += 1
+
+    events = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+        .withWatermark("ts", "1 minute")
+    )
+    out = run_available_now(
+        sessionize_stateful(events, gap_minutes=10), mode="append"
+    )
+    u1 = [
+        (str(r.s_start), str(r.s_end), r.n)
+        for r in out.filter(F.col("user_id") == 1).collect()
+    ]
+    # ONE u1 session: late 10:29:10 merged in, start moved, both counted
+    assert u1 == [("2024-01-01 10:29:10", "2024-01-01 10:39:50", 2)], u1

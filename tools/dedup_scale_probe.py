@@ -33,9 +33,17 @@ BASE = "/root/testdata/sf0.1/documents.parquet"
 
 
 def build_perturbed(spark, out_path: str, factor: int) -> None:
-    if os.path.exists(out_path):
-        return
     docs = spark.read.parquet(BASE).select("doc_id", "text")
+    if os.path.exists(out_path):
+        # reuse only when the cached replica matches the CURRENT base
+        # fixture (row-count fingerprint) — stale /tmp data from an older
+        # fixture round would silently corrupt the measurement
+        expected = docs.count() * factor
+        try:
+            if spark.read.parquet(out_path).count() == expected:
+                return
+        except Exception:
+            pass
     span = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     parts = []
     for i in range(factor):
