@@ -530,3 +530,82 @@ def incremental_exact_dedup(
             .parquet(store_dir)
         )
     return batch.join(winners.select(id_col), id_col, "left_semi")
+
+
+def keep_best_representative(
+    docs: DataFrame,
+    labels: DataFrame,
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonicalize near-duplicate clusters: per ``cluster_id``, keep the
+    highest-``quality_col`` document (ties broken on smallest id) — the
+    FineWeb-style "keep the best copy, not an arbitrary one" refinement of
+    near-dedup. ``labels`` is ``(id_col, cluster_id)`` from
+    :func:`near_dedup_minhash` (or any clustering with the same shape).
+
+    Returns one row per cluster: ``(cluster_id, rep_<id_col>, n_docs)``.
+
+    Scale shape: one equi-join of labels back to the (quality, id) columns
+    — never the text — then a single window pass partitioned by cluster_id
+    (rank + count share the one shuffle). Cluster cardinality ~= corpus
+    cardinality, so no skew beyond the clusters themselves; a pathological
+    mega-cluster is bounded by the same banding that produced it.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id")
+    ranked = (
+        docs.select(id_col, quality_col)
+        .join(labels, id_col)
+        .select(
+            "cluster_id",
+            F.col(id_col),
+            F.row_number()
+            .over(w.orderBy(F.desc(quality_col), id_col))
+            .alias("_rn"),
+            F.count(F.lit(1)).over(w).alias("n_docs"),
+        )
+    )
+    return (
+        ranked.filter(F.col("_rn") == 1)
+        .select("cluster_id", F.col(id_col).alias(f"rep_{id_col}"), "n_docs")
+    )
+
+
+def split_leakage_audit(
+    docs: DataFrame,
+    labels: DataFrame,
+    split_col,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Audit a train/eval split for NEAR-duplicate leakage: content that is
+    near-identical across the split boundary lets the model "see" eval data
+    during training even after exact dedup. ``labels`` is
+    ``(id_col, cluster_id)`` near-dup clustering; ``split_col`` is a boolean
+    Column (true = train) — deterministic (hash-based) in any reproducible
+    pipeline.
+
+    Returns ONE row: ``(n_train, n_val, leaky_clusters, leaked_val_docs)``
+    where leaky_clusters counts clusters spanning both sides and
+    leaked_val_docs counts eval documents sharing a cluster with ≥1 train
+    document — the rows you must drop (or move) before the split is clean.
+
+    Scale shape: join on ids only (text never moves), one groupBy on
+    cluster_id with conditional counters, then a global fold of the (tiny)
+    per-cluster frame. Two shuffles total, both on narrow keys.
+    """
+    sides = docs.select(id_col, split_col.alias("_is_train")).join(labels, id_col)
+    per_cluster = sides.groupBy("cluster_id").agg(
+        F.sum(F.when(F.col("_is_train"), 1).otherwise(0)).alias("_tr"),
+        F.sum(F.when(~F.col("_is_train"), 1).otherwise(0)).alias("_va"),
+    )
+    leaky = (F.col("_tr") > 0) & (F.col("_va") > 0)
+    return per_cluster.agg(
+        F.sum("_tr").alias("n_train"),
+        F.sum("_va").alias("n_val"),
+        F.sum(F.when(leaky, 1).otherwise(0)).alias("leaky_clusters"),
+        F.sum(F.when(F.col("_tr") > 0, F.col("_va")).otherwise(0)).alias(
+            "leaked_val_docs"
+        ),
+    )

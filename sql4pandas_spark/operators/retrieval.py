@@ -1,0 +1,93 @@
+"""Lexical retrieval scoring over the `documents` table (SURVEY.md §2.9).
+
+BM25 is the quality-targeted *selection* primitive of a training-data
+pipeline: score every document against a small set of query terms (a topic
+probe, a quality rubric's keyword list, a contamination suspect's salient
+n-grams) and keep/inspect the top scorers. The scale shape matters more
+than the formula:
+
+1. **Corpus statistics in ONE pass** — N, avgdl, and per-term document
+   frequencies come from a single aggregate over the tokenized scan
+   (`sum(array_contains(tokens, t))` per term — the term list is small by
+   construction, so this is a fixed handful of counters, not a per-term
+   shuffle). At 100 TB this is one map-side-combined pass producing one
+   tiny row.
+
+2. **Single-row broadcast stats join** — the stats row joins back to the
+   corpus as a broadcast scalar (the idiomatic scalar-subquery shape; the
+   plan is a 1-row BroadcastNestedLoopJoin, allowlisted in the plan
+   audit). No driver collect, no second scan of anything but the corpus
+   itself.
+
+3. **Scoring is pure JVM** — tf per term is `size(filter(tokens, = t))`,
+   the BM25 combination is arithmetic over those counters; whole-stage
+   codegen end to end, zero Python in the row path. Top-k compiles to
+   TakeOrderedAndProject (no global sort).
+
+The idf variant is the Lucene/"BM25+1" form `ln(1 + (N - df + .5)/(df + .5))`
+— always positive, so a term occurring in most documents still contributes
+rather than flipping the score negative.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sql4pandas_spark.operators.text import tokens
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents by BM25 score against ``query_terms``.
+
+    Returns ``(id_col, bm25)`` — score rounded to 4dp BEFORE the ordering
+    so the top-k cut is reproducible across engines and runs (ties broken
+    on ``id_col``). Documents matching no query term (or with NULL text,
+    whose token array — and therefore score — is NULL) are excluded.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks_df = df.select(id_col, tokens(text_col).alias("_toks"))
+
+    stats = toks_df.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.avg(F.size("_toks")).alias("_avgdl"),
+        *[
+            F.sum(
+                F.when(F.array_contains("_toks", t), 1).otherwise(0)
+            ).alias(f"_df_{i}")
+            for i, t in enumerate(query_terms)
+        ],
+    )
+
+    # k1*(1 - b + b*dl/avgdl): the length normalization shared by all terms
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b)
+        + F.lit(b) * F.size("_toks").cast("double") / F.col("_avgdl")
+    )
+    per_term = []
+    for i, t in enumerate(query_terms):
+        tf = F.size(F.filter("_toks", lambda x: x == F.lit(t))).cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n_docs") - F.col(f"_df_{i}") + F.lit(0.5))
+            / (F.col(f"_df_{i}") + F.lit(0.5))
+        )
+        per_term.append(idf * tf * F.lit(k1 + 1.0) / (tf + norm))
+    score = F.round(sum(per_term), 4)
+
+    return (
+        toks_df.crossJoin(F.broadcast(stats))
+        .select(id_col, score.alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), id_col)
+        .limit(k)
+    )

@@ -100,13 +100,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q9_product_profit",
     "q10_returned_items",
     "q12_late_lines_by_priority",
-    "q13_order_count_distribution",
-    "q14_promo_share",
     "q15_top_supplier",
     "q16_supplier_count_by_part",
     "q17_small_qty_revenue",
     "q18_large_volume_customers",
-    "q19_disjunctive_filter",
     "q21_waiting_supplier",
     "q22_idle_customers",
     # — canonical per-operator entries (first green r5)
@@ -133,6 +130,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # new in round 6 (never driver-verified — takes the slot of the stable
     # VARIANT entry variant_props_stats, moved below)
     "heavy_hitters_events",
+    # new late in round 6 (never driver-verified — take the slots of the
+    # stable once-green analogs q13/q14/q19, moved below): BM25 retrieval
+    # scoring, quality-argmax cluster canonicalization, and the
+    # near-dup train/val split-leakage audit
+    "bm25_top15_documents",
+    "dedup_keep_best_doc",
+    "split_leakage_audit",
     "hll_sketch_users",
     "doc_fingerprints",
     "approx_distinct_events",
@@ -145,14 +149,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # forms whose code has not changed since their r5 green row — the
     # lowest-regression-risk drop. ROUND-7 ROTATION RECIPE: if CORRECTNESS_r06
     # is all green, every entry will have >=1 green round. The natural r7
-    # window: the 13 below (once-green r5, rotated out during r6) plus any
+    # window: the 16 below (once-green r5, rotated out during r6) plus any
     # r6 err rows and any entries whose code changes in r7, topped up with
     # remaining once-green rows (prefer ones whose code changed in r6:
     # sink_custom_jsonl, incremental_dedup_batches, q11_important_stock,
-    # the four r6-new entries cluster_documents_files / zorder_documents_files /
-    # stream_stateful_sessions / heavy_hitters_events if not yet green)
+    # the seven r6-new entries cluster_documents_files / zorder_documents_files /
+    # stream_stateful_sessions / heavy_hitters_events / bm25_top15_documents /
+    # dedup_keep_best_doc / split_leakage_audit if not yet green)
     # per tests/test_driver_window.py.
     "join_hint_shuffle_hash",
+    "q13_order_count_distribution",
+    "q14_promo_share",
+    "q19_disjunctive_filter",
     "udtf_table_arg_summary",
     "variant_props_stats",
     "dynamic_partition_overwrite",

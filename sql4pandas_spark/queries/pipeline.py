@@ -340,7 +340,11 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ~99%+ collision probability at j≥0.7 and the fixture's near-dup pairs sit
 # well above the threshold, so LSH recall is exact on the fixtures (asserted
 # against brute force in tests/test_dedup.py).
-_MINHASH_CLUSTER_ORACLE = """
+#: Shared CTE chain: tokenize → shingle → exact Jaccard pairs at 0.7 →
+#: transitive closure. Three oracles build on it (cluster labels, best-copy
+#: representative, split-leakage audit) — the ground truth is computed once
+#: in SQL and each consumer adds only its final projection.
+_MINHASH_REACH_CTES = """
     WITH RECURSIVE toks AS ({toks}),
     sh AS (
       SELECT DISTINCT doc_id, shingle
@@ -365,9 +369,12 @@ _MINHASH_CLUSTER_ORACLE = """
       SELECT doc_id, doc_id FROM documents
       UNION
       SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+""".format(toks=_TOKS_CTE)
+
+_MINHASH_CLUSTER_ORACLE = _MINHASH_REACH_CTES + """
     SELECT src AS doc_id, min(dst) AS cluster_id
     FROM reach GROUP BY src ORDER BY doc_id
-""".format(toks=_TOKS_CTE)
+"""
 
 
 @query("dedup_near_minhash", oracle=_MINHASH_CLUSTER_ORACLE, tags=("tier-c", "dedup_near"))
@@ -1609,3 +1616,123 @@ def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("total_chars"))
         .orderBy("lang")
     )
+
+
+_BM25_TERMS = ("spark", "merge", "window")
+_BM25_STATS = ", ".join(
+    f"sum(CASE WHEN list_contains(w, '{t}') THEN 1 ELSE 0 END) AS df{i}"
+    for i, t in enumerate(_BM25_TERMS)
+)
+_BM25_TFS = ", ".join(
+    f"CAST(len(list_filter(w, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
+    for i, t in enumerate(_BM25_TERMS)
+)
+_BM25_SCORE = " + ".join(
+    f"ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
+    f" * tf{i} * 2.2 / (tf{i} + nrm)"
+    for i in range(len(_BM25_TERMS))
+)
+
+
+@query(
+    "bm25_top15_documents",
+    oracle=f"""
+    WITH toks AS ({_TOKS_CTE}),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(len(w)) AS avgdl, {_BM25_STATS}
+      FROM toks),
+    scored AS (
+      SELECT doc_id, round({_BM25_SCORE}, 4) AS bm25
+      FROM (SELECT doc_id, {_BM25_TFS},
+                   1.2 * (0.25 + 0.75 * len(w) / avgdl) AS nrm,
+                   n_docs, {", ".join(f"df{i}" for i in range(len(_BM25_TERMS)))}
+            FROM toks, stats))
+    SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
+    ORDER BY bm25 DESC, doc_id LIMIT 15
+    """,
+    tags=("tier-c", "retrieval", "text_analysis"),
+)
+def bm25_top15_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-15 against a 3-term query (operators/retrieval.bm25_topk) —
+    the quality-targeted selection primitive of a data pipeline. One
+    tokenized scan produces ALL corpus statistics (N, avgdl, per-term df)
+    in a single aggregate; the 1-row stats frame broadcast-joins back and
+    scoring is pure JVM arithmetic (tf via size(filter(tokens))); top-15
+    compiles to TakeOrderedAndProject. The score is rounded to 4dp BEFORE
+    ordering so the cut is engine-reproducible; the oracle replays the
+    identical operation order (idf*tf*2.2/(tf+norm), terms summed
+    left-to-right)."""
+    from sql4pandas_spark.operators.retrieval import bm25_topk
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    return bm25_topk(t["documents"], list(_BM25_TERMS), k=15)
+
+
+@query(
+    "dedup_keep_best_doc",
+    oracle=_MINHASH_REACH_CTES + """
+    , labels AS (SELECT src AS doc_id, min(dst) AS cluster_id
+                 FROM reach GROUP BY src)
+    SELECT cluster_id, doc_id AS rep_doc_id, n_docs FROM (
+      SELECT l.cluster_id, d.doc_id,
+             count(*) OVER (PARTITION BY l.cluster_id) AS n_docs,
+             row_number() OVER (PARTITION BY l.cluster_id
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rn
+      FROM labels l JOIN documents d USING (doc_id))
+    WHERE rn = 1 ORDER BY cluster_id
+    """,
+    tags=("tier-c", "dedup_near", "dedup_keep_best"),
+)
+def dedup_keep_best_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-argmax canonicalization of near-dup clusters
+    (operators/dedup.keep_best_representative): per MinHash-LSH cluster,
+    keep the longest document (ties → smallest id) instead of an arbitrary
+    copy. The oracle recomputes exact-Jaccard ground-truth clusters via the
+    shared recursive closure and picks the representative with the same
+    deterministic window — a hash match proves both the clustering AND the
+    argmax. Join + one windowed shuffle on cluster_id; text never moves."""
+    t = register_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    labels = dedup.near_dedup_minhash(docs)
+    return dedup.keep_best_representative(docs, labels).orderBy("cluster_id")
+
+
+@query(
+    "split_leakage_audit",
+    oracle=_MINHASH_REACH_CTES + f"""
+    , labels AS (SELECT src AS doc_id, min(dst) AS cluster_id
+                 FROM reach GROUP BY src),
+    sides AS (SELECT l.cluster_id, ({_MIX_HASH_PRED}) % 100 < 90 AS is_train
+              FROM labels l JOIN documents d USING (doc_id)),
+    per AS (SELECT cluster_id,
+                   sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS tr,
+                   sum(CASE WHEN NOT is_train THEN 1 ELSE 0 END) AS va
+            FROM sides GROUP BY cluster_id)
+    SELECT CAST(sum(tr) AS BIGINT) AS n_train,
+           CAST(sum(va) AS BIGINT) AS n_val,
+           CAST(sum(CASE WHEN tr > 0 AND va > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS leaky_clusters,
+           CAST(sum(CASE WHEN tr > 0 THEN va ELSE 0 END) AS BIGINT)
+             AS leaked_val_docs
+    FROM per
+    """,
+    tags=("tier-c", "decontaminate", "data_mix", "dedup_near"),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate leakage across a deterministic 90/10 train/val split
+    (operators/dedup.split_leakage_audit): a near-copy of a val document
+    sitting in train defeats the holdout even after exact dedup, so the
+    audit counts clusters spanning the boundary and the val docs that must
+    be dropped. Split = portable_hash60(doc_id) % 100 < 90 — the same
+    engine-portable hash as stratified_mix_hash, so the oracle reproduces
+    membership exactly; clusters come from the shared exact-Jaccard
+    closure. At sf0.01 this is a REAL positive: 3 of 25 near-dup pairs
+    cross the boundary."""
+    t = register_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    labels = dedup.near_dedup_minhash(docs)
+    split = (
+        F.pmod(text.portable_hash60(F.col("doc_id").cast("string")), F.lit(100))
+        < 90
+    )
+    return dedup.split_leakage_audit(docs, labels, split)

@@ -224,3 +224,43 @@ def test_hot_shingle_cap_drops_boilerplate_pairs(spark):
     }
     assert set(capped) == {(1, 2)}
     assert capped[(1, 2)] == pytest.approx(5 / 6, abs=1e-4)
+
+
+def test_keep_best_representative_argmax_and_ties(spark):
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (7, 5)],
+        "doc_id long, n_chars long",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7)], "doc_id long, cluster_id long"
+    )
+    got = {
+        r.cluster_id: (r.rep_doc_id, r.n_docs)
+        for r in dedup.keep_best_representative(docs, labels).collect()
+    }
+    # cluster 1: quality tie between 2 and 3 -> smallest id wins; singleton
+    # clusters keep themselves
+    assert got == {1: (2, 3), 7: (7, 1)}
+
+
+def test_split_leakage_audit_counts(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 4, 5, 6)], "doc_id long"
+    )
+    labels = spark.createDataFrame(
+        # cluster 1 = {1,2} spans the parity split; cluster 4 = {4,6} is
+        # train-only; 5 is a singleton on the val side
+        [(1, 1), (2, 1), (4, 4), (6, 4), (5, 5)],
+        "doc_id long, cluster_id long",
+    )
+    row = dedup.split_leakage_audit(
+        docs, labels, F.col("doc_id") % 2 == 0
+    ).collect()[0]
+    assert (row.n_train, row.n_val, row.leaky_clusters, row.leaked_val_docs) == (
+        3,
+        2,
+        1,
+        1,
+    )
