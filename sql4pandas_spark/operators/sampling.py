@@ -1,0 +1,92 @@
+"""Exact-quota stratified sampling (SURVEY.md §2.9 data_mix family).
+
+`quota_sample` keeps EXACTLY min(quota, stratum_size) rows per stratum,
+deterministically (hash-ordered, so the same rows on every engine, run, and
+partitioning) — the "fixed token budget per language/domain" shape of a
+training-data mix, where fraction-based sampling (`sampleBy`,
+`stratified_mix_hash`) can't hit a hard per-stratum count.
+
+The naive plan — row_number over a window partitioned by the stratum —
+shuffles EVERY row into as many tasks as there are strata. With 5 languages
+over 100 TB that is 5 tasks doing all the work: the definition of a skew
+bottleneck. The two-phase shape here keeps the bulk scan map-side:
+
+1. **Tiny stats + broadcast**: per-stratum counts (one map-combined agg,
+   |strata| rows), broadcast back.
+2. **Map-side pre-filter**: the 60-bit portable hash is ~uniform on
+   [0, 2^60), so rows with `hash < safety * quota/n_s * 2^60` are a
+   superset of the quota winners with overwhelming probability at
+   `safety` ≥ 2 (binomial lower tail; e.g. quota 10^6 → shortfall odds
+   < 10^-100000). Everything else — the vast majority — never shuffles.
+3. **Exact trim of survivors only**: the window runs over ~safety×quota
+   rows per stratum, i.e. O(strata × quota) shuffle volume independent of
+   input size.
+4. **Shortfall guard**: with `verify=True` the kept-vs-expected counts are
+   checked with one extra action and a shortfall RAISES (telling the
+   caller to raise `safety`) instead of silently under-filling a stratum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sql4pandas_spark.operators.text import portable_hash60
+
+_HASH_SPAN = float(1 << 60)
+
+
+def quota_sample(
+    df: DataFrame,
+    stratum_col: str,
+    quota: int,
+    id_col: str = "doc_id",
+    safety: float = 2.0,
+    verify: bool = False,
+) -> DataFrame:
+    """Keep exactly ``min(quota, n_stratum)`` rows per stratum, chosen by
+    portable-hash order (ties impossible: ``id_col`` breaks them). Returns
+    the kept rows with their original columns. ``id_col`` must be non-NULL
+    and unique (a NULL id hashes to NULL and would be dropped).
+    """
+    if quota <= 0:
+        raise ValueError("quota must be positive")
+    h = portable_hash60(F.col(id_col).cast("string"))
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n_s"))
+    joined = df.join(F.broadcast(counts), stratum_col)
+
+    # strata at-or-under quota keep everything (no ranking needed, and the
+    # pre-filter must not touch them); larger strata keep the hash prefix
+    cutoff = F.when(
+        F.col("_n_s") <= quota, F.lit(_HASH_SPAN)
+    ).otherwise(
+        F.least(
+            F.lit(_HASH_SPAN),
+            F.lit(float(safety) * quota) / F.col("_n_s") * F.lit(_HASH_SPAN),
+        )
+    )
+    survivors = joined.filter(h.cast("double") < cutoff)
+
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
+    kept = (
+        survivors.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= quota)
+        .drop("_rn", "_n_s")
+    )
+    if verify:
+        got = {
+            r[0]: r[1]
+            for r in kept.groupBy(stratum_col)
+            .agg(F.count(F.lit(1)))
+            .collect()
+        }
+        want = {
+            r[0]: min(quota, r[1]) for r in counts.collect()
+        }
+        if got != want:
+            short = {s: (got.get(s, 0), w) for s, w in want.items() if got.get(s, 0) != w}
+            raise RuntimeError(
+                f"quota_sample pre-filter shortfall {short} (kept, expected) "
+                f"— raise safety (currently {safety})"
+            )
+    return kept

@@ -437,3 +437,74 @@ def ann_lsh_topk(
         .orderBy(F.col("sim").desc(), "id_a", "id_b")
         .limit(k)
     )
+
+
+def centroid_outlier_stats(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-quality audit: per label, cosine of every vector to its
+    label centroid — the standard mislabeled/garbage-embedding screen for a
+    curated corpus (a vector pointing AWAY from its class centroid is a
+    labeling or encoding suspect).
+
+    Returns one row per label: ``(label, n_vecs, sum_cos_e4, min_cos,
+    max_cos, n_outliers)`` where cosines are quantized to 1e-4 (``_e4`` =
+    ×10⁴ as BIGINT, so the per-label sum is exact integer arithmetic —
+    order-independent, unlike a double sum) and outliers are vectors with
+    cosine < 0 (anti-aligned with their own centroid).
+
+    Scale shape — two narrow shuffles, no N×N anything:
+
+    1. Centroids: posexplode → groupBy (label, pos) avg. Partial aggregation
+       collapses each task to |labels|×dims rows before the shuffle, so the
+       64× explode never hits the wire.
+    2. The (|labels| × dims) centroid frame reassembles into arrays
+       (array_sort over collected (pos, mean) structs — deterministic) and
+       BROADCASTS back; per-vector cosine is a fixed-order JVM fold
+       (zip_with + aggregate), then one map-combined groupBy(label).
+    """
+    ex = emb.select(
+        label_col, F.posexplode(F.col(vec_col)).alias("pos", "val")
+    )
+    cent = (
+        ex.groupBy(label_col, "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("m"))
+        .groupBy(label_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.getField("m"),
+            ).alias("_centroid")
+        )
+    )
+    joined = emb.join(F.broadcast(cent), label_col)
+
+    def _fold(products):
+        return F.aggregate(products, F.lit(0.0), lambda acc, v: acc + v)
+
+    dot = _fold(
+        F.zip_with(
+            F.col(vec_col), F.col("_centroid"), lambda x, y: x.cast("double") * y
+        )
+    )
+    nv = _fold(
+        F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double"))
+    )
+    nc = _fold(F.transform(F.col("_centroid"), lambda y: y * y))
+    cos_e4 = F.round(dot / (F.sqrt(nv) * F.sqrt(nc)) * 10000).cast("long")
+
+    return (
+        joined.select(label_col, cos_e4.alias("_ce4"))
+        .groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("_ce4").alias("sum_cos_e4"),
+            F.round(F.min("_ce4") / 10000.0, 4).alias("min_cos"),
+            F.round(F.max("_ce4") / 10000.0, 4).alias("max_cos"),
+            F.sum(F.when(F.col("_ce4") < 0, 1).otherwise(0)).alias("n_outliers"),
+        )
+        .orderBy(label_col)
+    )

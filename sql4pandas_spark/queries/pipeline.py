@@ -1736,3 +1736,74 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         < 90
     )
     return dedup.split_leakage_audit(docs, labels, split)
+
+
+@query(
+    "quota_sample_by_lang",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY ({_MIX_HASH_PRED}), doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, lang FROM ranked WHERE rn <= 60 ORDER BY lang, doc_id
+    """,
+    tags=("tier-c", "data_mix", "sample_hash", "quota_sample"),
+)
+def quota_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sample (operators/sampling.quota_sample): keep
+    exactly min(60, n_lang) docs per language, hash-ordered so membership is
+    engine/run/partitioning-invariant — the fixed-budget-per-stratum mix a
+    fraction sampler can't deliver. The two-phase plan (broadcast counts →
+    map-side hash pre-filter → windowed trim over ~2×quota survivors) keeps
+    the window shuffle O(strata×quota) regardless of input size; the oracle
+    ranks everything, so a hash match also proves the pre-filter lost no
+    winner. sf ladder: at sf0.001 most strata are under quota (keep-all
+    branch), at sf0.01+ every stratum trims."""
+    from sql4pandas_spark.operators.sampling import quota_sample
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    kept = quota_sample(t["documents"], "lang", quota=60, id_col="doc_id")
+    return kept.select("doc_id", "lang").orderBy("lang", "doc_id")
+
+
+@query(
+    "embedding_outlier_audit",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    ex AS (SELECT vec_id, label, v[pos] AS val, pos
+           FROM e, (SELECT unnest(range(1, 65)) AS pos)),
+    cent AS (SELECT label, pos, avg(val) AS m FROM ex GROUP BY label, pos),
+    dots AS (SELECT ex.vec_id, ex.label,
+                    sum(ex.val * cent.m) AS dot,
+                    sum(ex.val * ex.val) AS nv,
+                    sum(cent.m * cent.m) AS nc
+             FROM ex JOIN cent USING (label, pos) GROUP BY 1, 2),
+    cos AS (SELECT label,
+                   CAST(round(dot / (sqrt(nv) * sqrt(nc)) * 10000) AS BIGINT)
+                     AS ce4
+            FROM dots)
+    SELECT label, count(*) AS n_vecs, CAST(sum(ce4) AS BIGINT) AS sum_cos_e4,
+           round(min(ce4) / 10000.0, 4) AS min_cos,
+           round(max(ce4) / 10000.0, 4) AS max_cos,
+           CAST(sum(CASE WHEN ce4 < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM cos GROUP BY label ORDER BY label
+    """,
+    tags=("tier-c", "dedup_embedding", "multimodal_cols", "quality"),
+)
+def embedding_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid-cosine audit
+    (operators/similarity.centroid_outlier_stats): flags vectors
+    anti-aligned with their own class centroid — the mislabeled/garbage
+    screen run over an embedded corpus before training. Cosines are
+    quantized to 1e-4 BIGINTs so the per-label sum is exact integer
+    arithmetic (order-independent where a double sum is not). Plan: one
+    partial-agg'd posexplode shuffle of |labels|x64 rows for the centroids,
+    broadcast back, fixed-order JVM fold per vector, one map-combined
+    groupBy — nothing scales with N but the scan."""
+    from sql4pandas_spark.operators.similarity import centroid_outlier_stats
+
+    t = register_tables(spark, sf_dir, ("embeddings",))
+    return centroid_outlier_stats(t["embeddings"])

@@ -126,3 +126,51 @@ def test_broadcast_cap_raises_cleanly_and_lsh_path_survives(spark):
     # the scale path: bucketed candidates, no driver-side matrix
     out = ann_lsh_topk(emb, k=5)
     assert 0 < out.count() <= 5
+
+
+def test_centroid_outlier_stats_hand_case(spark):
+    from sql4pandas_spark.operators.similarity import centroid_outlier_stats
+
+    emb = spark.createDataFrame(
+        [
+            # label "a": centroid = (0.5, 0.5); v1/v2 at cos 0.7071 to it,
+            # v3 anti-aligned (outlier)
+            (1, "a", [1.0, 0.0]),
+            (2, "a", [0.0, 1.0]),
+            (3, "a", [-0.5, -0.5]),
+            # label "b": single vector -> centroid = itself, cos 1.0
+            (4, "b", [0.25, 0.25]),
+        ],
+        "vec_id long, label string, embedding array<float>",
+    )
+    rows = {r.label: r for r in centroid_outlier_stats(emb).collect()}
+    a, b = rows["a"], rows["b"]
+    # centroid of a = mean([1,0],[0,1],[-0.5,-0.5]) = (1/6, 1/6)
+    # cos(v1, c) = cos(v2, c) = 0.7071; cos(v3, c) = -1.0
+    assert (a.n_vecs, a.n_outliers) == (3, 1)
+    assert a.min_cos == -1.0 and a.max_cos == 0.7071
+    assert a.sum_cos_e4 == 7071 + 7071 - 10000
+    assert (b.n_vecs, b.n_outliers, b.min_cos, b.max_cos) == (1, 0, 1.0, 1.0)
+
+
+def test_centroid_outlier_plan_is_jvm_and_broadcast(spark):
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.similarity import centroid_outlier_stats
+
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 5).alias("label"),
+        F.array(*[F.rand(seed=i) for i in range(8)]).cast("array<float>").alias(
+            "embedding"
+        ),
+    )
+    plan = (
+        centroid_outlier_stats(emb)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan            # scoring is pure JVM
+    assert "BroadcastHashJoin" in plan         # centroids broadcast back
+    assert "CartesianProduct" not in plan
