@@ -90,3 +90,42 @@ def quota_sample(
                 f"— raise safety (currently {safety})"
             )
     return kept
+
+
+def temperature_sample(
+    df: DataFrame,
+    stratum_col: str,
+    alpha: float = 0.5,
+    target_total: int = 1000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-rebalanced corpus mix: sample so stratum l's share of the
+    output is proportional to ``n_l**alpha`` (alpha < 1 up-weights rare
+    strata — the standard multilingual rebalancing; alpha=1 keeps the
+    natural mix, alpha=0 targets uniform). Per-stratum keep probability is
+    ``min(1, q_l * target_total / n_l)`` with ``q_l = n_l^alpha / Σ n_k^alpha``,
+    realized as the deterministic portable-hash threshold (same kept set on
+    every engine/run/partitioning, like :func:`quota_sample`).
+
+    Rates are computed on the |strata|-row count frame (a window over a
+    handful of rows) and broadcast back; the corpus-side work is one
+    map-side filter — no shuffle of data rows at all. Note the exact-count
+    variant is :func:`quota_sample`; this one preserves
+    independent-per-row inclusion (expected counts), which is what a
+    temperature mix specifies.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n_s"))
+    w = F.pow(F.col("_n_s").cast("double"), F.lit(float(alpha)))
+    denom = F.sum(w).over(Window.partitionBy())
+    frac = F.least(
+        F.lit(1.0), w / denom * F.lit(float(target_total)) / F.col("_n_s")
+    )
+    rates = counts.select(stratum_col, "_n_s", frac.alias("_frac"))
+    h = portable_hash60(F.col(id_col).cast("string")).cast("double")
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter(h < F.col("_frac") * F.lit(_HASH_SPAN))
+        .drop("_n_s", "_frac")
+    )

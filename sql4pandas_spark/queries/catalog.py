@@ -100,7 +100,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q9_product_profit",
     "q15_top_supplier",
     "q16_supplier_count_by_part",
-    "q17_small_qty_revenue",
     "q18_large_volume_customers",
     "q21_waiting_supplier",
     "q22_idle_customers",
@@ -140,6 +139,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # stratified sampling and the embedding centroid-outlier audit
     "quota_sample_by_lang",
     "embedding_outlier_audit",
+    # new late in round 6 (slot of once-green q17, moved below):
+    # temperature-rebalanced multilingual mix
+    "temperature_mix_documents",
     "hll_sketch_users",
     "doc_fingerprints",
     "approx_distinct_events",
@@ -152,17 +154,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # forms whose code has not changed since their r5 green row — the
     # lowest-regression-risk drop. ROUND-7 ROTATION RECIPE: if CORRECTNESS_r06
     # is all green, every entry will have >=1 green round. The natural r7
-    # window: the 18 below (once-green r5, rotated out during r6) plus any
+    # window: the 19 below (once-green r5, rotated out during r6) plus any
     # r6 err rows and any entries whose code changes in r7, topped up with
     # remaining once-green rows (prefer ones whose code changed in r6:
     # sink_custom_jsonl, incremental_dedup_batches, q11_important_stock,
     # the nine r6-new entries cluster_documents_files / zorder_documents_files /
     # stream_stateful_sessions / heavy_hitters_events / bm25_top15_documents /
     # dedup_keep_best_doc / split_leakage_audit / quota_sample_by_lang /
-    # embedding_outlier_audit if not yet green)
+    # embedding_outlier_audit / temperature_mix_documents if not yet green)
     # per tests/test_driver_window.py.
     "join_hint_shuffle_hash",
     "q10_returned_items",
+    "q17_small_qty_revenue",
     "q12_late_lines_by_priority",
     "q13_order_count_distribution",
     "q14_promo_share",

@@ -1807,3 +1807,38 @@ def embedding_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = register_tables(spark, sf_dir, ("embeddings",))
     return centroid_outlier_stats(t["embeddings"])
+
+
+@query(
+    "temperature_mix_documents",
+    oracle=f"""
+    WITH counts AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY lang),
+    rates AS (SELECT lang,
+                     least(1.0, pow(n_s, 0.5) / sum(pow(n_s, 0.5)) OVER ()
+                           * 300.0 / n_s) AS frac
+              FROM counts),
+    kept AS (SELECT d.lang FROM documents d JOIN rates r USING (lang)
+             WHERE ({_MIX_HASH_PRED})::DOUBLE
+                   < r.frac * 1152921504606846976.0)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+    tags=("tier-c", "data_mix", "sample_hash", "temperature_mix"),
+)
+def temperature_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced language mix at alpha=0.5, target 300 docs
+    (operators/sampling.temperature_sample) — the multilingual up-weighting
+    of rare languages used by mT5/XLM-style training mixes, made
+    deterministic via the portable-hash threshold so the oracle reproduces
+    the exact kept set. Rates come from a 5-row window; the corpus side is
+    one map-side filter behind a broadcast join — zero data-row shuffles
+    before the audit aggregate."""
+    from sql4pandas_spark.operators.sampling import temperature_sample
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    kept = temperature_sample(
+        t["documents"], "lang", alpha=0.5, target_total=300
+    )
+    return (
+        kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept")).orderBy("lang")
+    )

@@ -63,3 +63,44 @@ def test_prefilter_bounds_window_input(spark):
     ).count()
     assert kept.count() == 80
     assert surv < 400  # ~4 strata * 2*quota expected, far below 4000
+
+
+def test_temperature_sample_upweights_rare_strata(spark):
+    from sql4pandas_spark.operators.sampling import temperature_sample
+
+    # 900 in s0, 100 in s1: natural mix 90/10; alpha=0.5 pushes toward 75/25
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 900, "s0").otherwise("s1").alias("stratum"),
+    )
+    kept = temperature_sample(df, "stratum", alpha=0.5, target_total=400)
+    counts = {
+        r.stratum: r.n
+        for r in kept.groupBy("stratum").agg(F.count("*").alias("n")).collect()
+    }
+    # expected: q = (30, 10)/40 -> keep 300 of s0 (1/3 rate), 100 of s1 (all)
+    assert counts["s1"] == 100  # rare stratum fully kept (frac capped at 1)
+    assert 240 <= counts["s0"] <= 360  # ~300 expected, binomial spread
+    # determinism across partitionings
+    again = temperature_sample(
+        df.repartition(7), "stratum", alpha=0.5, target_total=400
+    )
+    assert sorted(r.doc_id for r in kept.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+
+
+def test_temperature_alpha_one_is_uniform_rate(spark):
+    from sql4pandas_spark.operators.sampling import temperature_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 900, "s0").otherwise("s1").alias("stratum"),
+    )
+    # alpha=1 keeps the natural mix: every stratum gets rate T/N = 0.4
+    kept = temperature_sample(df, "stratum", alpha=1.0, target_total=400)
+    counts = {
+        r.stratum: r.n
+        for r in kept.groupBy("stratum").agg(F.count("*").alias("n")).collect()
+    }
+    assert 310 <= counts["s0"] <= 410 and 25 <= counts["s1"] <= 55
