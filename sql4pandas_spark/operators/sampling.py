@@ -47,25 +47,38 @@ def quota_sample(
     """Keep exactly ``min(quota, n_stratum)`` rows per stratum, chosen by
     portable-hash order (ties impossible: ``id_col`` breaks them). Returns
     the kept rows with their original columns. ``id_col`` must be non-NULL
-    and unique (a NULL id hashes to NULL and would be dropped).
+    and unique (a NULL id hashes to NULL and would be dropped); a NULL
+    stratum is a stratum like any other (SQL GROUP BY semantics — the
+    counts join is null-safe).
     """
     if quota <= 0:
         raise ValueError("quota must be positive")
     h = portable_hash60(F.col(id_col).cast("string"))
-    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n_s"))
-    joined = df.join(F.broadcast(counts), stratum_col)
-
-    # strata at-or-under quota keep everything (no ranking needed, and the
-    # pre-filter must not touch them); larger strata keep the hash prefix
-    cutoff = F.when(
-        F.col("_n_s") <= quota, F.lit(_HASH_SPAN)
-    ).otherwise(
-        F.least(
-            F.lit(_HASH_SPAN),
-            F.lit(float(safety) * quota) / F.col("_n_s") * F.lit(_HASH_SPAN),
-        )
+    counts = df.groupBy(F.col(stratum_col).alias("_stratum")).agg(
+        F.count(F.lit(1)).alias("_n_s")
     )
-    survivors = joined.filter(h.cast("double") < cutoff)
+    want: dict | None = None
+    if verify:
+        # materialize the counts ONCE: the expectation below and the join
+        # both reuse the collected rows, so verification costs exactly one
+        # extra action (the kept-counts aggregate), not extra input scans
+        rows = counts.collect()
+        want = {r["_stratum"]: min(quota, r["_n_s"]) for r in rows}
+        counts = df.sparkSession.createDataFrame(rows, counts.schema)
+    joined = df.join(
+        F.broadcast(counts), F.col(stratum_col).eqNullSafe(F.col("_stratum"))
+    ).drop("_stratum")
+
+    # strata at-or-under quota keep everything (no pre-filter — and no
+    # float comparison: a 60-bit hash within one double-ulp of 2^60 would
+    # round up and drop a keep-all row); larger strata keep the hash
+    # prefix below an integer cutoff (rounding is safe: the pre-filter is
+    # a superset heuristic and the guard below catches any shortfall)
+    cutoff = (
+        (F.lit(float(safety) * quota) / F.col("_n_s") * F.lit(_HASH_SPAN))
+        .cast("long")
+    )
+    survivors = joined.filter((F.col("_n_s") <= quota) | (h < cutoff))
 
     w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
     kept = (
@@ -79,9 +92,6 @@ def quota_sample(
             for r in kept.groupBy(stratum_col)
             .agg(F.count(F.lit(1)))
             .collect()
-        }
-        want = {
-            r[0]: min(quota, r[1]) for r in counts.collect()
         }
         if got != want:
             short = {s: (got.get(s, 0), w) for s, w in want.items() if got.get(s, 0) != w}
@@ -114,18 +124,20 @@ def temperature_sample(
     independent-per-row inclusion (expected counts), which is what a
     temperature mix specifies.
     """
-    from pyspark.sql import Window
-
-    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n_s"))
+    counts = df.groupBy(F.col(stratum_col).alias("_stratum")).agg(
+        F.count(F.lit(1)).alias("_n_s")
+    )
     w = F.pow(F.col("_n_s").cast("double"), F.lit(float(alpha)))
     denom = F.sum(w).over(Window.partitionBy())
     frac = F.least(
         F.lit(1.0), w / denom * F.lit(float(target_total)) / F.col("_n_s")
     )
-    rates = counts.select(stratum_col, "_n_s", frac.alias("_frac"))
+    rates = counts.select("_stratum", "_n_s", frac.alias("_frac"))
     h = portable_hash60(F.col(id_col).cast("string")).cast("double")
     return (
-        df.join(F.broadcast(rates), stratum_col)
+        df.join(
+            F.broadcast(rates), F.col(stratum_col).eqNullSafe(F.col("_stratum"))
+        )
         .filter(h < F.col("_frac") * F.lit(_HASH_SPAN))
-        .drop("_n_s", "_frac")
+        .drop("_stratum", "_n_s", "_frac")
     )

@@ -469,6 +469,9 @@ def centroid_outlier_stats(
     ex = emb.select(
         label_col, F.posexplode(F.col(vec_col)).alias("pos", "val")
     )
+    def _fold(products):
+        return F.aggregate(products, F.lit(0.0), lambda acc, v: acc + v)
+
     cent = (
         ex.groupBy(label_col, "pos")
         .agg(F.avg(F.col("val").cast("double")).alias("m"))
@@ -479,11 +482,10 @@ def centroid_outlier_stats(
                 lambda s: s.getField("m"),
             ).alias("_centroid")
         )
+        # ||c||² once per label here, not re-folded on every corpus row
+        .withColumn("_cnorm2", _fold(F.transform("_centroid", lambda y: y * y)))
     )
     joined = emb.join(F.broadcast(cent), label_col)
-
-    def _fold(products):
-        return F.aggregate(products, F.lit(0.0), lambda acc, v: acc + v)
 
     dot = _fold(
         F.zip_with(
@@ -493,8 +495,17 @@ def centroid_outlier_stats(
     nv = _fold(
         F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double"))
     )
-    nc = _fold(F.transform(F.col("_centroid"), lambda y: y * y))
-    cos_e4 = F.round(dot / (F.sqrt(nv) * F.sqrt(nc)) * 10000).cast("long")
+    # zero-norm guard: an all-zero vector (failed encode) or a degenerate
+    # all-zero centroid has no defined cosine — under ANSI mode the bare
+    # division would abort the whole audit with DIVIDE_BY_ZERO, exactly on
+    # the garbage input the audit exists to flag. NULL cosine → counted as
+    # an outlier below, excluded from sum/min/max.
+    cos_e4 = F.when(
+        (nv > 0) & (F.col("_cnorm2") > 0),
+        F.round(dot / (F.sqrt(nv) * F.sqrt(F.col("_cnorm2"))) * 10000).cast(
+            "long"
+        ),
+    )
 
     return (
         joined.select(label_col, cos_e4.alias("_ce4"))
@@ -504,7 +515,9 @@ def centroid_outlier_stats(
             F.sum("_ce4").alias("sum_cos_e4"),
             F.round(F.min("_ce4") / 10000.0, 4).alias("min_cos"),
             F.round(F.max("_ce4") / 10000.0, 4).alias("max_cos"),
-            F.sum(F.when(F.col("_ce4") < 0, 1).otherwise(0)).alias("n_outliers"),
+            F.sum(
+                F.when(F.col("_ce4").isNull() | (F.col("_ce4") < 0), 1).otherwise(0)
+            ).alias("n_outliers"),
         )
         .orderBy(label_col)
     )

@@ -158,7 +158,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # r6 err rows and any entries whose code changes in r7, topped up with
     # remaining once-green rows (prefer ones whose code changed in r6:
     # sink_custom_jsonl, incremental_dedup_batches, q11_important_stock,
-    # the nine r6-new entries cluster_documents_files / zorder_documents_files /
+    # the ten r6-new entries cluster_documents_files / zorder_documents_files /
     # stream_stateful_sessions / heavy_hitters_events / bm25_top15_documents /
     # dedup_keep_best_doc / split_leakage_audit / quota_sample_by_lang /
     # embedding_outlier_audit / temperature_mix_documents if not yet green)

@@ -1781,14 +1781,15 @@ def quota_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
                     sum(cent.m * cent.m) AS nc
              FROM ex JOIN cent USING (label, pos) GROUP BY 1, 2),
     cos AS (SELECT label,
-                   CAST(round(dot / (sqrt(nv) * sqrt(nc)) * 10000) AS BIGINT)
-                     AS ce4
+                   CASE WHEN nv > 0 AND nc > 0 THEN
+                     CAST(round(dot / (sqrt(nv) * sqrt(nc)) * 10000) AS BIGINT)
+                   END AS ce4
             FROM dots)
     SELECT label, count(*) AS n_vecs, CAST(sum(ce4) AS BIGINT) AS sum_cos_e4,
            round(min(ce4) / 10000.0, 4) AS min_cos,
            round(max(ce4) / 10000.0, 4) AS max_cos,
-           CAST(sum(CASE WHEN ce4 < 0 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_outliers
+           CAST(sum(CASE WHEN ce4 IS NULL OR ce4 < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
     FROM cos GROUP BY label ORDER BY label
     """,
     tags=("tier-c", "dedup_embedding", "multimodal_cols", "quality"),

@@ -104,3 +104,24 @@ def test_temperature_alpha_one_is_uniform_rate(spark):
         for r in kept.groupBy("stratum").agg(F.count("*").alias("n")).collect()
     }
     assert 310 <= counts["s0"] <= 410 and 25 <= counts["s1"] <= 55
+
+
+def test_null_stratum_is_a_stratum(spark):
+    """Round-6 review finding: a NULL stratum must behave like any GROUP BY
+    group (the counts join is null-safe), not silently vanish — and with
+    verify=True must not fake a shortfall no safety value can fix."""
+    from sql4pandas_spark.operators.sampling import quota_sample, temperature_sample
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "s0").alias("stratum"),  # half NULL
+    )
+    kept = quota_sample(df, "stratum", quota=10, verify=True)
+    counts = {
+        r.stratum: r.n
+        for r in kept.groupBy("stratum").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"s0": 10, None: 10}
+    # temperature path: NULL stratum keeps its temperature share too
+    t = temperature_sample(df, "stratum", alpha=1.0, target_total=100)
+    assert t.filter(F.col("stratum").isNull()).count() == 50

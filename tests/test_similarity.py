@@ -174,3 +174,25 @@ def test_centroid_outlier_plan_is_jvm_and_broadcast(spark):
     assert "EvalPython" not in plan            # scoring is pure JVM
     assert "BroadcastHashJoin" in plan         # centroids broadcast back
     assert "CartesianProduct" not in plan
+
+
+def test_centroid_outlier_zero_vector_is_flagged_not_fatal(spark):
+    """Round-6 review finding: an all-zero vector (failed encode) must be
+    FLAGGED as an outlier, not abort the whole audit with ANSI
+    DIVIDE_BY_ZERO — the garbage input is exactly what the audit screens."""
+    from sql4pandas_spark.operators.similarity import centroid_outlier_stats
+
+    emb = spark.createDataFrame(
+        [
+            (1, "a", [1.0, 0.0]),
+            (2, "a", [0.0, 0.0]),  # zero norm
+            (3, "b", [0.0, 0.0]),  # whole label degenerate -> zero centroid
+        ],
+        "vec_id long, label string, embedding array<float>",
+    )
+    rows = {r.label: r for r in centroid_outlier_stats(emb).collect()}
+    a, b = rows["a"], rows["b"]
+    assert (a.n_vecs, a.n_outliers) == (2, 1)
+    assert a.max_cos == 1.0 and a.sum_cos_e4 == 10000  # NULL excluded from sum
+    assert (b.n_vecs, b.n_outliers) == (1, 1)
+    assert b.sum_cos_e4 is None and b.min_cos is None

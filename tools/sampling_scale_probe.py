@@ -13,7 +13,7 @@ pre-filter isn't buying anything and the operator is complexity for show.
 Replicas shift doc_id into disjoint ranges (hash inputs stay unique) and
 keep the lang stratum, so stratum cardinality stays 5 while rows scale Nx.
 
-Run:  python tools/sampling_scale_probe.py [factor ...]   # default: 10 50
+Run:  python tools/sampling_scale_probe.py [factor ...]   # default: 100 1000
 """
 
 from __future__ import annotations
