@@ -68,10 +68,14 @@ def bm25_topk(
         ],
     )
 
-    # k1*(1 - b + b*dl/avgdl): the length normalization shared by all terms
+    # k1*(1 - b + b*dl/avgdl): the length normalization shared by all terms.
+    # A corpus with no tokens at all (avgdl = 0: every text empty or NULL)
+    # has no defined score for anything — the NULLed avgdl propagates to a
+    # NULL score and the >0 filter returns the correct empty result instead
+    # of an ANSI DIVIDE_BY_ZERO abort (found by the property differential).
+    avgdl = F.when(F.col("_avgdl") > 0, F.col("_avgdl"))
     norm = F.lit(k1) * (
-        F.lit(1.0 - b)
-        + F.lit(b) * F.size("_toks").cast("double") / F.col("_avgdl")
+        F.lit(1.0 - b) + F.lit(b) * F.size("_toks").cast("double") / avgdl
     )
     per_term = []
     for i, t in enumerate(query_terms):

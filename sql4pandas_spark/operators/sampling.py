@@ -14,19 +14,23 @@ bottleneck. The two-phase shape here keeps the bulk scan map-side:
 1. **Tiny stats + broadcast**: per-stratum counts (one map-combined agg,
    |strata| rows), broadcast back.
 2. **Map-side pre-filter**: the 60-bit portable hash is ~uniform on
-   [0, 2^60), so rows with `hash < safety * quota/n_s * 2^60` are a
-   superset of the quota winners with overwhelming probability at
-   `safety` ≥ 2 (binomial lower tail; e.g. quota 10^6 → shortfall odds
-   < 10^-100000). Everything else — the vast majority — never shuffles.
-3. **Exact trim of survivors only**: the window runs over ~safety×quota
-   rows per stratum, i.e. O(strata × quota) shuffle volume independent of
-   input size.
+   [0, 2^60), so rows with `hash < m/n_s * 2^60` for
+   `m = safety*quota + 16 + 4*sqrt(safety*quota)` are a superset of the
+   quota winners with overwhelming probability (binomial lower tail
+   < 1e-9 at EVERY quota — the additive slack covers the small-quota
+   regime a bare multiplicative margin misses). Everything else — the
+   vast majority — never shuffles.
+3. **Exact trim of survivors only**: the window runs over ~m rows per
+   stratum, i.e. O(strata × quota) shuffle volume independent of input
+   size.
 4. **Shortfall guard**: with `verify=True` the kept-vs-expected counts are
    checked with one extra action and a shortfall RAISES (telling the
    caller to raise `safety`) instead of silently under-filling a stratum.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -73,11 +77,19 @@ def quota_sample(
     # float comparison: a 60-bit hash within one double-ulp of 2^60 would
     # round up and drop a keep-all row); larger strata keep the hash
     # prefix below an integer cutoff (rounding is safe: the pre-filter is
-    # a superset heuristic and the guard below catches any shortfall)
-    cutoff = (
-        (F.lit(float(safety) * quota) / F.col("_n_s") * F.lit(_HASH_SPAN))
-        .cast("long")
+    # a superset heuristic and the guard below catches any shortfall).
+    # The expected survivor count is safety*quota PLUS an additive
+    # 16 + 4*sqrt(safety*quota) slack: a purely multiplicative margin is a
+    # large-quota asymptotic — at quota=1 the winner's hash beats a
+    # 1.5/n_s cutoff only ~83% of the time (found by the property
+    # differential; the Chernoff tail of the slacked form is < 1e-9 at
+    # every quota)
+    m = float(safety) * quota
+    frac = F.least(  # cap at 1 BEFORE scaling: small strata push m/n_s
+        F.lit(1.0),  # past 8 and the uncapped product past long range
+        F.lit(m + 16.0 + 4.0 * math.sqrt(m)) / F.col("_n_s"),
     )
+    cutoff = (frac * F.lit(_HASH_SPAN)).cast("long")
     survivors = joined.filter((F.col("_n_s") <= quota) | (h < cutoff))
 
     w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())

@@ -57,12 +57,15 @@ def test_prefilter_bounds_window_input(spark):
     # and check it is a small superset of the kept set
     from sql4pandas_spark.operators.text import portable_hash60
 
-    cutoff = 2.0 * 20 / 1000 * float(1 << 60)
+    import math
+
+    m = 2.0 * 20 + 16 + 4 * math.sqrt(2.0 * 20)
+    cutoff = m / 1000 * float(1 << 60)
     surv = df.filter(
         portable_hash60(F.col("doc_id").cast("string")).cast("double") < cutoff
     ).count()
     assert kept.count() == 80
-    assert surv < 400  # ~4 strata * 2*quota expected, far below 4000
+    assert surv < 500  # ~4 strata * m≈81 expected, far below 4000
 
 
 def test_temperature_sample_upweights_rare_strata(spark):

@@ -88,7 +88,8 @@ def main() -> None:
         # wall time on local[32] reads the cache for free, a cluster pays
         # disk+network per shuffled row
         h = portable_hash60(F.col("doc_id").cast("string")).cast("double")
-        cutoff = 2.0 * QUOTA / (n / 5) * float(1 << 60)
+        m = 2.0 * QUOTA + 16 + 4 * (2.0 * QUOTA) ** 0.5
+        cutoff = m / (n / 5) * float(1 << 60)
         survivors = df.filter(h < cutoff).count()
         df.unpersist()
 
