@@ -36,6 +36,17 @@ def _incr_store_root() -> str:
     return _INCR_STORE_ROOT
 
 
+def _scratch_dirs(*names: str) -> list[str]:
+    """Per-invocation scratch paths under the atexit-cleaned process root.
+
+    uuid-keyed so concurrent runs (bench + correctness driver, or two scale
+    factors in one process) can never clobber each other's src/dst mid-read
+    — the same hazard class the round-6 incremental-dedup fix closed, now
+    applied to every fixed-path scratch user (round-7 advice fix)."""
+    base = os.path.join(_incr_store_root(), uuid.uuid4().hex)
+    return [os.path.join(base, n) for n in names]
+
+
 @query(
     "dedup_exact_documents",
     oracle="SELECT count(*) AS total, count(DISTINCT text) AS distinct_texts FROM documents",
@@ -1066,7 +1077,7 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     representations for doubles, so the 2dp-rounded sums match the parquet
     oracle exactly."""
     t = register_tables(spark, sf_dir, ("customer",))
-    out = os.path.join(tempfile.gettempdir(), "s4ps_csv_roundtrip")
+    (out,) = _scratch_dirs("csv_roundtrip")
     t["customer"].write.mode("overwrite").option("header", True).csv(out)
     schema = "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string"
     return (
@@ -1091,7 +1102,7 @@ def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines source/sink with explicit schema on re-read — same
     no-inference rule as CSV; integer columns survive exactly."""
     t = register_tables(spark, sf_dir, ("documents",))
-    out = os.path.join(tempfile.gettempdir(), "s4ps_json_roundtrip")
+    (out,) = _scratch_dirs("json_roundtrip")
     t["documents"].select("doc_id", "lang", "n_chars").write.mode("overwrite").json(out)
     return (
         spark.read.schema("doc_id long, lang string, n_chars long")
@@ -1160,7 +1171,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates the original parquet — value equality proves the ORC
     round-trip is lossless."""
     t = register_tables(spark, sf_dir, ("orders",))
-    out = os.path.join(tempfile.gettempdir(), "s4ps_orc_roundtrip")
+    (out,) = _scratch_dirs("orc_roundtrip")
     (
         t["orders"]
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -1188,7 +1199,7 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sink path (df.write.parquet) preserves values/schema. Output parquet
     is partitioned by lang (partition pruning on re-read)."""
     t = register_tables(spark, sf_dir, ("documents",))
-    out = os.path.join(tempfile.gettempdir(), "s4ps_sink_roundtrip")
+    (out,) = _scratch_dirs("sink_roundtrip")
     (
         t["documents"]
         .filter(F.col("lang").isin("en", "fr"))
@@ -1223,8 +1234,7 @@ def compact_documents_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql4pandas_spark.operators.maintenance import compact_parquet_dir
 
     t = register_tables(spark, sf_dir, ("documents",))
-    frag = os.path.join(tempfile.gettempdir(), "s4ps_compact_frag")
-    comp = os.path.join(tempfile.gettempdir(), "s4ps_compact_out")
+    frag, comp = _scratch_dirs("compact_frag", "compact_out")
     t["documents"].select("doc_id", "lang", "n_chars").repartition(64).write.mode(
         "overwrite"
     ).parquet(frag)
@@ -1255,8 +1265,7 @@ def cluster_documents_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql4pandas_spark.operators.maintenance import cluster_parquet_dir
 
     t = register_tables(spark, sf_dir, ("documents",))
-    src = os.path.join(tempfile.gettempdir(), "s4ps_cluster_src")
-    dst = os.path.join(tempfile.gettempdir(), "s4ps_cluster_out")
+    src, dst = _scratch_dirs("cluster_src", "cluster_out")
     t["documents"].select("doc_id", "lang", "n_chars").write.mode(
         "overwrite"
     ).parquet(src)
@@ -1289,8 +1298,7 @@ def zorder_documents_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql4pandas_spark.operators.maintenance import zorder_parquet_dir
 
     t = register_tables(spark, sf_dir, ("documents",))
-    src = os.path.join(tempfile.gettempdir(), "s4ps_zorder_src")
-    dst = os.path.join(tempfile.gettempdir(), "s4ps_zorder_out")
+    src, dst = _scratch_dirs("zorder_src", "zorder_out")
     t["documents"].select("doc_id", "lang", "n_chars").write.mode(
         "overwrite"
     ).parquet(src)
@@ -1554,7 +1562,7 @@ def sink_custom_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_jsonl_sink(spark)
     t = register_tables(spark, sf_dir, ("orders",))
-    out = os.path.join(tempfile.gettempdir(), "s4ps_sink_custom_jsonl")
+    (out,) = _scratch_dirs("sink_custom_jsonl")
     shutil.rmtree(out, ignore_errors=True)
     (
         t["orders"]
@@ -1596,7 +1604,7 @@ def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions it produced; no table-format dependency). The oracle
     computes the expected post-state: en doubled, others original."""
     t = register_tables(spark, sf_dir, ("documents",))
-    out = os.path.join(tempfile.gettempdir(), "s4ps_dyn_overwrite")
+    (out,) = _scratch_dirs("dyn_overwrite")
     base = t["documents"].select("doc_id", "lang", "n_chars")
     base.write.mode("overwrite").partitionBy("lang").parquet(out)
 

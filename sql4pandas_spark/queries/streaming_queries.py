@@ -462,14 +462,13 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves the foreachBatch path delivered every row, none duplicated, for
     this drain (crash-recovery idempotence is the batch_id column's job —
     see the helper's delivery-semantics note)."""
-    import os
-    import tempfile
+    from sql4pandas_spark.queries.pipeline import _scratch_dirs
 
     events = read_events_stream(spark, sf_dir)
     filtered = events.filter(F.col("event_type").isin("click", "purchase")).select(
         "event_id", "event_type", "value"
     )
-    out = os.path.join(tempfile.gettempdir(), "s4ps_foreach_batch_sink")
+    (out,) = _scratch_dirs("foreach_batch_sink")
     sink = run_foreach_batch_parquet(filtered, out)
     return (
         sink.groupBy("event_type")

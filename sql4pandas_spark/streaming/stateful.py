@@ -53,6 +53,10 @@ def sessionize_stateful(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_us = gap_minutes * US_PER_MIN
+    # the output key column mirrors user_col (name AND type) — a caller
+    # passing user_col='account_id' must not silently get a renamed/recast
+    # key (round-7 advice fix; pinned in tests/test_stateful_sessions.py)
+    user_type = events.schema[user_col].dataType.simpleString()
 
     def track(key, pdfs, state: GroupState):
         (uid,) = key
@@ -95,7 +99,7 @@ def sessionize_stateful(
         if closed:
             yield pd.DataFrame(
                 {
-                    "user_id": [r[0] for r in closed],
+                    user_col: [r[0] for r in closed],
                     "s_start": [pd.Timestamp(r[1] * 1000) for r in closed],
                     "s_end": [pd.Timestamp((r[2] + gap_us) * 1000) for r in closed],
                     "n": [r[3] for r in closed],
@@ -104,7 +108,9 @@ def sessionize_stateful(
 
     return events.groupBy(user_col).applyInPandasWithState(
         track,
-        outputStructType="user_id long, s_start timestamp, s_end timestamp, n long",
+        outputStructType=(
+            f"{user_col} {user_type}, s_start timestamp, s_end timestamp, n long"
+        ),
         stateStructType="s_us long, e_us long, c long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,

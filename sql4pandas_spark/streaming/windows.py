@@ -42,12 +42,16 @@ def _stream_dir(sf_dir: str) -> str:
         for fname in sorted(os.listdir(src)):
             if fname.endswith(".parquet"):
                 link = os.path.join(d, fname)
-                if not os.path.exists(link):
+                try:  # idempotent + safe under concurrent staging
                     os.symlink(os.path.join(src, fname), link)
+                except FileExistsError:
+                    pass
     else:
         link = os.path.join(d, "events.parquet")
-        if not os.path.exists(link):
+        try:
             os.symlink(src, link)
+        except FileExistsError:
+            pass
     return d
 
 

@@ -221,3 +221,36 @@ def test_late_event_extends_session_start(spark, tmp_path):
     ]
     # ONE u1 session: late 10:29:10 merged in, start moved, both counted
     assert u1 == [("2024-01-01 10:29:10", "2024-01-01 10:39:50", 2)], u1
+
+
+def test_custom_user_col_keeps_name_and_type(spark, tmp_path):
+    """Round-7 advice fix: a caller passing user_col='account_id' must get
+    an output keyed 'account_id' with the INPUT column's type — not a
+    silently renamed/recast 'user_id long'."""
+    src = str(tmp_path / "acct")
+    (
+        spark.createDataFrame(
+            [(7, "2024-01-01 00:00:00"), (7, "2024-01-01 00:02:00")],
+            "account_id int, ts_s string",
+        )
+        .select("account_id", F.col("ts_s").cast("timestamp").alias("ts"))
+        .coalesce(1)
+        .write.parquet(src)
+    )
+    streamed = (
+        spark.readStream.schema("account_id int, ts timestamp")
+        .parquet(src)
+        .withWatermark("ts", "1 minute")
+    )
+    out = sessionize_stateful(streamed, gap_minutes=10, user_col="account_id")
+    assert out.schema["account_id"].dataType.simpleString() == "int"
+    assert [f.name for f in out.schema.fields] == [
+        "account_id",
+        "s_start",
+        "s_end",
+        "n",
+    ]
+    # schema-only is not enough: drain once so the emitted pandas frame's
+    # column names are exercised against the declared schema too
+    drained = run_available_now(out, mode="append")
+    assert drained.count() == 0  # watermark never passes close time; no rows
