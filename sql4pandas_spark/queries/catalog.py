@@ -68,101 +68,24 @@ def query(
 #: already have green CORRECTNESS_r01/r02 rows (or are next in line if the
 #: window is ever wider than 50). Future rounds rotate this list.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- ROUND-6 WINDOW ----
-    # The 9 entries that had never been inside the driver window through r5
-    # (the first 3 were r1/r2 errs fixed since; the rest are round-5
-    # additions). All locally differential-green with oracles
-    # (BASELINE.md "rehearsal" table) — promoted per the r5 rotation recipe.
-    "stream_python_datasource",
-    "multimodal_frame_sample",
-    "stratified_sample_mix",
-    "pack_sequences_bins",
-    "incremental_dedup_batches",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q20_dominant_suppliers",
-    "gapfill_interpolate_15m",
-    # Backfill: 41 of the 50 once-green (green only in r5) entries, per the
-    # guard test's ">=2 rounds = settled" rule. Kept in-window in preference
-    # to the 9 dropped below because their code is the freshest:
-    # — NTZ-adjacent streaming/timestamp paths (fixed r5, one green round)
-    "stream_watermark_hourly",
-    "stream_dedup_events",
-    "stream_stream_join",
-    "asof_join_tolerance",
-    "events_hourly",
-    # — sink_custom_jsonl: writer rewritten round 6 (batched serialization),
-    #   must be re-verified by the driver after the change.
-    "sink_custom_jsonl",
-    # — TPC-H-style analogs (first green r5)
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q15_top_supplier",
-    "q16_supplier_count_by_part",
-    "q18_large_volume_customers",
-    "q21_waiting_supplier",
-    "q22_idle_customers",
-    # — canonical per-operator entries (first green r5)
-    "range_join_nokey_buckets",
-    "hash_sample_orders",
-    "pipeline_end_to_end",
-    "scan_orc_roundtrip",
-    "compact_documents_files",
-    # new in round 6 (never driver-verified — takes the window slot of the
-    # stable plan-hint entry join_hint_shuffle_hash, moved below)
-    "cluster_documents_files",
-    # new in round 6 (never driver-verified — takes the slot of the stable
-    # partition-overwrite entry dynamic_partition_overwrite, moved below)
-    "zorder_documents_files",
-    "quality_repetition_documents",
-    "decontaminate_documents",
-    "ivf_full_probe_top10",
-    "stratified_mix_hash",
-    "lateral_top_orders",
-    "stream_foreach_batch_sink",
-    # new in round 6 (never driver-verified — takes the slot of the stable
-    # UDTF entry udtf_table_arg_summary, moved below)
-    "stream_stateful_sessions",
-    # new in round 6 (never driver-verified — takes the slot of the stable
-    # VARIANT entry variant_props_stats, moved below)
-    "heavy_hitters_events",
-    # new late in round 6 (never driver-verified — take the slots of the
-    # stable once-green analogs q13/q14/q19, moved below): BM25 retrieval
-    # scoring, quality-argmax cluster canonicalization, and the
-    # near-dup train/val split-leakage audit
-    "bm25_top15_documents",
-    "dedup_keep_best_doc",
-    "split_leakage_audit",
-    # new late in round 6 (never driver-verified — take the slots of the
-    # stable once-green analogs q10/q12, moved below): exact-quota
-    # stratified sampling and the embedding centroid-outlier audit
-    "quota_sample_by_lang",
-    "embedding_outlier_audit",
-    # new late in round 6 (slot of once-green q17, moved below):
-    # temperature-rebalanced multilingual mix
-    "temperature_mix_documents",
-    "hll_sketch_users",
-    "doc_fingerprints",
-    "approx_distinct_events",
-    "ann_ivf_query_top10",
-    "ann_lsh_top10",
-    "scan_python_datasource",
-    # ---- driver window (50) ends here; next-in-line if it's ever wider ----
-    # The 9 once-green entries rotated OUT this round to make room for the
-    # never-green 9 above. All are simple canonical ANSI aggregate/set-op
-    # forms whose code has not changed since their r5 green row — the
-    # lowest-regression-risk drop. ROUND-7 ROTATION RECIPE: if CORRECTNESS_r06
-    # is all green, every entry will have >=1 green round. The natural r7
-    # window: the 19 below (once-green r5, rotated out during r6) plus any
-    # r6 err rows and any entries whose code changes in r7, topped up with
-    # remaining once-green rows (prefer ones whose code changed in r6:
-    # sink_custom_jsonl, incremental_dedup_batches, q11_important_stock,
-    # the ten r6-new entries cluster_documents_files / zorder_documents_files /
-    # stream_stateful_sessions / heavy_hitters_events / bm25_top15_documents /
-    # dedup_keep_best_doc / split_leakage_audit / quota_sample_by_lang /
-    # embedding_outlier_audit / temperature_mix_documents if not yet green)
-    # per tests/test_driver_window.py.
+    # ---- ROUND-7 WINDOW ----
+    # CORRECTNESS_r06 went 50/50 green, so every one of the 152 catalog
+    # entries now has >=1 green driver round. This window holds ALL 38
+    # entries with exactly ONE green round (19 green only in r5, rotated
+    # out during r6; 19 green only in r6, the round-6 additions), then
+    # fills the remaining 12 slots with settled (>=2-green) entries whose
+    # code changed in round 7 (per-invocation scratch-dir fix touched the
+    # roundtrip/maintenance/foreachBatch builders; stateful.py user_col
+    # fix; streaming/windows.py symlink staging) or that round 7 profiles
+    # (window_top3). ROUND-8 ROTATION RECIPE: if CORRECTNESS_r07 is all
+    # green the terminal state is reached — every entry settled at >=2
+    # green rounds; from r8 on, the window = any r7 err rows first, then
+    # the 50 LEAST-evidenced entries, ties broken by whose code changed
+    # most recently (tests/test_driver_window.py enforces the starvation
+    # rule mechanically; tools/catalog_index.py prints the evidence
+    # ledger the selection reads).
+    #
+    # -- the 19 entries green only in r5 --
     "join_hint_shuffle_hash",
     "q10_returned_items",
     "q17_small_qty_revenue",
@@ -182,6 +105,41 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "case_priority_buckets",
     "tablesample_orders",
     "stats_corr_lineitem",
+    # -- the 19 entries green only in r6 --
+    "stream_python_datasource",
+    "multimodal_frame_sample",
+    "stratified_sample_mix",
+    "pack_sequences_bins",
+    "incremental_dedup_batches",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_dominant_suppliers",
+    "gapfill_interpolate_15m",
+    "cluster_documents_files",
+    "zorder_documents_files",
+    "stream_stateful_sessions",
+    "heavy_hitters_events",
+    "bm25_top15_documents",
+    "dedup_keep_best_doc",
+    "split_leakage_audit",
+    "quota_sample_by_lang",
+    "embedding_outlier_audit",
+    "temperature_mix_documents",
+    # -- 12 settled fillers: code touched in round 7 (scratch-dir /
+    #    stateful / streaming-staging changes) or under r7 profiling --
+    "scan_csv_roundtrip",
+    "scan_json_roundtrip",
+    "scan_orc_roundtrip",
+    "sink_parquet_roundtrip",
+    "compact_documents_files",
+    "sink_custom_jsonl",
+    "stream_foreach_batch_sink",
+    "stream_stateful_user_counts",
+    "events_sliding_30m",
+    "events_session_windows",
+    "gapfill_hourly_counts",
+    "window_top3_orders_per_customer",
+    # ---- driver window (50) ends here ----
 )
 
 
