@@ -144,7 +144,37 @@ class Cursor:
 
 
 class Engine:
-    """SQL over named tables; pandas in, pandas out; Spark underneath."""
+    """SQL over named tables; pandas in, pandas out; Spark underneath.
+
+    The reference-parity contract, executable (tests/test_engine_doctest.py
+    runs this docstring):
+
+    >>> import pandas as pd
+    >>> from sql4pandas_spark import Engine
+    >>> eng = Engine()
+    >>> eng.register("people", pd.DataFrame({
+    ...     "name": ["ada", "bob", "cyd", "dan"],
+    ...     "dept_id": [1, 1, 2, 2],
+    ...     "age": [35, 28, 41, 33]}))
+    >>> eng.register("depts", pd.DataFrame({
+    ...     "dept_id": [1, 2], "dept": ["eng", "ops"]}))
+    >>> out = eng.sql('''
+    ...     SELECT d.dept, count(*) AS n, avg(p.age) AS avg_age
+    ...     FROM people p JOIN depts d USING (dept_id)
+    ...     WHERE p.age >= 33
+    ...     GROUP BY d.dept ORDER BY d.dept''')
+    >>> [tuple(r) for r in out.collect()]
+    [('eng', 1, 35.0), ('ops', 2, 37.0)]
+    >>> out.to_pandas().shape
+    (2, 3)
+    >>> cur = eng.cursor().execute("SELECT name FROM people ORDER BY age DESC")
+    >>> cur.fetchone()
+    ('cyd',)
+    >>> cur.fetchmany(2)
+    [('ada',), ('dan',)]
+    >>> sorted(t for t in eng.tables() if t in ("people", "depts"))
+    ['depts', 'people']
+    """
 
     def __init__(self, spark: SparkSession | None = None):
         self.spark = configure_session(spark) if spark is not None else get_spark()

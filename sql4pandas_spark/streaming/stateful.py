@@ -93,9 +93,22 @@ def sessionize_stateful(
             for s, e, c in sessions[:-1]:
                 closed.append((uid, s, e, c))
             s, e, c = sessions[-1]
-            state.update((s, e, c))
-            # timeout once the watermark passes the session's close time
-            state.setTimeoutTimestamp((e + gap_us) // 1000)  # ms
+            close_ms = (e + gap_us) // 1000
+            if close_ms <= state.getCurrentWatermarkMs():
+                # an entirely-late session (all events below the current
+                # watermark — possible because applyInPandasWithState does
+                # NOT drop late rows): the watermark already passed its
+                # close time, so by the delivery contract its timeout is
+                # due NOW. Emit directly — setTimeoutTimestamp would raise
+                # INVALID_TIMEOUT_TIMESTAMP on a below-watermark instant
+                # (found by tools/streaming_scale_probe.py's multi-batch
+                # out-of-order drain; pinned in tests/test_stateful_sessions.py)
+                closed.append((uid, s, e, c))
+                state.remove()
+            else:
+                state.update((s, e, c))
+                # timeout once the watermark passes the session's close time
+                state.setTimeoutTimestamp(close_ms)
         if closed:
             yield pd.DataFrame(
                 {

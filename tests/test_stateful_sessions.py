@@ -254,3 +254,46 @@ def test_custom_user_col_keeps_name_and_type(spark, tmp_path):
     # column names are exercised against the declared schema too
     drained = run_available_now(out, mode="append")
     assert drained.count() == 0  # watermark never passes close time; no rows
+
+
+def test_entirely_late_session_emits_instead_of_crashing(spark, tmp_path):
+    """Probe-found (round 7): a batch can carry a user's events that ALL lie
+    below the current watermark (applyInPandasWithState never drops late
+    rows). Such a session's close time precedes the watermark, so
+    setTimeoutTimestamp would raise INVALID_TIMEOUT_TIMESTAMP; the fix
+    emits the session immediately — its timeout is by definition already
+    due. Batch 1: u9 at 12:00 pushes the watermark to ~11:59. Batch 2: u5
+    entirely at 00:00-00:02 (12 h late) must come out CLOSED, not crash."""
+    src = tmp_path / "src"
+    flat = tmp_path / "flat"
+    os.makedirs(flat)
+    batches = [
+        [(9, "2024-01-01 12:00:00")],
+        [(5, "2024-01-01 00:00:00"), (5, "2024-01-01 00:02:00")],
+    ]
+    for i, rows in enumerate(batches):
+        d = str(src / f"f{i}")
+        (
+            spark.createDataFrame(rows, "user_id long, ts_s string")
+            .select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+            .coalesce(1)
+            .write.parquet(d)
+        )
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                os.symlink(os.path.join(d, f), str(flat / f"{i:02d}_{f}"))
+    streamed = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+        .withWatermark("ts", "1 minute")
+    )
+    got = sorted(
+        (r.user_id, str(r.s_start), str(r.s_end), r.n)
+        for r in run_available_now(
+            sessionize_stateful(streamed, gap_minutes=10), mode="append"
+        ).collect()
+    )
+    assert got == [
+        (5, "2024-01-01 00:00:00", "2024-01-01 00:12:00", 2)
+    ], got  # u9's session stays open (final watermark 11:59 < 12:10)
