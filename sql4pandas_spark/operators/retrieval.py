@@ -95,3 +95,66 @@ def bm25_topk(
         .orderBy(F.desc("bm25"), id_col)
         .limit(k)
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k_terms: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top ``k_terms`` TF-IDF terms per document — the unsupervised
+    "what is this document about" primitive (keyword extraction, topic
+    probes, routing documents to domain buckets in a mix plan).
+
+    Where :func:`bm25_topk` scores the corpus against a FIXED handful of
+    query terms (a few counters, no per-term shuffle), this is the
+    full-vocabulary dual, and its scale shape is different on purpose:
+
+    - one shuffle keyed (doc, term) for raw term counts (map-side combined);
+    - one vocabulary-keyed shuffle for document frequencies — |vocab| rows,
+      never |corpus| (tf rows collapse per doc first);
+    - df joins back on the term key (sort-merge at vocab scale, broadcast
+      when small — Catalyst chooses from stats);
+    - corpus size N is a 1-row broadcast (same allowlisted scalar shape as
+      BM25's stats row);
+    - the final top-k per doc is a WindowGroupLimit, so only k rows per doc
+      survive the map side of the last shuffle.
+
+    Scoring: sklearn's smooth idf — ``tf * (ln((1+N)/(1+df)) + 1)`` with
+    raw term counts — rounded to 4dp BEFORE ranking so the per-doc cut is
+    reproducible across engines (ties broken on term asc). Documents with
+    no tokens (empty or NULL text) contribute nothing and are absent from
+    the output; N counts tokenized documents only.
+    """
+    toks_df = df.select(id_col, tokens(text_col).alias("_toks")).filter(
+        F.size("_toks") > 0
+    )
+    tf = (
+        toks_df.select(id_col, F.explode("_toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = toks_df.agg(F.count(F.lit(1)).alias("_n_docs"))
+
+    idf = F.log(
+        (F.lit(1.0) + F.col("_n_docs")) / (F.lit(1.0) + F.col("_df"))
+    ) + F.lit(1.0)
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            F.round(F.col("_tf").cast("double") * idf, 4).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k_terms)
+        .select(id_col, "term", "tfidf", "rn")
+    )

@@ -269,3 +269,43 @@ def pack_sequences(
         tok.alias("n_tokens_doc"),
         F.floor(start / budget_tokens).cast("long").alias("seq_id"),
     )
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Global top-k word n-grams by exact corpus frequency — the classic
+    corpus-statistics job (boilerplate discovery, contamination probes,
+    stopword-list induction). Returns (ngram, n_occurrences) ordered by
+    (count desc, ngram asc), counting OCCURRENCES (a doc repeating an
+    n-gram counts each time).
+
+    Scale shape: n-grams assemble row-locally from the token array (JVM
+    HOFs, no UDF), then ONE count aggregate keyed by n-gram — map-side
+    combine collapses each partition's counts before the shuffle, and the
+    final top-k is TakeOrderedAndProject (no global sort). The n-gram key
+    space is the scale risk (it grows with corpus size, unlike a fixed
+    query-term list); when even the combined map output is too wide, the
+    approximate path is operators/sketches.heavy_hitters_topk over the
+    exploded n-gram stream — same output contract, omission-only error.
+    Documents shorter than ``n`` tokens contribute nothing (no whole-text
+    fallback here — unlike dedup shingles, frequency stats must not
+    conflate a 1-token doc with an n-gram).
+    """
+    toks = tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return (
+        df.select(F.explode(F.when(F.size(toks) >= n, grams)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "ngram")
+        .limit(k)
+    )

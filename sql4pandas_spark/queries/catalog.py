@@ -135,10 +135,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sink_custom_jsonl",
     "stream_foreach_batch_sink",
     "stream_stateful_user_counts",
-    "events_sliding_30m",
-    "events_session_windows",
-    "gapfill_hourly_counts",
     "window_top3_orders_per_customer",
+    # -- the 3 round-7 NEW entries (never driver-verified — they take the
+    #    slots of the settled streaming fillers events_sliding_30m /
+    #    events_session_windows / gapfill_hourly_counts, whose only r7
+    #    code change is the trivial symlink-staging guard already covered
+    #    by the windowed stream_* entries) --
+    "profile_documents_table",
+    "tfidf_top_terms_documents",
+    "top_bigrams_documents",
     # ---- driver window (50) ends here ----
 )
 

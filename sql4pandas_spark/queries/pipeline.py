@@ -1851,3 +1851,98 @@ def temperature_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept")).orderBy("lang")
     )
+
+
+_PROFILE_COL_SQL = """
+    SELECT '{c}' AS col_name, count(*) AS n_rows,
+           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_val,
+           CAST(max({c}) AS VARCHAR) AS max_val
+    FROM documents"""
+
+
+@query(
+    "profile_documents_table",
+    oracle=" UNION ALL ".join(
+        _PROFILE_COL_SQL.format(c=c)
+        for c in ("doc_id", "lang", "n_chars", "source", "text")
+    )
+    + " ORDER BY col_name",
+    tags=("tier-c", "profile_table", "agg_global"),
+)
+def profile_documents_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of documents (operators/profile.profile_columns):
+    null counts, exact distinct cardinality, min/max rendered to string —
+    one aggregate pass (the exact multi-column DISTINCT plans a single
+    Expand+shuffle; approx_count_distinct is the declared 100 TB path).
+    The oracle recomputes every cell per column in DuckDB."""
+    from sql4pandas_spark.operators.profile import profile_columns
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    return profile_columns(
+        t["documents"], ["doc_id", "lang", "n_chars", "source", "text"]
+    ).withColumnRenamed("column", "col_name").orderBy("col_name")
+
+
+@query(
+    "tfidf_top_terms_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS w
+      FROM documents),
+    tc AS (SELECT doc_id, unnest(w) AS term FROM toks WHERE len(w) > 0),
+    cnt AS (SELECT doc_id, term, count(*) AS tf FROM tc GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS dfc FROM cnt GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM toks WHERE len(w) > 0),
+    scored AS (
+      SELECT c.doc_id, c.term,
+             round(c.tf * (ln((1.0 + n_docs) / (1.0 + dfc)) + 1.0), 4) AS tfidf
+      FROM cnt c JOIN dfreq USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rn
+      FROM scored)
+    SELECT doc_id, term, tfidf, CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn
+    """,
+    tags=("tier-c", "tfidf_terms", "win_rank"),
+)
+def tfidf_top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (operators/retrieval.tfidf_top_terms)
+    — full-vocabulary keyword extraction: (doc,term) counts in one shuffle,
+    vocabulary-keyed df stats in a second, 1-row broadcast N, then a
+    WindowGroupLimit top-k per doc. Scores round to 4dp BEFORE ranking so
+    the DuckDB replay cuts identically (term asc breaks ties)."""
+    from sql4pandas_spark.operators.retrieval import tfidf_top_terms
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    return tfidf_top_terms(t["documents"], k_terms=3).orderBy("doc_id", "rn")
+
+
+@query(
+    "top_bigrams_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS w
+      FROM documents),
+    g AS (
+      SELECT unnest(CASE WHEN len(w) >= 2
+                    THEN [array_to_string(list_slice(w, i, i + 1), ' ') FOR i IN range(1, len(w))]
+                    ELSE CAST([] AS VARCHAR[]) END) AS ngram
+      FROM toks)
+    SELECT ngram, count(*) AS n_occurrences
+    FROM g GROUP BY ngram ORDER BY n_occurrences DESC, ngram LIMIT 20
+    """,
+    tags=("tier-c", "ngram_stats", "agg_group"),
+)
+def top_bigrams_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 word bigrams by exact occurrence count
+    (operators/text.top_ngrams) — the classic corpus-stats job: row-local
+    n-gram assembly (JVM HOFs), one map-combined count shuffle keyed by
+    n-gram, TakeOrdered top-k. heavy_hitters_topk is the declared
+    approximate path when the n-gram key space outgrows the combiners."""
+    from sql4pandas_spark.operators.text import top_ngrams
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    return top_ngrams(t["documents"], n=2, k=20)

@@ -1,0 +1,111 @@
+"""Directed edge-case tests for the round-7 operators: per-column profile,
+full-vocabulary TF-IDF top terms, and global top n-grams. The catalog
+oracles cover the fixture paths; these pin the edges the fixtures don't
+reach (NULL-only columns, empty inputs, sub-n documents, tie-breaks).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from sql4pandas_spark.operators.profile import profile_columns
+from sql4pandas_spark.operators.retrieval import tfidf_top_terms
+from sql4pandas_spark.operators.text import top_ngrams
+
+
+def test_profile_counts_nulls_distinct_and_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, "b", None), (2, "a", None), (2, None, None)],
+        "k long, s string, dead string",
+    )
+    rows = {r.column: r for r in profile_columns(df).collect()}
+    assert rows["k"].n_rows == 3 and rows["k"].n_nulls == 0
+    assert rows["k"].n_distinct == 2
+    assert (rows["k"].min_val, rows["k"].max_val) == ("1", "2")
+    assert rows["s"].n_nulls == 1 and rows["s"].n_distinct == 2
+    assert (rows["s"].min_val, rows["s"].max_val) == ("a", "b")
+    # NULL-only column: zero distinct non-NULL values, NULL bounds
+    assert rows["dead"].n_nulls == 3 and rows["dead"].n_distinct == 0
+    assert rows["dead"].min_val is None and rows["dead"].max_val is None
+
+
+def test_profile_empty_input(spark):
+    df = spark.createDataFrame([], "k long, s string")
+    rows = {r.column: r for r in profile_columns(df).collect()}
+    assert set(rows) == {"k", "s"}
+    assert all(r.n_rows == 0 and r.n_nulls == 0 and r.n_distinct == 0
+               for r in rows.values())
+
+
+def test_profile_approx_mode_stays_single_pass(spark):
+    df = spark.createDataFrame([(i, str(i % 7)) for i in range(100)], "k long, s string")
+    plan = (
+        profile_columns(df, exact_distinct=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # HLL++ distinct folds into the ordinary aggregate: no Expand operator,
+    # and the whole profile is ONE scan of the input
+    assert "Expand" not in plan
+    assert plan.count("ExistingRDD") == 1
+    exact_plan = (
+        profile_columns(df, exact_distinct=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" in exact_plan  # the documented price of exactness
+    assert exact_plan.count("ExistingRDD") == 1  # but still a single scan
+
+
+def test_tfidf_scores_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, None),
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.rn): (r.term, r.tfidf)
+        for r in tfidf_top_terms(df, k_terms=2).collect()
+    }
+    # N = 2 tokenized docs; df: apple 1, banana 2, cherry 1
+    idf_rare = math.log(3.0 / 2.0) + 1.0
+    idf_common = math.log(3.0 / 3.0) + 1.0
+    assert got[(1, 1)] == ("apple", round(2 * idf_rare, 4))
+    assert got[(1, 2)] == ("banana", round(1 * idf_common, 4))
+    assert got[(2, 1)] == ("cherry", round(1 * idf_rare, 4))
+    assert got[(2, 2)] == ("banana", round(1 * idf_common, 4))
+    # NULL/whitespace docs are absent, not scored as empty
+    assert not any(d in (3, 4) for d, _ in got)
+
+
+def test_tfidf_equal_scores_break_on_term_asc(spark):
+    df = spark.createDataFrame([(1, "zed ant")], "doc_id long, text string")
+    got = [(r.rn, r.term) for r in
+           tfidf_top_terms(df, k_terms=2).orderBy("rn").collect()]
+    assert got == [(1, "ant"), (2, "zed")]
+
+
+def test_top_ngrams_counts_occurrences_and_skips_short_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b"),     # bigrams: "a b", "b a", "a b"
+            (2, "a b"),         # "a b"
+            (3, "solo"),        # < n tokens: contributes nothing
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = [(r.ngram, r.n_occurrences) for r in top_ngrams(df, n=2, k=10).collect()]
+    assert got == [("a b", 3), ("b a", 1)]
+
+
+def test_top_ngrams_trigrams_and_k_cut(spark):
+    df = spark.createDataFrame(
+        [(1, "x y z w"), (2, "x y z")], "doc_id long, text string"
+    )
+    got = [(r.ngram, r.n_occurrences) for r in top_ngrams(df, n=3, k=1).collect()]
+    assert got == [("x y z", 2)]
