@@ -153,3 +153,44 @@ def temperature_sample(
         .filter(h < F.col("_frac") * F.lit(_HASH_SPAN))
         .drop("_stratum", "_n_s", "_frac")
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): each row draws u uniform in (0, 1] from the portable
+    60-bit hash of its id and gets key ``ln(u) / w`` — taking the k
+    LARGEST keys samples k rows where each row's inclusion odds are
+    proportional to its weight, exactly the "sample by quality score /
+    token count" primitive of corpus curation. Hash-derived u makes the
+    sample identical on every engine, run, and partitioning (and
+    incrementally stable: a row's key never changes as the corpus grows).
+
+    Scale shape: the key is one map-side expression; top-k compiles to
+    TakeOrderedAndProject (per-partition k-row heaps, one tiny reduce) —
+    ZERO data-row shuffles, the cheapest possible distributed sample.
+    Compare :func:`quota_sample` (exact per-stratum counts) and
+    :func:`temperature_sample` (per-stratum rates): this one is global
+    and weight-proportional.
+
+    Keys round to 6dp BEFORE ranking so the cut replays identically in
+    the DuckDB oracle (ties broken on id). Rows with NULL or
+    non-positive weight are excluded — they have no defined inclusion
+    probability.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    u = (portable_hash60(F.col(id_col).cast("string")) + F.lit(1)).cast(
+        "double"
+    ) / F.lit(_HASH_SPAN)
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 6)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("skey", key)
+        .orderBy(F.desc("skey"), F.col(id_col))
+        .limit(k)
+    )

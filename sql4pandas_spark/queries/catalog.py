@@ -127,7 +127,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "temperature_mix_documents",
     # -- 12 settled fillers: code touched in round 7 (scratch-dir /
     #    stateful / streaming-staging changes) or under r7 profiling --
-    "scan_csv_roundtrip",
     "scan_json_roundtrip",
     "scan_orc_roundtrip",
     "sink_parquet_roundtrip",
@@ -144,6 +143,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "profile_documents_table",
     "tfidf_top_terms_documents",
     "top_bigrams_documents",
+    # -- round-7 new: Efraimidis-Spirakis weighted sampling (takes the
+    #    slot of scan_csv_roundtrip; json/orc/sink_parquet stay in-window
+    #    to re-confirm the identical scratch-dir change) --
+    "weighted_sample_docs",
     # ---- driver window (50) ends here ----
 )
 

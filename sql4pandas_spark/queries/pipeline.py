@@ -1946,3 +1946,28 @@ def top_bigrams_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = register_tables(spark, sf_dir, ("documents",))
     return top_ngrams(t["documents"], n=2, k=20)
+
+
+@query(
+    "weighted_sample_docs",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             round(ln((({_MIX_HASH_PRED}) + 1) / 1152921504606846976.0)
+                   / n_chars, 6) AS skey
+      FROM documents WHERE n_chars > 0)
+    SELECT * FROM keyed ORDER BY skey DESC, doc_id LIMIT 50
+    """,
+    tags=("tier-c", "weighted_sample", "sample_hash", "limit"),
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.weighted_sample_topk, Efraimidis-Spirakis keys
+    from the portable hash): 50 documents with inclusion odds proportional
+    to n_chars. Map-side key + TakeOrderedAndProject — zero data-row
+    shuffles; the oracle rebuilds the identical keys (6dp pre-ranking
+    rounding) so the hash match proves the exact kept set and order."""
+    from sql4pandas_spark.operators.sampling import weighted_sample_topk
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    return weighted_sample_topk(t["documents"], "n_chars", k=50)

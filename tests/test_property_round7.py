@@ -248,3 +248,64 @@ def test_heavy_hitters_exact_when_m_covers_cardinality(spark, case):
     # ties at the k-th count boundary are broken identically (item asc,
     # NULLS FIRST) on both sides, so exact list equality holds
     assert [(r.item, r.n) for r in res] == want
+
+
+# ------------------------------------------------------- weighted sampling
+
+
+@st.composite
+def weighted_corpora(draw):
+    n = draw(st.integers(1, 40))
+    # weights include heavy skew, ties, and the excluded classes (0, None)
+    weights = [
+        draw(st.sampled_from([None, 0, 1, 1, 2, 5, 100, 10_000])) for _ in range(n)
+    ]
+    k = draw(st.integers(1, 10))
+    return weights, k
+
+
+@given(weighted_corpora())
+@settings(**_SETTINGS)
+def test_weighted_sample_matches_python_reference(spark, case):
+    """The A-ES key, the exclusion rule, the 6dp rounding, and the
+    (key desc, id asc) cut must all replay exactly in pure Python."""
+    from sql4pandas_spark.operators.sampling import weighted_sample_topk
+
+    weights, k = case
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "doc_id long, w long"
+    )
+    got = [(r.doc_id, r.skey) for r in weighted_sample_topk(df, "w", k=k).collect()]
+
+    want = []
+    for i, w in enumerate(weights):
+        if w is None or w <= 0:
+            continue
+        u = float(_hash60(str(i)) + 1) / _HASH_SPAN
+        want.append((i, _py_round6(math.log(u) / float(w))))
+    want.sort(key=lambda p: (-p[1], p[0]))
+    assert got == want[:k]
+
+
+def _py_round6(x: float) -> float:
+    # Spark round() is HALF_UP on doubles (negative values round toward
+    # zero at the .5 boundary under HALF_UP-on-magnitude semantics)
+    import math as _m
+
+    return _m.copysign(_m.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    """Zero data-row shuffles: the top-k must compile to
+    TakeOrderedAndProject, never a global sort Exchange."""
+    from sql4pandas_spark.operators.sampling import weighted_sample_topk
+
+    df = spark.createDataFrame(
+        [(i, i % 7 + 1) for i in range(100)], "doc_id long, w long"
+    )
+    plan = (
+        weighted_sample_topk(df, "w", k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan.split("TakeOrderedAndProject")[0]
