@@ -115,6 +115,22 @@ def minhash_signatures(
     )
 
 
+def band_keys(
+    sigs: DataFrame, n_bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """(doc_id, band_key) — one row per band per doc. The band key is
+    xxhash64(band_index, sig-slice): an 8-byte join/shuffle key, the unit
+    both the self-join (:func:`lsh_candidate_pairs`) and the cross-batch
+    store join (:func:`incremental_near_dedup`) bucket on."""
+    bands = F.array(
+        *[
+            F.xxhash64(F.lit(i), F.slice("sig", i * rows_per_band + 1, rows_per_band))
+            for i in range(n_bands)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(bands).alias("band_key"))
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, n_bands: int = 16, rows_per_band: int = 4
 ) -> DataFrame:
@@ -123,13 +139,7 @@ def lsh_candidate_pairs(
     Output: distinct (id_a < id_b) candidate pairs. The band key is
     xxhash64(band_index, sig-slice), so the join/shuffle key is 8 bytes.
     """
-    bands = F.array(
-        *[
-            F.xxhash64(F.lit(i), F.slice("sig", i * rows_per_band + 1, rows_per_band))
-            for i in range(n_bands)
-        ]
-    )
-    banded = sigs.select("doc_id", F.explode(bands).alias("band_key"))
+    banded = band_keys(sigs, n_bands, rows_per_band)
     left = banded.select(F.col("band_key"), F.col("doc_id").alias("id_a"))
     right = banded.select(F.col("band_key").alias("bk2"), F.col("doc_id").alias("id_b"))
     return (
@@ -609,3 +619,108 @@ def split_leakage_audit(
             "leaked_val_docs"
         ),
     )
+
+
+def incremental_near_dedup(
+    batch: DataFrame,
+    store_dir: str,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-batch NEAR-dedup against a persistent admitted-docs store —
+    the continuous-ingestion form of :func:`near_dedup_minhash`: each
+    arriving batch admits only content that is not a near-duplicate of
+    anything admitted in ANY earlier batch, then near-dedups within
+    itself. The deterministic admission rule (each step SQL-replayable, so
+    the whole multi-batch run carries an exact DuckDB oracle):
+
+    1. **Cross-batch rejection** — a batch doc is rejected iff its TRUE
+       shingle-set Jaccard with some already-admitted doc is >= threshold.
+       Candidates come from an 8-byte band-key join of the batch's LSH
+       bands against the store's (bucketed, never batch x store all-pairs);
+       the verify uses the stored distinct-shingle arrays, so the decision
+       is exact, not sketch-approximate.
+    2. **Within-batch near-dedup of the survivors** — banded candidate
+       pairs, exact verify, connected components; each cluster admits its
+       smallest id (the component label IS the min id, so admitted ids =
+       distinct cluster labels).
+    3. **Store append** — admitted docs write (doc_id, band_key) rows and
+       (doc_id, shingles) rows; bands are written LAST so a torn write
+       leaves at-worst orphan shingle rows that can never become
+       candidates.
+
+    Store scale shape: band keys are 8 bytes x n_bands per admitted doc
+    (the join side); the shingle arrays are the exact-verification sidecar
+    — O(admitted tokens), the declared price of an exact contract (a
+    signature-only store would verify approximately at ~n_hashes ints per
+    doc instead). Both sides of every join shuffle ids/keys, never text.
+
+    Delivery: plain store append — idempotent against FULL replays (a
+    replayed batch's docs all reject against their own admitted rows), but
+    a crash between the two store writes needs the batch re-run; wrap in
+    foreachBatch with the :func:`incremental_exact_dedup` batch_id pattern
+    for exactly-once at scale.
+
+    Returns the admitted subset of ``batch`` (original columns).
+    """
+    import os as _os
+
+    spark = batch.sparkSession
+    rows_per_band = n_hashes // n_bands
+    sigs = minhash_signatures(batch, text_col, id_col, n_hashes, shingle_n).persist()
+    try:
+        bands_dir = _os.path.join(store_dir, "bands")
+        sh_dir = _os.path.join(store_dir, "shingles")
+        store_bands = _read_digest_store(spark, bands_dir)
+        survivors = sigs
+        if store_bands is not None:
+            store_sh = spark.read.parquet(sh_dir)
+            cand = (
+                band_keys(sigs, n_bands, rows_per_band)
+                .join(
+                    store_bands.withColumnRenamed("doc_id", "adm_id"),
+                    "band_key",
+                )
+                .select("doc_id", "adm_id")
+                .distinct()
+            )
+            new_sh = sigs.select("doc_id", F.col("shingles").alias("sh_new"))
+            adm_sh = store_sh.select(
+                F.col("doc_id").alias("adm_id"), F.col("shingles").alias("sh_adm")
+            )
+            inter = F.size(F.array_intersect("sh_new", "sh_adm")).cast("double")
+            union = F.size(F.array_union("sh_new", "sh_adm")).cast("double")
+            rejected = (
+                cand.join(new_sh, "doc_id")
+                .join(adm_sh, "adm_id")
+                .filter(F.round(inter / union, 4) >= threshold)
+                .select("doc_id")
+                .distinct()
+            )
+            survivors = sigs.join(rejected, "doc_id", "left_anti")
+        pairs = lsh_candidate_pairs(survivors, n_bands, rows_per_band)
+        verified = verified_near_pairs(survivors, pairs, threshold)
+        components = connected_components(verified)
+        # min-label components => the cluster label IS the representative;
+        # singletons (no verified pair) represent themselves
+        admitted_ids = (
+            survivors.select("doc_id")
+            .join(components, "doc_id", "left")
+            .select(F.coalesce("cluster_id", "doc_id").alias("doc_id"))
+            .distinct()
+            .localCheckpoint(eager=True)  # materialize BEFORE the store append
+        )
+        adm_sigs = sigs.join(admitted_ids, "doc_id", "left_semi")
+        adm_sigs.select("doc_id", "shingles").write.mode("append").parquet(sh_dir)
+        band_keys(adm_sigs, n_bands, rows_per_band).write.mode("append").parquet(
+            bands_dir
+        )
+        return batch.join(
+            admitted_ids.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+        )
+    finally:
+        sigs.unpersist()

@@ -128,7 +128,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- 12 settled fillers: code touched in round 7 (scratch-dir /
     #    stateful / streaming-staging changes) or under r7 profiling --
     "scan_json_roundtrip",
-    "scan_orc_roundtrip",
     "sink_parquet_roundtrip",
     "compact_documents_files",
     "sink_custom_jsonl",
@@ -147,6 +146,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #    slot of scan_csv_roundtrip; json/orc/sink_parquet stay in-window
     #    to re-confirm the identical scratch-dir change) --
     "weighted_sample_docs",
+    # -- round-7 new: cross-batch incremental NEAR-dedup (slot of
+    #    scan_orc_roundtrip; json/sink_parquet stay to re-confirm the
+    #    shared scratch-dir change) --
+    "incremental_near_dedup_batches",
     # ---- driver window (50) ends here ----
 )
 

@@ -1971,3 +1971,113 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = register_tables(spark, sf_dir, ("documents",))
     return weighted_sample_topk(t["documents"], "n_chars", k=50)
+
+
+_INCR_NEAR_ORACLE = """
+WITH RECURSIVE
+planted AS (
+  SELECT doc_id + 2000000 AS doc_id, text || ' near duplicate copy' AS text
+  FROM (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+        ORDER BY doc_id LIMIT 30)),
+all_docs AS (
+  SELECT doc_id, text, doc_id % 2 = 0 AS in_b1 FROM documents
+  UNION ALL SELECT doc_id, text, false FROM planted),
+toks AS (
+  SELECT doc_id, in_b1,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS w
+  FROM all_docs),
+sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (SELECT doc_id,
+               unnest(CASE WHEN len(w) >= 3
+                      THEN [array_to_string(list_slice(w, i, i+2), ' ') FOR i IN range(1, len(w)-1)]
+                      ELSE [array_to_string(w, ' ')] END) AS shingle
+        FROM toks)),
+card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN card ca ON inter.id_a = ca.doc_id
+             JOIN card cb ON inter.id_b = cb.doc_id
+  WHERE round(CAST(i AS DOUBLE) / (ca.c + cb.c - i), 4) >= 0.7),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+b1_edges AS (
+  SELECT e.src, e.dst FROM edges e
+  JOIN all_docs s ON e.src = s.doc_id AND s.in_b1
+  JOIN all_docs d ON e.dst = d.doc_id AND d.in_b1),
+b1_reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM all_docs WHERE in_b1
+  UNION
+  SELECT r.src, e.dst FROM b1_reach r JOIN b1_edges e ON r.dst = e.src),
+admitted1 AS (
+  SELECT DISTINCT rep AS doc_id
+  FROM (SELECT src, min(dst) AS rep FROM b1_reach GROUP BY src)),
+rejected2 AS (
+  SELECT DISTINCT e.src AS doc_id
+  FROM edges e
+  JOIN all_docs x ON e.src = x.doc_id AND NOT x.in_b1
+  JOIN admitted1 a ON e.dst = a.doc_id),
+surv2 AS (
+  SELECT doc_id FROM all_docs WHERE NOT in_b1
+  AND doc_id NOT IN (SELECT doc_id FROM rejected2)),
+s2_edges AS (
+  SELECT e.src, e.dst FROM edges e
+  JOIN surv2 s ON e.src = s.doc_id
+  JOIN surv2 d ON e.dst = d.doc_id),
+s2_reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM surv2
+  UNION
+  SELECT r.src, e.dst FROM s2_reach r JOIN s2_edges e ON r.dst = e.src),
+admitted2 AS (
+  SELECT DISTINCT rep AS doc_id
+  FROM (SELECT src, min(dst) AS rep FROM s2_reach GROUP BY src))
+SELECT CAST((SELECT count(*) FROM admitted1) AS BIGINT) AS batch1_admitted,
+       CAST((SELECT count(*) FROM admitted2) AS BIGINT) AS batch2_admitted,
+       CAST((SELECT count(*) FROM admitted1)
+            + (SELECT count(*) FROM admitted2) AS BIGINT) AS store_docs
+"""
+
+
+@query(
+    "incremental_near_dedup_batches",
+    oracle=_INCR_NEAR_ORACLE,
+    tags=("tier-c", "dedup_near", "incremental"),
+)
+def incremental_near_dedup_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch incremental NEAR-dedup
+    (operators/dedup.incremental_near_dedup): ingest the corpus in two
+    batches against a persistent band-key + shingle store. Batch 1 = even
+    doc_ids; batch 2 = odd doc_ids PLUS 30 re-ided, lightly-edited copies
+    of batch-1 docs (3 appended tokens — true Jaccard stays >= 0.7 for all
+    but the shortest docs, and the oracle decides every edge case
+    exactly). The copies must be rejected by the banded store join +
+    exact shingle verify; a failed cross-batch check surfaces as
+    batch2_admitted inflated and a hash mismatch. The oracle replays the
+    full greedy-by-batch admission rule in SQL: exact pair graph,
+    per-batch transitive closure, min-id representatives, cross-batch
+    rejection against batch 1's admitted set. Store in a per-invocation
+    uuid dir under the atexit-cleaned process root."""
+    t = register_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    store = os.path.join(_incr_store_root(), uuid.uuid4().hex, "near_store")
+    batch1 = docs.filter(F.col("doc_id") % 2 == 0)
+    planted = (
+        batch1.orderBy("doc_id")
+        .limit(30)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(2_000_000))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" near duplicate copy")))
+    )
+    batch2 = docs.filter(F.col("doc_id") % 2 == 1).unionByName(planted)
+    kept1 = dedup.incremental_near_dedup(batch1, store)
+    n1 = kept1.agg(F.count(F.lit(1)).alias("batch1_admitted"))
+    kept2 = dedup.incremental_near_dedup(batch2, store)
+    n2 = kept2.agg(F.count(F.lit(1)).alias("batch2_admitted"))
+    store_n = (
+        spark.read.parquet(os.path.join(store, "shingles"))
+        .agg(F.count(F.lit(1)).alias("store_docs"))
+    )
+    return n1.crossJoin(n2).crossJoin(store_n)
