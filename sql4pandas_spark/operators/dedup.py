@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sql4pandas_spark.operators.text import portable_hash60, tokens
+from sql4pandas_spark.operators.text import let_col, portable_hash60, tokens
 
 MERSENNE31 = 2_147_483_647  # 2^31 - 1
 
@@ -70,15 +70,21 @@ def _affine_params(n_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
 
 def shingles(text_col, n: int = 3):
     """Word n-gram shingles (n≥3 — token-set Jaccard is degenerate on the
-    fixture's ~30-word vocabulary, FIXTURES.md)."""
-    toks = tokens(text_col)
-    k = F.size(toks)
-    return F.when(k >= n, F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), k - n),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        )
-    )).otherwise(F.array(F.array_join(toks, " ")))
+    fixture's ~30-word vocabulary, FIXTURES.md). Token array bound once per
+    row via let_col — the inline form re-split the text per slice() call,
+    O(tokens²) per doc (7.7× slower, measured round 7)."""
+    return let_col(
+        tokens(text_col),
+        lambda w: F.when(
+            F.size(w) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(w) - n),
+                    lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+                )
+            ),
+        ).otherwise(F.array(F.array_join(w, " "))),
+    )
 
 
 def minhash_signatures(

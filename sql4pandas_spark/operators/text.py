@@ -32,6 +32,20 @@ def tokens(text: Column | str) -> Column:
     return F.filter(F.split(F.lower(col), "\\s+"), lambda t: t != "")
 
 
+def let_col(bound: Column, body) -> Column:
+    """Row-local LET: evaluate ``body(x)`` with ``x`` bound ONCE per row.
+
+    Catalyst does not common-subexpression-eliminate inside higher-order
+    lambdas: referencing an expensive expression (a split token array)
+    inside ``transform(sequence(...), lambda i: ...slice(expr, i)...)``
+    re-evaluates it PER ELEMENT — O(tokens²) per doc for n-gram builders,
+    O(tokens³) when the result feeds a second lambda. Binding through a
+    1-element array transform makes it a lambda variable, evaluated once
+    (measured round 7: shingle extraction 3.45 s → 0.45 s at sf0.1,
+    top-bigram stats 6.9 s → 0.8 s)."""
+    return F.element_at(F.transform(F.array(bound), body), 1)
+
+
 def bpe_token_count(text: Column | str) -> Column:
     """Token count under the BPE-ish regex (regexp_extract_all, JVM-side)."""
     col = F.col(text) if isinstance(text, str) else text
@@ -97,30 +111,51 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     All higher-order JVM expressions over the token array — one scan, no
     UDF, no shuffle, so it composes into any quality gate for free. The
     top-bigram count is O(d²) in DISTINCT bigrams per document, evaluated
-    row-local — fine for document-sized rows at any corpus scale.
+    row-local — fine for document-sized rows at any corpus scale. Token
+    and bigram arrays are let_col-bound: the inline form re-evaluated the
+    bigram builder per distinct bigram — O(tokens³) per doc (round 7).
     """
-    toks = tokens(text_col)
-    n_tokens = F.size(toks)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), n_tokens - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-    )
-    top_bigram_n = F.array_max(
-        F.transform(
-            F.array_distinct(bigrams),
-            lambda d: F.size(F.filter(bigrams, lambda x: x == d)),
-        )
-    )
-    return df.select(
-        "doc_id",
-        n_tokens.alias("n_tokens"),
-        F.round(
-            F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n_tokens, 4
-        ).alias("dup_word_frac"),
-        F.when(
+
+    def per_tokens(w):
+        n_tokens = F.size(w)
+        # guard BEFORE building: sequence(1, 0) descends for 1-token docs
+        # and element_at(w, 2) then throws INVALID_ARRAY_INDEX (the old
+        # inline form hid this under the lazy when() of the output column)
+        bigrams_expr = F.when(
             n_tokens >= 2,
-            F.round(top_bigram_n.cast("double") / (n_tokens - 1), 4),
-        ).alias("top_bigram_frac"),
+            F.transform(
+                F.sequence(F.lit(1), n_tokens - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(w, i), F.element_at(w, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+        def per_bigrams(bg):
+            top_bigram_n = F.array_max(
+                F.transform(
+                    F.array_distinct(bg),
+                    lambda d: F.size(F.filter(bg, lambda x: x == d)),
+                )
+            )
+            return F.struct(
+                n_tokens.alias("n_tokens"),
+                F.round(
+                    F.lit(1.0)
+                    - F.size(F.array_distinct(w)).cast("double") / n_tokens,
+                    4,
+                ).alias("dup_word_frac"),
+                F.when(
+                    n_tokens >= 2,
+                    F.round(top_bigram_n.cast("double") / (n_tokens - 1), 4),
+                ).alias("top_bigram_frac"),
+            )
+
+        return let_col(bigrams_expr, per_bigrams)
+
+    stats = let_col(tokens(text_col), per_tokens)
+    return df.select("doc_id", stats.alias("_s")).select(
+        "doc_id", "_s.n_tokens", "_s.dup_word_frac", "_s.top_bigram_frac"
     )
 
 
@@ -144,19 +179,26 @@ def chunk_documents(
     stride = chunk_tokens - overlap
     if stride <= 0:
         raise ValueError("overlap must be smaller than chunk_tokens")
-    toks = tokens(text_col)
-    n = F.size(toks)
-    starts = F.filter(
-        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
-        lambda s: s < n,
-    )
-    chunks = F.transform(
-        starts,
-        lambda s: F.struct(
-            F.array_join(F.slice(toks, s + 1, chunk_tokens), " ").alias("chunk_text"),
-            F.least(n - s, F.lit(chunk_tokens)).alias("n_tokens"),
-        ),
-    )
+
+    def per_tokens(w):
+        n = F.size(w)
+        starts = F.filter(
+            F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+            lambda s: s < n,
+        )
+        return F.transform(
+            starts,
+            lambda s: F.struct(
+                F.array_join(F.slice(w, s + 1, chunk_tokens), " ").alias(
+                    "chunk_text"
+                ),
+                F.least(n - s, F.lit(chunk_tokens)).alias("n_tokens"),
+            ),
+        )
+
+    # token array let_col-bound: the inline slice(tokens, ...) form
+    # re-split the text per chunk (O(tokens²/stride) per doc, round 7)
+    chunks = let_col(tokens(text_col), per_tokens)
     return df.select(
         F.col(id_col).alias("doc_id"), F.posexplode(chunks).alias("chunk_idx", "c")
     ).select(
@@ -213,18 +255,24 @@ def winnow_fingerprint(
     window minima. All array ops, no explode, no shuffle. Token hashes use
     :func:`portable_hash60` so the DuckDB oracle reproduces values exactly.
     """
-    toks = tokens(text_col)
-    hashes = F.transform(toks, portable_hash60)
-    n = F.size(hashes)
-    mins = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
-        lambda i: F.array_min(F.slice(hashes, i + 1, window)),
-    )
+    def per_hashes(hashes):
+        n = F.size(hashes)
+        mins = F.transform(
+            F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
+            lambda i: F.array_min(F.slice(hashes, i + 1, window)),
+        )
+        return F.struct(
+            F.array_min(mins).alias("fingerprint"),
+            F.size(F.array_distinct(mins)).alias("n_windows"),
+        )
+
+    # hash array let_col-bound: the inline form recomputed EVERY token's
+    # md5 hash per window position — O(tokens² md5 calls) per doc
+    # (measured 20 s → see BASELINE.md round-7; round-7 fix)
+    fp = let_col(F.transform(tokens(text_col), portable_hash60), per_hashes)
     return df.select(
-        "doc_id",
-        F.array_min(mins).alias("fingerprint"),
-        F.size(F.array_distinct(mins)).alias("n_windows"),
-    )
+        "doc_id", fp.alias("_fp")
+    ).select("doc_id", "_fp.fingerprint", "_fp.n_windows")
 
 
 def pack_sequences(
@@ -295,15 +343,19 @@ def top_ngrams(
     fallback here — unlike dedup shingles, frequency stats must not
     conflate a 1-token doc with an n-gram).
     """
-    toks = tokens(text_col)
+    # project the token array ONCE: referencing the tokens() expression
+    # inline inside the transform lambda makes Catalyst re-split the text
+    # per element_at (O(tokens²) per doc — measured 6.9 s vs 0.9 s at sf0.1)
+    tokd = df.select(tokens(text_col).alias("_w"))
+    w = F.col("_w")
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
         lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
+            " ", *[F.element_at(w, i + j) for j in range(n)]
         ),
     )
     return (
-        df.select(F.explode(F.when(F.size(toks) >= n, grams)).alias("ngram"))
+        tokd.select(F.explode(F.when(F.size(w) >= n, grams)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), "ngram")

@@ -32,6 +32,7 @@ BNLJ_ALLOWED = {
     "ann_ivf_query_top10",       # 1-row recall counter
     "ann_lsh_top10",             # 1-row recall counter
     "incremental_dedup_batches", # 1-row per-batch kept counts
+    "incremental_near_dedup_batches",  # 1-row per-batch admitted counts
     "stratified_sample_mix",     # 1-row population total for the frac bound
     "bm25_top15_documents",      # 1-row corpus stats (N, avgdl, per-term df)
     "tfidf_top_terms_documents", # 1-row corpus size N
