@@ -114,3 +114,73 @@ def test_null_text_rows_dedup_across_batches(spark, tmp_path):
     assert _kept_ids(incremental_exact_dedup(b1, store, batch_id=0)) == [1, 2]
     # every later NULL text is a duplicate of batch 0's NULL row
     assert _kept_ids(incremental_exact_dedup(b2, store, batch_id=1)) == [12]
+
+
+# --------------------------------------------------- near-dedup store (r7)
+
+
+def test_near_store_corrupt_bands_raise(spark, tmp_path):
+    """Same contract as the digest store: a broken bands read must raise,
+    not silently disable cross-batch near-dedup."""
+    from pyspark.errors import AnalysisException
+
+    from sql4pandas_spark.operators.dedup import incremental_near_dedup
+
+    store = str(tmp_path / "near_store")
+    bands = os.path.join(store, "bands")
+    os.makedirs(bands)
+    with open(os.path.join(bands, "part-00000.parquet"), "w") as f:
+        f.write("this is not parquet")
+    b = _docs(spark, [(1, "some words here for a doc " * 3)])
+    with pytest.raises(Exception) as ei:
+        incremental_near_dedup(b, store).collect()
+    assert not isinstance(ei.value, AnalysisException) or "PATH_NOT_FOUND" not in str(
+        ei.value
+    )
+
+
+def test_near_dedup_composes_with_foreach_batch_stream(spark, tmp_path):
+    """Streaming integration: drain a 2-file stream through foreachBatch
+    calling incremental_near_dedup per micro-batch — the production
+    continuous-ingestion shape. File 2 repeats file 1's content near-
+    identically; only file 1's docs (and file 2's novel doc) land in the
+    sink."""
+    import os as _os
+
+    from sql4pandas_spark.operators.dedup import incremental_near_dedup
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 2
+    t2 = "completely different content stream two " * 4
+    files = [
+        [(1, t1)],
+        [(10, t1 + " tail"), (11, t2)],  # 10 ~ admitted 1 → rejected
+    ]
+    src = tmp_path / "src"
+    flat = tmp_path / "flat"
+    os.makedirs(flat)
+    for i, rows in enumerate(files):
+        d = str(src / f"f{i}")
+        _docs(spark, rows).coalesce(1).write.parquet(d)
+        for f in sorted(_os.listdir(d)):
+            if f.endswith(".parquet"):
+                _os.symlink(_os.path.join(d, f), str(flat / f"{i:02d}_{f}"))
+
+    store = str(tmp_path / "near_store")
+    sink = str(tmp_path / "sink")
+
+    def write_batch(df, batch_id):
+        kept = incremental_near_dedup(df, store)
+        kept.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(sink)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = sorted(r.doc_id for r in spark.read.parquet(sink).collect())
+    assert got == [1, 11], got
