@@ -133,7 +133,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sink_custom_jsonl",
     "stream_foreach_batch_sink",
     "stream_stateful_user_counts",
-    "window_top3_orders_per_customer",
     # -- the 3 round-7 NEW entries (never driver-verified — they take the
     #    slots of the settled streaming fillers events_sliding_30m /
     #    events_session_windows / gapfill_hourly_counts, whose only r7
@@ -150,6 +149,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #    scan_orc_roundtrip; json/sink_parquet stay to re-confirm the
     #    shared scratch-dir change) --
     "incremental_near_dedup_batches",
+    # -- round-7 new: the profile's HLL++ scale path under a bounded-
+    #    property oracle (slot of window_top3_orders_per_customer — its
+    #    profiling closed with no code change, so nothing to re-confirm) --
+    "profile_documents_approx",
     # ---- driver window (50) ends here ----
 )
 

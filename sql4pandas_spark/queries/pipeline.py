@@ -2081,3 +2081,44 @@ def incremental_near_dedup_batches(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count(F.lit(1)).alias("store_docs"))
     )
     return n1.crossJoin(n2).crossJoin(store_n)
+
+
+@query(
+    "profile_documents_approx",
+    oracle=" UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, true AS within_10pct"
+        for c in sorted(("doc_id", "lang", "n_chars", "source", "text"))
+    )
+    + " ORDER BY col_name",
+    tags=("tier-c", "profile_table", "agg_approx"),
+)
+def profile_documents_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The profile's declared 100 TB path under driver check: HLL++
+    distinct counts (exact_distinct=False — single map-side pass, no
+    Expand) must land within 10% of the exact counts on every column
+    (default rsd 0.05; the fixture's cardinalities make 10% a conservative
+    floor at every SF). The bounded-property oracle replays the expected
+    booleans — the same literal-boolean pattern as the ANN recall floors,
+    so a sketch regression (or an accidental fall-back to exact) surfaces
+    as a hash mismatch."""
+    from sql4pandas_spark.operators.profile import profile_columns
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    cols = ["doc_id", "lang", "n_chars", "source", "text"]
+    exact = profile_columns(t["documents"], cols).select(
+        F.col("column").alias("col_name"), F.col("n_distinct").alias("_exact")
+    )
+    approx = profile_columns(t["documents"], cols, exact_distinct=False).select(
+        F.col("column").alias("col_name"), F.col("n_distinct").alias("_approx")
+    )
+    return (
+        exact.join(approx, "col_name")
+        .select(
+            "col_name",
+            (
+                F.abs(F.col("_approx") - F.col("_exact"))
+                <= F.lit(0.10) * F.col("_exact")
+            ).alias("within_10pct"),
+        )
+        .orderBy("col_name")
+    )
