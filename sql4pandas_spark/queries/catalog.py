@@ -69,21 +69,20 @@ def query(
 #: window is ever wider than 50). Future rounds rotate this list.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # ---- ROUND-7 WINDOW ----
-    # CORRECTNESS_r06 went 50/50 green, so every one of the 152 catalog
-    # entries now has >=1 green driver round. This window holds ALL 38
-    # entries with exactly ONE green round (19 green only in r5, rotated
-    # out during r6; 19 green only in r6, the round-6 additions), then
-    # fills the remaining 12 slots with settled (>=2-green) entries whose
-    # code changed in round 7 (per-invocation scratch-dir fix touched the
-    # roundtrip/maintenance/foreachBatch builders; stateful.py user_col
-    # fix; streaming/windows.py symlink staging) or that round 7 profiles
-    # (window_top3). ROUND-8 ROTATION RECIPE: if CORRECTNESS_r07 is all
-    # green the terminal state is reached — every entry settled at >=2
-    # green rounds; from r8 on, the window = any r7 err rows first, then
-    # the 50 LEAST-evidenced entries, ties broken by whose code changed
-    # most recently (tests/test_driver_window.py enforces the starvation
-    # rule mechanically; tools/catalog_index.py prints the evidence
-    # ledger the selection reads).
+    # CORRECTNESS_r06 went 50/50 green, so every pre-r7 entry has >=1
+    # green driver round. This window holds ALL 38 entries with exactly
+    # ONE green round (19 green only in r5, rotated out during r6; 19
+    # green only in r6), 5 settled (>=2-green) fillers whose code changed
+    # in round 7 (per-invocation scratch-dir fix, stateful.py user_col
+    # fix, sink/foreachBatch paths), and the 7 round-7 NEW entries
+    # (0 greens — each took a filler slot, per-slot notes below).
+    # ROUND-8 ROTATION RECIPE: if CORRECTNESS_r07 is all green, the 7
+    # r7-new entries sit at exactly one green round — they stay in the r8
+    # window; everything else is settled, so fill the remaining 43 slots
+    # with any r7 err rows first, then the entries whose code r8 touches
+    # (ties by code-freshness). tests/test_driver_window.py enforces the
+    # saturated starvation rule mechanically; tools/catalog_index.py
+    # prints the per-entry greens ledger the selection reads.
     #
     # -- the 19 entries green only in r5 --
     "join_hint_shuffle_hash",
@@ -127,7 +126,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "temperature_mix_documents",
     # -- 12 settled fillers: code touched in round 7 (scratch-dir /
     #    stateful / streaming-staging changes) or under r7 profiling --
-    "scan_json_roundtrip",
     "sink_parquet_roundtrip",
     "compact_documents_files",
     "sink_custom_jsonl",
@@ -153,6 +151,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #    property oracle (slot of window_top3_orders_per_customer — its
     #    profiling closed with no code change, so nothing to re-confirm) --
     "profile_documents_approx",
+    # -- round-7 new: snapshot diff (slot of scan_json_roundtrip;
+    #    sink_parquet stays to re-confirm the shared scratch-dir change) --
+    "snapshot_diff_documents",
     # ---- driver window (50) ends here ----
 )
 

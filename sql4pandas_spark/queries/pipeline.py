@@ -2122,3 +2122,55 @@ def profile_documents_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+@query(
+    "snapshot_diff_documents",
+    oracle="""
+    WITH old_t AS (SELECT doc_id, lang, n_chars FROM documents),
+    new_t AS (
+      SELECT doc_id,
+             lang,
+             CASE WHEN lang = 'en' THEN n_chars * 2 ELSE n_chars END AS n_chars
+      FROM documents WHERE doc_id % 10 <> 3
+      UNION ALL
+      SELECT doc_id + 3000000, lang, n_chars FROM documents WHERE doc_id % 100 = 7),
+    d AS (
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.lang IS NOT DISTINCT FROM n.lang
+                       AND o.n_chars IS NOT DISTINCT FROM n.n_chars
+                  THEN 'unchanged' ELSE 'changed' END AS status
+      FROM old_t o FULL OUTER JOIN new_t n USING (doc_id))
+    SELECT status, CAST(count(*) AS BIGINT) AS n
+    FROM d GROUP BY status ORDER BY status
+    """,
+    tags=("tier-c", "snapshot_diff", "join_full"),
+)
+def snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/maintenance.snapshot_diff): today's load =
+    yesterday's with every 'en' doc's n_chars doubled, every doc_id%10==3
+    dropped, and doc_id%100==7 re-ingested under new ids. One full-outer
+    join on the key; NULL-safe column compares row-local. The oracle
+    rebuilds both snapshots and the per-status counts exactly."""
+    from sql4pandas_spark.operators.maintenance import snapshot_diff
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    old = t["documents"].select("doc_id", "lang", "n_chars")
+    updated = old.filter(F.col("doc_id") % 10 != 3).withColumn(
+        "n_chars",
+        F.when(F.col("lang") == "en", F.col("n_chars") * 2).otherwise(
+            F.col("n_chars")
+        ),
+    )
+    reingested = old.filter(F.col("doc_id") % 100 == 7).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(3_000_000)
+    )
+    new = updated.unionByName(reingested)
+    return (
+        snapshot_diff(old, new, ["doc_id"])
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status")
+    )

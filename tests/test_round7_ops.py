@@ -165,3 +165,35 @@ def test_incremental_near_dedup_first_batch_self_dedups(spark, tmp_path):
     b1 = _near_batch(spark, [(5, txt), (3, txt + " extra"), (9, "other thing entirely")])
     kept = sorted(r.doc_id for r in incremental_near_dedup(b1, store).collect())
     assert kept == [3, 9]  # 3 and 5 cluster; min id 3 represents; 9 novel
+
+
+# -------------------------------------------------------------- snapshot diff
+
+
+def test_snapshot_diff_statuses_and_null_safety(spark):
+    from sql4pandas_spark.operators.maintenance import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, None, 20), (3, "c", 30), (4, "d", None)],
+        "k long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10),      # unchanged
+         (2, None, 20),     # unchanged — NULL == NULL must not read as changed
+         (3, "c", 31),      # changed
+         (5, "e", 50)],     # added; 4 removed
+        "k long, s string, v long",
+    )
+    got = {r.k: r.status for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "unchanged", 2: "unchanged", 3: "changed",
+                   4: "removed", 5: "added"}
+
+
+def test_snapshot_diff_key_only_tables(spark):
+    from sql4pandas_spark.operators.maintenance import snapshot_diff
+
+    old = spark.createDataFrame([(1,), (2,)], "k long")
+    new = spark.createDataFrame([(2,), (3,)], "k long")
+    got = {r.k: r.status for r in snapshot_diff(old, new, ["k"]).collect()}
+    # no compare columns: presence alone decides; shared keys are unchanged
+    assert got == {1: "removed", 2: "unchanged", 3: "added"}
