@@ -145,12 +145,16 @@ def asof_join(
     right_ts: str,
     value_cols: list[str] | None = None,
     tolerance_seconds: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for every left row, the LATEST right row with
     ``right_ts <= left_ts`` sharing the key `on` (pandas ``merge_asof``
-    'backward' semantics; DuckDB ``ASOF LEFT JOIN``). Returns every left row
-    plus `value_cols` from the matched right row (NULL when nothing
-    precedes it, or when the match is older than `tolerance_seconds`).
+    'backward' semantics; DuckDB ``ASOF LEFT JOIN``) — or, with
+    ``direction='forward'``, the EARLIEST right row with
+    ``right_ts >= left_ts`` (merge_asof 'forward'; DuckDB ``ON l.ts <=
+    r.ts``). Returns every left row plus `value_cols` from the matched
+    right row (NULL when nothing matches, or when the match is more than
+    `tolerance_seconds` away on the matching side).
 
     Spark has no native ASOF JOIN; the naive formulation (theta join +
     row_number) builds an O(n·m) intermediate per key. This is the scalable
@@ -161,6 +165,9 @@ def asof_join(
     """
     from pyspark.sql import Window
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward or forward, got {direction!r}")
+    backward = direction == "backward"
     value_cols = (
         list(value_cols)
         if value_cols is not None
@@ -169,39 +176,50 @@ def asof_join(
     clash = [c for c in value_cols if c in left.columns]
     if clash:
         raise ValueError(f"value_cols {clash} already exist on the left side")
+    # tie rule: matches are INCLUSIVE of equal timestamps on both
+    # directions, so right rows sort before left on ties for backward
+    # (inside the preceding window) and after left for forward (inside
+    # the following window)
+    r_kind, l_kind = (0, 1) if backward else (1, 0)
     r = right.select(
         F.col(on),
         F.col(right_ts).alias("_asof_ts"),
-        F.lit(0).alias("_kind"),
+        F.lit(r_kind).alias("_kind"),
         F.col(right_ts).alias("_asof_matched_ts"),
         *[F.col(c).alias(f"_asof_v_{c}") for c in value_cols],
     )
-    l = left.withColumn("_asof_ts", F.col(left_ts)).withColumn("_kind", F.lit(1))
-    tagged = l.unionByName(r, allowMissingColumns=True)
-    w = (
-        Window.partitionBy(on)
-        .orderBy("_asof_ts", "_kind")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l = left.withColumn("_asof_ts", F.col(left_ts)).withColumn(
+        "_kind", F.lit(l_kind)
     )
-    matched_ts = F.last("_asof_matched_ts", ignorenulls=True).over(w)
+    tagged = l.unionByName(r, allowMissingColumns=True)
+    w = Window.partitionBy(on).orderBy("_asof_ts", "_kind")
+    if backward:
+        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+    matched_ts = pick("_asof_matched_ts")
     # Epoch seconds via an intermediate TIMESTAMP cast: Spark 4 forbids a
     # direct TIMESTAMP_NTZ→numeric cast, while NTZ→LTZ→long is legal and
     # value-preserving under the pinned UTC session timezone.
     _epoch = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
+    gap = (
+        _epoch(F.col(left_ts)) - _epoch(matched_ts)
+        if backward
+        else _epoch(matched_ts) - _epoch(F.col(left_ts))
+    )
     in_tolerance = (
-        F.lit(True)
-        if tolerance_seconds is None
-        else _epoch(F.col(left_ts)) - _epoch(matched_ts) <= tolerance_seconds
+        F.lit(True) if tolerance_seconds is None else gap <= tolerance_seconds
     )
     carried = tagged.select(
         "*",
         *[
-            F.when(in_tolerance, F.last(f"_asof_v_{c}", ignorenulls=True).over(w))
-            .alias(c)
+            F.when(in_tolerance, pick(f"_asof_v_{c}")).alias(c)
             for c in value_cols
         ],
     )
     drop = ["_kind", "_asof_ts", "_asof_matched_ts"] + [
         f"_asof_v_{c}" for c in value_cols
     ]
-    return carried.filter(F.col("_kind") == 1).drop(*drop)
+    return carried.filter(F.col("_kind") == l_kind).drop(*drop)

@@ -124,10 +124,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "quota_sample_by_lang",
     "embedding_outlier_audit",
     "temperature_mix_documents",
-    # -- 12 settled fillers: code touched in round 7 (scratch-dir /
-    #    stateful / streaming-staging changes) or under r7 profiling --
+    # -- 4 settled fillers: code touched in round 7 (scratch-dir /
+    #    stateful / foreachBatch changes) --
     "sink_parquet_roundtrip",
-    "compact_documents_files",
     "sink_custom_jsonl",
     "stream_foreach_batch_sink",
     "stream_stateful_user_counts",
@@ -154,6 +153,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- round-7 new: snapshot diff (slot of scan_json_roundtrip;
     #    sink_parquet stays to re-confirm the shared scratch-dir change) --
     "snapshot_diff_documents",
+    # -- round-7 new: forward-direction as-of join (slot of
+    #    compact_documents_files — its module-mates cluster/zorder are
+    #    in-window as once-green and cover the r7 scratch-dir change) --
+    "asof_join_forward",
     # ---- driver window (50) ends here ----
 )
 

@@ -447,6 +447,47 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "asof_join_forward",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           CASE WHEN (epoch_us(c.ts) // 1000000) - (epoch_us(p.ts) // 1000000) <= 3600
+                THEN c.ts END AS next_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts <= c.ts
+    ORDER BY p.event_id LIMIT 200
+    """,
+    tags=("tier-c", "join_asof"),
+)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (round-7 direction parameter on
+    operators/joins.asof_join): the EARLIEST click at-or-after each
+    purchase, NULL if it is more than 1 hour ahead — merge_asof
+    'forward' semantics, DuckDB ``ASOF ... ON l.ts <= r.ts``. Same
+    one-shuffle union+window plan as the backward form, mirrored: left
+    rows sort before right on timestamp ties and the carry runs
+    first(ignorenulls) over the FOLLOWING frame."""
+    t = register_tables(spark, sf_dir, ("events",))
+    e = t["events"]
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("next_click_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        joins.asof_join(
+            purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+            value_cols=["next_click_ts"], tolerance_seconds=3600,
+            direction="forward",
+        )
+        .select("event_id", "user_id", "next_click_ts")
+        .orderBy("event_id")
+        .limit(200)
+    )
+
+
 # ---------------------------------------------------------------------------
 # aggregation: global / distinct / stats / having / rollup / cube
 # ---------------------------------------------------------------------------

@@ -197,3 +197,44 @@ def test_snapshot_diff_key_only_tables(spark):
     got = {r.k: r.status for r in snapshot_diff(old, new, ["k"]).collect()}
     # no compare columns: presence alone decides; shared keys are unchanged
     assert got == {1: "removed", 2: "unchanged", 3: "added"}
+
+
+# ------------------------------------------------------------ forward as-of
+
+
+def test_asof_forward_ties_and_tolerance(spark):
+    from sql4pandas_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 9, "2024-01-01 10:00:00"),
+         (2, 9, "2024-01-01 12:00:00"),
+         (3, 9, "2024-01-01 23:00:00")],
+        "event_id long, user_id long, ts_s string",
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(9, "2024-01-01 10:00:00", "same-instant"),   # tie: inclusive match
+         (9, "2024-01-01 12:30:00", "half-later"),
+         (9, "2024-01-01 09:00:00", "earlier-never-forward")],
+        "user_id long, ts_s string, tag string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "tag")
+
+    got = {
+        r.event_id: r.tag
+        for r in asof_join(
+            left, right, on="user_id", left_ts="ts", right_ts="ts",
+            value_cols=["tag"], tolerance_seconds=3600, direction="forward",
+        ).collect()
+    }
+    # 1 matches the same-instant row (ties inclusive); 2 matches 12:30
+    # (within 1 h); 3 has nothing after it → NULL
+    assert got == {1: "same-instant", 2: "half-later", 3: None}, got
+
+
+def test_asof_direction_validation(spark):
+    import pytest as _pytest
+
+    from sql4pandas_spark.operators.joins import asof_join
+
+    df = spark.createDataFrame([(1, 1)], "a long, b long")
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(df, df, on="a", left_ts="b", right_ts="b", direction="nearest")

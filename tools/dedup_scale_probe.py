@@ -89,6 +89,32 @@ def time_ops(spark, path: str) -> dict[str, float]:
     return times
 
 
+def time_incremental(spark, path: str, n_batches: int = 4) -> dict:
+    """Ingest the corpus in n_batches sequential batches against a fresh
+    store (tools-probe for operators/dedup.incremental_near_dedup). The
+    scale question is per-BATCH cost as the store grows: with namespaced
+    replicas, cross-batch candidates stay proportional to the batch (band
+    buckets only collide within a namespace), so batch times should stay
+    ~flat — a rising tail means the store join is degenerating."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    docs = spark.read.parquet(path)
+    store = os.path.join(
+        tempfile.gettempdir(), f"s4ps_incr_near_probe_{_uuid.uuid4().hex}"
+    )
+    per_batch, admitted = [], []
+    for b in range(n_batches):
+        batch = docs.filter(F.col("doc_id") % n_batches == b)
+        t0 = time.perf_counter()
+        n = dedup.incremental_near_dedup(batch, store).count()
+        per_batch.append(round(time.perf_counter() - t0, 2))
+        admitted.append(n)
+    shutil.rmtree(store, ignore_errors=True)
+    return {"batch_s": per_batch, "admitted": admitted}
+
+
 def main() -> None:
     factors = [int(a) for a in sys.argv[1:]] or [2, 4]
     spark = get_spark(app_name="s4ps-dedup-scale")
@@ -100,7 +126,11 @@ def main() -> None:
     base_path = "/tmp/s4ps_dedup_scale_x1"
     build_perturbed(spark, base_path, 1)
     base = time_ops(spark, base_path)
-    report = {"base_s": base, "scaled": {}}
+    report = {
+        "base_s": base,
+        "base_incremental": time_incremental(spark, base_path),
+        "scaled": {},
+    }
     for f in factors:
         path = f"/tmp/s4ps_dedup_scale_x{f}"
         t0 = time.time()
@@ -110,6 +140,7 @@ def main() -> None:
         report["scaled"][f] = {
             "build_s": build_s,
             "times_s": scaled,
+            "incremental": time_incremental(spark, path),
             "scaling": {
                 k: round(scaled[k] / base[k], 2) if base[k] else None for k in scaled
             },
