@@ -1,7 +1,8 @@
 """Property-based differential: asof_join vs pandas merge_asof.
 
-pandas ``merge_asof(direction='backward')`` is the reference semantic the
-operator claims (SURVEY.md §2.3); hypothesis drives randomized (key, ts)
+pandas ``merge_asof`` (both 'backward' and — round 7 — 'forward'
+directions) is the reference semantic the operator claims (SURVEY.md
+§2.3); hypothesis drives randomized (key, ts)
 shapes — clustered ties, empty sides, lone keys — far beyond what the
 fixture differential exercises. Right-side (key, ts) pairs are unique by
 construction: with duplicate right timestamps inside one key the carried
@@ -51,8 +52,13 @@ right_rows = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
-@given(left=left_rows, right=right_rows, tol=st.sampled_from([None, 60]))
-def test_asof_join_matches_pandas_merge_asof(spark, left, right, tol):
+@given(
+    left=left_rows,
+    right=right_rows,
+    tol=st.sampled_from([None, 60]),
+    direction=st.sampled_from(["backward", "forward"]),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right, tol, direction):
     lpdf = pd.DataFrame(
         [(i, k, _ts(s)) for i, (k, s) in enumerate(left)],
         columns=["row_id", "k", "ts"],
@@ -61,13 +67,13 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right, tol):
         [(k, _ts(s), v) for (k, s, v) in right], columns=["k", "ts", "v"]
     ).astype({"k": "int64", "ts": "datetime64[ns]", "v": "int64"})
 
-    # pandas reference (backward, inclusive, optional tolerance)
+    # pandas reference (both directions, inclusive, optional tolerance)
     want = pd.merge_asof(
         lpdf.sort_values("ts", kind="stable"),
         rpdf.sort_values("ts", kind="stable"),
         on="ts",
         by="k",
-        direction="backward",
+        direction=direction,
         tolerance=pd.Timedelta(seconds=tol) if tol is not None else None,
     )
     want_map = {
@@ -79,7 +85,7 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right, tol):
     rdf = spark.createDataFrame(rpdf, "k long, ts timestamp, v long")
     got = asof_join(
         ldf, rdf, on="k", left_ts="ts", right_ts="ts",
-        value_cols=["v"], tolerance_seconds=tol,
+        value_cols=["v"], tolerance_seconds=tol, direction=direction,
     )
     got_map = {
         int(r.row_id): (None if r.v is None else int(r.v)) for r in got.collect()
