@@ -147,27 +147,39 @@ def asof_join(
     tolerance_seconds: int | None = None,
     direction: str = "backward",
 ) -> DataFrame:
-    """As-of join: for every left row, the LATEST right row with
-    ``right_ts <= left_ts`` sharing the key `on` (pandas ``merge_asof``
-    'backward' semantics; DuckDB ``ASOF LEFT JOIN``) — or, with
-    ``direction='forward'``, the EARLIEST right row with
-    ``right_ts >= left_ts`` (merge_asof 'forward'; DuckDB ``ON l.ts <=
-    r.ts``). Returns every left row plus `value_cols` from the matched
-    right row (NULL when nothing matches, or when the match is more than
+    """As-of join with pandas ``merge_asof`` semantics, all three
+    directions:
+
+    - ``'backward'`` (default): the LATEST right row with
+      ``right_ts <= left_ts`` per key (DuckDB ``ASOF LEFT JOIN``);
+    - ``'forward'``: the EARLIEST right row with ``right_ts >= left_ts``
+      (DuckDB ``ON l.ts <= r.ts``);
+    - ``'nearest'``: whichever of the two candidates is closer in time,
+      ties to the backward (earlier) match — pandas' rule.
+
+    Returns every left row plus `value_cols` from the matched right row
+    (NULL when nothing matches, or when the match is more than
     `tolerance_seconds` away on the matching side).
 
     Spark has no native ASOF JOIN; the naive formulation (theta join +
     row_number) builds an O(n·m) intermediate per key. This is the scalable
-    union+window form: tag both inputs, sort by (ts, kind) within each key
-    (right rows first on ties → "at-or-before" is inclusive), and carry the
-    last seen right values forward with last(ignorenulls). ONE shuffle on
-    the key, no nested loop, works at any per-key cardinality.
+    union+window form: tag both inputs, sort by (ts, kind) within each key,
+    and carry right values across with last/first(ignorenulls) — ONE
+    shuffle on the key for every direction (nearest evaluates both frames
+    over the same sort, not a second shuffle), no nested loop, any per-key
+    cardinality.
+
+    Tie handling: matches are INCLUSIVE of equal timestamps. Right rows
+    sort before left rows except in pure-forward mode (where they sort
+    after, so the FOLLOWING frame sees them); in nearest mode a same-ts
+    right row is the gap-0 backward candidate, which wins by the tie rule.
     """
     from pyspark.sql import Window
 
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward or forward, got {direction!r}")
-    backward = direction == "backward"
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward, forward or nearest, got {direction!r}"
+        )
     value_cols = (
         list(value_cols)
         if value_cols is not None
@@ -176,11 +188,7 @@ def asof_join(
     clash = [c for c in value_cols if c in left.columns]
     if clash:
         raise ValueError(f"value_cols {clash} already exist on the left side")
-    # tie rule: matches are INCLUSIVE of equal timestamps on both
-    # directions, so right rows sort before left on ties for backward
-    # (inside the preceding window) and after left for forward (inside
-    # the following window)
-    r_kind, l_kind = (0, 1) if backward else (1, 0)
+    r_kind, l_kind = (1, 0) if direction == "forward" else (0, 1)
     r = right.select(
         F.col(on),
         F.col(right_ts).alias("_asof_ts"),
@@ -192,30 +200,48 @@ def asof_join(
         "_kind", F.lit(l_kind)
     )
     tagged = l.unionByName(r, allowMissingColumns=True)
-    w = Window.partitionBy(on).orderBy("_asof_ts", "_kind")
-    if backward:
-        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    base = Window.partitionBy(on).orderBy("_asof_ts", "_kind")
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # forward mode: ties are in the following frame (right sorts after
+    # left); nearest mode: same-ts rights sit in the PRECEDING frame as
+    # the gap-0 backward candidate, so the forward frame starts at +1
+    wf = base.rowsBetween(
+        Window.currentRow if direction == "forward" else 1,
+        Window.unboundedFollowing,
+    )
+    pick_b = lambda c: F.last(c, ignorenulls=True).over(wb)  # noqa: E731
+    pick_f = lambda c: F.first(c, ignorenulls=True).over(wf)  # noqa: E731
+    # Exact MICROSECOND gaps (round 7 — floor-second gaps made the nearest
+    # tie decision and the tolerance cut precision-dependent). The
+    # intermediate TIMESTAMP cast keeps NTZ inputs legal (Spark 4 forbids
+    # NTZ→numeric directly; NTZ→LTZ is value-preserving under the pinned
+    # UTC session timezone).
+    _us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    lts = _us(F.col(left_ts))
+    gap_b = lts - _us(pick_b("_asof_matched_ts"))
+    gap_f = _us(pick_f("_asof_matched_ts")) - lts
+    if direction == "backward":
+        use_b, gap = F.lit(True), gap_b
+    elif direction == "forward":
+        use_b, gap = F.lit(False), gap_f
     else:
-        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
-    matched_ts = pick("_asof_matched_ts")
-    # Epoch seconds via an intermediate TIMESTAMP cast: Spark 4 forbids a
-    # direct TIMESTAMP_NTZ→numeric cast, while NTZ→LTZ→long is legal and
-    # value-preserving under the pinned UTC session timezone.
-    _epoch = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
-    gap = (
-        _epoch(F.col(left_ts)) - _epoch(matched_ts)
-        if backward
-        else _epoch(matched_ts) - _epoch(F.col(left_ts))
-    )
+        # nearest: backward wins ties (pandas rule); a missing side has a
+        # NULL gap, and NULL comparisons fall through to the other branch
+        use_b = gap_b.isNotNull() & (gap_f.isNull() | (gap_b <= gap_f))
+        gap = F.when(use_b, gap_b).otherwise(gap_f)
     in_tolerance = (
-        F.lit(True) if tolerance_seconds is None else gap <= tolerance_seconds
+        F.lit(True)
+        if tolerance_seconds is None
+        else gap <= tolerance_seconds * 1_000_000
     )
+
+    def chosen(c: str):
+        return F.when(use_b, pick_b(c)).otherwise(pick_f(c))
+
     carried = tagged.select(
         "*",
         *[
-            F.when(in_tolerance, pick(f"_asof_v_{c}")).alias(c)
+            F.when(in_tolerance, chosen(f"_asof_v_{c}")).alias(c)
             for c in value_cols
         ],
     )

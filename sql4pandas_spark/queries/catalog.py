@@ -124,12 +124,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "quota_sample_by_lang",
     "embedding_outlier_audit",
     "temperature_mix_documents",
-    # -- 4 settled fillers: code touched in round 7 (scratch-dir /
-    #    stateful / foreachBatch changes) --
-    "sink_parquet_roundtrip",
+    # -- 2 settled fillers: code touched in round 7 (sink_custom_jsonl
+    #    covers the pipeline scratch-dir change the dropped roundtrip
+    #    entries shared; foreachBatch covers the streaming scratch path;
+    #    the stateful.py user_col change is covered by the windowed
+    #    once-green stream_stateful_sessions) --
     "sink_custom_jsonl",
     "stream_foreach_batch_sink",
-    "stream_stateful_user_counts",
+    # -- settled but re-windowed: asof_join's gap math moved to exact
+    #    microseconds in round 7, so the backward entry re-confirms --
+    "asof_join_purchase_click",
     # -- the 3 round-7 NEW entries (never driver-verified — they take the
     #    slots of the settled streaming fillers events_sliding_30m /
     #    events_session_windows / gapfill_hourly_counts, whose only r7
@@ -157,6 +161,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #    compact_documents_files — its module-mates cluster/zorder are
     #    in-window as once-green and cover the r7 scratch-dir change) --
     "asof_join_forward",
+    # -- round-7 new: nearest-direction as-of join (slot of
+    #    sink_parquet_roundtrip; sink_custom_jsonl covers the shared
+    #    scratch-dir change) --
+    "asof_join_nearest",
     # ---- driver window (50) ends here ----
 )
 

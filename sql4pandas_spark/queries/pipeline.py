@@ -1984,7 +1984,7 @@ all_docs AS (
   UNION ALL SELECT doc_id, text, false FROM planted),
 toks AS (
   SELECT doc_id, in_b1,
-         list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS w
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS w
   FROM all_docs),
 sh AS (
   SELECT DISTINCT doc_id, shingle

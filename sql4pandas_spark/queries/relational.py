@@ -406,7 +406,7 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     "asof_join_tolerance",
     oracle="""
     SELECT p.event_id, p.user_id,
-           CASE WHEN (epoch_us(p.ts) // 1000000) - (epoch_us(c.ts) // 1000000) <= 3600
+           CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000::BIGINT
                 THEN c.ts END AS click_ts
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
@@ -422,10 +422,10 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same one-shuffle union+window plan as asof_join_purchase_click; the
     tolerance is a post-match filter on the carried value, computed in
-    floor-epoch-seconds on both engines (Spark ``cast(ts AS LONG)`` ==
-    DuckDB ``epoch_us(ts) // 1000000`` — both floor, so boundary
-    microseconds agree exactly). This entry exists so the one asof code
-    path that previously broke silently (TIMESTAMP_NTZ forbids the numeric
+    EXACT microseconds on both engines (Spark ``unix_micros`` == DuckDB
+    ``epoch_us`` — round 7 upgraded from floor-seconds so the cut is
+    precision-independent). This entry exists so the one asof code path
+    that previously broke silently (TIMESTAMP_NTZ forbids the numeric
     cast; fixed via an intermediate LTZ cast) stays driver-watched.
     """
     t = register_tables(spark, sf_dir, ("events",))
@@ -451,7 +451,7 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "asof_join_forward",
     oracle="""
     SELECT p.event_id, p.user_id,
-           CASE WHEN (epoch_us(c.ts) // 1000000) - (epoch_us(p.ts) // 1000000) <= 3600
+           CASE WHEN epoch_us(c.ts) - epoch_us(p.ts) <= 3600000000::BIGINT
                 THEN c.ts END AS next_click_ts
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
@@ -483,6 +483,59 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             direction="forward",
         )
         .select("event_id", "user_id", "next_click_ts")
+        .orderBy("event_id")
+        .limit(200)
+    )
+
+
+@query(
+    "asof_join_nearest",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    b AS (SELECT p.event_id, c.ts AS bts FROM p
+          ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts),
+    f AS (SELECT p.event_id, c.ts AS fts FROM p
+          ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts),
+    sel AS (
+      SELECT p.event_id, p.user_id, p.ts,
+             CASE WHEN bts IS NOT NULL
+                       AND (fts IS NULL
+                            OR epoch_us(p.ts) - epoch_us(bts)
+                               <= epoch_us(fts) - epoch_us(p.ts))
+                  THEN bts ELSE fts END AS m
+      FROM p JOIN b USING (event_id) JOIN f USING (event_id))
+    SELECT event_id, user_id,
+           CASE WHEN abs(epoch_us(m) - epoch_us(ts)) <= 3600000000::BIGINT
+                THEN m END AS nearest_click_ts
+    FROM sel ORDER BY event_id LIMIT 200
+    """,
+    tags=("tier-c", "join_asof"),
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (the third merge_asof direction, round 7): the
+    click closest in time to each purchase — earlier or later — NULL if
+    the nearest one is more than 1 hour away; ties go to the backward
+    (earlier) match, pandas' rule, property-tested against merge_asof
+    itself. Still ONE shuffle: both candidate frames evaluate over the
+    same window sort and the smaller exact-microsecond gap wins. DuckDB
+    has no native nearest, so the oracle composes its backward and
+    forward ASOF JOINs and replays the gap comparison."""
+    t = register_tables(spark, sf_dir, ("events",))
+    e = t["events"]
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("nearest_click_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        joins.asof_join(
+            purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+            value_cols=["nearest_click_ts"], tolerance_seconds=3600,
+            direction="nearest",
+        )
+        .select("event_id", "user_id", "nearest_click_ts")
         .orderBy("event_id")
         .limit(200)
     )

@@ -1,7 +1,7 @@
 """Property-based differential: asof_join vs pandas merge_asof.
 
-pandas ``merge_asof`` (both 'backward' and — round 7 — 'forward'
-directions) is the reference semantic the operator claims (SURVEY.md
+pandas ``merge_asof`` (all three directions — 'forward' and 'nearest'
+added round 7) is the reference semantic the operator claims (SURVEY.md
 §2.3); hypothesis drives randomized (key, ts)
 shapes — clustered ties, empty sides, lone keys — far beyond what the
 fixture differential exercises. Right-side (key, ts) pairs are unique by
@@ -56,7 +56,7 @@ right_rows = st.lists(
     left=left_rows,
     right=right_rows,
     tol=st.sampled_from([None, 60]),
-    direction=st.sampled_from(["backward", "forward"]),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
 )
 def test_asof_join_matches_pandas_merge_asof(spark, left, right, tol, direction):
     lpdf = pd.DataFrame(
