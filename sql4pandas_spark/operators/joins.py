@@ -249,3 +249,61 @@ def asof_join(
         f"_asof_v_{c}" for c in value_cols
     ]
     return carried.filter(F.col("_kind") == l_kind).drop(*drop)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    max_interval_seconds: int,
+) -> DataFrame:
+    """All (left, right) pairs whose time intervals OVERLAP
+    (``l_start <= r_end AND r_start <= l_end``), as a hash join.
+
+    The naive formulation is a pure inequality join → Catalyst plans a
+    nested loop, O(n·m). Instead both sides explode into the fixed-width
+    epoch buckets their interval covers (width = ``max_interval_seconds``,
+    an upper bound on interval length, so each row covers at most 2
+    buckets) and equi-join on the 8-byte bucket id. Overlapping intervals
+    always share the bucket ``max(floor(l_start/W), floor(r_start/W))``,
+    and requiring the join bucket to BE that bucket counts every pair
+    exactly once — no distinct pass, unlike band-key LSH joins where a
+    pair can meet in several buckets unpredictably.
+
+    Both timestamps interpret via exact epoch seconds; intervals longer
+    than ``max_interval_seconds`` raise at plan-build time would be ideal,
+    but length is data — the residual predicate stays correct for longer
+    intervals, they just fan out over more buckets (``sequence`` handles
+    it), so the width is a PERFORMANCE bound, not a correctness one.
+    """
+    w = max_interval_seconds
+
+    def buckets(start: str, end: str):
+        return F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start)) / w).cast("long"),
+                F.floor(F.unix_timestamp(F.col(end)) / w).cast("long"),
+            )
+        )
+
+    l = left.withColumn("_bkt", buckets(l_start, l_end))
+    r = right.withColumn("_bkt_r", buckets(r_start, r_end))
+    ls, le = l[l_start], l[l_end]
+    rs, re_ = r[r_start], r[r_end]
+    first_shared = F.greatest(
+        F.floor(F.unix_timestamp(ls) / w).cast("long"),
+        F.floor(F.unix_timestamp(rs) / w).cast("long"),
+    )
+    return (
+        l.join(
+            r,
+            (l["_bkt"] == r["_bkt_r"])
+            & (ls <= re_)
+            & (rs <= le)
+            & (l["_bkt"] == first_shared),
+        )
+        .drop("_bkt", "_bkt_r")
+    )

@@ -130,7 +130,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #    the stateful.py user_col change is covered by the windowed
     #    once-green stream_stateful_sessions) --
     "sink_custom_jsonl",
-    "stream_foreach_batch_sink",
     # -- settled but re-windowed: asof_join's gap math moved to exact
     #    microseconds in round 7, so the backward entry re-confirms --
     "asof_join_purchase_click",
@@ -165,6 +164,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #    sink_parquet_roundtrip; sink_custom_jsonl covers the shared
     #    scratch-dir change) --
     "asof_join_nearest",
+    # -- round-7 new: interval-overlap join (slot of
+    #    stream_foreach_batch_sink — its one-line scratch-dir change is
+    #    the same class sink_custom_jsonl re-confirms) --
+    "interval_overlap_pairs",
     # ---- driver window (50) ends here ----
 )
 

@@ -2236,3 +2236,62 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
         .orderBy("s_name")
     )
+
+
+@query(
+    "interval_overlap_pairs",
+    oracle="""
+    WITH iv AS (
+      SELECT event_id, user_id, ts AS s,
+             ts + to_microseconds((CAST(floor(value * 100) AS BIGINT) % 1800) * 1000000) AS e
+      FROM events WHERE event_type = 'purchase'),
+    a AS (SELECT * FROM iv), b AS (SELECT * FROM iv)
+    SELECT a.event_id AS id_a, b.event_id AS id_b
+    FROM a JOIN b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND a.s <= b.e AND b.s <= a.e
+    ORDER BY id_a, id_b LIMIT 500
+    """,
+    tags=("tier-c", "join_range", "interval_overlap"),
+)
+def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join (operators/joins.interval_overlap_join):
+    purchases get deterministic synthetic durations (floor(value*100) mod
+    30 min)
+    and every same-user overlapping pair is found via epoch-bucket
+    explosion + one hash join — the exactly-once bucket rule (pair counted
+    only in max(start-bucket) of the two) needs no distinct pass. The
+    oracle is the naive inequality join (DuckDB plans IEJoin — exact), so
+    a hash match proves the bucketing lost no pair and duplicated none."""
+    t = register_tables(spark, sf_dir, ("events",))
+    iv = (
+        t["events"]
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("s"),
+            (
+                F.col("ts")
+                + F.make_dt_interval(
+                    # explicit floor: DuckDB CAST(double AS BIGINT) rounds
+                    # half-even while Spark cast truncates — floor agrees
+                    secs=F.floor(F.col("value") * 100).cast("long") % 1800
+                )
+            ).alias("e"),
+        )
+    )
+    a = iv.select(
+        F.col("event_id").alias("id_a"), F.col("user_id").alias("u"),
+        F.col("s").alias("s_a"), F.col("e").alias("e_a"),
+    )
+    b = iv.select(
+        F.col("event_id").alias("id_b"), F.col("user_id").alias("u_b"),
+        F.col("s").alias("s_b"), F.col("e").alias("e_b"),
+    )
+    from sql4pandas_spark.operators.joins import interval_overlap_join
+
+    pairs = interval_overlap_join(
+        a, b, "s_a", "e_a", "s_b", "e_b", max_interval_seconds=1800
+    ).filter((F.col("u") == F.col("u_b")) & (F.col("id_a") < F.col("id_b")))
+    return pairs.select("id_a", "id_b").orderBy("id_a", "id_b").limit(500)

@@ -184,3 +184,61 @@ def test_bucketed_range_join_equals_theta_join(spark, left, right, gap):
         if ls < rs <= ls + gap
     }
     assert got == want
+
+
+from sql4pandas_spark.operators.joins import interval_overlap_join  # noqa: E402
+
+iv_rows = st.lists(
+    # (key, start_sec, duration_sec): durations beyond the bucket width W=60
+    # exercise the multi-bucket fan-out; zero-length intervals included
+    st.tuples(st.integers(0, 2), st.integers(0, 400), st.integers(0, 150)),
+    min_size=0,
+    max_size=18,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(left=iv_rows, right=iv_rows)
+def test_interval_overlap_join_equals_theta_join(spark, left, right):
+    """Bucketed interval-overlap must equal the naive inequality join
+    EXACTLY — same pairs, each exactly once (the first-shared-bucket rule
+    replaces a distinct pass)."""
+    ldf = spark.createDataFrame(
+        [(i, _ts(s), _ts(s + d)) for i, (k, s, d) in enumerate(left)],
+        "id_a long, s_a timestamp, e_a timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(i, _ts(s), _ts(s + d)) for i, (k, s, d) in enumerate(right)],
+        "id_b long, s_b timestamp, e_b timestamp",
+    )
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in interval_overlap_join(
+            ldf, rdf, "s_a", "e_a", "s_b", "e_b", max_interval_seconds=60
+        ).collect()
+    )
+    want = sorted(
+        (la, rb)
+        for la, (_, ls, ld) in enumerate(left)
+        for rb, (_, rs, rd) in enumerate(right)
+        if ls <= rs + rd and rs <= ls + ld
+    )
+    assert got == want
+
+
+def test_interval_overlap_join_plans_hash_join(spark):
+    ldf = spark.createDataFrame(
+        [(1, _ts(0), _ts(30))], "id_a long, s_a timestamp, e_a timestamp"
+    )
+    plan = (
+        interval_overlap_join(ldf, ldf.toDF("id_b", "s_b", "e_b"),
+                              "s_a", "e_a", "s_b", "e_b", 60)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
