@@ -237,4 +237,4 @@ def test_asof_direction_validation(spark):
 
     df = spark.createDataFrame([(1, 1)], "a long, b long")
     with _pytest.raises(ValueError, match="direction"):
-        asof_join(df, df, on="a", left_ts="b", right_ts="b", direction="nearest")
+        asof_join(df, df, on="a", left_ts="b", right_ts="b", direction="sideways")
