@@ -361,3 +361,54 @@ def top_ngrams(
         .orderBy(F.desc("n_occurrences"), "ngram")
         .limit(k)
     )
+
+
+def canonical_url(col: Column) -> Column:
+    """Canonical form of a URL — the dedup key of web-corpus curation
+    (the same page arrives under tracking params, mixed-case hosts,
+    default ports, fragments, and trailing slashes; exact text dedup
+    misses all of them).
+
+    Rules (each replayable in DuckDB — see the `url_canonical_dedup`
+    oracle): lowercase scheme and host; strip the scheme's default port
+    (:443 https, :80 http); drop the fragment; drop utm_*/gclid/fbclid
+    tracking params and SORT the survivors (query-param order is not
+    identity); strip one trailing slash from a non-root path. Pure
+    regexp/HOF expressions, whole-stage-codegen-friendly; the handful of
+    repeated sub-regexps per row is a constant factor, not the per-element
+    lambda blow-up let_col exists for.
+    """
+    u = F.regexp_replace(F.trim(col), "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+    host = (
+        F.when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .otherwise(hostport)
+    )
+    pathq = F.substring(rest, F.length(hostport) + F.lit(1), F.lit(1 << 20))
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "")
+            & ~p.startswith("utm_")
+            & ~p.startswith("gclid=")
+            & ~p.startswith("fbclid="),
+        )
+    )
+    path_n = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        F.substring(path, F.lit(1), F.length(path) - F.lit(1)),
+    ).otherwise(path)
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path_n,
+        F.when(
+            F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+        ).otherwise(F.lit("")),
+    )
