@@ -209,10 +209,17 @@ def snapshot_diff(
     every column — same status semantics, documented trade: a digest
     collision (~2^-64) would mask a change. Keys must be unique per side
     (it is a SNAPSHOT diff; feed deduped tables).
+
+    ``compare_cols=None`` (default) compares every shared non-key column;
+    an explicit ``[]`` requests a keys-only presence diff (statuses are
+    then added/removed/unchanged only).
     """
-    compare_cols = compare_cols or [
-        c for c in new.columns if c in set(old.columns) and c not in set(key_cols)
-    ]
+    if compare_cols is None:
+        compare_cols = [
+            c
+            for c in new.columns
+            if c in set(old.columns) and c not in set(key_cols)
+        ]
     o = old.select(
         *[F.col(c) for c in key_cols],
         F.lit(True).alias("_in_old"),

@@ -178,19 +178,24 @@ def weighted_sample_topk(
     and weight-proportional.
 
     Keys round to 6dp BEFORE ranking so the cut replays identically in
-    the DuckDB oracle (ties broken on id). Rows with NULL or
-    non-positive weight are excluded — they have no defined inclusion
-    probability.
+    the DuckDB oracle. For very large weights ln(u)/w compresses toward 0
+    and many rounded keys tie, so the tie-break must not be systematic:
+    ties fall to the row's portable hash (pseudorandom, engine-stable),
+    then id only for the 2^-60 hash-collision case — an id-ascending
+    tie-break would deterministically over-include low ids. Rows with
+    NULL or non-positive weight are excluded — they have no defined
+    inclusion probability.
     """
     if k <= 0:
         raise ValueError("k must be positive")
-    u = (portable_hash60(F.col(id_col).cast("string")) + F.lit(1)).cast(
-        "double"
-    ) / F.lit(_HASH_SPAN)
+    h = portable_hash60(F.col(id_col).cast("string"))
+    u = (h + F.lit(1)).cast("double") / F.lit(_HASH_SPAN)
     key = F.round(F.log(u) / F.col(weight_col).cast("double"), 6)
     return (
         df.filter(F.col(weight_col) > 0)
         .withColumn("skey", key)
-        .orderBy(F.desc("skey"), F.col(id_col))
+        .withColumn("_tb", h)
+        .orderBy(F.desc("skey"), F.col("_tb"), F.col(id_col))
         .limit(k)
+        .drop("_tb")
     )

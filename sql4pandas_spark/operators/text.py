@@ -390,13 +390,15 @@ def canonical_url(col: Column) -> Column:
     pathq = F.substring(rest, F.length(hostport) + F.lit(1), F.lit(1 << 20))
     path = F.regexp_extract(pathq, r"^([^?]*)", 1)
     query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    # Tracking params match on the NAME (the part before any `=`): a
+    # valueless `?gclid` must drop the same as `?gclid=x`, else two
+    # otherwise-identical URLs canonicalize apart.
     params = F.array_sort(
         F.filter(
             F.split(query, "&"),
             lambda p: (p != "")
             & ~p.startswith("utm_")
-            & ~p.startswith("gclid=")
-            & ~p.startswith("fbclid="),
+            & ~p.rlike("^(gclid|fbclid)(=|$)"),
         )
     )
     path_n = F.when(

@@ -1954,9 +1954,11 @@ def top_bigrams_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH keyed AS (
       SELECT doc_id, text, lang, source, n_chars,
              round(ln((({_MIX_HASH_PRED}) + 1) / 1152921504606846976.0)
-                   / n_chars, 6) AS skey
+                   / n_chars, 6) AS skey,
+             ({_MIX_HASH_PRED}) AS tb
       FROM documents WHERE n_chars > 0)
-    SELECT * FROM keyed ORDER BY skey DESC, doc_id LIMIT 50
+    SELECT doc_id, text, lang, source, n_chars, skey
+    FROM keyed ORDER BY skey DESC, tb, doc_id LIMIT 50
     """,
     tags=("tier-c", "weighted_sample", "sample_hash", "limit"),
 )

@@ -120,10 +120,9 @@ def test_null_text_rows_dedup_across_batches(spark, tmp_path):
 
 
 def test_near_store_corrupt_bands_raise(spark, tmp_path):
-    """Same contract as the digest store: a broken bands read must raise,
-    not silently disable cross-batch near-dedup."""
-    from pyspark.errors import AnalysisException
-
+    """Same contract as the digest store: a broken bands read must raise
+    the corrupt-parquet error itself, not be swallowed as 'store missing'
+    (which would silently disable cross-batch near-dedup)."""
     from sql4pandas_spark.operators.dedup import incremental_near_dedup
 
     store = str(tmp_path / "near_store")
@@ -134,9 +133,11 @@ def test_near_store_corrupt_bands_raise(spark, tmp_path):
     b = _docs(spark, [(1, "some words here for a doc " * 3)])
     with pytest.raises(Exception) as ei:
         incremental_near_dedup(b, store).collect()
-    assert not isinstance(ei.value, AnalysisException) or "PATH_NOT_FOUND" not in str(
-        ei.value
-    )
+    # The failure must stem from the unreadable parquet footer (Spark 4
+    # error class FAILED_READ_FILE.CANNOT_READ_FILE_FOOTER), proving the
+    # store read reached the corrupt file and propagated its error.
+    msg = str(ei.value)
+    assert "CANNOT_READ_FILE_FOOTER" in msg or "not a Parquet file" in msg
 
 
 def test_near_dedup_composes_with_foreach_batch_stream(spark, tmp_path):

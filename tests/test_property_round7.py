@@ -268,7 +268,10 @@ def weighted_corpora(draw):
 @settings(**_SETTINGS)
 def test_weighted_sample_matches_python_reference(spark, case):
     """The A-ES key, the exclusion rule, the 6dp rounding, and the
-    (key desc, id asc) cut must all replay exactly in pure Python."""
+    (key desc, hash, id asc) cut must all replay exactly in pure Python.
+    Ties (common under heavy weights, where ln(u)/w compresses to 0 at
+    6dp) break on the pseudorandom portable hash, not ascending id — an
+    id tie-break would systematically over-include low doc_ids."""
     from sql4pandas_spark.operators.sampling import weighted_sample_topk
 
     weights, k = case
@@ -281,10 +284,11 @@ def test_weighted_sample_matches_python_reference(spark, case):
     for i, w in enumerate(weights):
         if w is None or w <= 0:
             continue
-        u = float(_hash60(str(i)) + 1) / _HASH_SPAN
-        want.append((i, _py_round6(math.log(u) / float(w))))
-    want.sort(key=lambda p: (-p[1], p[0]))
-    assert got == want[:k]
+        h = _hash60(str(i))
+        u = float(h + 1) / _HASH_SPAN
+        want.append((i, _py_round6(math.log(u) / float(w)), h))
+    want.sort(key=lambda p: (-p[1], p[2], p[0]))
+    assert got == [(i, s) for i, s, _ in want[:k]]
 
 
 def _py_round6(x: float) -> float:

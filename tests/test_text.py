@@ -105,3 +105,22 @@ def test_repetition_stats_edges_and_values(spark):
     assert out[1]["dup_word_frac"] == 0.75 and out[1]["top_bigram_frac"] == 1.0
     assert out[2]["top_bigram_frac"] is None and out[2]["dup_word_frac"] == 0.0
     assert out[3]["n_tokens"] == 5 and out[3]["top_bigram_frac"] == 0.5
+
+
+def test_canonical_url_tracking_params_and_normalization(spark):
+    from sql4pandas_spark.operators.text import canonical_url
+
+    cases = [
+        # valueless ?gclid must canonicalize the same as ?gclid=x (the
+        # param NAME decides, not a literal `gclid=` prefix)
+        ("https://Ex.COM/a/?gclid", "https://ex.com/a"),
+        ("https://ex.com/a/?gclid=123", "https://ex.com/a"),
+        ("https://ex.com/a?fbclid&b=1", "https://ex.com/a?b=1"),
+        # but a param merely STARTING with the name is a different param
+        ("https://ex.com/a?gclidx=1", "https://ex.com/a?gclidx=1"),
+        ("http://ex.com:80/p?utm_source=x&z=1&a=2", "http://ex.com/p?a=2&z=1"),
+        ("https://ex.com:443/p#frag", "https://ex.com/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
