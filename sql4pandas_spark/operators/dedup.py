@@ -25,7 +25,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sql4pandas_spark.operators.text import let_col, portable_hash60, tokens
@@ -736,3 +736,164 @@ def incremental_near_dedup(
         )
     finally:
         sigs.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Substring / passage-level exact dedup (round 8)
+# ---------------------------------------------------------------------------
+
+
+def _kgram_sites(
+    df: DataFrame, min_tokens: int, text_col: str, id_col: str
+) -> DataFrame:
+    """One row per L-token-gram site: (doc_id, pos, gram hash), pos 1-based.
+
+    The gram is hashed to 8 bytes row-local (portable_hash60 so a DuckDB
+    oracle can replay it by value), which is what makes the inverted index
+    narrow: at 100 TB the exploded stream is (id, int, 8B) per token, the
+    document text itself never shuffles. Docs shorter than L contribute no
+    sites (the ``when`` guard — a descending ``sequence`` would otherwise
+    fabricate out-of-range slices, the §2.12 #9a pitfall).
+    """
+    L = min_tokens
+    grams = let_col(
+        tokens(F.col(text_col)),
+        lambda w: F.when(
+            F.size(w) >= L,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - L),
+                lambda i: portable_hash60(F.array_join(F.slice(w, i + 1, L), " ")),
+            ),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("pos0", "gram")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+
+
+def duplicate_passage_spans(
+    df: DataFrame,
+    min_tokens: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring/passage-level exact dedup, detection half: for every doc,
+    the maximal token spans whose every L-token window also occurs at some
+    OTHER site in the corpus (another doc, or another position in the same
+    doc) — the Lee et al. 2021 "Deduplicating Training Data Makes Language
+    Models Better" notion of a duplicated >=L-token passage, the shape that
+    catches boilerplate living INSIDE otherwise-distinct pages, which
+    whole-document exact/near dedup (exact_dedup, near_dedup_minhash)
+    cannot see.
+
+    Distributed plan — the suffix-array of the single-node original is
+    re-expressed as a bucketed k-gram inverted index (same skeleton as
+    :func:`ngram_jaccard_pairs`):
+
+    1. row-local L-gram hashing (JVM HOFs, one 8-byte hash per token) —
+       text never leaves its scan task;
+    2. one count shuffle keyed by gram hash -> grams with >=2 sites
+       ("duplicated grams"; map-side combine collapses the heavy keys);
+    3. join sites back to the duplicated set (narrow: id, pos, 8B) — only
+       duplicated sites survive, a tiny fraction of real corpora;
+    4. per-doc run-merge of consecutive duplicated start positions via one
+       window on (doc_id, pos): starts p, p+1, ..., q merge into the span
+       [p, q+L-1]. Output: (doc_id, span_start, span_end, n_tokens),
+       positions 1-based over the whitespace-lowercase token stream.
+
+    A span's n_tokens is >= L by construction; overlapping occurrences and
+    partial (prefix/suffix) sharing fall out of the windowing naturally.
+    At 100 TB the one skew risk is a gram shared by millions of sites
+    (step 2's count is fine — it's the step-3 join fan-in); mirroring
+    ngram_jaccard_pairs, cap per-gram fan-in upstream if a corpus has
+    degenerate periodic text (not needed on any measured fixture).
+    """
+    sites = _kgram_sites(df, min_tokens, text_col, id_col)
+    dup = (
+        sites.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_sites"))
+        .filter(F.col("n_sites") >= 2)
+        .select("gram")
+    )
+    covered = sites.join(dup, "gram").select("doc_id", "pos")
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    runs = covered.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(win) == 1, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn("run_id", F.sum("brk").over(win))
+    return (
+        runs.groupBy("doc_id", "run_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(min_tokens - 1)).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("n_tokens"),
+        )
+    )
+
+
+def scrub_duplicate_passages(
+    df: DataFrame,
+    min_tokens: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring dedup, removal half: rewrite each doc's text with every
+    duplicated->=L-token passage removed EXCEPT at its canonical (first)
+    occurrence — dedup that keeps one copy of shared boilerplate in the
+    corpus instead of deleting the information outright.
+
+    Canonicality is per gram: of all sites sharing a gram value, the
+    lexicographically smallest (doc_id, pos) is canonical. A token
+    position survives iff it is covered by no duplicated gram at all, or
+    by at least one canonical site (so the first occurrence of a passage
+    keeps its text even when a later doc repeats it). Deterministic on
+    every engine/partitioning — no "whichever task got there first".
+
+    Scale shape: on top of :func:`duplicate_passage_spans` steps 1-3, the
+    canonical flag is one more window over gram (duplicated sites only),
+    covered positions fan out xL from duplicated sites only, and the
+    removal sets come back to the docs as one aggregated array join on
+    doc_id. Output: (doc_id, text, n_tokens_before, n_tokens_after) with
+    ``text`` rebuilt from the surviving tokens (single-space joined).
+    """
+    L = min_tokens
+    sites = _kgram_sites(df, min_tokens, text_col, id_col)
+    gwin = Window.partitionBy("gram").orderBy("doc_id", "pos")
+    flagged = (
+        sites.withColumn("n_sites", F.count(F.lit(1)).over(gwin.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .filter(F.col("n_sites") >= 2)
+        .withColumn("canon", F.row_number().over(gwin) == 1)
+    )
+    positions = flagged.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(L - 1))).alias("p"),
+        "canon",
+    )
+    removals = (
+        positions.groupBy("doc_id", "p")
+        .agg(F.max("canon").alias("keep"))
+        .filter(~F.col("keep"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("rm"))
+    )
+    w = tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("doc_id"), w.alias("w"))
+    joined = base.join(removals, "doc_id", "left").withColumn(
+        "rm", F.coalesce(F.col("rm"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.col("w"), lambda t, i: ~F.array_contains(F.col("rm"), (i + 1).cast("int"))
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(kept, " ").alias(text_col),
+        F.size("w").alias("n_tokens_before"),
+        F.size(kept).alias("n_tokens_after"),
+    )

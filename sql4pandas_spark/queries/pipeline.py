@@ -2176,3 +2176,194 @@ def snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("status")
     )
+
+
+# --------------------------------------------------------------------------
+# Substring / passage-level exact dedup (round 8)
+# --------------------------------------------------------------------------
+
+#: 60 distinct lowercase tokens — the planted boilerplate passage. Distinct
+#: tokens keep the passage aperiodic (every 50-gram inside it is unique *as
+#: a position*, shared only ACROSS plant sites), so expected spans are easy
+#: to reason about; the fixture's own text supplies the surrounding noise.
+_BOILER60 = " ".join(f"boilerp{i:02d}" for i in range(60))
+#: The first 55 tokens of the boilerplate — planted as a PARTIAL (prefix)
+#: share to exercise spans shorter than the full passage.
+_BOILER55 = " ".join(_BOILER60.split()[:55])
+#: 20-token negative control: shared verbatim by every doc_id%3==0 doc but
+#: below min_tokens=50, so no 50-gram ever lies inside it — it must NOT
+#: produce spans (50-grams straddling it include doc-specific context).
+_SHORT20 = " ".join(f"shortc{i:02d}" for i in range(20))
+
+#: Shared corpus-planting CASE — Spark and DuckDB build the identical
+#: derived corpus: full boilerplate appended (%5) or prepended (%7), the
+#: 55-token prefix appended (%11), plus the short control appended (%3).
+_PASSAGE_CORPUS_SQL = f"""
+  SELECT doc_id,
+         (CASE WHEN doc_id % 5 = 0 THEN text || ' {_BOILER60}'
+               WHEN doc_id % 7 = 0 THEN '{_BOILER60} ' || text
+               WHEN doc_id % 11 = 0 THEN text || ' {_BOILER55}'
+               ELSE text END)
+         || (CASE WHEN doc_id % 3 = 0 THEN ' {_SHORT20}' ELSE '' END) AS text
+  FROM documents
+"""
+
+
+def _passage_corpus(docs: DataFrame) -> DataFrame:
+    base = (
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" " + _BOILER60))
+        )
+        .when(
+            F.col("doc_id") % 7 == 0, F.concat(F.lit(_BOILER60 + " "), F.col("text"))
+        )
+        .when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" " + _BOILER55))
+        )
+        .otherwise(F.col("text"))
+    )
+    planted = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(base, F.lit(" " + _SHORT20))
+    ).otherwise(base)
+    return docs.select("doc_id", planted.alias("text"))
+
+
+#: DuckDB replay of the k-gram inverted index + run-merge (grams compared
+#: by VALUE where Spark joins on their 60-bit hash — identical sets absent
+#: a 2^-60 collision, which the hash-match would expose).
+_PASSAGE_SITES_SQL = f"""
+corpus AS ({_PASSAGE_CORPUS_SQL}),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS w
+  FROM corpus),
+sites AS (
+  SELECT doc_id, s['pos'] AS pos, s['gram'] AS gram
+  FROM (SELECT doc_id,
+               unnest([{{'pos': i,
+                        'gram': array_to_string(list_slice(w, i, i + 49), ' ')}}
+                       FOR i IN range(1, len(w) - 48)]) AS s
+        FROM toks WHERE len(w) >= 50))
+"""
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH {_PASSAGE_SITES_SQL},
+    dup AS (SELECT gram FROM sites GROUP BY gram HAVING count(*) >= 2),
+    cov AS (SELECT s.doc_id, s.pos FROM sites s JOIN dup USING (gram)),
+    runs AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+                  THEN 0 ELSE 1 END AS brk
+      FROM cov),
+    grp AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+      FROM runs),
+    spans AS (
+      SELECT doc_id, min(pos) AS span_start, max(pos) + 49 AS span_end
+      FROM grp GROUP BY doc_id, run_id)
+    SELECT sp.doc_id,
+           CAST(sp.span_start AS BIGINT) AS span_start,
+           CAST(sp.span_end AS BIGINT) AS span_end,
+           CAST(sp.span_end - sp.span_start + 1 AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(t.w, sp.span_start, sp.span_end), ' ')
+             AS passage
+    FROM spans sp JOIN toks t USING (doc_id)
+    ORDER BY sp.doc_id, span_start
+    """,
+    tags=("tier-c", "dedup_substring", "text_analysis", "win_frame"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring/passage-level exact dedup, detection
+    (operators/dedup.duplicate_passage_spans — the Lee et al. 2021
+    "deduplicate-text-datasets" shape): maximal >=50-token spans whose
+    every 50-gram repeats elsewhere in the corpus. Fixture plants a
+    60-token boilerplate passage appended (%5) / prepended (%7) and a
+    55-token prefix of it (%11) across otherwise-distinct docs, plus a
+    20-token negative control (%3) that must stay silent. The suffix-array
+    original is re-expressed as a bucketed k-gram inverted index: one
+    count shuffle on 8-byte gram hashes, covered sites joined back narrow,
+    one window run-merge — document text never shuffles. The oracle
+    replays grams by value and the identical run-merge, and re-slices each
+    span's passage text from the tokens, so the hash match proves spans
+    AND their content."""
+    from sql4pandas_spark.operators.dedup import duplicate_passage_spans
+    from sql4pandas_spark.operators.text import tokens
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    corpus = _passage_corpus(t["documents"])
+    spans = duplicate_passage_spans(corpus, min_tokens=50)
+    toks = corpus.select("doc_id", tokens(F.col("text")).alias("w"))
+    return (
+        spans.join(toks, "doc_id")
+        .select(
+            "doc_id",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.array_join(
+                F.slice(F.col("w"), F.col("span_start"), F.col("n_tokens")), " "
+            ).alias("passage"),
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+@query(
+    "scrub_passages_documents",
+    oracle=f"""
+    WITH {_PASSAGE_SITES_SQL},
+    flagged AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY gram) AS n_sites,
+             row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+      FROM sites),
+    positions AS (
+      SELECT doc_id, unnest(range(pos, pos + 50)) AS p, rn = 1 AS canon
+      FROM flagged WHERE n_sites >= 2),
+    rm AS (
+      SELECT doc_id, p FROM positions
+      GROUP BY doc_id, p HAVING NOT bool_or(canon)),
+    rml AS (SELECT doc_id, list(p) AS rm FROM rm GROUP BY doc_id),
+    final AS (
+      SELECT t.doc_id,
+             [t.w[i] FOR i IN range(1, len(t.w) + 1)
+              IF NOT list_contains(coalesce(r.rm, CAST([] AS BIGINT[])), i)]
+               AS kept,
+             t.w AS w
+      FROM toks t LEFT JOIN rml r USING (doc_id))
+    SELECT doc_id,
+           -- array_to_string = string_agg: NULL on an empty list, where
+           -- Spark's array_join gives '' — coalesce (fully-scrubbed docs
+           -- DO occur: the fixture holds whole-doc exact duplicates)
+           coalesce(array_to_string(kept, ' '), '') AS text,
+           CAST(len(w) AS BIGINT) AS n_tokens_before,
+           CAST(len(kept) AS BIGINT) AS n_tokens_after
+    FROM final ORDER BY doc_id
+    """,
+    tags=("tier-c", "dedup_substring", "text_scrub"),
+)
+def scrub_passages_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring dedup, removal half
+    (operators/dedup.scrub_duplicate_passages): rewrite every doc with
+    duplicated >=50-token passages removed except at their canonical
+    (lexicographically first (doc_id, pos)) site — the corpus keeps ONE
+    copy of each boilerplate passage. Same planted corpus as
+    dedup_substring_spans. Covered positions fan out only from duplicated
+    sites; removal sets return to docs as one array join on doc_id. The
+    oracle replays the canonical-site policy and rebuilds every cleaned
+    text token-by-token — full value match on the rewritten corpus."""
+    from sql4pandas_spark.operators.dedup import scrub_duplicate_passages
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    corpus = _passage_corpus(t["documents"])
+    out = scrub_duplicate_passages(corpus, min_tokens=50)
+    return out.select(
+        "doc_id",
+        "text",
+        F.col("n_tokens_before").cast("long").alias("n_tokens_before"),
+        F.col("n_tokens_after").cast("long").alias("n_tokens_after"),
+    ).orderBy("doc_id")
