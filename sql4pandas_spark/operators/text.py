@@ -414,3 +414,80 @@ def canonical_url(col: Column) -> Column:
             F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
         ).otherwise(F.lit("")),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature logistic quality classifier (round 8)
+# ---------------------------------------------------------------------------
+
+#: Multiplier for the deterministic stand-in weight table (Knuth's 2^32
+#: golden-ratio constant — scatters consecutive buckets).
+_CLF_MULT = 2654435761
+
+
+def classifier_milliweights(n_buckets: int = 256) -> list[int]:
+    """Deterministic per-bucket INTEGER milli-weights in [-1000, 1000] —
+    the stand-in for a trained linear model's weight vector (a real
+    pipeline loads fasttext/logreg weights into the same list and nothing
+    else changes). Integers on purpose: token contributions then sum
+    EXACTLY (no float association order), so Spark and a DuckDB oracle
+    agree bit-for-bit before the single final division."""
+    return [((b * _CLF_MULT) % 2001) - 1000 for b in range(n_buckets)]
+
+
+def hashed_logistic_score(
+    df: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 256,
+    milliweights: list[int] | None = None,
+    out_col: str = "score",
+) -> DataFrame:
+    """Fasttext-shape quality classifier: hashed bag-of-tokens features x a
+    weight vector -> logistic score in (0, 1) — the "model-based quality
+    filter" stage of LLM corpus curation (CCNet/Gopher-style wordlists are
+    rule-based cousins; this is the learned-linear-model form).
+
+    Per doc: every token hashes (portable_hash60 % n_buckets) into a
+    bucket, the bucket weights sum, and ``score = sigmoid(mean weight)``.
+    The weight vector rides into the plan as an array LITERAL (the
+    broadcast-a-small-model pattern — no join, no shuffle), the token fold
+    is a JVM higher-order ``aggregate``, and the whole operator is one
+    map-side expression: ZERO shuffles at any scale. Integer milli-weight
+    summation keeps the pre-sigmoid logit bit-identical across engines
+    (see :func:`classifier_milliweights`); the score rounds to 6dp.
+
+    Token-less docs score 0.5 (zero logit) rather than tripping ANSI
+    divide-by-zero. Output: ``df`` + ``n_tokens`` + ``out_col``.
+    """
+    mw = milliweights if milliweights is not None else classifier_milliweights(n_buckets)
+    if len(mw) != n_buckets:
+        raise ValueError(f"expected {n_buckets} weights, got {len(mw)}")
+    arr = F.array(*[F.lit(int(v)) for v in mw])
+    n_tok = F.size(tokens(F.col(text_col)))
+    msum = let_col(
+        tokens(F.col(text_col)),
+        lambda w: F.aggregate(
+            w,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc
+            + F.element_at(
+                arr, (portable_hash60(t) % F.lit(n_buckets) + F.lit(1)).cast("int")
+            ),
+        ),
+    )
+    logit = F.when(
+        n_tok > 0, msum.cast("double") / (F.lit(1000.0) * n_tok)
+    ).otherwise(F.lit(0.0))
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    return df.withColumn("n_tokens", n_tok).withColumn(out_col, score)
+
+
+#: DuckDB replay of :func:`hashed_logistic_score` (format with the token-
+#: array expression ``w``): identical hash, bucket, integer sum, division,
+#: sigmoid, and 6dp rounding.
+DUCKDB_CLF_SCORE_SQL = (
+    "round(1.0 / (1.0 + exp(-(CASE WHEN len({w}) > 0 THEN "
+    "list_sum(list_transform({w}, t -> ((((" + DUCKDB_HASH60_SQL.format(expr="t")
+    + ") % {n}) * " + str(_CLF_MULT) + ") % 2001) - 1000))::DOUBLE"
+    " / (1000.0 * len({w})) ELSE 0.0 END))), 6)"
+)

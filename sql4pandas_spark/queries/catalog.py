@@ -68,106 +68,72 @@ def query(
 #: already have green CORRECTNESS_r01/r02 rows (or are next in line if the
 #: window is ever wider than 50). Future rounds rotate this list.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- ROUND-7 WINDOW ----
-    # CORRECTNESS_r06 went 50/50 green, so every pre-r7 entry has >=1
-    # green driver round. This window holds ALL 38 entries with exactly
-    # ONE green round (19 green only in r5, rotated out during r6; 19
-    # green only in r6), 5 settled (>=2-green) fillers whose code changed
-    # in round 7 (per-invocation scratch-dir fix, stateful.py user_col
-    # fix, sink/foreachBatch paths), and the 7 round-7 NEW entries
-    # (0 greens — each took a filler slot, per-slot notes below).
-    # ROUND-8 ROTATION RECIPE: if CORRECTNESS_r07 is all green, the 7
-    # r7-new entries sit at exactly one green round — they stay in the r8
-    # window; everything else is settled, so fill the remaining 43 slots
-    # with any r7 err rows first, then the entries whose code r8 touches
-    # (ties by code-freshness). tests/test_driver_window.py enforces the
-    # saturated starvation rule mechanically; tools/catalog_index.py
-    # prints the per-entry greens ledger the selection reads.
+    # ---- ROUND-8 WINDOW ----
+    # CORRECTNESS_r07 went 50/50 green, so after round 7 exactly ten
+    # entries sit at ONE green round (the r7 additions) and everything
+    # else is settled (>=2 greens, saturated). Per the rotation recipe:
+    # the 10 once-green r7 entries stay, the 4 round-8 NEW entries
+    # (0 greens) join them, and the remaining 36 slots go to the entries
+    # with the STALEST evidence — the 36 whose last green round is r02
+    # (six rounds ago; code-freshness is moot since none of them were
+    # touched in r8). tests/test_driver_window.py enforces the saturated
+    # least-evidence rule; tools/catalog_index.py prints the ledger.
     #
-    # -- the 19 entries green only in r5 --
-    "join_hint_shuffle_hash",
-    "q10_returned_items",
-    "q17_small_qty_revenue",
-    "q12_late_lines_by_priority",
-    "q13_order_count_distribution",
-    "q14_promo_share",
-    "q19_disjunctive_filter",
-    "udtf_table_arg_summary",
-    "variant_props_stats",
-    "dynamic_partition_overwrite",
-    "setop_all_variants",
-    "null_safe_join_counts",
-    "agg_stats_orders",
-    "distinct_segments",
-    "agg_global_lineitem",
-    "agg_distinct_customer",
-    "case_priority_buckets",
-    "tablesample_orders",
-    "stats_corr_lineitem",
-    # -- the 19 entries green only in r6 --
-    "stream_python_datasource",
-    "multimodal_frame_sample",
-    "stratified_sample_mix",
-    "pack_sequences_bins",
-    "incremental_dedup_batches",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q20_dominant_suppliers",
-    "gapfill_interpolate_15m",
-    "cluster_documents_files",
-    "zorder_documents_files",
-    "stream_stateful_sessions",
-    "heavy_hitters_events",
-    "bm25_top15_documents",
-    "dedup_keep_best_doc",
-    "split_leakage_audit",
-    "quota_sample_by_lang",
-    "embedding_outlier_audit",
-    "temperature_mix_documents",
-    # -- 2 settled fillers: code touched in round 7 (sink_custom_jsonl
-    #    covers the pipeline scratch-dir change the dropped roundtrip
-    #    entries shared; foreachBatch covers the streaming scratch path;
-    #    the stateful.py user_col change is covered by the windowed
-    #    once-green stream_stateful_sessions) --
-    "sink_custom_jsonl",
-    # -- settled but re-windowed: asof_join's gap math moved to exact
-    #    microseconds in round 7, so the backward entry re-confirms --
-    "asof_join_purchase_click",
-    # -- the 3 round-7 NEW entries (never driver-verified — they take the
-    #    slots of the settled streaming fillers events_sliding_30m /
-    #    events_session_windows / gapfill_hourly_counts, whose only r7
-    #    code change is the trivial symlink-staging guard already covered
-    #    by the windowed stream_* entries) --
+    # -- the 4 round-8 NEW entries (0 greens) --
+    "dedup_substring_spans",
+    "scrub_passages_documents",
+    "merge_upsert_documents",
+    "classifier_scores_documents",
+    # -- the 10 entries green only in r7 (weighted_sample_docs and
+    #    snapshot_diff_documents also re-confirm r8 code changes: the
+    #    hash tie-break and the compare_cols=None API fix) --
     "profile_documents_table",
     "tfidf_top_terms_documents",
     "top_bigrams_documents",
-    # -- round-7 new: Efraimidis-Spirakis weighted sampling (takes the
-    #    slot of scan_csv_roundtrip; json/orc/sink_parquet stay in-window
-    #    to re-confirm the identical scratch-dir change) --
     "weighted_sample_docs",
-    # -- round-7 new: cross-batch incremental NEAR-dedup (slot of
-    #    scan_orc_roundtrip; json/sink_parquet stay to re-confirm the
-    #    shared scratch-dir change) --
     "incremental_near_dedup_batches",
-    # -- round-7 new: the profile's HLL++ scale path under a bounded-
-    #    property oracle (slot of window_top3_orders_per_customer — its
-    #    profiling closed with no code change, so nothing to re-confirm) --
     "profile_documents_approx",
-    # -- round-7 new: snapshot diff (slot of scan_json_roundtrip;
-    #    sink_parquet stays to re-confirm the shared scratch-dir change) --
     "snapshot_diff_documents",
-    # -- round-7 new: forward-direction as-of join (slot of
-    #    compact_documents_files — its module-mates cluster/zorder are
-    #    in-window as once-green and cover the r7 scratch-dir change) --
     "asof_join_forward",
-    # -- round-7 new: nearest-direction as-of join (slot of
-    #    sink_parquet_roundtrip; sink_custom_jsonl covers the shared
-    #    scratch-dir change) --
     "asof_join_nearest",
-    # -- round-7 new: interval-overlap join (slot of
-    #    stream_foreach_batch_sink — its one-line scratch-dir change is
-    #    the same class sink_custom_jsonl re-confirms) --
     "interval_overlap_pairs",
+    # -- the 36 entries last green in r02 (stalest settled evidence) --
+    "array_explode_avg",
+    "array_funcs_embeddings",
+    "array_hof_norm",
+    "bucketed_join_segments",
+    "chunk_documents_overlap",
+    "cosine_top20_pairs",
+    "date_arith_orders",
+    "date_funcs_orders",
+    "dedup_embedding_pairs",
+    "dedup_exact_documents",
+    "dedup_exact_keepers",
+    "dedup_ngram_jaccard",
+    "histogram_order_totals",
+    "json_filter_events",
+    "json_props_avg",
+    "map_funcs_events",
+    "math_funcs_extended",
+    "math_null_funcs",
+    "multimodal_payload_stats",
+    "multimodal_resize_stats",
+    "q1_pricing_summary",
+    "regexp_funcs_part",
+    "salted_join_segments",
+    "scan_csv_roundtrip",
+    "scan_json_roundtrip",
+    "scan_pandas_join",
+    "scrub_patterns_events",
+    "sim_query_top10",
+    "sink_parquet_roundtrip",
+    "string_funcs_part",
+    "struct_funcs_customer",
+    "text_quality_scores",
+    "text_stats_by_lang",
+    "token_count_bpe",
+    "try_funcs_part",
+    "wordcount_documents",
     # ---- driver window (50) ends here ----
 )
 

@@ -2367,3 +2367,105 @@ def scrub_passages_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens_before").cast("long").alias("n_tokens_before"),
         F.col("n_tokens_after").cast("long").alias("n_tokens_after"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Keyed MERGE/upsert (CDC apply) + quality-classifier scoring (round 8)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "merge_upsert_documents",
+    oracle="""
+    WITH snap AS (SELECT doc_id, lang, n_chars FROM documents),
+    changes AS (
+      SELECT doc_id, lang, n_chars + 1000 AS n_chars, 'update' AS op
+      FROM snap WHERE doc_id % 10 = 2
+      UNION ALL
+      SELECT doc_id, lang, n_chars, 'delete' AS op
+      FROM snap WHERE doc_id % 10 = 5
+      UNION ALL
+      SELECT doc_id + 5000000, lang, n_chars, 'insert' AS op
+      FROM snap WHERE doc_id % 100 = 9
+      UNION ALL
+      SELECT doc_id + 6000000, lang, n_chars, 'update' AS op
+      FROM snap WHERE doc_id % 100 = 13),
+    post AS (
+      SELECT s.doc_id, s.lang, s.n_chars FROM snap s
+      WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.doc_id = s.doc_id)
+      UNION ALL
+      SELECT doc_id, lang, n_chars FROM changes WHERE op <> 'delete')
+    SELECT doc_id, lang, n_chars FROM post ORDER BY doc_id
+    """,
+    tags=("tier-c", "merge_upsert", "join_anti"),
+)
+def merge_upsert_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed row-level MERGE / CDC apply (operators/maintenance.merge_upsert
+    — the write-side dual of snapshot_diff): a changeset of updates
+    (%10==2: n_chars+1000), deletes (%10==5), inserts (%100==9 under new
+    ids), and an update-on-missing-key (%100==13 — must upsert-insert)
+    applied to the documents snapshot. One anti-join on the narrow key +
+    one union; AQE broadcasts the (small) change keys so the snapshot
+    never shuffles. The oracle rebuilds the post-state row-for-row;
+    idempotent replay and snapshot_diff composition are pinned in
+    tests/test_round8_ops.py."""
+    from sql4pandas_spark.operators.maintenance import merge_upsert
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    snap = t["documents"].select("doc_id", "lang", "n_chars")
+    changes = (
+        snap.filter(F.col("doc_id") % 10 == 2)
+        .withColumn("n_chars", F.col("n_chars") + 1000)
+        .withColumn("op", F.lit("update"))
+        .unionByName(
+            snap.filter(F.col("doc_id") % 10 == 5).withColumn("op", F.lit("delete"))
+        )
+        .unionByName(
+            snap.filter(F.col("doc_id") % 100 == 9)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(5_000_000))
+            .withColumn("op", F.lit("insert"))
+        )
+        .unionByName(
+            snap.filter(F.col("doc_id") % 100 == 13)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(6_000_000))
+            .withColumn("op", F.lit("update"))
+        )
+    )
+    return merge_upsert(snap, changes, ["doc_id"]).orderBy("doc_id")
+
+
+@query(
+    "classifier_scores_documents",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         t -> t <> '') AS w
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           {text.DUCKDB_CLF_SCORE_SQL.format(w="w", n=256)} AS score,
+           {text.DUCKDB_CLF_SCORE_SQL.format(w="w", n=256)} >= 0.5 AS kept
+    FROM toks ORDER BY doc_id
+    """,
+    tags=("tier-c", "quality", "classifier", "text_analysis"),
+)
+def classifier_scores_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fasttext-shape quality-classifier scoring
+    (operators/text.hashed_logistic_score): hashed bag-of-tokens features
+    x a weight-vector literal -> logistic score, one map-side JVM
+    expression, zero shuffles at any scale. Integer milli-weight summation
+    makes the logit bit-identical across engines; the oracle replays
+    hash, bucket, weights, sigmoid, and the 0.5 keep-gate exactly. Feeds
+    operators/audit.filter_with_audit as the model-based quality gate
+    (composition pinned in tests/test_round8_ops.py)."""
+    from sql4pandas_spark.operators.text import hashed_logistic_score
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    scored = hashed_logistic_score(t["documents"], n_buckets=256)
+    return scored.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "score",
+        (F.col("score") >= 0.5).alias("kept"),
+    ).orderBy("doc_id")

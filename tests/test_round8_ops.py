@@ -103,3 +103,146 @@ def test_spans_empty_when_below_min_tokens(spark):
         "doc_id long, text string",
     )
     assert duplicate_passage_spans(df, min_tokens=8).count() == 0
+
+
+# ------------------------------------------------- keyed MERGE/upsert (CDC)
+
+
+def _snap(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "k long, v string, n long",
+    )
+
+
+def _changes(spark):
+    return spark.createDataFrame(
+        [
+            (2, "b2", 21, "update"),
+            (3, None, None, "delete"),
+            (5, "e", 50, "insert"),
+            (9, "z", 90, "update"),  # update on missing key -> insert
+        ],
+        "k long, v string, n long, op string",
+    )
+
+
+def test_merge_upsert_applies_changeset(spark):
+    from sql4pandas_spark.operators.maintenance import merge_upsert
+
+    post = merge_upsert(_snap(spark), _changes(spark), ["k"])
+    got = {(r.k, r.v, r.n) for r in post.collect()}
+    assert got == {
+        (1, "a", 10),
+        (2, "b2", 21),
+        (4, "d", 40),
+        (5, "e", 50),
+        (9, "z", 90),
+    }
+
+
+def test_merge_upsert_replay_is_idempotent(spark):
+    from sql4pandas_spark.operators.maintenance import merge_upsert
+
+    once = merge_upsert(_snap(spark), _changes(spark), ["k"])
+    twice = merge_upsert(once, _changes(spark), ["k"])
+    assert {tuple(r) for r in twice.collect()} == {tuple(r) for r in once.collect()}
+
+
+def test_merge_upsert_composes_with_snapshot_diff(spark):
+    """diff(pre, post) must report exactly the changeset's effect — the
+    read-side operator validates the write-side one."""
+    from sql4pandas_spark.operators.maintenance import merge_upsert, snapshot_diff
+
+    pre = _snap(spark)
+    post = merge_upsert(pre, _changes(spark), ["k"])
+    statuses = {r.k: r.status for r in snapshot_diff(pre, post, ["k"]).collect()}
+    assert statuses == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "unchanged",
+        5: "added",
+        9: "added",
+    }
+
+
+def test_merge_upsert_seq_col_picks_last_change(spark):
+    from sql4pandas_spark.operators.maintenance import merge_upsert
+
+    changes = spark.createDataFrame(
+        [
+            (2, "first", 1, "update", 1),
+            (2, "last", 2, "update", 7),
+            (4, "gone", 0, "delete", 5),
+            (4, "back", 44, "insert", 9),  # re-insert AFTER the delete
+        ],
+        "k long, v string, n long, op string, seq long",
+    )
+    post = merge_upsert(_snap(spark), changes, ["k"], seq_col="seq")
+    got = {(r.k, r.v, r.n) for r in post.collect()}
+    assert got == {(1, "a", 10), (2, "last", 2), (3, "c", 30), (4, "back", 44)}
+
+
+# ----------------------------------------- hashed logistic quality classifier
+
+
+def test_classifier_matches_python_reference(spark):
+    import hashlib
+    import math
+
+    from sql4pandas_spark.operators.text import (
+        classifier_milliweights,
+        hashed_logistic_score,
+    )
+
+    mw = classifier_milliweights(256)
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "single"),
+        (3, "   "),  # token-less -> 0.5
+        (4, "Mixed CASE Tokens mixed case tokens"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.score) for r in hashed_logistic_score(df).collect()}
+
+    def h60(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+
+    for doc_id, txt in rows:
+        toks = [t for t in txt.lower().split() if t]
+        if toks:
+            logit = sum(mw[h60(t) % 256] for t in toks) / (1000.0 * len(toks))
+        else:
+            logit = 0.0
+        want = round(1.0 / (1.0 + math.exp(-logit)), 6)
+        n, s = got[doc_id]
+        assert n == len(toks)
+        assert abs(s - want) < 1e-9, (doc_id, s, want)
+
+
+def test_classifier_feeds_audit_gate(spark):
+    """The model score is a plain column -> it composes with the
+    zero-extra-scan audit gate like any rule-based filter."""
+    from sql4pandas_spark.operators.audit import filter_with_audit
+    from sql4pandas_spark.operators.text import hashed_logistic_score
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i} tok{i + 1} tok{i + 2} shared words here") for i in range(40)],
+        "doc_id long, text string",
+    )
+    scored = hashed_logistic_score(df)
+    kept_df, obs = filter_with_audit(scored, F.col("score") >= 0.5, "clf_gate")
+    n_kept = kept_df.count()
+    assert obs.get["rows_seen"] == 40
+    assert obs.get["rows_kept"] == n_kept
+    assert obs.get["rows_rejected"] == 40 - n_kept
+    assert 0 < n_kept < 40  # the gate actually separates
+
+
+def test_classifier_rejects_wrong_weight_count(spark):
+    from sql4pandas_spark.operators.text import hashed_logistic_score
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        hashed_logistic_score(df, n_buckets=256, milliweights=[1, 2, 3])
