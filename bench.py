@@ -5,24 +5,29 @@ Prints ONE JSON line:
   {"metric": "suite_warm_total", "value": <sec>, "unit": "sec",
    "queries": {...per-query warm sec...}, "sf": <sf>}
 
-Methodology matches BASELINE.md: one shared SparkSession (startup amortized,
-not billed to queries), each query run twice, the SECOND (warm) time reported
-— warm-vs-cold is JIT/codegen, not I/O (the fixtures fit in page cache).
-The query set is exactly BASELINE.md's table: every catalog entry tagged
-"bench" (q1, q3, q5, window_top3, events_hourly, json_props_avg,
-cosine_top20_pairs) so the driver's BENCH_r{N}.json is apples-to-apples with
-the measured DuckDB/Spark baseline numbers.
-
-The line also carries a same-host DuckDB control (each bench entry's oracle
-SQL, warm second run) — host drift moves both engines together, so the
-spark/duckdb ratio is the drift-stable signal for round-over-round
-comparison (BASELINE.md:73-79); absolute seconds alone chase host noise.
+Methodology (round 8): one shared SparkSession (startup amortized, not
+billed to queries) and one shared DuckDB connection; per query, one warmup
+run on each engine, then THREE INTERLEAVED alternations
+(spark, duckdb, spark, duckdb, spark, duckdb). Host drift moves both
+engines of an alternation together, so the per-alternation spark/duckdb
+ratio is the drift-stable signal — and three alternations measure the
+ratio's spread within the run instead of arguing about it after the fact
+(BASELINE.md documented +/-30% host noise from round-over-round absolute
+seconds; the spread field now quantifies it per run). The reported
+per-query time is the MEDIAN of the three warm Spark runs (robust to a
+one-off scheduler stall; medians of warm runs match the old
+"second-run-warm" methodology within noise). The query set is exactly
+BASELINE.md's table: every catalog entry tagged "bench" (q1, q3, q5,
+window_top3, events_hourly, json_props_avg, cosine_top20_pairs), so the
+driver's BENCH_r{N}.json stays apples-to-apples with the measured
+DuckDB/Spark baseline numbers.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -31,6 +36,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from sql4pandas_spark.queries import load_catalog  # noqa: E402
 from sql4pandas_spark.session import get_spark  # noqa: E402
 from sql4pandas_spark.sources.parquet import TABLES  # noqa: E402
+
+ALTERNATIONS = 3
 
 
 def main() -> None:
@@ -42,19 +49,7 @@ def main() -> None:
     spark = get_spark(app_name="s4ps-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    times: dict[str, float] = {}
-    for name, spec in sorted(bench_set.items()):
-        warm = None
-        for _run in range(2):
-            t0 = time.perf_counter()
-            df = spec.build(spark, sf_dir)
-            rows = df.collect()  # full materialization, like the oracle's fetch
-            warm = time.perf_counter() - t0
-        assert rows is not None
-        times[name] = round(warm, 3)
-
-    # DuckDB control: same queries (oracle form), same parquet, same host.
-    duck_times: dict[str, float] = {}
+    con = None
     try:
         import duckdb
 
@@ -64,16 +59,43 @@ def main() -> None:
                 f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{sf_dir}/{t}.parquet')"
             )
-        for name, spec in sorted(bench_set.items()):
-            if spec.oracle is None:
-                continue
-            for _run in range(2):
-                t0 = time.perf_counter()
-                con.execute(spec.oracle).fetchall()
-                duck_times[name] = round(time.perf_counter() - t0, 3)
-        con.close()
     except Exception:  # control is best-effort; never fail the bench line
-        duck_times = {}
+        con = None
+
+    times: dict[str, float] = {}
+    duck_times: dict[str, float] = {}
+    ratio_stats: dict[str, dict[str, float]] = {}
+    for name, spec in sorted(bench_set.items()):
+
+        def run_spark() -> float:
+            t0 = time.perf_counter()
+            spec.build(spark, sf_dir).collect()  # full materialization
+            return time.perf_counter() - t0
+
+        def run_duck() -> float | None:
+            if con is None or spec.oracle is None:
+                return None
+            t0 = time.perf_counter()
+            con.execute(spec.oracle).fetchall()
+            return time.perf_counter() - t0
+
+        run_spark(), run_duck()  # warmups (codegen/JIT; fixtures page-cached)
+        s_runs, d_runs = [], []
+        for _ in range(ALTERNATIONS):
+            s_runs.append(run_spark())
+            d = run_duck()
+            if d is not None:
+                d_runs.append(d)
+        times[name] = round(statistics.median(s_runs), 3)
+        if d_runs:
+            duck_times[name] = round(statistics.median(d_runs), 3)
+            ratios = [s / d for s, d in zip(s_runs, d_runs)]
+            mean = statistics.mean(ratios)
+            ratio_stats[name] = {
+                "mean": round(mean, 3),
+                # relative spread: (max-min)/mean — the per-run drift band
+                "spread": round((max(ratios) - min(ratios)) / mean, 3),
+            }
 
     total = round(sum(times.values()), 3)
     duck_total = round(sum(duck_times.values()), 3) if duck_times else None
@@ -89,11 +111,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "methodology": f"median-of-{ALTERNATIONS}-interleaved",
                 "duckdb_queries": duck_times,
                 "duckdb_warm_total": duck_total,
                 "spark_vs_duckdb_ratio": (
                     round(spark_oracled / duck_total, 3) if duck_total else None
                 ),
+                "per_query_ratio": ratio_stats,
                 "ratio_skipped_queries": sorted(set(times) - set(duck_times)),
             }
         )

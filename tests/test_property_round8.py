@@ -1,0 +1,314 @@
+"""Property differentials for the round-7/8 operators that only had
+directed tests: profile_columns (randomized NULL-heavy frames), snapshot
+diff (NULL values, key-only rows, explicit empty compare set), interval
+overlap (zero-length and multi-bucket-spanning intervals), passage-level
+substring dedup (small-vocab corpora where repeats arise naturally), and
+keyed MERGE (random changesets with sequence numbers). Pure-Python
+references recompute each result exactly; derandomized like the other
+property files so a pass is reproducible.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+from collections import defaultdict
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_SETTINGS = dict(
+    deadline=None,
+    derandomize=True,
+    max_examples=10,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# ------------------------------------------------------------ profile_columns
+
+
+@st.composite
+def profile_frames(draw):
+    n = draw(st.integers(0, 30))
+    rows = [
+        (
+            draw(st.one_of(st.none(), st.integers(-5, 5))),
+            draw(st.one_of(st.none(), st.sampled_from(["a", "b", "", "zz"]))),
+        )
+        for _ in range(n)
+    ]
+    return rows
+
+
+@given(profile_frames())
+@settings(**_SETTINGS)
+def test_profile_columns_matches_python(spark, rows):
+    from sql4pandas_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(rows, "x long, s string") if rows else (
+        spark.createDataFrame([], "x long, s string")
+    )
+    got = {r.column: r for r in profile_columns(df).collect()}
+
+    for col, idx in (("x", 0), ("s", 1)):
+        vals = [r[idx] for r in rows]
+        nn = [v for v in vals if v is not None]
+        p = got[col]
+        assert p.n_rows == len(rows)
+        assert p.n_nulls == sum(v is None for v in vals)
+        assert p.n_distinct == len(set(nn))
+        assert p.min_val == (str(min(nn)) if nn else None)
+        assert p.max_val == (str(max(nn)) if nn else None)
+
+
+# -------------------------------------------------------------- snapshot_diff
+
+
+@st.composite
+def diff_cases(draw):
+    keys = draw(st.lists(st.integers(0, 12), unique=True, max_size=10))
+    other = draw(st.lists(st.integers(0, 12), unique=True, max_size=10))
+
+    def side(ks):
+        return [
+            (k, draw(st.one_of(st.none(), st.integers(0, 2))))
+            for k in ks
+        ]
+
+    return side(keys), side(other)
+
+
+@given(diff_cases())
+@settings(**_SETTINGS)
+def test_snapshot_diff_matches_python(spark, case):
+    from sql4pandas_spark.operators.maintenance import snapshot_diff
+
+    old_rows, new_rows = case
+    old = spark.createDataFrame(old_rows, "k long, v long") if old_rows else (
+        spark.createDataFrame([], "k long, v long")
+    )
+    new = spark.createDataFrame(new_rows, "k long, v long") if new_rows else (
+        spark.createDataFrame([], "k long, v long")
+    )
+    got = {r.k: r.status for r in snapshot_diff(old, new, ["k"]).collect()}
+
+    o, n = dict(old_rows), dict(new_rows)
+    want = {}
+    for k in set(o) | set(n):
+        if k not in o:
+            want[k] = "added"
+        elif k not in n:
+            want[k] = "removed"
+        else:
+            want[k] = "unchanged" if o[k] == n[k] else "changed"
+    assert got == want
+
+    # explicit compare_cols=[]: keys-only presence diff — a value change
+    # must now read 'unchanged' (the advisor-flagged API distinction)
+    got_keys = {
+        r.k: r.status for r in snapshot_diff(old, new, ["k"], compare_cols=[]).collect()
+    }
+    want_keys = {
+        k: (
+            "added" if k not in o else "removed" if k not in n else "unchanged"
+        )
+        for k in set(o) | set(n)
+    }
+    assert got_keys == want_keys
+
+
+# ------------------------------------------------------ interval_overlap_join
+
+
+@st.composite
+def interval_cases(draw):
+    w = 100  # bucket width (seconds)
+
+    def side(tag):
+        n = draw(st.integers(0, 12))
+        out = []
+        for i in range(n):
+            start = draw(st.integers(0, 1000))
+            # zero-length points, sub-bucket, and 5x-bucket spans
+            length = draw(st.sampled_from([0, 1, 37, 99, 100, 101, 250, 500]))
+            out.append((i, start, start + length))
+        return out
+
+    return side("l"), side("r"), w
+
+
+@given(interval_cases())
+@settings(**_SETTINGS)
+def test_interval_overlap_matches_python(spark, case):
+    from sql4pandas_spark.operators.joins import interval_overlap_join
+
+    l_rows, r_rows, w = case
+    base = 1_600_000_000
+
+    def mk(rows, side):
+        data = [
+            (
+                i,
+                dt.datetime.fromtimestamp(base + s, dt.timezone.utc),
+                dt.datetime.fromtimestamp(base + e, dt.timezone.utc),
+            )
+            for i, s, e in rows
+        ]
+        schema = f"{side}_id long, {side}_start timestamp, {side}_end timestamp"
+        return (
+            spark.createDataFrame(data, schema)
+            if data
+            else spark.createDataFrame([], schema)
+        )
+
+    got = {
+        (r.l_id, r.r_id)
+        for r in interval_overlap_join(
+            mk(l_rows, "l"), mk(r_rows, "r"), "l_start", "l_end", "r_start", "r_end", w
+        ).collect()
+    }
+    want = {
+        (li, ri)
+        for li, ls, le in l_rows
+        for ri, rs, re_ in r_rows
+        if ls <= re_ and rs <= le
+    }
+    assert got == want
+
+
+# --------------------------------------------------- duplicate_passage_spans
+
+
+@st.composite
+def passage_corpora(draw):
+    # 3-word vocabulary at L=4: duplicated 4-grams arise NATURALLY, unlike
+    # the planted-boilerplate catalog fixture — this probes run-merge and
+    # cross/intra-doc counting under organic repetition and periodicity
+    n_docs = draw(st.integers(1, 6))
+    docs = []
+    for d in range(n_docs):
+        n_tok = draw(st.integers(0, 14))
+        docs.append((d, " ".join(draw(st.sampled_from(["aa", "bb", "cc"])) for _ in range(n_tok))))
+    return docs, 4
+
+
+@given(passage_corpora())
+@settings(**_SETTINGS)
+def test_passage_spans_match_python(spark, case):
+    from sql4pandas_spark.operators.dedup import duplicate_passage_spans
+
+    docs, L = case
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_passage_spans(df, min_tokens=L).collect()
+    }
+
+    sites = defaultdict(list)  # gram -> [(doc, pos)]
+    toks = {d: t.split() for d, t in docs}
+    for d, w in toks.items():
+        for i in range(len(w) - L + 1):
+            sites[" ".join(w[i : i + L])].append((d, i + 1))
+    covered = defaultdict(set)
+    for gram, ss in sites.items():
+        if len(ss) >= 2:
+            for d, p in ss:
+                covered[d].add(p)
+    want = set()
+    for d, ps in covered.items():
+        run = []
+        for p in sorted(ps):
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    want.add((d, run[0], run[-1] + L - 1))
+                run = [p]
+        if run:
+            want.add((d, run[0], run[-1] + L - 1))
+    assert got == want
+
+
+@given(passage_corpora())
+@settings(**_SETTINGS)
+def test_passage_scrub_matches_python(spark, case):
+    from sql4pandas_spark.operators.dedup import scrub_duplicate_passages
+
+    docs, L = case
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in scrub_duplicate_passages(df, min_tokens=L).collect()}
+
+    sites = defaultdict(list)
+    toks = {d: t.split() for d, t in docs}
+    for d, w in sorted(toks.items()):
+        for i in range(len(w) - L + 1):
+            sites[" ".join(w[i : i + L])].append((d, i + 1))
+    keep_cover = defaultdict(set)  # doc -> positions covered by a canonical site
+    rm_cover = defaultdict(set)  # doc -> positions covered by a redundant site
+    for gram, ss in sites.items():
+        if len(ss) < 2:
+            continue
+        canon = min(ss)
+        for d, p in ss:
+            tgt = keep_cover if (d, p) == canon else rm_cover
+            for q in range(p, p + L):
+                tgt[d].add(q)
+    for d, w in toks.items():
+        removed = rm_cover[d] - keep_cover[d]
+        want = " ".join(t for i, t in enumerate(w, start=1) if i not in removed)
+        assert got[d] == want, (d, got[d], want)
+
+
+# ---------------------------------------------------------------- merge_upsert
+
+
+@st.composite
+def merge_cases(draw):
+    snap = [
+        (k, draw(st.integers(0, 3)))
+        for k in draw(st.lists(st.integers(0, 9), unique=True, max_size=8))
+    ]
+    n_ch = draw(st.integers(0, 10))
+    changes = [
+        (
+            draw(st.integers(0, 12)),
+            draw(st.integers(0, 3)),
+            draw(st.sampled_from(["insert", "update", "delete"])),
+            seq,
+        )
+        for seq in range(n_ch)
+    ]
+    return snap, changes
+
+
+@given(merge_cases())
+@settings(**_SETTINGS)
+def test_merge_upsert_matches_python(spark, case):
+    from sql4pandas_spark.operators.maintenance import merge_upsert
+
+    snap_rows, ch_rows = case
+    snap = (
+        spark.createDataFrame(snap_rows, "k long, v long")
+        if snap_rows
+        else spark.createDataFrame([], "k long, v long")
+    )
+    changes = (
+        spark.createDataFrame(ch_rows, "k long, v long, op string, seq long")
+        if ch_rows
+        else spark.createDataFrame([], "k long, v long, op string, seq long")
+    )
+    got = {(r.k, r.v) for r in merge_upsert(snap, changes, ["k"], seq_col="seq").collect()}
+
+    last = {}
+    for k, v, op, seq in ch_rows:
+        if k not in last or seq > last[k][2]:
+            last[k] = (v, op, seq)
+    state = dict(snap_rows)
+    for k, (v, op, _) in last.items():
+        if op == "delete":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    assert got == {(k, v) for k, v in state.items()}

@@ -43,6 +43,23 @@ QUERIES = (
     "pipeline_end_to_end",
     "hash_sample_orders",
     "cosine_top20_pairs",
+    # round-8 additions — the round-7/8 operators no probe covered yet:
+    # tfidf (vocabulary-keyed second shuffle at fixed vocab), top-bigrams
+    # (fixed key space vs combiner efficiency), weighted sampling
+    # (TakeOrdered at 10x width), classifier (pure map — should track the
+    # scan), merge upsert (anti-join with a 10x changeset), and the
+    # passage-dedup pair. NOTE on the passage ops: replication makes every
+    # replica an exact whole-doc duplicate, so ~ALL gram sites become
+    # duplicated — the probe deliberately measures the WORST-case join-back
+    # fan-in/output regime (real corpora have sparse duplication), same
+    # caveat class as the dedup_scale_probe's planted-duplicate note.
+    "tfidf_top_terms_documents",
+    "top_bigrams_documents",
+    "weighted_sample_docs",
+    "classifier_scores_documents",
+    "merge_upsert_documents",
+    "dedup_substring_spans",
+    "scrub_passages_documents",
 )
 #: fact tables replicated with a shifted key; everything else symlinks (dims)
 SHIFT_KEY = {
