@@ -804,18 +804,24 @@ def duplicate_passage_spans(
     A span's n_tokens is >= L by construction; overlapping occurrences and
     partial (prefix/suffix) sharing fall out of the windowing naturally.
     At 100 TB the one skew risk is a gram shared by millions of sites
-    (step 2's count is fine — it's the step-3 join fan-in); mirroring
-    ngram_jaccard_pairs, cap per-gram fan-in upstream if a corpus has
-    degenerate periodic text (not needed on any measured fixture).
+    (one giant window partition); mirroring ngram_jaccard_pairs, cap
+    per-gram fan-in upstream if a corpus has degenerate periodic text
+    (not needed on any measured fixture).
+
+    The duplicated-site filter is a count-over-window on the gram key,
+    NOT groupBy(gram)+join-back: the join form puts the sites subtree on
+    BOTH join sides, so Spark scans the corpus and md5-hashes every gram
+    twice and shuffles three times; the window form computes sites once
+    and shuffles twice (measured at sf0.1: 2.77 s -> 1.93 s, values
+    identical).
     """
     sites = _kgram_sites(df, min_tokens, text_col, id_col)
-    dup = (
-        sites.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("n_sites"))
+    gwin = Window.partitionBy("gram")
+    covered = (
+        sites.withColumn("n_sites", F.count(F.lit(1)).over(gwin))
         .filter(F.col("n_sites") >= 2)
-        .select("gram")
+        .select("doc_id", "pos")
     )
-    covered = sites.join(dup, "gram").select("doc_id", "pos")
     win = Window.partitionBy("doc_id").orderBy("pos")
     runs = covered.withColumn(
         "brk",

@@ -272,3 +272,55 @@ def test_runtime_bloom_filter_prunes_large_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_classifier_score_is_shuffle_free(spark):
+    """The hashed-logistic classifier must be ONE map-side expression:
+    weights ride as an array literal, the token fold is a JVM HOF — any
+    Exchange in the plan means a join/shuffle crept into a path that
+    should scale as a pure scan."""
+    from sql4pandas_spark.operators.text import hashed_logistic_score
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string"
+    )
+    scored = hashed_logistic_score(df)
+    assert count_exchanges(scored) == 0, formatted_plan(scored)
+
+
+def test_passage_spans_two_exchanges_one_scan(spark):
+    """duplicate_passage_spans = exactly two shuffles (gram window, doc
+    window; the (doc_id, run_id) groupBy reuses the doc_id partitioning)
+    over ONE evaluation of the gram-hash subtree. The groupBy+join-back
+    form this replaced scanned and hashed everything twice — the plan
+    property IS the round-8 perf fix, so pin it."""
+    from sql4pandas_spark.operators.dedup import duplicate_passage_spans
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    spans = duplicate_passage_spans(docs, min_tokens=20)
+    plan = formatted_plan(spans)
+    assert count_exchanges(spans) == 2, plan
+    # formatted plans list every node twice (tree + detail section), so a
+    # single scan node appears exactly twice in the text
+    assert plan.count("Scan parquet") == 2, plan
+
+
+def test_merge_upsert_anti_join_broadcasts_change_keys(spark):
+    """The CDC apply must broadcast the (small) change-key side of the
+    anti-join so the snapshot never shuffles — the property that makes
+    MERGE viable against a 100 TB snapshot."""
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.maintenance import merge_upsert
+
+    snap = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    changes = spark.range(50).select(
+        F.col("id").alias("k"), F.lit(0).alias("v"), F.lit("update").alias("op")
+    )
+    post = merge_upsert(snap, changes, ["k"])
+    post.collect()  # AQE finalizes join strategies at runtime
+    plan = post._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
