@@ -246,3 +246,23 @@ def test_classifier_rejects_wrong_weight_count(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         hashed_logistic_score(df, n_buckets=256, milliweights=[1, 2, 3])
+
+
+def test_round8_ops_null_text_behavior(spark):
+    """NULL text is passed through, never crashed on: spans skip the doc,
+    scrub returns the NULL row untouched (NULL text/counts), the
+    classifier scores the neutral 0.5 with NULL n_tokens."""
+    from sql4pandas_spark.operators.dedup import (
+        duplicate_passage_spans,
+        scrub_duplicate_passages,
+    )
+    from sql4pandas_spark.operators.text import hashed_logistic_score
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "aa bb aa bb aa bb aa bb")], "doc_id long, text string"
+    )
+    assert {r.doc_id for r in duplicate_passage_spans(df, min_tokens=4).collect()} == {2}
+    scrub = {r.doc_id: r for r in scrub_duplicate_passages(df, min_tokens=4).collect()}
+    assert scrub[1].text is None and scrub[1].n_tokens_after is None
+    clf = {r.doc_id: r for r in hashed_logistic_score(df).collect()}
+    assert clf[1].score == 0.5 and clf[1].n_tokens is None
