@@ -803,10 +803,13 @@ def duplicate_passage_spans(
 
     A span's n_tokens is >= L by construction; overlapping occurrences and
     partial (prefix/suffix) sharing fall out of the windowing naturally.
-    At 100 TB the one skew risk is a gram shared by millions of sites
-    (one giant window partition); mirroring ngram_jaccard_pairs, cap
-    per-gram fan-in upstream if a corpus has degenerate periodic text
-    (not needed on any measured fixture).
+    At 100 TB the one skew consideration is a gram shared by millions of
+    sites (one large window partition) — but unlike ngram_jaccard's
+    pair-join (quadratic in a hot shingle's doc count, hence its
+    max_doc_freq cap) this stays LINEAR: a hot gram's partition holds
+    (id, pos, 8B) rows only, so a million-site boilerplate gram is ~24 MB
+    of sortable rows, and dropping hot grams would be wrong here anyway —
+    they are exactly the boilerplate the operator exists to find.
 
     The duplicated-site filter is a count-over-window on the gram key,
     NOT groupBy(gram)+join-back: the join form puts the sites subtree on
@@ -877,18 +880,34 @@ def scrub_duplicate_passages(
         .filter(F.col("n_sites") >= 2)
         .withColumn("canon", F.row_number().over(gwin) == 1)
     )
+    removals = _removal_sets(flagged, L)
+    return _apply_removals(df, removals, text_col, id_col)
+
+
+def _removal_sets(flagged: DataFrame, L: int) -> DataFrame:
+    """(doc_id, rm: array<int>) — token positions to drop, from flagged
+    duplicated sites carrying a ``canon`` boolean: a position is removed
+    iff covered by >=1 redundant site and no canonical one."""
     positions = flagged.select(
         "doc_id",
         F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(L - 1))).alias("p"),
         "canon",
     )
-    removals = (
+    return (
         positions.groupBy("doc_id", "p")
         .agg(F.max("canon").alias("keep"))
         .filter(~F.col("keep"))
         .groupBy("doc_id")
         .agg(F.collect_set("p").alias("rm"))
     )
+
+
+def _apply_removals(
+    df: DataFrame, removals: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Rebuild each doc's text without the removed token positions: one
+    array join on the id, one index-aware filter HOF — text stays
+    row-local."""
     w = tokens(F.col(text_col))
     base = df.select(F.col(id_col).alias("doc_id"), w.alias("w"))
     joined = base.join(removals, "doc_id", "left").withColumn(
@@ -903,3 +922,88 @@ def scrub_duplicate_passages(
         F.size("w").alias("n_tokens_before"),
         F.size(kept).alias("n_tokens_after"),
     )
+
+
+def incremental_passage_scrub(
+    batch: DataFrame,
+    store_dir: str,
+    min_tokens: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_id: int | None = None,
+) -> DataFrame:
+    """Cross-batch substring/passage dedup — the continuous-ingestion form
+    of :func:`scrub_duplicate_passages`, completing the incremental trio
+    (exact: :func:`incremental_exact_dedup`, near:
+    :func:`incremental_near_dedup`, passage: this): each arriving batch is
+    scrubbed of every >=L-token passage already INGESTED in any earlier
+    batch (history holds the canonical copy) or repeated within the batch
+    itself (batch-first occurrence kept), then the batch's gram hashes
+    append to the store.
+
+    Store = one 8-byte gram hash per ingested token position (distinct) —
+    text never enters it. That is the honest cost of passage-level
+    history (Lee et al. run suffix arrays over the full corpus offline
+    for the same reason); it is still ~an order smaller than the corpus
+    and shuffles as fixed-width longs. Site flags come from ONE gram-keyed
+    exchange (store left-join + count/first windows share the
+    partitioning); covered positions fan out xL from duplicated sites
+    only.
+
+    Canonicality across batches: a gram already in the store is
+    historical — every batch site of it is redundant. A gram new to the
+    store keeps its first (doc_id, pos) batch site. Deterministic on
+    every engine/partitioning.
+
+    Delivery semantics mirror :func:`incremental_exact_dedup`: with
+    ``batch_id`` the store partitions by batch and writes via dynamic
+    partition OVERWRITE, and the read excludes the current batch_id —
+    crash-replaying a batch reproduces its original output byte-for-byte
+    (exactly-once store on top of foreachBatch's at-least-once replay).
+    The removal sets are materialized (localCheckpoint) BEFORE the store
+    append so the lazy plan can never read its own appended grams (which
+    would mark the whole batch historical and scrub everything).
+
+    Returns (doc_id, text, n_tokens_before, n_tokens_after) for the batch,
+    scrubbed. NULL-text rows pass through like :func:`scrub_duplicate_passages`.
+    """
+    L = min_tokens
+    spark = batch.sparkSession
+    sites = _kgram_sites(batch, min_tokens, text_col, id_col)
+    store = _read_digest_store(spark, store_dir)
+    if store is not None and batch_id is not None:
+        store = store.filter(F.col("batch_id") != F.lit(batch_id))
+    seen = store.select("gram").distinct() if store is not None else None
+    if seen is not None:
+        sites = sites.join(
+            seen.withColumn("_seen", F.lit(True)), "gram", "left"
+        ).withColumn("_seen", F.coalesce(F.col("_seen"), F.lit(False)))
+    else:
+        sites = sites.withColumn("_seen", F.lit(False))
+    gwin = Window.partitionBy("gram").orderBy("doc_id", "pos")
+    full = gwin.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    flagged = (
+        sites.withColumn("n_sites", F.count(F.lit(1)).over(full))
+        .filter(F.col("_seen") | (F.col("n_sites") >= 2))
+        .withColumn(
+            "canon", ~F.col("_seen") & (F.row_number().over(gwin) == 1)
+        )
+    )
+    removals = _removal_sets(flagged, L).localCheckpoint(eager=True)
+    new_grams = (
+        sites.filter(~F.col("_seen"))
+        .select("gram")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if batch_id is None:
+        new_grams.write.mode("append").parquet(store_dir)
+    else:
+        (
+            new_grams.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(store_dir)
+        )
+    return _apply_removals(batch, removals, text_col, id_col)

@@ -72,16 +72,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # CORRECTNESS_r07 went 50/50 green, so after round 7 exactly ten
     # entries sit at ONE green round (the r7 additions) and everything
     # else is settled (>=2 greens, saturated). Per the rotation recipe:
-    # the 10 once-green r7 entries stay, the 4 round-8 NEW entries
-    # (0 greens) join them, and the remaining 36 slots go to the entries
+    # the 10 once-green r7 entries stay, the 5 round-8 NEW entries
+    # (0 greens) join them, and the remaining 35 slots go to the entries
     # with the STALEST evidence — the 36 whose last green round is r02
     # (six rounds ago; code-freshness is moot since none of them were
     # touched in r8). tests/test_driver_window.py enforces the saturated
     # least-evidence rule; tools/catalog_index.py prints the ledger.
     #
-    # -- the 4 round-8 NEW entries (0 greens) --
+    # -- the 5 round-8 NEW entries (0 greens) --
     "dedup_substring_spans",
     "scrub_passages_documents",
+    "incremental_passage_scrub_batches",
     "merge_upsert_documents",
     "classifier_scores_documents",
     # -- the 10 entries green only in r7 (weighted_sample_docs and
@@ -97,7 +98,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "asof_join_forward",
     "asof_join_nearest",
     "interval_overlap_pairs",
-    # -- the 36 entries last green in r02 (stalest settled evidence) --
+    # -- 35 of the 36 entries last green in r02 (stalest settled
+    #    evidence; dedup_exact_keepers yields its slot to the fifth new
+    #    entry — its operator family stays covered in-window by
+    #    dedup_exact_documents) --
     "array_explode_avg",
     "array_funcs_embeddings",
     "array_hof_norm",
@@ -108,7 +112,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "date_funcs_orders",
     "dedup_embedding_pairs",
     "dedup_exact_documents",
-    "dedup_exact_keepers",
     "dedup_ngram_jaccard",
     "histogram_order_totals",
     "json_filter_events",

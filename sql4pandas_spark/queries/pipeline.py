@@ -2469,3 +2469,104 @@ def classifier_scores_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         (F.col("score") >= 0.5).alias("kept"),
     ).orderBy("doc_id")
+
+
+@query(
+    "incremental_passage_scrub_batches",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, doc_id % 2 = 0 AS in_b1,
+             CASE WHEN doc_id % 10 IN (0, 1) THEN text || ' {_BOILER60}'
+                  ELSE text END AS text
+      FROM documents),
+    toks AS (
+      SELECT doc_id, in_b1,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         t -> t <> '') AS w
+      FROM corpus),
+    sites AS (
+      SELECT doc_id, in_b1, s['pos'] AS pos, s['gram'] AS gram
+      FROM (SELECT doc_id, in_b1,
+                   unnest([{{'pos': i,
+                            'gram': array_to_string(list_slice(w, i, i + 49), ' ')}}
+                           FOR i IN range(1, len(w) - 48)]) AS s
+            FROM toks WHERE len(w) >= 50)),
+    store1 AS (SELECT DISTINCT gram FROM sites WHERE in_b1),
+    f1 AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY gram) AS n_sites,
+             row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+      FROM sites WHERE in_b1),
+    flag1 AS (SELECT doc_id, pos, rn = 1 AS canon FROM f1 WHERE n_sites >= 2),
+    s2 AS (
+      SELECT s.doc_id, s.pos, s.gram, st.gram IS NOT NULL AS seen
+      FROM (SELECT * FROM sites WHERE NOT in_b1) s
+      LEFT JOIN store1 st USING (gram)),
+    f2 AS (
+      SELECT doc_id, pos, seen,
+             count(*) OVER (PARTITION BY gram) AS n_sites,
+             row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+      FROM s2),
+    flag2 AS (
+      SELECT doc_id, pos, (NOT seen AND rn = 1) AS canon
+      FROM f2 WHERE seen OR n_sites >= 2),
+    flags AS (SELECT * FROM flag1 UNION ALL SELECT * FROM flag2),
+    positions AS (
+      SELECT doc_id, unnest(range(pos, pos + 50)) AS p, canon FROM flags),
+    rm AS (
+      SELECT doc_id, p FROM positions
+      GROUP BY doc_id, p HAVING NOT bool_or(canon)),
+    rml AS (SELECT doc_id, list(p) AS rm FROM rm GROUP BY doc_id),
+    final AS (
+      SELECT t.doc_id, t.in_b1,
+             [t.w[i] FOR i IN range(1, len(t.w) + 1)
+              IF NOT list_contains(coalesce(r.rm, CAST([] AS BIGINT[])), i)]
+               AS kept,
+             t.w AS w
+      FROM toks t LEFT JOIN rml r USING (doc_id))
+    SELECT CAST(CASE WHEN in_b1 THEN 0 ELSE 1 END AS BIGINT) AS batch_id,
+           doc_id,
+           coalesce(array_to_string(kept, ' '), '') AS text,
+           CAST(len(w) AS BIGINT) AS n_tokens_before,
+           CAST(len(kept) AS BIGINT) AS n_tokens_after
+    FROM final ORDER BY batch_id, doc_id
+    """,
+    tags=("tier-c", "dedup_substring", "incremental", "text_scrub"),
+)
+def incremental_passage_scrub_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch incremental passage scrub
+    (operators/dedup.incremental_passage_scrub — completes the incremental
+    trio: exact, near, and now substring): ingest the corpus in two
+    batches (even doc_ids then odd) with a 60-token boilerplate planted in
+    BOTH batches (%10 in (0,1)). Batch 1 keeps its first copy and scrubs
+    its internal repeats; batch 2 must scrub every copy — including docs
+    whose passage appears only ONCE in batch 2, detectable only through
+    the persistent gram store. Store writes use batch_id dynamic
+    partition overwrite (exactly-once on replay, pytest-pinned). The
+    oracle replays both batches' site flags, the store handoff, the
+    canonical-site policy, and every rebuilt text."""
+    from sql4pandas_spark.operators.dedup import incremental_passage_scrub
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    planted = F.when(
+        (F.col("doc_id") % 10).isin(0, 1),
+        F.concat(F.col("text"), F.lit(" " + _BOILER60)),
+    ).otherwise(F.col("text"))
+    corpus = t["documents"].select("doc_id", planted.alias("text"))
+    store = os.path.join(_incr_store_root(), uuid.uuid4().hex, "gram_store")
+    r1 = incremental_passage_scrub(
+        corpus.filter(F.col("doc_id") % 2 == 0), store, min_tokens=50, batch_id=0
+    )
+    r2 = incremental_passage_scrub(
+        corpus.filter(F.col("doc_id") % 2 == 1), store, min_tokens=50, batch_id=1
+    )
+    out = r1.withColumn("batch_id", F.lit(0)).unionByName(
+        r2.withColumn("batch_id", F.lit(1))
+    )
+    return out.select(
+        F.col("batch_id").cast("long").alias("batch_id"),
+        "doc_id",
+        "text",
+        F.col("n_tokens_before").cast("long").alias("n_tokens_before"),
+        F.col("n_tokens_after").cast("long").alias("n_tokens_after"),
+    ).orderBy("batch_id", "doc_id")

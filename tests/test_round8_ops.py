@@ -266,3 +266,60 @@ def test_round8_ops_null_text_behavior(spark):
     assert scrub[1].text is None and scrub[1].n_tokens_after is None
     clf = {r.doc_id: r for r in hashed_logistic_score(df).collect()}
     assert clf[1].score == 0.5 and clf[1].n_tokens is None
+
+
+# --------------------------------------- incremental (cross-batch) passage scrub
+
+
+def test_incremental_passage_scrub_two_batches(spark, tmp_path):
+    from sql4pandas_spark.operators.dedup import incremental_passage_scrub
+
+    store = str(tmp_path / "grams")
+    boiler = " ".join(f"bp{i}" for i in range(10))
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta " + boiler), (2, boiler + " gamma delta")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(10, "epsilon " + boiler + " zeta"), (11, "totally novel words only here today")],
+        "doc_id long, text string",
+    )
+    r1 = {r.doc_id: r.text for r in incremental_passage_scrub(b1, store, min_tokens=8, batch_id=0).collect()}
+    # first-ever copy kept; within-batch repeat scrubbed
+    assert r1[1].split() == ("alpha beta " + boiler).split()
+    assert r1[2] == "gamma delta"
+    r2 = {r.doc_id: r.text for r in incremental_passage_scrub(b2, store, min_tokens=8, batch_id=1).collect()}
+    # the historical passage is scrubbed even though batch 2 holds ONE copy
+    # (only the store can know) and novel content passes through
+    assert r2[10] == "epsilon zeta"
+    assert r2[11] == "totally novel words only here today"
+
+
+def test_incremental_passage_scrub_replay_is_exactly_once(spark, tmp_path):
+    from sql4pandas_spark.operators.dedup import incremental_passage_scrub
+
+    store = str(tmp_path / "grams")
+    boiler = " ".join(f"bq{i}" for i in range(10))
+    b1 = spark.createDataFrame([(1, "aa bb " + boiler)], "doc_id long, text string")
+    b2 = spark.createDataFrame([(2, boiler + " cc dd")], "doc_id long, text string")
+    incremental_passage_scrub(b1, store, min_tokens=8, batch_id=0).collect()
+    first = sorted(map(tuple, incremental_passage_scrub(b2, store, min_tokens=8, batch_id=1).collect()))
+    n_store = spark.read.parquet(store).count()
+    # crash-replay batch 1: identical output, store byte-identical size
+    replay = sorted(map(tuple, incremental_passage_scrub(b2, store, min_tokens=8, batch_id=1).collect()))
+    assert replay == first
+    assert spark.read.parquet(store).count() == n_store
+
+
+def test_incremental_passage_store_holds_hashes_not_text(spark, tmp_path):
+    from sql4pandas_spark.operators.dedup import incremental_passage_scrub
+
+    store = str(tmp_path / "grams")
+    b = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(12)))], "doc_id long, text string"
+    )
+    incremental_passage_scrub(b, store, min_tokens=8, batch_id=0).collect()
+    st = spark.read.parquet(store)
+    assert set(st.columns) == {"gram", "batch_id"}
+    assert dict(st.dtypes)["gram"] == "bigint"  # 8-byte hashes, never text
+    assert st.count() == 5  # 12 tokens -> 5 distinct 8-gram sites
