@@ -323,3 +323,52 @@ def test_incremental_passage_store_holds_hashes_not_text(spark, tmp_path):
     assert set(st.columns) == {"gram", "batch_id"}
     assert dict(st.dtypes)["gram"] == "bigint"  # 8-byte hashes, never text
     assert st.count() == 5  # 12 tokens -> 5 distinct 8-gram sites
+
+
+def test_passage_scrub_composes_with_foreach_batch_stream(spark, tmp_path):
+    """Streaming integration: drain a 2-file stream through foreachBatch
+    calling incremental_passage_scrub per micro-batch with the stream's
+    own batch_id — the production continuous-ingestion shape. File 2
+    repeats file 1's passage; the sink must hold file 1's copy intact and
+    file 2's doc scrubbed down to its novel tail."""
+    import os as _os
+
+    from sql4pandas_spark.operators.dedup import incremental_passage_scrub
+
+    boiler = " ".join(f"sb{i}" for i in range(12))
+    files = [
+        [(1, "intro words " + boiler)],
+        [(10, boiler + " novel tail here")],
+    ]
+    src = tmp_path / "src"
+    flat = tmp_path / "flat"
+    _os.makedirs(flat)
+    for i, rows in enumerate(files):
+        d = str(src / f"f{i}")
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(d)
+        for f in sorted(_os.listdir(d)):
+            if f.endswith(".parquet"):
+                _os.symlink(_os.path.join(d, f), str(flat / f"{i:02d}_{f}"))
+
+    store = str(tmp_path / "gram_store")
+    sink = str(tmp_path / "sink")
+
+    def write_batch(df, batch_id):
+        out = incremental_passage_scrub(df, store, min_tokens=8, batch_id=batch_id)
+        out.write.mode("append").parquet(sink)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = {r.doc_id: r.text for r in spark.read.parquet(sink).collect()}
+    assert got[1].split() == ("intro words " + boiler).split()
+    assert got[10] == "novel tail here"

@@ -115,6 +115,45 @@ def time_incremental(spark, path: str, n_batches: int = 4) -> dict:
     return {"batch_s": per_batch, "admitted": admitted}
 
 
+def time_incremental_passage(spark, path: str, n_batches: int = 4) -> dict:
+    """Round-8 sibling probe for operators/dedup.incremental_passage_scrub:
+    same sequential-batch shape, fresh gram store. Namespaced replicas
+    share no grams across namespaces, so cross-batch scrub volume tracks
+    the corpus's internal passage structure, not the replication. The
+    per-batch cost has two honest terms: the batch's own gram work
+    (constant at fixed batch size) and the store scan for the seen-join
+    (grows linearly with ingested tokens) — flat-ish early batches with a
+    slowly rising store-scan tail is the expected curve; superlinear
+    growth would mean the gram join is degenerating."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    docs = spark.read.parquet(path)
+    store = os.path.join(
+        tempfile.gettempdir(), f"s4ps_incr_passage_probe_{_uuid.uuid4().hex}"
+    )
+    per_batch, scrubbed_tokens, store_rows = [], [], []
+    for b in range(n_batches):
+        batch = docs.filter(F.col("doc_id") % n_batches == b)
+        t0 = time.perf_counter()
+        out = dedup.incremental_passage_scrub(
+            batch, store, min_tokens=20, batch_id=b
+        )
+        removed = out.agg(
+            F.sum(F.col("n_tokens_before") - F.col("n_tokens_after"))
+        ).collect()[0][0]
+        per_batch.append(round(time.perf_counter() - t0, 2))
+        scrubbed_tokens.append(int(removed or 0))
+        store_rows.append(spark.read.parquet(store).count())
+    shutil.rmtree(store, ignore_errors=True)
+    return {
+        "batch_s": per_batch,
+        "scrubbed_tokens": scrubbed_tokens,
+        "store_rows": store_rows,
+    }
+
+
 def main() -> None:
     factors = [int(a) for a in sys.argv[1:]] or [2, 4]
     spark = get_spark(app_name="s4ps-dedup-scale")
@@ -129,6 +168,7 @@ def main() -> None:
     report = {
         "base_s": base,
         "base_incremental": time_incremental(spark, base_path),
+        "base_incremental_passage": time_incremental_passage(spark, base_path),
         "scaled": {},
     }
     for f in factors:
@@ -141,6 +181,7 @@ def main() -> None:
             "build_s": build_s,
             "times_s": scaled,
             "incremental": time_incremental(spark, path),
+            "incremental_passage": time_incremental_passage(spark, path),
             "scaling": {
                 k: round(scaled[k] / base[k], 2) if base[k] else None for k in scaled
             },
