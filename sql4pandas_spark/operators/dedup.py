@@ -540,17 +540,23 @@ def incremental_exact_dedup(
         .agg(F.min(id_col).alias(id_col))
         .localCheckpoint(eager=True)
     )
-    if batch_id is None:
-        winners.select("content_hash").write.mode("append").parquet(store_dir)
-    else:
-        (
-            winners.select("content_hash")
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(store_dir)
-        )
+    # skip the write for an EMPTY batch: a zero-row write creates a store
+    # dir holding only _SUCCESS, and the next batch's read then fails
+    # UNABLE_TO_INFER_SCHEMA instead of seeing an empty store (the same
+    # defect the round-8 property differential caught in the passage
+    # store; an absent partition is replay-equivalent to an empty one)
+    if not winners.isEmpty():
+        if batch_id is None:
+            winners.select("content_hash").write.mode("append").parquet(store_dir)
+        else:
+            (
+                winners.select("content_hash")
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(store_dir)
+            )
     return batch.join(winners.select(id_col), id_col, "left_semi")
 
 
@@ -727,10 +733,18 @@ def incremental_near_dedup(
             .localCheckpoint(eager=True)  # materialize BEFORE the store append
         )
         adm_sigs = sigs.join(admitted_ids, "doc_id", "left_semi")
-        adm_sigs.select("doc_id", "shingles").write.mode("append").parquet(sh_dir)
-        band_keys(adm_sigs, n_bands, rows_per_band).write.mode("append").parquet(
-            bands_dir
-        )
+        # an empty batch must not write: zero-row appends create dirs
+        # holding only _SUCCESS and the NEXT batch's store read fails
+        # UNABLE_TO_INFER_SCHEMA instead of seeing an empty store (same
+        # defect class the round-8 property differential caught in the
+        # passage-gram store)
+        if not adm_sigs.isEmpty():
+            adm_sigs.select("doc_id", "shingles").write.mode("append").parquet(
+                sh_dir
+            )
+            band_keys(adm_sigs, n_bands, rows_per_band).write.mode("append").parquet(
+                bands_dir
+            )
         return batch.join(
             admitted_ids.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
         )
@@ -996,14 +1010,21 @@ def incremental_passage_scrub(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    if batch_id is None:
-        new_grams.write.mode("append").parquet(store_dir)
-    else:
-        (
-            new_grams.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(store_dir)
-        )
+    # A gram-less batch (empty, or every doc shorter than L) must not
+    # write: a zero-row dynamic-overwrite creates a store dir holding only
+    # _SUCCESS, and the NEXT batch's read then fails UNABLE_TO_INFER_SCHEMA
+    # instead of seeing an empty store (found by the round-8 property
+    # differential). An absent partition is replay-equivalent to an empty
+    # one, so skipping preserves the exactly-once semantics.
+    if not new_grams.isEmpty():
+        if batch_id is None:
+            new_grams.write.mode("append").parquet(store_dir)
+        else:
+            (
+                new_grams.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(store_dir)
+            )
     return _apply_removals(batch, removals, text_col, id_col)

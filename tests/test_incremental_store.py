@@ -185,3 +185,44 @@ def test_near_dedup_composes_with_foreach_batch_stream(spark, tmp_path):
     q.awaitTermination(240)
     got = sorted(r.doc_id for r in spark.read.parquet(sink).collect())
     assert got == [1, 11], got
+
+
+def test_empty_first_batch_does_not_poison_exact_store(spark, tmp_path):
+    """A zero-row batch must not create a footerless store dir: the next
+    batch's read would fail UNABLE_TO_INFER_SCHEMA instead of seeing an
+    empty store (round-8 property-differential find, fixed by skipping
+    empty writes — an absent partition is replay-equivalent to empty)."""
+    store = str(tmp_path / "digests")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert _kept_ids(incremental_exact_dedup(empty, store, batch_id=0)) == []
+    b = _docs(spark, [(1, "real content"), (2, "real content")])
+    assert _kept_ids(incremental_exact_dedup(b, store, batch_id=1)) == [1]
+
+
+def test_gramless_first_batch_does_not_poison_passage_store(spark, tmp_path):
+    from sql4pandas_spark.operators.dedup import incremental_passage_scrub
+
+    store = str(tmp_path / "grams")
+    short = _docs(spark, [(1, "too short")])  # < min_tokens -> zero grams
+    incremental_passage_scrub(short, store, min_tokens=8, batch_id=0).collect()
+    boiler = " ".join(f"pz{i}" for i in range(10))
+    b1 = _docs(spark, [(2, "first copy " + boiler)])
+    b2 = _docs(spark, [(3, boiler + " later copy")])
+    incremental_passage_scrub(b1, store, min_tokens=8, batch_id=1).collect()
+    out = {
+        r.doc_id: r.text
+        for r in incremental_passage_scrub(
+            b2, store, min_tokens=8, batch_id=2
+        ).collect()
+    }
+    assert out[3] == "later copy"
+
+
+def test_empty_first_batch_does_not_poison_near_store(spark, tmp_path):
+    from sql4pandas_spark.operators.dedup import incremental_near_dedup
+
+    store = str(tmp_path / "near")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert incremental_near_dedup(empty, store).count() == 0
+    b = _docs(spark, [(1, "some words repeated here for a doc " * 3)])
+    assert _kept_ids(incremental_near_dedup(b, store)) == [1]

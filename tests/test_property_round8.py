@@ -312,3 +312,69 @@ def test_merge_upsert_matches_python(spark, case):
         else:
             state[k] = v
     assert got == {(k, v) for k, v in state.items()}
+
+
+# ------------------------------------------- incremental passage scrub
+
+
+@st.composite
+def batched_corpora(draw):
+    # tiny vocab at L=3 so cross-batch and within-batch gram repeats both
+    # arise organically; 3 sequential batches
+    batches = []
+    next_id = 0
+    for _b in range(3):
+        docs = []
+        for _ in range(draw(st.integers(0, 4))):
+            n_tok = draw(st.integers(0, 8))
+            docs.append(
+                (next_id, " ".join(draw(st.sampled_from(["xx", "yy"])) for _ in range(n_tok)))
+            )
+            next_id += 1
+        batches.append(docs)
+    return batches, 3
+
+
+@given(batched_corpora())
+@settings(**_SETTINGS)
+def test_incremental_passage_scrub_matches_python(spark, tmp_path_factory, case):
+    from sql4pandas_spark.operators.dedup import incremental_passage_scrub
+
+    batches, L = case
+    store = str(tmp_path_factory.mktemp("grams") / "store")
+    seen: set[str] = set()  # gram store replica
+    for b, docs in enumerate(batches):
+        df = (
+            spark.createDataFrame(docs, "doc_id long, text string")
+            if docs
+            else spark.createDataFrame([], "doc_id long, text string")
+        )
+        got = {
+            r.doc_id: r.text
+            for r in incremental_passage_scrub(
+                df, store, min_tokens=L, batch_id=b
+            ).collect()
+        }
+
+        # python reference for this batch against the accumulated store
+        toks = {d: t.split() for d, t in docs}
+        sites = defaultdict(list)
+        for d, w in sorted(toks.items()):
+            for i in range(len(w) - L + 1):
+                sites[" ".join(w[i : i + L])].append((d, i + 1))
+        keep_cover, rm_cover = defaultdict(set), defaultdict(set)
+        for gram, ss in sites.items():
+            in_store = gram in seen
+            if not in_store and len(ss) < 2:
+                continue
+            canon = None if in_store else min(ss)
+            for site in ss:
+                tgt = keep_cover if site == canon else rm_cover
+                d, p = site
+                for q in range(p, p + L):
+                    tgt[d].add(q)
+        for d, w in toks.items():
+            removed = rm_cover[d] - keep_cover[d]
+            want = " ".join(t for i, t in enumerate(w, start=1) if i not in removed)
+            assert got[d] == want, (b, d, got[d], want)
+        seen |= set(sites)
