@@ -133,6 +133,13 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
+    # S4PS_PROBE_QUERIES=a,b,c probes just the named queries (e.g. the
+    # text-op subset at 30x, where timing the whole set — incl. the
+    # all-pairs cosine entry — would dominate the run)
+    global QUERIES
+    only = os.environ.get("S4PS_PROBE_QUERIES", "")
+    if only:
+        QUERIES = tuple(n.strip() for n in only.split(",") if n.strip())
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out_dir = f"/tmp/s4ps_scale_x{factor}"
     spark = get_spark(app_name="s4ps-scale-probe")
