@@ -20,7 +20,7 @@ fixed-size sketch state per column. The catalog entry uses the exact form
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -78,3 +78,83 @@ def profile_columns(
     ).select(
         "p.column", "n_rows", "p.n_nulls", "p.n_distinct", "p.min_val", "p.max_val"
     )
+
+
+def distribution_drift(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard drift gate between corpus refeeds (PSI < 0.1 ~
+    stable, 0.1-0.25 ~ shifting, > 0.25 ~ investigate): fixed-width bins
+    over [lo, hi], per-bin shares p (old) and q (new), contribution
+    ``(p - q) * ln(p / q)`` with add-half smoothing so empty bins stay
+    finite and the whole computation is engine-exact.
+
+    Companion to :func:`profile_columns` (one snapshot) and
+    snapshot_diff (row-level): this is the DISTRIBUTION-level check that
+    catches "same row count, quietly different corpus".
+
+    [lo, hi] defaults to the OLD snapshot's min/max (a 1-row aggregate —
+    bounded metadata, like zorder's quantization bounds); out-of-range
+    new-side values clamp into the edge bins so a drifted tail is
+    counted, not dropped. Bin assignment is the single expression
+    ``floor((x - lo) * n_bins / (hi - lo))`` clamped to [0, n_bins-1] —
+    identical arithmetic in Spark and DuckDB, so the oracle replays
+    bit-for-bit. NULLs are excluded from both sides (they are
+    profile_columns' n_nulls signal, not a distribution bin).
+
+    Scale shape: two map-combined groupBy(bin) count shuffles of
+    |bins|-sized output, one broadcast-sized join of the two histograms —
+    nothing else moves. Output: one row per bin
+    (bin, n_old, n_new, p, q, psi) + ordering by bin; sum(psi) is the
+    headline index.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be positive")
+    if lo is None or hi is None:
+        b = old.agg(
+            F.min(F.col(col).cast("double")).alias("mn"),
+            F.max(F.col(col).cast("double")).alias("mx"),
+        ).collect()[0]
+        if b["mn"] is None:
+            raise ValueError(f"column {col!r} is entirely NULL in the old snapshot")
+        lo = b["mn"] if lo is None else lo
+        hi = b["mx"] if hi is None else hi
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+
+    def hist(df: DataFrame, out: str) -> DataFrame:
+        x = F.col(col).cast("double")
+        raw = F.floor((x - F.lit(lo)) * F.lit(float(n_bins)) / F.lit(hi - lo))
+        bin_ = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw)).cast("int")
+        return (
+            df.filter(x.isNotNull())
+            .groupBy(bin_.alias("bin"))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    bins = old.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    h = (
+        bins.join(hist(old, "n_old"), "bin", "left")
+        .join(hist(new, "n_new"), "bin", "left")
+        .fillna(0, ["n_old", "n_new"])
+    )
+    tot_o = F.sum("n_old").over(Window.partitionBy())
+    tot_n = F.sum("n_new").over(Window.partitionBy())
+    # add-half smoothing keeps ln() finite on empty bins and stays exact
+    # integer-derived arithmetic until the single division
+    p = (F.col("n_old") + F.lit(0.5)) / (tot_o + F.lit(0.5 * n_bins))
+    q = (F.col("n_new") + F.lit(0.5)) / (tot_n + F.lit(0.5 * n_bins))
+    return h.select(
+        "bin",
+        "n_old",
+        "n_new",
+        F.round(p, 6).alias("p"),
+        F.round(q, 6).alias("q"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi"),
+    ).orderBy("bin")

@@ -2570,3 +2570,60 @@ def incremental_passage_scrub_batches(spark: SparkSession, sf_dir: str) -> DataF
         F.col("n_tokens_before").cast("long").alias("n_tokens_before"),
         F.col("n_tokens_after").cast("long").alias("n_tokens_after"),
     ).orderBy("batch_id", "doc_id")
+
+
+@query(
+    "drift_psi_documents",
+    oracle="""
+    WITH old_t AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents),
+    new_t AS (
+      SELECT CAST(CASE WHEN lang = 'en' THEN n_chars * 2 ELSE n_chars END
+                  AS DOUBLE) AS x
+      FROM documents WHERE doc_id % 10 <> 3),
+    b AS (SELECT min(x) AS lo, max(x) AS hi FROM old_t),
+    ho AS (
+      SELECT LEAST(9, GREATEST(0,
+               CAST(floor((x - lo) * 10.0 / (hi - lo)) AS INT))) AS bin,
+             count(*) AS n_old
+      FROM old_t, b GROUP BY 1),
+    hn AS (
+      SELECT LEAST(9, GREATEST(0,
+               CAST(floor((x - lo) * 10.0 / (hi - lo)) AS INT))) AS bin,
+             count(*) AS n_new
+      FROM new_t, b GROUP BY 1),
+    bins AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bin),
+    h AS (
+      SELECT bin, coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+      FROM bins LEFT JOIN ho USING (bin) LEFT JOIN hn USING (bin)),
+    t AS (SELECT sum(n_old) AS so, sum(n_new) AS sn FROM h)
+    SELECT bin, n_old, n_new,
+           round((n_old + 0.5) / (so + 5.0), 6) AS p,
+           round((n_new + 0.5) / (sn + 5.0), 6) AS q,
+           round(((n_old + 0.5) / (so + 5.0) - (n_new + 0.5) / (sn + 5.0))
+                 * ln(((n_old + 0.5) / (so + 5.0))
+                      / ((n_new + 0.5) / (sn + 5.0))), 6) AS psi
+    FROM h, t ORDER BY bin
+    """,
+    tags=("tier-c", "profile_table", "drift", "quality"),
+)
+def drift_psi_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift gate (operators/profile.distribution_drift):
+    Population Stability Index of n_chars between the documents snapshot
+    and a refeed where every 'en' doc doubled in length and doc_id%10==3
+    dropped (the snapshot_diff scenario, seen at distribution level —
+    "same-ish row count, quietly different corpus"). Fixed-width bins
+    from the old snapshot's min/max, add-half smoothing, identical
+    single-expression bin assignment on both engines — the oracle
+    replays bins, shares, and every PSI contribution exactly. Two
+    |bins|-sized count shuffles, nothing else moves."""
+    from sql4pandas_spark.operators.profile import distribution_drift
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    old = t["documents"].select("doc_id", "lang", "n_chars")
+    new = old.filter(F.col("doc_id") % 10 != 3).withColumn(
+        "n_chars",
+        F.when(F.col("lang") == "en", F.col("n_chars") * 2).otherwise(
+            F.col("n_chars")
+        ),
+    )
+    return distribution_drift(old, new, "n_chars", n_bins=10)

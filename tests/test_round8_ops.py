@@ -372,3 +372,41 @@ def test_passage_scrub_composes_with_foreach_batch_stream(spark, tmp_path):
     got = {r.doc_id: r.text for r in spark.read.parquet(sink).collect()}
     assert got[1].split() == ("intro words " + boiler).split()
     assert got[10] == "novel tail here"
+
+
+# ------------------------------------------------ distribution drift (PSI)
+
+
+def test_drift_psi_identical_snapshots_is_zero(spark):
+    from sql4pandas_spark.operators.profile import distribution_drift
+
+    df = spark.createDataFrame([(i, float(i % 50)) for i in range(200)], "id long, x double")
+    rows = distribution_drift(df, df, "x", n_bins=8).collect()
+    assert len(rows) == 8
+    assert all(r.psi == 0.0 for r in rows)  # p == q exactly -> ln(1) == 0
+    assert sum(r.n_old for r in rows) == 200 and sum(r.n_new for r in rows) == 200
+
+
+def test_drift_psi_detects_shift_and_clamps_outliers(spark):
+    from sql4pandas_spark.operators.profile import distribution_drift
+
+    old = spark.createDataFrame([(i, float(i % 10)) for i in range(100)], "id long, x double")
+    # new distribution lives entirely ABOVE the old range -> everything
+    # clamps into the top bin and PSI is large
+    new = spark.createDataFrame([(i, 1000.0 + i) for i in range(100)], "id long, x double")
+    rows = {r.bin: r for r in distribution_drift(old, new, "x", n_bins=5).collect()}
+    assert rows[4].n_new == 100  # clamped, not dropped
+    assert sum(r.n_new for r in rows.values()) == 100
+    assert sum(r.psi for r in rows.values()) > 0.25  # "investigate" regime
+
+
+def test_drift_psi_excludes_nulls_and_validates_bounds(spark):
+    from sql4pandas_spark.operators.profile import distribution_drift
+
+    old = spark.createDataFrame([(1, 1.0), (2, None), (3, 2.0)], "id long, x double")
+    rows = distribution_drift(old, old, "x", n_bins=2).collect()
+    assert sum(r.n_old for r in rows) == 2  # NULL row not binned
+    with pytest.raises(ValueError):
+        distribution_drift(old, old, "x", n_bins=0)
+    with pytest.raises(ValueError):
+        distribution_drift(old, old, "x", lo=5.0, hi=5.0)
