@@ -75,9 +75,15 @@ def main() -> None:
         def run_duck() -> float | None:
             if con is None or spec.oracle is None:
                 return None
-            t0 = time.perf_counter()
-            con.execute(spec.oracle).fetchall()
-            return time.perf_counter() - t0
+            try:
+                t0 = time.perf_counter()
+                con.execute(spec.oracle).fetchall()
+                return time.perf_counter() - t0
+            except Exception:
+                # control stays best-effort PER QUERY: one failing oracle
+                # (version-missing function, heavy-oracle OOM) must cost
+                # only its own ratio entry, never the whole bench line
+                return None
 
         run_spark(), run_duck()  # warmups (codegen/JIT; fixtures page-cached)
         s_runs, d_runs = [], []

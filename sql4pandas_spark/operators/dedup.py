@@ -996,20 +996,29 @@ def incremental_passage_scrub(
         sites = sites.withColumn("_seen", F.lit(False))
     gwin = Window.partitionBy("gram").orderBy("doc_id", "pos")
     full = gwin.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    flagged = (
-        sites.withColumn("n_sites", F.count(F.lit(1)).over(full))
-        .filter(F.col("_seen") | (F.col("n_sites") >= 2))
-        .withColumn(
-            "canon", ~F.col("_seen") & (F.row_number().over(gwin) == 1)
+    # persist the store-joined sites: the removals and new-grams
+    # checkpoints below are two independent jobs over the same lineage —
+    # unpersisted, each would re-scan the batch, re-md5 every gram, and
+    # re-read the store (the sibling incremental_near_dedup persists its
+    # shared sigs subtree for the same reason)
+    sites = sites.persist()
+    try:
+        flagged = (
+            sites.withColumn("n_sites", F.count(F.lit(1)).over(full))
+            .filter(F.col("_seen") | (F.col("n_sites") >= 2))
+            .withColumn(
+                "canon", ~F.col("_seen") & (F.row_number().over(gwin) == 1)
+            )
         )
-    )
-    removals = _removal_sets(flagged, L).localCheckpoint(eager=True)
-    new_grams = (
-        sites.filter(~F.col("_seen"))
-        .select("gram")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+        removals = _removal_sets(flagged, L).localCheckpoint(eager=True)
+        new_grams = (
+            sites.filter(~F.col("_seen"))
+            .select("gram")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        sites.unpersist()
     # A gram-less batch (empty, or every doc shorter than L) must not
     # write: a zero-row dynamic-overwrite creates a store dir holding only
     # _SUCCESS, and the NEXT batch's read then fails UNABLE_TO_INFER_SCHEMA

@@ -265,9 +265,14 @@ def merge_upsert(
     into exactly-once application).
 
     ``seq_col`` (a change-sequence / LSN column) picks the LAST change per
-    key when a batch carries several; without it the changeset must be
-    key-unique (one change per key — the caller's contract, as a global
-    uniqueness probe would cost a full shuffle at 100 TB).
+    key when a batch carries several; equal-seq ties (same-transaction
+    LSNs) break deterministically by (op, data columns) lexicographically
+    — an arbitrary row_number tie would make the post-state partition-
+    order dependent and break replay idempotence. Without ``seq_col`` the
+    changeset must be key-unique (one change per key — the caller's
+    contract, as a global uniqueness probe would cost a full shuffle at
+    100 TB). A NULL ``op`` upserts (CDC feeds often omit op for plain
+    inserts) — only an explicit ``delete`` removes.
 
     Scale shape: one left-anti join of the snapshot against the change
     keys plus one union — both keyed by the narrow key columns. A CDC
@@ -279,14 +284,22 @@ def merge_upsert(
     data_cols = [c for c in snapshot.columns if c not in set(key_cols)]
     latest = changes
     if seq_col is not None:
-        w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col(seq_col).desc(),
+            F.lower(F.col(op_col)),
+            *[F.col(c).cast("string") for c in data_cols],
+        )
         latest = (
             changes.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-    upserts = latest.filter(F.lower(F.col(op_col)) != "delete").select(
-        *key_cols, *data_cols
-    )
+    # eqNullSafe: a NULL op must UPSERT per the documented contract — a
+    # bare != would evaluate NULL and silently drop the row from the
+    # upsert side while its key is still anti-joined away (NULL-op rows
+    # would act as deletes)
+    upserts = latest.filter(
+        ~F.lower(F.col(op_col)).eqNullSafe("delete")
+    ).select(*key_cols, *data_cols)
     kept = snapshot.join(latest.select(*key_cols), key_cols, "left_anti")
     return kept.unionByName(upserts)

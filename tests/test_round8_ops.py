@@ -410,3 +410,38 @@ def test_drift_psi_excludes_nulls_and_validates_bounds(spark):
         distribution_drift(old, old, "x", n_bins=0)
     with pytest.raises(ValueError):
         distribution_drift(old, old, "x", lo=5.0, hi=5.0)
+
+
+def test_merge_upsert_null_op_upserts_not_deletes(spark):
+    """Review-pass find: lower(NULL) != 'delete' is NULL, so a NULL-op
+    row was excluded from the upsert side while its key was still
+    anti-joined away — NULL op silently acted as delete. CDC feeds often
+    omit op for plain inserts; the contract says only 'delete' removes."""
+    from sql4pandas_spark.operators.maintenance import merge_upsert
+
+    changes = spark.createDataFrame(
+        [(2, "b-new", 99, None), (7, "new-row", 70, None)],
+        "k long, v string, n long, op string",
+    )
+    got = {(r.k, r.v) for r in merge_upsert(_snap(spark), changes, ["k"]).collect()}
+    assert (2, "b-new") in got and (7, "new-row") in got
+
+
+def test_merge_upsert_equal_seq_ties_are_deterministic(spark):
+    """Equal-seq changes (same-transaction LSN) must resolve identically
+    on every run/partitioning: ties break by (op, data cols) lexically,
+    so 'delete' < 'update' wins here — pinned, not partition luck."""
+    from sql4pandas_spark.operators.maintenance import merge_upsert
+
+    changes = spark.createDataFrame(
+        [(2, "upd", 21, "update", 5), (2, None, None, "delete", 5)],
+        "k long, v string, n long, op string, seq long",
+    )
+    results = set()
+    for _ in range(3):
+        post = merge_upsert(
+            _snap(spark).repartition(7), changes.repartition(3), ["k"], seq_col="seq"
+        )
+        results.add(frozenset((r.k, r.v) for r in post.collect()))
+    assert len(results) == 1  # identical across runs/partitionings
+    assert all(k != 2 for k, _ in next(iter(results)))  # 'delete' wins the tie
