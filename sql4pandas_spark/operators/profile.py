@@ -158,3 +158,71 @@ def distribution_drift(
         F.round(q, 6).alias("q"),
         F.round((p - q) * F.log(p / q), 6).alias("psi"),
     ).orderBy("bin")
+
+
+def categorical_drift(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    max_categories: int = 50,
+) -> DataFrame:
+    """PSI over a CATEGORICAL column (lang, source, domain): one row per
+    category with old/new shares and the PSI contribution — the sibling
+    of :func:`distribution_drift` for the columns a corpus is actually
+    mixed by. NULL is its own category (rendered '<null>'); categories
+    beyond the ``max_categories`` most frequent in the OLD snapshot
+    collapse into '<other>' so a high-cardinality column (URL domains)
+    yields a bounded, stable report instead of millions of rows — and the
+    '<other>' bucket itself drifts when the tail shifts.
+
+    Scale shape: two map-combined groupBy(category) count shuffles, the
+    old top-K collected (bounded: max_categories rows) and broadcast back
+    as a literal membership set, one tiny histogram join. Add-half
+    smoothing as in :func:`distribution_drift`.
+    """
+    if max_categories < 1:
+        raise ValueError("max_categories must be positive")
+
+    def cat(df: DataFrame):
+        return F.coalesce(F.col(col).cast("string"), F.lit("<null>"))
+
+    top = [
+        r.c
+        for r in old.groupBy(cat(old).alias("c"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "c")
+        .limit(max_categories)
+        .collect()
+    ]
+    top_arr = F.array(*[F.lit(c) for c in top])
+
+    def hist(df: DataFrame, out: str) -> DataFrame:
+        bucket = F.when(F.array_contains(top_arr, cat(df)), cat(df)).otherwise(
+            F.lit("<other>")
+        )
+        return (
+            df.groupBy(bucket.alias("category"))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    cats = old.sparkSession.createDataFrame(
+        [(c,) for c in sorted(set(top) | {"<other>"})], "category string"
+    )
+    h = (
+        cats.join(hist(old, "n_old"), "category", "left")
+        .join(hist(new, "n_new"), "category", "left")
+        .fillna(0, ["n_old", "n_new"])
+    )
+    n_buckets = len(set(top) | {"<other>"})
+    tot_o = F.sum("n_old").over(Window.partitionBy())
+    tot_n = F.sum("n_new").over(Window.partitionBy())
+    p = (F.col("n_old") + F.lit(0.5)) / (tot_o + F.lit(0.5 * n_buckets))
+    q = (F.col("n_new") + F.lit(0.5)) / (tot_n + F.lit(0.5 * n_buckets))
+    return h.select(
+        "category",
+        "n_old",
+        "n_new",
+        F.round(p, 6).alias("p"),
+        F.round(q, 6).alias("q"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi"),
+    ).orderBy("category")

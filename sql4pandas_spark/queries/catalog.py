@@ -72,15 +72,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # CORRECTNESS_r07 went 50/50 green, so after round 7 exactly ten
     # entries sit at ONE green round (the r7 additions) and everything
     # else is settled (>=2 greens, saturated). Per the rotation recipe:
-    # the 10 once-green r7 entries stay, the 6 round-8 NEW entries
-    # (0 greens) join them, and the remaining 34 slots go to the entries
+    # the 10 once-green r7 entries stay, the 7 round-8 NEW entries
+    # (0 greens) join them, and the remaining 33 slots go to the entries
     # with the STALEST evidence — the 36 whose last green round is r02
     # (six rounds ago; code-freshness is moot since none of them were
     # touched in r8). tests/test_driver_window.py enforces the saturated
     # least-evidence rule; tools/catalog_index.py prints the ledger.
     #
-    # -- the 6 round-8 NEW entries (0 greens) --
+    # -- the 7 round-8 NEW entries (0 greens) --
     "drift_psi_documents",
+    "drift_lang_mix_documents",
     "dedup_substring_spans",
     "scrub_passages_documents",
     "incremental_passage_scrub_batches",
@@ -99,18 +100,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "asof_join_forward",
     "asof_join_nearest",
     "interval_overlap_pairs",
-    # -- 34 of the 36 entries last green in r02 (stalest settled
-    #    evidence; dedup_exact_keepers and math_funcs_extended yield
-    #    their slots to the fifth/sixth new entries — their operator
-    #    families stay covered in-window by dedup_exact_documents and
-    #    math_null_funcs) --
+    # -- 33 of the 36 entries last green in r02 (stalest settled
+    #    evidence; dedup_exact_keepers, math_funcs_extended, and
+    #    date_arith_orders yield their slots to the 5th-7th new entries —
+    #    their operator families stay covered in-window by
+    #    dedup_exact_documents, math_null_funcs, and date_funcs_orders) --
     "array_explode_avg",
     "array_funcs_embeddings",
     "array_hof_norm",
     "bucketed_join_segments",
     "chunk_documents_overlap",
     "cosine_top20_pairs",
-    "date_arith_orders",
     "date_funcs_orders",
     "dedup_embedding_pairs",
     "dedup_exact_documents",

@@ -2627,3 +2627,63 @@ def drift_psi_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return distribution_drift(old, new, "n_chars", n_bins=10)
+
+
+@query(
+    "drift_lang_mix_documents",
+    oracle="""
+    WITH old_t AS (SELECT coalesce(lang, '<null>') AS c FROM documents),
+    new_t AS (
+      SELECT coalesce(CASE WHEN source = 'src0' THEN 'xx' ELSE lang END,
+                      '<null>') AS c
+      FROM documents WHERE doc_id % 10 <> 3),
+    topk AS (
+      SELECT c FROM (
+        SELECT c, count(*) AS n FROM old_t GROUP BY c
+        ORDER BY n DESC, c LIMIT 50)),
+    cats AS (
+      SELECT DISTINCT category FROM (
+        SELECT c AS category FROM topk
+        UNION ALL SELECT '<other>')),
+    ho AS (
+      SELECT CASE WHEN c IN (SELECT c FROM topk) THEN c
+                  ELSE '<other>' END AS category,
+             count(*) AS n_old
+      FROM old_t GROUP BY 1),
+    hn AS (
+      SELECT CASE WHEN c IN (SELECT c FROM topk) THEN c
+                  ELSE '<other>' END AS category,
+             count(*) AS n_new
+      FROM new_t GROUP BY 1),
+    h AS (
+      SELECT category, coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+      FROM cats LEFT JOIN ho USING (category) LEFT JOIN hn USING (category)),
+    t AS (SELECT sum(n_old) AS so, sum(n_new) AS sn, count(*) AS nb FROM h)
+    SELECT category, n_old, n_new,
+           round((n_old + 0.5) / (so + 0.5 * nb), 6) AS p,
+           round((n_new + 0.5) / (sn + 0.5 * nb), 6) AS q,
+           round(((n_old + 0.5) / (so + 0.5 * nb)
+                  - (n_new + 0.5) / (sn + 0.5 * nb))
+                 * ln(((n_old + 0.5) / (so + 0.5 * nb))
+                      / ((n_new + 0.5) / (sn + 0.5 * nb))), 6) AS psi
+    FROM h, t ORDER BY category
+    """,
+    tags=("tier-c", "profile_table", "drift", "data_mix"),
+)
+def drift_lang_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift gate (operators/profile.categorical_drift): PSI
+    of the language mix between the documents snapshot and a refeed where
+    every src0 doc was re-identified as a NEW language 'xx' (it lands in
+    the '<other>' bucket — the top-K membership comes from the OLD
+    snapshot) and doc_id%10==3 dropped. The mix-share counterpart of
+    drift_psi_documents; the oracle replays top-K selection, bucketing,
+    smoothing, and every PSI contribution exactly."""
+    from sql4pandas_spark.operators.profile import categorical_drift
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    old = t["documents"].select("doc_id", "lang", "source")
+    new = old.filter(F.col("doc_id") % 10 != 3).withColumn(
+        "lang",
+        F.when(F.col("source") == "src0", F.lit("xx")).otherwise(F.col("lang")),
+    )
+    return categorical_drift(old, new, "lang")

@@ -445,3 +445,23 @@ def test_merge_upsert_equal_seq_ties_are_deterministic(spark):
         results.add(frozenset((r.k, r.v) for r in post.collect()))
     assert len(results) == 1  # identical across runs/partitionings
     assert all(k != 2 for k, _ in next(iter(results)))  # 'delete' wins the tie
+
+
+def test_categorical_drift_buckets_null_and_other(spark):
+    from sql4pandas_spark.operators.profile import categorical_drift
+
+    old = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "fr"), (4, None)], "id long, lang string"
+    )
+    # 'zz' never seen in old -> lands in <other>; NULL is its own category
+    new = spark.createDataFrame(
+        [(1, "en"), (2, "zz"), (3, "zz"), (4, None)], "id long, lang string"
+    )
+    rows = {r.category: r for r in categorical_drift(old, new, "lang", max_categories=2).collect()}
+    # top-2 of old = en (2), fr or <null> (tie by count then name: '<null>' < 'fr')
+    assert rows["<other>"].n_new == 2  # both zz rows
+    assert rows["en"].n_old == 2 and rows["en"].n_new == 1
+    assert rows["<null>"].n_old == 1 and rows["<null>"].n_new == 1
+    assert abs(sum(r.psi for r in rows.values())) > 0  # mix moved
+    with pytest.raises(ValueError):
+        categorical_drift(old, new, "lang", max_categories=0)
