@@ -378,3 +378,91 @@ def test_incremental_passage_scrub_matches_python(spark, tmp_path_factory, case)
             want = " ".join(t for i, t in enumerate(w, start=1) if i not in removed)
             assert got[d] == want, (b, d, got[d], want)
         seen |= set(sites)
+
+
+# ------------------------------------------------------------ drift (PSI)
+
+
+@st.composite
+def drift_cases(draw):
+    def side():
+        n = draw(st.integers(1, 25))
+        return [float(draw(st.integers(0, 20))) for _ in range(n)]
+
+    return side(), side(), draw(st.integers(1, 6))
+
+
+@given(drift_cases())
+@settings(**_SETTINGS)
+def test_distribution_drift_matches_python(spark, case):
+    import math
+
+    from sql4pandas_spark.operators.profile import distribution_drift
+
+    old_v, new_v, n_bins = case
+    lo, hi = min(old_v), max(old_v)
+    if not hi > lo:
+        hi = lo + 1.0  # operator requires hi > lo; pass explicit bounds
+    old = spark.createDataFrame([(v,) for v in old_v], "x double")
+    new = spark.createDataFrame([(v,) for v in new_v], "x double")
+    got = {
+        r.bin: (r.n_old, r.n_new, r.p, r.q, r.psi)
+        for r in distribution_drift(old, new, "x", n_bins=n_bins, lo=lo, hi=hi).collect()
+    }
+
+    def binned(vals):
+        out = [0] * n_bins
+        for v in vals:
+            b = min(n_bins - 1, max(0, math.floor((v - lo) * n_bins / (hi - lo))))
+            out[b] += 1
+        return out
+
+    ho, hn = binned(old_v), binned(new_v)
+    so, sn = sum(ho), sum(hn)
+    for b in range(n_bins):
+        p = (ho[b] + 0.5) / (so + 0.5 * n_bins)
+        q = (hn[b] + 0.5) / (sn + 0.5 * n_bins)
+        want = (ho[b], hn[b], round(p, 6), round(q, 6), round((p - q) * math.log(p / q), 6))
+        assert got[b] == want, (b, got[b], want)
+
+
+@given(st.data())
+@settings(**_SETTINGS)
+def test_categorical_drift_matches_python(spark, data):
+    import math
+    from collections import Counter
+
+    from sql4pandas_spark.operators.profile import categorical_drift
+
+    cats = ["a", "b", "c", "d", None]
+    old_v = [data.draw(st.sampled_from(cats)) for _ in range(data.draw(st.integers(1, 20)))]
+    new_v = [data.draw(st.sampled_from(cats)) for _ in range(data.draw(st.integers(1, 20)))]
+    k = data.draw(st.integers(1, 4))
+    old = spark.createDataFrame([(v,) for v in old_v], "lang string")
+    new = spark.createDataFrame([(v,) for v in new_v], "lang string")
+    got = {
+        r.category: (r.n_old, r.n_new, r.psi)
+        for r in categorical_drift(old, new, "lang", max_categories=k).collect()
+    }
+
+    norm = lambda v: "<null>" if v is None else v
+    oc = Counter(norm(v) for v in old_v)
+    top = sorted(oc, key=lambda c: (-oc[c], c))[:k]
+    buckets = sorted(set(top) | {"<other>"})
+    nb = len(buckets)
+
+    def hist(vals):
+        h = dict.fromkeys(buckets, 0)
+        for v in vals:
+            c = norm(v)
+            h[c if c in top else "<other>"] += 1
+        return h
+
+    ho, hn = hist(old_v), hist(new_v)
+    so, sn = sum(ho.values()), sum(hn.values())
+    assert set(got) == set(buckets)
+    for c in buckets:
+        p = (ho[c] + 0.5) / (so + 0.5 * nb)
+        q = (hn[c] + 0.5) / (sn + 0.5 * nb)
+        want = (ho[c], hn[c], round((p - q) * math.log(p / q), 6))
+        assert got[c] == want, (c, got[c], want)
