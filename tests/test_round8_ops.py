@@ -465,3 +465,54 @@ def test_categorical_drift_buckets_null_and_other(spark):
     assert abs(sum(r.psi for r in rows.values())) > 0  # mix moved
     with pytest.raises(ValueError):
         categorical_drift(old, new, "lang", max_categories=0)
+
+
+def test_drift_monitor_composes_with_foreach_batch_stream(spark, tmp_path):
+    """Monitoring-in-ingestion: foreachBatch computes each micro-batch's
+    PSI against a fixed reference histogram and appends it to a metrics
+    sink — the production shape for catching a drifting feed while it
+    ingests. Batch of the reference distribution scores ~0; a shifted
+    batch scores high."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.profile import distribution_drift
+
+    ref = spark.createDataFrame([(float(i % 10),) for i in range(200)], "x double")
+    files = [
+        [(float(i % 10),) for i in range(100)],  # matches the reference
+        [(50.0 + i,) for i in range(100)],  # drifted far above the range
+    ]
+    src = tmp_path / "src"
+    flat = tmp_path / "flat"
+    _os.makedirs(flat)
+    for i, rows in enumerate(files):
+        d = str(src / f"f{i}")
+        spark.createDataFrame(rows, "x double").coalesce(1).write.parquet(d)
+        for f in sorted(_os.listdir(d)):
+            if f.endswith(".parquet"):
+                _os.symlink(_os.path.join(d, f), str(flat / f"{i:02d}_{f}"))
+
+    sink = str(tmp_path / "psi_metrics")
+
+    def monitor(df, batch_id):
+        psi = distribution_drift(ref, df, "x", n_bins=5).agg(
+            F.round(F.sum("psi"), 6).alias("psi_total")
+        )
+        psi.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(sink)
+
+    q = (
+        spark.readStream.schema("x double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+        .writeStream.foreachBatch(monitor)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = {r.batch_id: r.psi_total for r in spark.read.parquet(sink).collect()}
+    assert set(got) == {0, 1}
+    assert got[0] < 0.05  # same distribution -> stable
+    assert got[1] > 0.25  # shifted feed -> investigate regime
