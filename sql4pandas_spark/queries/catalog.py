@@ -72,14 +72,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # CORRECTNESS_r07 went 50/50 green, so after round 7 exactly ten
     # entries sit at ONE green round (the r7 additions) and everything
     # else is settled (>=2 greens, saturated). Per the rotation recipe:
-    # the 10 once-green r7 entries stay, the 7 round-8 NEW entries
-    # (0 greens) join them, and the remaining 33 slots go to the entries
+    # the 10 once-green r7 entries stay, the 8 round-8 NEW entries
+    # (0 greens) join them, and the remaining 32 slots go to the entries
     # with the STALEST evidence — the 36 whose last green round is r02
     # (six rounds ago; code-freshness is moot since none of them were
     # touched in r8). tests/test_driver_window.py enforces the saturated
     # least-evidence rule; tools/catalog_index.py prints the ledger.
     #
-    # -- the 7 round-8 NEW entries (0 greens) --
+    # -- the 8 round-8 NEW entries (0 greens) --
+    "classifier_calibrated_gate",
     "drift_psi_documents",
     "drift_lang_mix_documents",
     "dedup_substring_spans",
@@ -100,11 +101,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "asof_join_forward",
     "asof_join_nearest",
     "interval_overlap_pairs",
-    # -- 33 of the 36 entries last green in r02 (stalest settled
-    #    evidence; dedup_exact_keepers, math_funcs_extended, and
-    #    date_arith_orders yield their slots to the 5th-7th new entries —
-    #    their operator families stay covered in-window by
-    #    dedup_exact_documents, math_null_funcs, and date_funcs_orders) --
+    # -- 32 of the 36 entries last green in r02 (stalest settled
+    #    evidence; dedup_exact_keepers, math_funcs_extended,
+    #    date_arith_orders, and regexp_funcs_part yield their slots to
+    #    the 5th-8th new entries — their operator families stay covered
+    #    in-window by dedup_exact_documents, math_null_funcs,
+    #    date_funcs_orders, and string_funcs_part) --
     "array_explode_avg",
     "array_funcs_embeddings",
     "array_hof_norm",
@@ -123,7 +125,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_payload_stats",
     "multimodal_resize_stats",
     "q1_pricing_summary",
-    "regexp_funcs_part",
     "salted_join_segments",
     "scan_csv_roundtrip",
     "scan_json_roundtrip",

@@ -2687,3 +2687,56 @@ def drift_lang_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("source") == "src0", F.lit("xx")).otherwise(F.col("lang")),
     )
     return categorical_drift(old, new, "lang")
+
+
+@query(
+    "classifier_calibrated_gate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         t -> t <> '') AS w
+      FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+             {text.DUCKDB_CLF_SCORE_SQL.format(w="w", n=256)} AS score
+      FROM toks),
+    thresh AS (SELECT round(quantile_cont(score, 0.25), 6) AS t FROM scored)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN score >= t THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           t AS threshold
+    FROM scored, thresh
+    GROUP BY lang, t ORDER BY lang
+    """,
+    tags=("tier-c", "quality", "classifier", "agg_stats"),
+)
+def classifier_calibrated_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-calibrated quality gate: instead of a hand-picked 0.5,
+    the keep-threshold is the corpus's exact p25 of the classifier score
+    (drop the worst quartile — calibration by observed distribution, the
+    way production quality gates are actually tuned). One scoring pass
+    (zero shuffles), one exact-percentile aggregate (1 row, broadcast
+    back via crossJoin), one grouped count — per-language kept/total
+    accounting. The oracle replays scores, quantile_cont interpolation,
+    and the gate exactly."""
+    from sql4pandas_spark.operators.text import hashed_logistic_score
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    scored = hashed_logistic_score(t["documents"]).select("doc_id", "lang", "score")
+    thresh = scored.agg(
+        F.round(F.percentile("score", F.lit(0.25)), 6).alias("threshold")
+    )
+    return (
+        scored.crossJoin(F.broadcast(thresh))
+        .groupBy("lang", "threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("score") >= F.col("threshold")).cast("long")).alias(
+                "n_kept"
+            ),
+        )
+        .select("lang", "n_docs", "n_kept", "threshold")
+        .orderBy("lang")
+    )
