@@ -80,6 +80,28 @@ def profile_columns(
     )
 
 
+def _psi_tail(h: DataFrame, key: str, n_buckets: int) -> DataFrame:
+    """Shared PSI tail for both drift gates: add-half-smoothed shares
+    p/q over a (key, n_old, n_new) histogram and the per-bucket
+    contribution ``(p - q) * ln(p / q)``, rounded to 6dp so the DuckDB
+    oracle replays every value exactly; ordered by the bucket key.
+    ``sum(psi)`` over the result is the headline index."""
+    tot_o = F.sum("n_old").over(Window.partitionBy())
+    tot_n = F.sum("n_new").over(Window.partitionBy())
+    # add-half smoothing keeps ln() finite on empty buckets and stays
+    # exact integer-derived arithmetic until the single division
+    p = (F.col("n_old") + F.lit(0.5)) / (tot_o + F.lit(0.5 * n_buckets))
+    q = (F.col("n_new") + F.lit(0.5)) / (tot_n + F.lit(0.5 * n_buckets))
+    return h.select(
+        key,
+        "n_old",
+        "n_new",
+        F.round(p, 6).alias("p"),
+        F.round(q, 6).alias("q"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi"),
+    ).orderBy(key)
+
+
 def distribution_drift(
     old: DataFrame,
     new: DataFrame,
@@ -144,20 +166,7 @@ def distribution_drift(
         .join(hist(new, "n_new"), "bin", "left")
         .fillna(0, ["n_old", "n_new"])
     )
-    tot_o = F.sum("n_old").over(Window.partitionBy())
-    tot_n = F.sum("n_new").over(Window.partitionBy())
-    # add-half smoothing keeps ln() finite on empty bins and stays exact
-    # integer-derived arithmetic until the single division
-    p = (F.col("n_old") + F.lit(0.5)) / (tot_o + F.lit(0.5 * n_bins))
-    q = (F.col("n_new") + F.lit(0.5)) / (tot_n + F.lit(0.5 * n_bins))
-    return h.select(
-        "bin",
-        "n_old",
-        "n_new",
-        F.round(p, 6).alias("p"),
-        F.round(q, 6).alias("q"),
-        F.round((p - q) * F.log(p / q), 6).alias("psi"),
-    ).orderBy("bin")
+    return _psi_tail(h, "bin", n_bins)
 
 
 def categorical_drift(
@@ -175,54 +184,61 @@ def categorical_drift(
     yields a bounded, stable report instead of millions of rows — and the
     '<other>' bucket itself drifts when the tail shifts.
 
-    Scale shape: two map-combined groupBy(category) count shuffles, the
-    old top-K collected (bounded: max_categories rows) and broadcast back
-    as a literal membership set, one tiny histogram join. Add-half
-    smoothing as in :func:`distribution_drift`.
+    The sentinels are RESERVED, not assumed absent: any real value
+    starting with ``<`` gains one more ``<`` (``'<null>'`` renders
+    ``'<<null>'``), an injective escape, so a category literally named
+    ``'<null>'`` / ``'<other>'`` can never collide with the NULL /
+    overflow buckets — escaped values start ``<<``, sentinels don't.
+
+    Scale shape: ONE job over the old snapshot yields BOTH the top-K
+    membership and the old histogram — groupBy(category) counts, a
+    single-partition row_number over the |categories| grouped rows
+    (bounded metadata, same class as sampling.py's per-stratum counts),
+    bucket rank≤K vs '<other>', re-sum, collect ≤ K+1 rows. The new side
+    is one map-combined groupBy(bucket) count shuffle against the
+    broadcast membership. Add-half smoothing as in
+    :func:`distribution_drift`.
     """
     if max_categories < 1:
         raise ValueError("max_categories must be positive")
 
-    def cat(df: DataFrame):
-        return F.coalesce(F.col(col).cast("string"), F.lit("<null>"))
+    raw = F.col(col).cast("string")
+    esc = F.when(raw.startswith("<"), F.concat(F.lit("<"), raw)).otherwise(raw)
+    cat = F.coalesce(esc, F.lit("<null>"))
 
-    top = [
-        r.c
-        for r in old.groupBy(cat(old).alias("c"))
+    # one old-side scan: counts -> rank -> bucket -> re-sum -> collect.
+    # Collecting the top-K membership and then lazily re-histogramming
+    # `old` would scan the raw data twice; re-aggregating the grouped
+    # counts costs |categories| rows instead.
+    w = Window.orderBy(F.desc("n"), "c")
+    old_rows = (
+        old.groupBy(cat.alias("c"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), "c")
-        .limit(max_categories)
+        .withColumn(
+            "category",
+            F.when(
+                F.row_number().over(w) <= max_categories, F.col("c")
+            ).otherwise(F.lit("<other>")),
+        )
+        .groupBy("category")
+        .agg(F.sum("n").alias("n_old"))
         .collect()
-    ]
-    top_arr = F.array(*[F.lit(c) for c in top])
-
-    def hist(df: DataFrame, out: str) -> DataFrame:
-        bucket = F.when(F.array_contains(top_arr, cat(df)), cat(df)).otherwise(
-            F.lit("<other>")
-        )
-        return (
-            df.groupBy(bucket.alias("category"))
-            .agg(F.count(F.lit(1)).alias(out))
-        )
-
+    )
+    top = sorted(r.category for r in old_rows if r.category != "<other>")
+    n_old_map = {r.category: r.n_old for r in old_rows}
+    buckets = sorted(set(top) | {"<other>"})
     cats = old.sparkSession.createDataFrame(
-        [(c,) for c in sorted(set(top) | {"<other>"})], "category string"
+        [(b, int(n_old_map.get(b, 0))) for b in buckets],
+        "category string, n_old long",
     )
-    h = (
-        cats.join(hist(old, "n_old"), "category", "left")
-        .join(hist(new, "n_new"), "category", "left")
-        .fillna(0, ["n_old", "n_new"])
+
+    new_bucket = (
+        F.when(F.array_contains(F.array(*[F.lit(c) for c in top]), cat), cat)
+        if top
+        else F.when(F.lit(False), cat)
+    ).otherwise(F.lit("<other>"))
+    new_hist = new.groupBy(new_bucket.alias("category")).agg(
+        F.count(F.lit(1)).alias("n_new")
     )
-    n_buckets = len(set(top) | {"<other>"})
-    tot_o = F.sum("n_old").over(Window.partitionBy())
-    tot_n = F.sum("n_new").over(Window.partitionBy())
-    p = (F.col("n_old") + F.lit(0.5)) / (tot_o + F.lit(0.5 * n_buckets))
-    q = (F.col("n_new") + F.lit(0.5)) / (tot_n + F.lit(0.5 * n_buckets))
-    return h.select(
-        "category",
-        "n_old",
-        "n_new",
-        F.round(p, 6).alias("p"),
-        F.round(q, 6).alias("q"),
-        F.round((p - q) * F.log(p / q), 6).alias("psi"),
-    ).orderBy("category")
+    h = cats.join(new_hist, "category", "left").fillna(0, ["n_new"])
+    return _psi_tail(h, "category", len(buckets))

@@ -2632,11 +2632,17 @@ def drift_psi_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "drift_lang_mix_documents",
     oracle="""
-    WITH old_t AS (SELECT coalesce(lang, '<null>') AS c FROM documents),
-    new_t AS (
-      SELECT coalesce(CASE WHEN source = 'src0' THEN 'xx' ELSE lang END,
-                      '<null>') AS c
+    WITH old_esc AS (
+      SELECT CASE WHEN lang LIKE '<%' THEN '<' || lang ELSE lang END AS v
+      FROM documents),
+    old_t AS (SELECT coalesce(v, '<null>') AS c FROM old_esc),
+    new_raw AS (
+      SELECT CASE WHEN source = 'src0' THEN 'xx' ELSE lang END AS v
       FROM documents WHERE doc_id % 10 <> 3),
+    new_t AS (
+      SELECT coalesce(CASE WHEN v LIKE '<%' THEN '<' || v ELSE v END,
+                      '<null>') AS c
+      FROM new_raw),
     topk AS (
       SELECT c FROM (
         SELECT c, count(*) AS n FROM old_t GROUP BY c
@@ -2717,10 +2723,14 @@ def classifier_calibrated_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the keep-threshold is the corpus's exact p25 of the classifier score
     (drop the worst quartile — calibration by observed distribution, the
     way production quality gates are actually tuned). One scoring pass
-    (zero shuffles), one exact-percentile aggregate (1 row, broadcast
-    back via crossJoin), one grouped count — per-language kept/total
-    accounting. The oracle replays scores, quantile_cont interpolation,
-    and the gate exactly."""
+    (zero shuffles); the threshold is ONE exact-percentile aggregate whose
+    buffer holds all scores on the final reducer — oracle-exact here, and
+    at the 100 TB design point the same plan takes F.approx_percentile
+    (fixed-size sketch state) instead, exactly as profile_columns'
+    exact/approx split. The 1-row threshold broadcasts back via crossJoin
+    into one grouped count — per-language kept/total accounting. The
+    oracle replays scores, quantile_cont interpolation, and the gate
+    exactly."""
     from sql4pandas_spark.operators.text import hashed_logistic_score
 
     t = register_tables(spark, sf_dir, ("documents",))

@@ -434,7 +434,8 @@ def test_categorical_drift_matches_python(spark, data):
 
     from sql4pandas_spark.operators.profile import categorical_drift
 
-    cats = ["a", "b", "c", "d", None]
+    # '<null>'/'<other>'/'<x' as REAL values exercise the sentinel escape
+    cats = ["a", "b", "c", "d", None, "<null>", "<other>", "<x"]
     old_v = [data.draw(st.sampled_from(cats)) for _ in range(data.draw(st.integers(1, 20)))]
     new_v = [data.draw(st.sampled_from(cats)) for _ in range(data.draw(st.integers(1, 20)))]
     k = data.draw(st.integers(1, 4))
@@ -445,7 +446,10 @@ def test_categorical_drift_matches_python(spark, data):
         for r in categorical_drift(old, new, "lang", max_categories=k).collect()
     }
 
-    norm = lambda v: "<null>" if v is None else v
+    def norm(v):
+        if v is None:
+            return "<null>"
+        return "<" + v if v.startswith("<") else v
     oc = Counter(norm(v) for v in old_v)
     top = sorted(oc, key=lambda c: (-oc[c], c))[:k]
     buckets = sorted(set(top) | {"<other>"})

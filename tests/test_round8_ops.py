@@ -467,6 +467,29 @@ def test_categorical_drift_buckets_null_and_other(spark):
         categorical_drift(old, new, "lang", max_categories=0)
 
 
+def test_categorical_drift_escapes_sentinel_collisions(spark):
+    """A category literally named '<null>'/'<other>' must NOT merge with
+    the NULL / overflow buckets: real values starting with '<' are
+    escaped with one more '<' (injective), so the sentinels stay
+    reserved."""
+    from sql4pandas_spark.operators.profile import categorical_drift
+
+    old = spark.createDataFrame(
+        [(1, "<null>"), (2, "<null>"), (3, None), (4, "<other>"), (5, "en")],
+        "id long, lang string",
+    )
+    rows = {
+        r.category: r
+        for r in categorical_drift(old, old, "lang", max_categories=10).collect()
+    }
+    assert rows["<<null>"].n_old == 2  # the real '<null>' string, escaped
+    assert rows["<null>"].n_old == 1  # genuine NULL only
+    assert rows["<<other>"].n_old == 1  # the real '<other>' string, escaped
+    assert rows["<other>"].n_old == 0  # overflow bucket untouched
+    assert rows["en"].n_old == 1
+    assert all(r.psi == 0.0 for r in rows.values())  # identical snapshots
+
+
 def test_drift_monitor_composes_with_foreach_batch_stream(spark, tmp_path):
     """Monitoring-in-ingestion: foreachBatch computes each micro-batch's
     PSI against a fixed reference histogram and appends it to a metrics
