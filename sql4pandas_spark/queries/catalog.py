@@ -79,7 +79,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # touched in r8). tests/test_driver_window.py enforces the saturated
     # least-evidence rule; tools/catalog_index.py prints the ledger.
     #
-    # -- the 8 round-8 NEW entries (0 greens) --
+    # -- the round-8 NEW entries (0 greens) --
+    "stream_cdc_apply",
     "classifier_calibrated_gate",
     "drift_psi_documents",
     "drift_lang_mix_documents",
@@ -138,7 +139,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_stats_by_lang",
     "token_count_bpe",
     "try_funcs_part",
-    "wordcount_documents",
+    # (wordcount_documents yielded its slot to stream_cdc_apply — its
+    # operator families stay covered in-window by text_stats_by_lang and
+    # token_count_bpe)
     # ---- driver window (50) ends here ----
 )
 

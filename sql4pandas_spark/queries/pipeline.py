@@ -2750,3 +2750,120 @@ def classifier_calibrated_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "n_docs", "n_kept", "threshold")
         .orderBy("lang")
     )
+
+
+def _stage_changeset_file(df: DataFrame, landing_dir: str, fname: str) -> None:
+    """Land a changeset as ONE plain parquet file (what a CDC feed drops
+    into the landing directory the file stream source watches). Spark
+    writes a part-file directory; the single part file is copied out."""
+    stage = os.path.join(landing_dir, f"_stage_{uuid.uuid4().hex[:8]}")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    (part,) = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+    os.makedirs(landing_dir, exist_ok=True)
+    shutil.copyfile(os.path.join(stage, part), os.path.join(landing_dir, fname))
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+@query(
+    "stream_cdc_apply",
+    oracle="""
+    WITH snap0 AS (SELECT doc_id, lang, n_chars FROM documents),
+    c1 AS (
+      SELECT doc_id, lang, n_chars + 1000 AS n_chars, 'update' AS op
+      FROM snap0 WHERE doc_id % 10 = 2
+      UNION ALL
+      SELECT doc_id, lang, n_chars, 'delete' AS op
+      FROM snap0 WHERE doc_id % 10 = 5
+      UNION ALL
+      SELECT doc_id + 5000000, lang, n_chars, 'insert' AS op
+      FROM snap0 WHERE doc_id % 100 = 9),
+    snap1 AS (
+      SELECT s.doc_id, s.lang, s.n_chars FROM snap0 s
+      WHERE NOT EXISTS (SELECT 1 FROM c1 WHERE c1.doc_id = s.doc_id)
+      UNION ALL
+      SELECT doc_id, lang, n_chars FROM c1 WHERE op <> 'delete'),
+    c2 AS (
+      SELECT doc_id + 5000000 AS doc_id, lang, n_chars + 7 AS n_chars,
+             'update' AS op
+      FROM snap0 WHERE doc_id % 100 = 9
+      UNION ALL
+      SELECT doc_id, lang, n_chars, 'delete' AS op
+      FROM snap0 WHERE doc_id % 100 = 2
+      UNION ALL
+      SELECT doc_id, lang, n_chars * 2 AS n_chars, 'insert' AS op
+      FROM snap0 WHERE doc_id % 10 = 7
+      UNION ALL
+      SELECT doc_id, lang, n_chars, 'delete' AS op
+      FROM snap0 WHERE doc_id % 100 = 55),
+    post AS (
+      SELECT s.doc_id, s.lang, s.n_chars FROM snap1 s
+      WHERE NOT EXISTS (SELECT 1 FROM c2 WHERE c2.doc_id = s.doc_id)
+      UNION ALL
+      SELECT doc_id, lang, n_chars FROM c2 WHERE op <> 'delete')
+    SELECT doc_id, lang, n_chars FROM post ORDER BY doc_id
+    """,
+    tags=("tier-c", "merge_upsert", "scan_stream", "foreach_batch", "incremental"),
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC apply (streaming/cdc.py): a changeset stream merged
+    into a versioned keyed snapshot via readStream -> foreachBatch ->
+    merge_upsert, exactly-once by construction (batch k reads v{k},
+    overwrites v{k+1}; a replayed batch rewrites the same version from
+    the same input). Two real availableNow drains share one checkpoint —
+    the second RESUMES batch numbering and picks up only the newly-landed
+    file, the periodic-ingest production shape. Batch 1: updates
+    (%10==2: +1000), deletes (%10==5), inserts (%100==9 under +5M ids).
+    Batch 2: updates the batch-1 inserts (+7), deletes %100==2,
+    insert-on-present-key replaces %10==7 (doubled n_chars), and a
+    delete of an already-deleted key (%100==55 — must no-op). The oracle
+    rebuilds both snapshot generations sequentially and replays the
+    final state row-for-row; crash-replay idempotence and seq_col
+    ordering are pinned in tests/test_round8_ops.py."""
+    from sql4pandas_spark.streaming import cdc
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    snap = t["documents"].select("doc_id", "lang", "n_chars")
+    root, land, ckpt = _scratch_dirs("cdc_snapshot", "cdc_landing", "cdc_ckpt")
+    os.makedirs(land, exist_ok=True)
+    cdc.seed_snapshot(snap, root)
+
+    c1 = (
+        snap.filter(F.col("doc_id") % 10 == 2)
+        .withColumn("n_chars", F.col("n_chars") + F.lit(1000))
+        .withColumn("op", F.lit("update"))
+        .unionByName(
+            snap.filter(F.col("doc_id") % 10 == 5).withColumn("op", F.lit("delete"))
+        )
+        .unionByName(
+            snap.filter(F.col("doc_id") % 100 == 9)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(5_000_000))
+            .withColumn("op", F.lit("insert"))
+        )
+    )
+    c2 = (
+        snap.filter(F.col("doc_id") % 100 == 9)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(5_000_000))
+        .withColumn("n_chars", F.col("n_chars") + F.lit(7))
+        .withColumn("op", F.lit("update"))
+        .unionByName(
+            snap.filter(F.col("doc_id") % 100 == 2).withColumn("op", F.lit("delete"))
+        )
+        .unionByName(
+            snap.filter(F.col("doc_id") % 10 == 7)
+            .withColumn("n_chars", F.col("n_chars") * F.lit(2))
+            .withColumn("op", F.lit("insert"))
+        )
+        .unionByName(
+            snap.filter(F.col("doc_id") % 100 == 55).withColumn("op", F.lit("delete"))
+        )
+    )
+
+    _stage_changeset_file(c1, land, "changes_00.parquet")
+    stream = spark.readStream.schema(c1.schema).parquet(land)
+    cdc.run_cdc_stream(stream, root, ["doc_id"], checkpoint=ckpt)
+
+    _stage_changeset_file(c2, land, "changes_01.parquet")
+    stream = spark.readStream.schema(c1.schema).parquet(land)
+    cdc.run_cdc_stream(stream, root, ["doc_id"], checkpoint=ckpt)
+
+    return cdc.latest_snapshot(spark, root).orderBy("doc_id")

@@ -1,0 +1,121 @@
+"""Streaming CDC apply — a changeset stream continuously merged into a
+keyed snapshot (SURVEY.md §2 merge_upsert, streaming form).
+
+This is the write-side composition the batch pieces were built for:
+``readStream`` over a changeset landing directory → ``foreachBatch`` →
+:func:`sql4pandas_spark.operators.maintenance.merge_upsert` into a
+VERSIONED parquet snapshot. Versioning is what makes it exactly-once
+without an ACID table format:
+
+- micro-batch ``k`` reads ``v{k}`` and OVERWRITES ``v{k+1}`` — never the
+  directory it is reading;
+- after a crash, foreachBatch re-delivers the last uncommitted batch
+  with the SAME batch_id, which rewrites the same ``v{k+1}`` from the
+  same (unchanged) ``v{k}`` — byte-identical, so at-least-once delivery
+  becomes exactly-once application (the same idempotency shape as
+  streaming/windows.parquet_batch_writer's batch_id partitions and the
+  incremental dedup stores);
+- retained versions double as time travel: ``v{k}`` IS the snapshot as
+  of batch k (snapshot_diff between two versions gives the audit trail).
+
+Scale shape: merge_upsert itself is one left-anti join on the narrow key
+(AQE broadcasts the CDC batch, the snapshot never shuffles) — but this
+form rewrites the FULL snapshot per batch, the honest cost of
+versioned-directory exactly-once. At the 100 TB design point the
+snapshot is partitioned on a stable key prefix and each batch rewrites
+only the partitions its keys touch (merge_upsert per affected partition
++ dynamic partition overwrite, as queries/pipeline.partition_upsert
+demonstrates); the version directories then hold partition manifests
+rather than full copies — i.e. exactly the layout an ACID table format
+maintains for you, which is the declared swap-in point once Iceberg or
+Delta jars are available (SURVEY §2 deliberate-exclusions note).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sql4pandas_spark.operators.maintenance import merge_upsert
+
+_V_RE = re.compile(r"^v(\d+)$")
+
+
+def seed_snapshot(snapshot: DataFrame, snapshot_root: str) -> str:
+    """Write the initial keyed snapshot as version 0."""
+    dst = os.path.join(snapshot_root, "v0")
+    snapshot.write.mode("overwrite").parquet(dst)
+    return dst
+
+
+def _versions(snapshot_root: str) -> list[int]:
+    try:
+        names = os.listdir(snapshot_root)
+    except FileNotFoundError:
+        return []
+    return sorted(int(m.group(1)) for n in names if (m := _V_RE.match(n)))
+
+
+def latest_snapshot(spark: SparkSession, snapshot_root: str) -> DataFrame:
+    """Read the highest committed version of the snapshot."""
+    vs = _versions(snapshot_root)
+    if not vs:
+        raise FileNotFoundError(f"no snapshot versions under {snapshot_root}")
+    return spark.read.parquet(os.path.join(snapshot_root, f"v{vs[-1]}"))
+
+
+def cdc_apply_batch(
+    changes: DataFrame,
+    snapshot_root: str,
+    key_cols: list[str],
+    batch_id: int,
+    op_col: str = "op",
+    seq_col: str | None = None,
+) -> str:
+    """Apply ONE CDC micro-batch: ``v{batch_id}`` + changes →
+    ``v{batch_id + 1}``. Replay-idempotent by construction (same input
+    version, same changes, overwrite write). Returns the new version
+    path."""
+    spark = changes.sparkSession
+    src = os.path.join(snapshot_root, f"v{batch_id}")
+    dst = os.path.join(snapshot_root, f"v{batch_id + 1}")
+    snap = spark.read.parquet(src)
+    post = merge_upsert(snap, changes, key_cols, op_col=op_col, seq_col=seq_col)
+    post.write.mode("overwrite").parquet(dst)
+    return dst
+
+
+def run_cdc_stream(
+    changes_stream: DataFrame,
+    snapshot_root: str,
+    key_cols: list[str],
+    checkpoint: str | None = None,
+    op_col: str = "op",
+    seq_col: str | None = None,
+    timeout_sec: int = 120,
+) -> str:
+    """Drain a changeset stream into the versioned snapshot with
+    ``trigger(availableNow=True)``. Reusing the same ``checkpoint``
+    across calls resumes batch numbering where the last drain stopped —
+    the periodic-ingest production shape (and what the version chain
+    relies on). Returns the checkpoint path for the next drain."""
+    ckpt = checkpoint or tempfile.mkdtemp(prefix="s4ps_cdc_ckpt_")
+
+    def apply_batch(df: DataFrame, batch_id: int) -> None:
+        cdc_apply_batch(
+            df, snapshot_root, key_cols, batch_id, op_col=op_col, seq_col=seq_col
+        )
+
+    q = (
+        changes_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:  # pragma: no cover - defensive stop on hang
+        q.stop()
+    return ckpt

@@ -171,3 +171,108 @@ def test_crash_after_write_before_commit(
         )
     else:
         assert final.count() == total
+
+
+# ------------------------------------------------------- streaming CDC apply
+
+
+def _seed_kv(spark, root):
+    from sql4pandas_spark.streaming import cdc
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, s string, v long"
+    )
+    cdc.seed_snapshot(snap, root)
+    return snap
+
+
+def test_cdc_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch re-delivers the last uncommitted batch after a crash
+    with the SAME batch_id; cdc_apply_batch must rewrite the same version
+    from the same input — byte-identical post-state, prior versions
+    untouched."""
+    from sql4pandas_spark.streaming import cdc
+
+    root = str(tmp_path / "snap")
+    _seed_kv(spark, root)
+    changes = spark.createDataFrame(
+        [(2, "b", 99, "update"), (3, None, 0, "delete"), (4, "d", 40, "insert")],
+        "k long, s string, v long, op string",
+    )
+    cdc.cdc_apply_batch(changes, root, ["k"], batch_id=0)
+    first = sorted(tuple(r) for r in spark.read.parquet(root + "/v1").collect())
+    # simulated crash-replay: same batch_id, same changes
+    cdc.cdc_apply_batch(changes, root, ["k"], batch_id=0)
+    again = sorted(tuple(r) for r in spark.read.parquet(root + "/v1").collect())
+    assert first == again == [(1, "a", 10), (2, "b", 99), (4, "d", 40)]
+    # v0 untouched by either application
+    v0 = sorted(tuple(r) for r in spark.read.parquet(root + "/v0").collect())
+    assert v0 == [(1, "a", 10), (2, "b", 20), (3, "c", 30)]
+
+
+def test_cdc_stream_resumes_checkpoint_and_chains_versions(spark, tmp_path):
+    """Two availableNow drains over one landing dir + one checkpoint: the
+    second drain picks up ONLY the newly-landed file and continues the
+    version chain (v0 -> v1 -> v2), with latest_snapshot reading v2."""
+    from sql4pandas_spark.streaming import cdc
+
+    root = str(tmp_path / "snap")
+    land = str(tmp_path / "land")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(land)
+    _seed_kv(spark, root)
+
+    def land_file(rows, name):
+        df = spark.createDataFrame(rows, "k long, s string, v long, op string")
+        stage = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.parquet(stage)
+        (part,) = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        os.rename(os.path.join(stage, part), os.path.join(land, name))
+        return df
+
+    schema = "k long, s string, v long, op string"
+    b1 = [(1, "a", 11, "update"), (4, "d", 40, "insert")]
+    b2 = [(2, None, 0, "delete"), (4, "d", 44, "update"), (9, "x", 0, "delete")]
+    land_file(b1, "c0.parquet")
+    stream = spark.readStream.schema(schema).parquet(land)
+    cdc.run_cdc_stream(stream, root, ["k"], checkpoint=ckpt)
+    v_after_1 = sorted(os.listdir(root))
+    assert v_after_1 == ["v0", "v1"]
+
+    land_file(b2, "c1.parquet")
+    stream = spark.readStream.schema(schema).parquet(land)
+    cdc.run_cdc_stream(stream, root, ["k"], checkpoint=ckpt)
+    assert sorted(os.listdir(root)) == ["v0", "v1", "v2"]
+
+    final = sorted(tuple(r) for r in cdc.latest_snapshot(spark, root).collect())
+    # 1 updated in b1; 2 deleted in b2; 3 untouched; 4 inserted then
+    # updated; 9 delete-of-missing no-ops
+    assert final == [(1, "a", 11), (3, "c", 30), (4, "d", 44)]
+
+
+def test_cdc_seq_col_picks_last_change_per_key(spark, tmp_path):
+    """A batch carrying several changes for one key applies only the
+    highest-seq change (CDC LSN semantics)."""
+    from sql4pandas_spark.streaming import cdc
+
+    root = str(tmp_path / "snap")
+    _seed_kv(spark, root)
+    changes = spark.createDataFrame(
+        [
+            (2, "b", 50, "update", 1),
+            (2, "b", 60, "update", 2),
+            (2, None, 0, "delete", 3),
+            (3, "c", 31, "update", 7),
+        ],
+        "k long, s string, v long, op string, seq long",
+    )
+    cdc.cdc_apply_batch(changes, root, ["k"], batch_id=0, seq_col="seq")
+    post = sorted(tuple(r) for r in spark.read.parquet(root + "/v1").collect())
+    assert post == [(1, "a", 10), (3, "c", 31)]  # key 2's final change = delete
+
+
+def test_cdc_latest_snapshot_requires_a_version(spark, tmp_path):
+    from sql4pandas_spark.streaming import cdc
+
+    with pytest.raises(FileNotFoundError):
+        cdc.latest_snapshot(spark, str(tmp_path / "nowhere"))
