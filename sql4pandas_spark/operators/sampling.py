@@ -199,3 +199,53 @@ def weighted_sample_topk(
         .limit(k)
         .drop("_tb")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float],
+    salt: str = "",
+    n_buckets: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic keyed train/val/test split assignment — adds a
+    ``split`` column from a hash of the key, never from randomness.
+
+    Keyed hashing is the leakage-safety property random splits lack: the
+    same document lands in the same split on every run, engine, cluster
+    size, and corpus REFEED (a re-ingested or re-scored copy of a train
+    doc can never drift into test — the contamination mode
+    dedup.split_leakage_check audits after the fact, prevented here at
+    assignment time). ``salt`` re-rolls the whole assignment when a fresh
+    split is genuinely wanted; splits are dict-ordered, so boundaries are
+    reproducible from the call site alone.
+
+    Mechanics: ``portable_hash60(salt || key) % n_buckets`` (uniform on
+    [0, 2^60), md5-based — bit-identical in DuckDB via
+    text.DUCKDB_HASH60_SQL) against cumulative INTEGER boundaries
+    ``round(cum_frac * n_buckets)`` — float fractions quantize to 1e-6
+    resolution once, driver-side, so the per-row comparison is pure
+    integer arithmetic. One map-side expression, zero shuffles at any
+    scale; the assignment survives repartitioning by construction.
+    """
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    names = list(splits)
+    fracs = [splits[n] for n in names]
+    if any(f < 0 for f in fracs):
+        raise ValueError(f"negative split fraction in {splits}")
+    if abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {sum(fracs)}")
+    bounds, cum = [], 0.0
+    for f in fracs:
+        cum += f
+        bounds.append(round(cum * n_buckets))
+    bounds[-1] = n_buckets  # float cum may round to n_buckets-1; close the range
+
+    bucket = portable_hash60(
+        F.concat(F.lit(salt), F.col(key_col).cast("string"))
+    ) % F.lit(n_buckets)
+    expr = F.when(bucket < F.lit(bounds[0]), F.lit(names[0]))
+    for name, b in zip(names[1:], bounds[1:]):
+        expr = expr.when(bucket < F.lit(b), F.lit(name))
+    return df.withColumn("split", expr)

@@ -81,6 +81,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #
     # -- the round-8 NEW entries (0 greens) --
     "stream_cdc_apply",
+    "dataset_split_assign",
     "classifier_calibrated_gate",
     "drift_psi_documents",
     "drift_lang_mix_documents",
@@ -119,8 +120,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_exact_documents",
     "dedup_ngram_jaccard",
     "histogram_order_totals",
-    "json_filter_events",
     "json_props_avg",
+    # (json_filter_events yielded its slot to dataset_split_assign — the
+    # json family stays covered in-window by json_props_avg)
     "map_funcs_events",
     "math_null_funcs",
     "multimodal_payload_stats",

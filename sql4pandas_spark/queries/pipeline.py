@@ -2867,3 +2867,44 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdc.run_cdc_stream(stream, root, ["doc_id"], checkpoint=ckpt)
 
     return cdc.latest_snapshot(spark, root).orderBy("doc_id")
+
+
+_SPLIT_HASH = text.DUCKDB_HASH60_SQL.format(expr="CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "dataset_split_assign",
+    oracle=f"""
+    WITH b AS (
+      SELECT lang, ({_SPLIT_HASH}) % 1000000 AS bucket FROM documents),
+    a AS (
+      SELECT lang,
+             CASE WHEN bucket < 900000 THEN 'train'
+                  WHEN bucket < 950000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM b)
+    SELECT split, lang, count(*) AS n_docs
+    FROM a GROUP BY split, lang ORDER BY split, lang
+    """,
+    tags=("tier-c", "data_mix", "sample", "split"),
+)
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keyed train/val/test split
+    (operators/sampling.split_assign): 90/5/5 by a portable hash of
+    doc_id against integer bucket boundaries — the same document lands in
+    the same split on every run, engine, and corpus refeed (the
+    assignment-time prevention of the train→test contamination that
+    split_leakage_audit detects after the fact). One map-side expression,
+    zero shuffles; the entry reports the per-(split, lang) mix and the
+    oracle replays hash, bucketing, and boundaries exactly."""
+    from sql4pandas_spark.operators.sampling import split_assign
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    assigned = split_assign(
+        t["documents"], "doc_id", {"train": 0.90, "val": 0.05, "test": 0.05}
+    )
+    return (
+        assigned.groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )

@@ -128,3 +128,85 @@ def test_null_stratum_is_a_stratum(spark):
     # temperature path: NULL stratum keeps its temperature share too
     t = temperature_sample(df, "stratum", alpha=1.0, target_total=100)
     assert t.filter(F.col("stratum").isNull()).count() == 50
+
+
+# ------------------------------------------------------------ split_assign
+
+
+def test_split_assign_matches_python_md5_reference(spark):
+    """Differential vs a pure-Python replay of the hash, bucketing, and
+    boundaries — every row assigned, deterministically, to the split the
+    reference computes."""
+    import hashlib
+
+    from sql4pandas_spark.operators.sampling import split_assign
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    got = {
+        r.doc_id: r.split
+        for r in split_assign(
+            df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="s1"
+        ).collect()
+    }
+
+    def ref(key):
+        h = int(hashlib.md5(f"s1{key}".encode()).hexdigest()[:15], 16)
+        b = h % 1_000_000
+        return "train" if b < 800_000 else ("val" if b < 900_000 else "test")
+
+    assert len(got) == 500
+    assert got == {i: ref(i) for i in range(500)}
+
+
+def test_split_assign_stable_under_repartition_and_salt_rerolls(spark):
+    from sql4pandas_spark.operators.sampling import split_assign
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    splits = {"train": 0.9, "test": 0.1}
+    a = dict(
+        split_assign(df, "doc_id", splits).select("doc_id", "split").collect()
+    )
+    b = dict(
+        split_assign(df.repartition(13), "doc_id", splits)
+        .select("doc_id", "split")
+        .collect()
+    )
+    assert a == b  # partitioning-independent
+    c = dict(
+        split_assign(df, "doc_id", splits, salt="v2")
+        .select("doc_id", "split")
+        .collect()
+    )
+    assert a != c  # a salt re-rolls the assignment
+
+
+def test_split_assign_closes_the_bucket_range(spark):
+    """Fractions whose cumulative rounding lands at n_buckets-1 must not
+    leave the top bucket unassigned — the last boundary is forced to
+    n_buckets, so no row gets a NULL split."""
+    from sql4pandas_spark.operators.sampling import split_assign
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    out = split_assign(
+        df, "doc_id", {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3}, n_buckets=7
+    )
+    assert out.filter(out.split.isNull()).count() == 0
+    assert set(r.split for r in out.select("split").distinct().collect()) <= {
+        "a",
+        "b",
+        "c",
+    }
+
+
+def test_split_assign_validates_fractions(spark):
+    import pytest
+
+    from sql4pandas_spark.operators.sampling import split_assign
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError):
+        split_assign(df, "doc_id", {})
+    with pytest.raises(ValueError):
+        split_assign(df, "doc_id", {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError):
+        split_assign(df, "doc_id", {"a": 1.5, "b": -0.5})
