@@ -82,6 +82,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- the round-8 NEW entries (0 greens) --
     "stream_cdc_apply",
     "dataset_split_assign",
+    "scan_schema_evolution",
     "classifier_calibrated_gate",
     "drift_psi_documents",
     "drift_lang_mix_documents",
@@ -109,7 +110,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #    the 5th-8th new entries — their operator families stay covered
     #    in-window by dedup_exact_documents, math_null_funcs,
     #    date_funcs_orders, and string_funcs_part) --
-    "array_explode_avg",
+    # (array_explode_avg yielded its slot to scan_schema_evolution — the
+    # array family stays covered in-window by array_funcs_embeddings and
+    # array_hof_norm)
     "array_funcs_embeddings",
     "array_hof_norm",
     "bucketed_join_segments",

@@ -2908,3 +2908,55 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("split", "lang")
     )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id, lang, CAST(NULL AS DOUBLE) AS quality_score
+      FROM documents WHERE doc_id % 2 = 0),
+    b AS (
+      SELECT doc_id, lang, round(n_chars / 1000.0, 4) AS quality_score
+      FROM documents WHERE doc_id % 2 = 1),
+    u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(count(quality_score) AS BIGINT) AS n_scored,
+           round(sum(quality_score), 2) AS total_score
+    FROM u GROUP BY lang ORDER BY lang
+    """,
+    tags=("tier-c", "scan_parquet", "schema_evolution"),
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file generations — the 100 TB lake reality
+    that a dataset's early files predate columns its later files carry.
+    Generation 1 (even doc_ids) is written WITHOUT quality_score;
+    generation 2 (odd doc_ids) adds it. ``mergeSchema=true`` unions the
+    footer schemas at read time, old files yielding NULL for the new
+    column — no rewrite of the old petabytes. (Spark only pays the
+    footer-merge when asked: the option is per-read, and at scale the
+    merged schema comes from a bounded sample of footers, not a full
+    listing scan.) The aggregate counts scored vs unscored docs per lang;
+    the oracle replays the generation split and NULL semantics exactly."""
+    t = register_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    (out,) = _scratch_dirs("schema_evolution")
+    gen1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    gen2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        "lang",
+        F.round(F.col("n_chars") / F.lit(1000.0), 4).alias("quality_score"),
+    )
+    gen1.write.mode("overwrite").parquet(out)
+    gen2.write.mode("append").parquet(out)
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    return (
+        merged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("quality_score").alias("n_scored"),
+            F.round(F.sum("quality_score"), 2).alias("total_score"),
+        )
+        .orderBy("lang")
+    )

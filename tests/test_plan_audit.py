@@ -36,6 +36,7 @@ BNLJ_ALLOWED = {
     "stratified_sample_mix",     # 1-row population total for the frac bound
     "bm25_top15_documents",      # 1-row corpus stats (N, avgdl, per-term df)
     "tfidf_top_terms_documents", # 1-row corpus size N
+    "classifier_calibrated_gate",  # 1-row p25 score threshold
     "gapfill_interpolate_15m",   # grid build: 5 event types x O(range) spine,
                                  # both tiny and data-volume-independent
 }
