@@ -250,6 +250,27 @@ class IVFIndex:
 _IVF_CACHE: dict[tuple[int, str, int], IVFIndex] = {}
 
 
+def _assign_to_cells(emb: DataFrame, id_col: str, cents: np.ndarray) -> DataFrame:
+    """(vec_id, cell) nearest-centroid assignment: the centroid matrix is
+    broadcast, each Arrow batch is one NumPy matmul + argmax — the only
+    Python in the IVF path, vectorized end-to-end."""
+    b_cents = emb.sparkSession.sparkContext.broadcast(cents)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = b_cents.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col], "cell": np.argmax(m @ c.T, axis=1).astype("int32")}
+            )
+
+    return emb.select(id_col, "embedding").mapInPandas(
+        assign, schema="vec_id long, cell int"
+    )
+
+
 def build_ivf_index(
     emb: DataFrame,
     n_cells: int = 16,
@@ -284,23 +305,7 @@ def build_ivf_index(
             [np.asarray(r["embedding"], dtype=np.float64) for r in train_rows]
         )
         cents = _train_centroids(sample, n_cells)
-    b_cents = emb.sparkSession.sparkContext.broadcast(cents)
-
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        c = b_cents.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            yield pd.DataFrame(
-                {"vec_id": pdf[id_col], "cell": np.argmax(m @ c.T, axis=1).astype("int32")}
-            )
-
-    assigned = (
-        emb.select(id_col, "embedding")
-        .mapInPandas(assign, schema="vec_id long, cell int")
-        .persist()
-    )
+    assigned = _assign_to_cells(emb, id_col, cents).persist()
     index = IVFIndex(emb, id_col, cents, assigned)
     if cache_key is not None:
         _IVF_CACHE[(id(emb.sparkSession), cache_key, n_cells)] = index
@@ -348,6 +353,95 @@ def ann_ivf_query_topk(
     same table reuse one trained+assigned index."""
     index = build_ivf_index(emb, n_cells=n_cells, id_col=id_col, cache_key=cache_key)
     return ivf_query_topk(index, query_vec, k=k, n_probe=n_probe)
+
+
+def save_ivf_index(index: IVFIndex, index_root: str) -> None:
+    """Persist an IVF index as parquet sidecar metadata NEXT TO the vector
+    table (the vectors themselves stay in their own table — the index is
+    centroids + an 8-byte-per-vector assignment, the faiss-on-a-lake
+    layout): ``centroids/`` (n_cells rows) and ``assigned/`` partitioned
+    by (batch_id, cell), so a query's probed-cell filter becomes
+    PARTITION PRUNING on disk instead of a scan, and incremental adds
+    land in their own batch partitions (see :func:`add_to_ivf_index`).
+    The base build is batch_id=0."""
+    import os
+
+    spark = index.emb.sparkSession
+    cents = [
+        (int(i), [float(x) for x in row]) for i, row in enumerate(index.centroids)
+    ]
+    spark.createDataFrame(cents, "cell int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(index_root, "centroids"))
+    (
+        index.assigned.withColumn("batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .partitionBy("batch_id", "cell")
+        .parquet(os.path.join(index_root, "assigned"))
+    )
+
+
+def add_to_ivf_index(
+    new_emb: DataFrame, index_root: str, batch_id: int, id_col: str = "vec_id"
+) -> None:
+    """Incrementally index NEW vectors against the FROZEN centroids —
+    faiss ``add()`` semantics: adds never retrain the coarse quantizer
+    (full-probe queries stay exact regardless; narrow-probe recall decays
+    only if the new data DRIFTS from the trained distribution, which is
+    exactly what profile.distribution_drift over a similarity/assignment
+    histogram detects, and the remedy is an offline rebuild). Each add
+    batch dynamically overwrites its own ``batch_id`` partitions, so a
+    crash-replayed batch replaces exactly its own half-written
+    assignments — the same exactly-once shape as the incremental dedup
+    stores. ``batch_id`` must be ≥ 1 (0 is the base build)."""
+    import os
+
+    if batch_id < 1:
+        raise ValueError("batch_id 0 is the base build; adds start at 1")
+    spark = new_emb.sparkSession
+    crows = (
+        spark.read.parquet(os.path.join(index_root, "centroids"))
+        .orderBy("cell")
+        .collect()
+    )
+    if not crows:
+        raise ValueError("cannot add to an index built over an empty table")
+    cents = np.stack([np.asarray(r.centroid, dtype=np.float64) for r in crows])
+    (
+        _assign_to_cells(new_emb, id_col, cents)
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "cell")
+        .parquet(os.path.join(index_root, "assigned"))
+    )
+
+
+def load_ivf_index(
+    emb: DataFrame, index_root: str, id_col: str = "vec_id"
+) -> IVFIndex:
+    """Load a persisted index for querying: centroids collected (bounded —
+    n_cells × dim), assignments left ON DISK so
+    :func:`ivf_query_topk`'s probed-cell filter prunes partitions. `emb`
+    is the CURRENT vector table (base + any added batches) — the index
+    carries ids, never vectors."""
+    import os
+
+    spark = emb.sparkSession
+    crows = (
+        spark.read.parquet(os.path.join(index_root, "centroids"))
+        .orderBy("cell")
+        .collect()
+    )
+    cents = (
+        np.stack([np.asarray(r.centroid, dtype=np.float64) for r in crows])
+        if crows
+        else np.zeros((0, 0), dtype=np.float64)
+    )
+    assigned = spark.read.parquet(os.path.join(index_root, "assigned")).select(
+        "vec_id", "cell"
+    )
+    return IVFIndex(emb, id_col, cents, assigned)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 13) -> np.ndarray:

@@ -83,6 +83,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_cdc_apply",
     "dataset_split_assign",
     "scan_schema_evolution",
+    "ann_ivf_persistent_top10",
     "classifier_calibrated_gate",
     "drift_psi_documents",
     "drift_lang_mix_documents",
@@ -133,7 +134,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "salted_join_segments",
     "scan_csv_roundtrip",
-    "scan_json_roundtrip",
+    # (scan_json_roundtrip yielded its slot to ann_ivf_persistent_top10 —
+    # the json function family stays covered in-window by json_props_avg)
     "scan_pandas_join",
     "scrub_patterns_events",
     "sim_query_top10",

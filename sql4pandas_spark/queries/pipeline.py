@@ -2960,3 +2960,43 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "ann_ivf_persistent_top10",
+    oracle="""
+    SELECT e.vec_id,
+           round(CAST(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))
+                 AS DOUBLE), 4) AS sim
+    FROM embeddings e
+    WHERE e.vec_id <> 0
+    ORDER BY sim DESC, e.vec_id LIMIT 10
+    """,
+    tags=("tier-c", "sim_search_ann", "incremental"),
+)
+def ann_ivf_persistent_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTENT IVF index lifecycle (operators/similarity.save/add/load):
+    build on the even vec_ids, SAVE as parquet sidecar metadata
+    (centroids + 8-byte-per-vector assignments partitioned by
+    (batch_id, cell) — probed-cell filters prune partitions on disk),
+    incrementally ADD the odd vec_ids against the frozen centroids
+    (faiss add() semantics, batch-partition overwrite = exactly-once on
+    replay), LOAD in a fresh index object, and query at full probe —
+    mathematically exact regardless of how vectors were batched in, so
+    the brute-force oracle hash-checks the whole build→save→add→load→
+    query chain. Narrow-probe recall and replay idempotence are pinned in
+    tests/test_similarity.py."""
+    t = register_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].filter(F.col("vec_id") != 0)
+    (root,) = _scratch_dirs("ivf_index")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    added = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = similarity.build_ivf_index(base, n_cells=16)
+    similarity.save_ivf_index(idx, root)
+    idx.assigned.unpersist()
+    similarity.add_to_ivf_index(added, root, batch_id=1)
+    loaded = similarity.load_ivf_index(emb, root)
+    return similarity.ivf_query_topk(
+        loaded, _query_vector(sf_dir), k=10, n_probe=16
+    )

@@ -196,3 +196,95 @@ def test_centroid_outlier_zero_vector_is_flagged_not_fatal(spark):
     assert a.max_cos == 1.0 and a.sum_cos_e4 == 10000  # NULL excluded from sum
     assert (b.n_vecs, b.n_outliers) == (1, 1)
     assert b.sum_cos_e4 is None and b.min_cos is None
+
+
+# ------------------------------------------------------ persistent IVF index
+
+
+def test_ivf_save_load_roundtrip_preserves_queries(emb, tmp_path):
+    """A loaded index must answer narrow-probe queries identically to the
+    in-memory index it was saved from (same centroids, same assignment)."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "idx")
+    base = emb.filter(F.col("vec_id") != 0)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    idx = similarity.build_ivf_index(base, n_cells=8)
+    similarity.save_ivf_index(idx, root)
+    loaded = similarity.load_ivf_index(base, root)
+    assert np.allclose(loaded.centroids, idx.centroids)
+    for n_probe in (2, 8):
+        a = [tuple(r) for r in similarity.ivf_query_topk(idx, q, 10, n_probe).collect()]
+        b = [
+            tuple(r)
+            for r in similarity.ivf_query_topk(loaded, q, 10, n_probe).collect()
+        ]
+        assert a == b
+
+
+def test_ivf_incremental_add_is_exact_at_full_probe_and_replay_safe(
+    emb, brute, tmp_path
+):
+    """Vectors added in a later batch against FROZEN centroids are fully
+    searchable (full probe == brute force over base+added), the centroid
+    file is untouched by adds, and replaying an add batch neither
+    duplicates assignments nor changes results."""
+    from pyspark.sql import functions as F
+
+    ids, mat, _ = brute
+    root = str(tmp_path / "idx")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    all_vecs = emb.filter(F.col("vec_id") != 0)
+    base = all_vecs.filter(F.col("vec_id") % 2 == 0)
+    added = all_vecs.filter(F.col("vec_id") % 2 == 1)
+
+    idx = similarity.build_ivf_index(base, n_cells=8)
+    similarity.save_ivf_index(idx, root)
+    cents_before = similarity.load_ivf_index(all_vecs, root).centroids
+    similarity.add_to_ivf_index(added, root, batch_id=1)
+    loaded = similarity.load_ivf_index(all_vecs, root)
+    assert np.allclose(loaded.centroids, cents_before)  # adds never retrain
+
+    got = [
+        (r.vec_id, r.sim)
+        for r in similarity.ivf_query_topk(loaded, q, 10, n_probe=8).collect()
+    ]
+    qi = {int(i): k for k, i in enumerate(ids)}
+    sims = np.round(mat @ np.asarray(q), 4)
+    want = sorted(
+        ((int(i), float(sims[qi[int(i)]])) for i in ids if i != 0),
+        key=lambda p: (-p[1], p[0]),
+    )[:10]
+    assert got == want
+
+    n_before = loaded.assigned.count()
+    similarity.add_to_ivf_index(added, root, batch_id=1)  # crash replay
+    reloaded = similarity.load_ivf_index(all_vecs, root)
+    assert reloaded.assigned.count() == n_before
+    again = [
+        (r.vec_id, r.sim)
+        for r in similarity.ivf_query_topk(reloaded, q, 10, n_probe=8).collect()
+    ]
+    assert again == got
+
+    with pytest.raises(ValueError):
+        similarity.add_to_ivf_index(added, root, batch_id=0)
+
+
+def test_ivf_persisted_assignment_prunes_partitions(emb, tmp_path):
+    """The probed-cell filter over the on-disk assignment must be
+    PARTITION pruning (cell is a partition column), not a data filter —
+    the property that makes narrow probes cheap at 100 TB."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "idx")
+    idx = similarity.build_ivf_index(emb, n_cells=8)
+    similarity.save_ivf_index(idx, root)
+    assigned = emb.sparkSession.read.parquet(root + "/assigned")
+    plan = (
+        assigned.filter(F.col("cell").isin([1, 3]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
