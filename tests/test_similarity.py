@@ -288,3 +288,55 @@ def test_ivf_persisted_assignment_prunes_partitions(emb, tmp_path):
         .toString()
     )
     assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_ivf_add_composes_with_foreach_batch_stream(spark, emb, brute, tmp_path):
+    """Continuous indexing: a stream of new embeddings foreachBatch-added
+    to the persisted index (batch_id = stream batch + 1, so replays stay
+    exactly-once). After the drain, a full-probe query over base+streamed
+    vectors equals brute force — the index never went stale."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    ids, mat, _ = brute
+    root = str(tmp_path / "idx")
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    all_vecs = emb.filter(F.col("vec_id") != 0)
+    base = all_vecs.filter(F.col("vec_id") % 2 == 0)
+    streamed = all_vecs.filter(F.col("vec_id") % 2 == 1)
+
+    idx = similarity.build_ivf_index(base, n_cells=8)
+    similarity.save_ivf_index(idx, root)
+
+    streamed.coalesce(1).write.parquet(str(tmp_path / "stage"))
+    (part,) = [
+        f for f in os.listdir(tmp_path / "stage") if f.endswith(".parquet")
+    ]
+    os.rename(tmp_path / "stage" / part, os.path.join(land, "new_vecs.parquet"))
+
+    stream = spark.readStream.schema(streamed.schema).parquet(land)
+    qh = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: similarity.add_to_ivf_index(df, root, batch_id=bid + 1)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qh.awaitTermination(120)
+
+    loaded = similarity.load_ivf_index(all_vecs, root)
+    got = [
+        (r.vec_id, r.sim)
+        for r in similarity.ivf_query_topk(loaded, q, 10, n_probe=8).collect()
+    ]
+    qi = {int(i): k for k, i in enumerate(ids)}
+    sims = np.round(mat @ np.asarray(q), 4)
+    want = sorted(
+        ((int(i), float(sims[qi[int(i)]])) for i in ids if i != 0),
+        key=lambda p: (-p[1], p[0]),
+    )[:10]
+    assert got == want
