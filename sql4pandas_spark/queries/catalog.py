@@ -84,6 +84,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dataset_split_assign",
     "scan_schema_evolution",
     "ann_ivf_persistent_top10",
+    "classifier_gate_per_lang",
     "classifier_calibrated_gate",
     "drift_psi_documents",
     "drift_lang_mix_documents",
@@ -141,7 +142,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_query_top10",
     "sink_parquet_roundtrip",
     "string_funcs_part",
-    "struct_funcs_customer",
+    # (struct_funcs_customer yielded its slot to classifier_gate_per_lang
+    # — the map/struct family stays covered in-window by map_funcs_events)
     "text_quality_scores",
     "text_stats_by_lang",
     "token_count_bpe",

@@ -3000,3 +3000,61 @@ def ann_ivf_persistent_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_query_topk(
         loaded, _query_vector(sf_dir), k=10, n_probe=16
     )
+
+
+@query(
+    "classifier_gate_per_lang",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         t -> t <> '') AS w
+      FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+             {text.DUCKDB_CLF_SCORE_SQL.format(w="w", n=256)} AS score
+      FROM toks),
+    th AS (
+      SELECT lang, round(quantile_cont(score, 0.25), 6) AS threshold
+      FROM scored GROUP BY lang)
+    SELECT s.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           threshold
+    FROM scored s JOIN th USING (lang)
+    GROUP BY s.lang, threshold ORDER BY s.lang
+    """,
+    tags=("tier-c", "quality", "classifier", "data_mix"),
+)
+def classifier_gate_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-LANGUAGE calibrated quality gate: each language's
+    keep-threshold is ITS OWN p25 score — the production multilingual
+    form, because a single global threshold systematically drops
+    low-resource languages whose score distribution sits lower (an
+    artifact of token statistics, not quality). Same plan shape as
+    classifier_calibrated_gate but the threshold aggregate is per-stratum
+    (|langs| rows, broadcast equi-join back instead of a scalar
+    crossJoin) — and the same exact-percentile honesty note applies:
+    swap F.approx_percentile at the 100 TB design point. Every language
+    keeps ~75% of its own docs by construction; the oracle replays
+    per-lang quantile_cont interpolation and the gate exactly."""
+    from sql4pandas_spark.operators.text import hashed_logistic_score
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    scored = hashed_logistic_score(t["documents"]).select("doc_id", "lang", "score")
+    th = scored.groupBy("lang").agg(
+        F.round(F.percentile("score", F.lit(0.25)), 6).alias("threshold")
+    )
+    return (
+        scored.join(F.broadcast(th), "lang")
+        .groupBy("lang", "threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("score") >= F.col("threshold")).cast("long")).alias(
+                "n_kept"
+            ),
+        )
+        .select("lang", "n_docs", "n_kept", "threshold")
+        .orderBy("lang")
+    )
