@@ -169,6 +169,79 @@ def distribution_drift(
     return _psi_tail(h, "bin", n_bins)
 
 
+def drift_timeline(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    n_bins: int,
+    lo: float,
+    hi: float,
+    bucket: str = "day",
+) -> DataFrame:
+    """PSI as a TIME SERIES: one row per time bucket with the PSI of that
+    bucket's value distribution against the EARLIEST bucket as reference
+    — the monitorable form of :func:`distribution_drift` for a feed
+    ("when did this stream start drifting?"), the batch twin of the
+    foreachBatch streaming monitor (tests/test_round8_ops.py).
+
+    [lo, hi] is explicit (SLA bounds, or profile_columns on the reference
+    window) so every bucket bins identically; bin assignment is the same
+    clamped single expression as :func:`distribution_drift`. Per-bucket
+    PSI sums the per-bin contributions AS 1e-6-QUANTIZED INTEGERS — the
+    contribution doubles are bit-identical across engines (identical
+    arithmetic), and integer summation removes the floating-point
+    ORDER-dependence a double sum would reintroduce, so the DuckDB
+    oracle replays every bucket's index exactly.
+
+    Scale shape: ONE map-combined groupBy(bucket, bin) count shuffle of
+    |buckets|×|bins| output; everything after (spine densify, reference
+    join, window totals) operates on that tiny histogram. Output:
+    ``(bucket, n_rows, psi)`` ordered by bucket; the reference bucket
+    scores 0 by construction.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be positive")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    x = F.col(value_col).cast("double")
+    raw = F.floor((x - F.lit(lo)) * F.lit(float(n_bins)) / F.lit(hi - lo))
+    bin_ = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw)).cast("int")
+    b = F.date_trunc(bucket, F.col(time_col))
+    counts = (
+        df.filter(x.isNotNull() & F.col(time_col).isNotNull())
+        .groupBy(b.alias("bucket"), bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spark = df.sparkSession
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    spine = counts.select("bucket").distinct().crossJoin(bins)
+    h = spine.join(counts, ["bucket", "bin"], "left").fillna(0, ["n"])
+    ref = (
+        h.join(h.agg(F.min("bucket").alias("bucket")), "bucket")
+        .select("bin", F.col("n").alias("n_ref"))
+    )
+    j = h.join(ref, "bin")
+    tot_b = F.sum("n").over(Window.partitionBy("bucket"))
+    # n_ref repeats once per bin within a bucket, so its windowed sum IS
+    # the reference total — no second scan or driver collect needed
+    p = (F.col("n_ref") + F.lit(0.5)) / (
+        F.sum("n_ref").over(Window.partitionBy("bucket")) + F.lit(0.5 * n_bins)
+    )
+    q = (F.col("n") + F.lit(0.5)) / (tot_b + F.lit(0.5 * n_bins))
+    c_e6 = F.round((p - q) * F.log(p / q) * F.lit(1_000_000.0)).cast("long")
+    # windowed expressions can't sit inside agg() — materialize the
+    # per-bin contribution first, then fold
+    per_bin = j.select("bucket", "n", c_e6.alias("c_e6"))
+    return (
+        per_bin.groupBy("bucket")
+        .agg(
+            F.sum("n").alias("n_rows"),
+            F.round(F.sum("c_e6") / F.lit(1_000_000.0), 6).alias("psi"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def categorical_drift(
     old: DataFrame,
     new: DataFrame,

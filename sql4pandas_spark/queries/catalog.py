@@ -88,6 +88,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "classifier_calibrated_gate",
     "drift_psi_documents",
     "drift_lang_mix_documents",
+    # (multimodal_resize_stats yielded its slot to drift_timeline_events
+    # — the multimodal family stays covered in-window by
+    # multimodal_payload_stats)
+    "drift_timeline_events",
     "dedup_substring_spans",
     "scrub_passages_documents",
     "incremental_passage_scrub_batches",
@@ -131,7 +135,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "map_funcs_events",
     "math_null_funcs",
     "multimodal_payload_stats",
-    "multimodal_resize_stats",
     "q1_pricing_summary",
     "salted_join_segments",
     "scan_csv_roundtrip",

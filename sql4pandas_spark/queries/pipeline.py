@@ -2696,6 +2696,62 @@ def drift_lang_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "drift_timeline_events",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             LEAST(9, GREATEST(0, CAST(floor(
+               (CASE WHEN day(ts) >= 16 THEN value * 1.5 ELSE value END)
+               * 10.0 / 500.0) AS INT))) AS bin
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+    counts AS (SELECT bucket, bin, count(*) AS n FROM e GROUP BY 1, 2),
+    bins AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bin),
+    spine AS (
+      SELECT bucket, bin
+      FROM (SELECT DISTINCT bucket FROM counts) CROSS JOIN bins),
+    h AS (
+      SELECT spine.bucket, spine.bin, coalesce(counts.n, 0) AS n
+      FROM spine LEFT JOIN counts USING (bucket, bin)),
+    ref AS (SELECT bin, n AS n_ref FROM h
+            WHERE bucket = (SELECT min(bucket) FROM h)),
+    tot AS (SELECT bucket, sum(n) AS tb FROM h GROUP BY bucket),
+    tr AS (SELECT sum(n_ref) AS trr FROM ref),
+    j AS (
+      SELECT h.bucket, h.n,
+             (ref.n_ref + 0.5) / (tr.trr + 5.0) AS p,
+             (h.n + 0.5) / (tot.tb + 5.0) AS q
+      FROM h JOIN ref USING (bin) JOIN tot USING (bucket), tr)
+    SELECT bucket, CAST(sum(n) AS BIGINT) AS n_rows,
+           round(sum(CAST(round((p - q) * ln(p / q) * 1000000.0) AS BIGINT))
+                 / 1000000.0, 6) AS psi
+    FROM j GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("tier-c", "profile_table", "drift", "streaming"),
+)
+def drift_timeline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift TIMELINE (operators/profile.drift_timeline): PSI of the
+    events value distribution per DAY against the earliest day — the
+    "when did this feed start drifting?" monitor, completing the drift
+    family (snapshot-vs-snapshot PSI, categorical mix, and now the time
+    series). A mid-month regime change is planted (values up 50% from
+    day 16) so the timeline must read ~0 for days 1-15 and spike after —
+    the oracle replays bucketing, binning, smoothing, and the
+    1e-6-quantized contribution sums bucket-for-bucket. One map-combined
+    (bucket, bin) count shuffle; everything downstream operates on the
+    |days|x|bins| histogram."""
+    from sql4pandas_spark.operators.profile import drift_timeline
+
+    t = register_tables(spark, sf_dir, ("events",))
+    ev = t["events"].withColumn(
+        "value",
+        F.when(F.dayofmonth("ts") >= 16, F.col("value") * 1.5).otherwise(
+            F.col("value")
+        ),
+    )
+    return drift_timeline(ev, "ts", "value", n_bins=10, lo=0.0, hi=500.0)
+
+
+@query(
     "classifier_calibrated_gate",
     oracle=f"""
     WITH toks AS (

@@ -490,6 +490,54 @@ def test_categorical_drift_escapes_sentinel_collisions(spark):
     assert all(r.psi == 0.0 for r in rows.values())  # identical snapshots
 
 
+def test_drift_timeline_flags_the_regime_change_bucket(spark):
+    """Step drift planted at day 16 of a 20-day feed: the timeline must
+    read exactly 0 for the reference day, near-0 for the stable days,
+    and spike from the change-point on."""
+    import datetime
+
+    from sql4pandas_spark.operators.profile import drift_timeline
+
+    rows = []
+    for day in range(1, 21):
+        for i in range(200):
+            v = float(i % 50) + (500.0 if day >= 16 else 0.0)
+            rows.append((datetime.datetime(2024, 3, day, i % 24, 30), v))
+    df = spark.createDataFrame(rows, "ts timestamp, x double")
+    out = drift_timeline(df, "ts", "x", n_bins=10, lo=0.0, hi=1000.0)
+    got = {r.bucket.day: r for r in out.collect()}
+    assert len(got) == 20
+    assert all(r.n_rows == 200 for r in got.values())
+    assert got[1].psi == 0.0  # reference bucket: p == q by construction
+    for day in range(2, 16):
+        assert got[day].psi == 0.0  # identical distribution, exact-0 PSI
+    for day in range(16, 21):
+        assert got[day].psi > 0.25  # "investigate" regime after the step
+
+
+def test_drift_timeline_densifies_empty_bins_and_skips_nulls(spark):
+    """A day whose values all land in one bin still gets all n_bins rows
+    in its histogram (smoothed PSI needs the zero bins), and NULL
+    values/timestamps are excluded rather than binned."""
+    import datetime
+
+    from sql4pandas_spark.operators.profile import drift_timeline
+
+    d1, d2 = datetime.datetime(2024, 3, 1), datetime.datetime(2024, 3, 2)
+    df = spark.createDataFrame(
+        [(d1, 0.5), (d1, 9.5), (d2, 0.5), (d2, None), (None, 5.0)],
+        "ts timestamp, x double",
+    )
+    out = {r.bucket.day: r for r in drift_timeline(df, "ts", "x", 10, 0.0, 10.0).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_rows == 2 and out[2].n_rows == 1  # NULLs dropped
+    assert out[1].psi == 0.0 and out[2].psi > 0.0  # day-2 mix differs
+    with pytest.raises(ValueError):
+        drift_timeline(df, "ts", "x", 0, 0.0, 10.0)
+    with pytest.raises(ValueError):
+        drift_timeline(df, "ts", "x", 10, 3.0, 3.0)
+
+
 def test_drift_monitor_composes_with_foreach_batch_stream(spark, tmp_path):
     """Monitoring-in-ingestion: foreachBatch computes each micro-batch's
     PSI against a fixed reference histogram and appends it to a metrics
