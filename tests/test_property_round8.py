@@ -472,6 +472,60 @@ def test_categorical_drift_matches_python(spark, data):
         assert got[c] == want, (c, got[c], want)
 
 
+@st.composite
+def timeline_cases(draw):
+    n_days = draw(st.integers(1, 5))
+    days = {
+        d: [float(draw(st.integers(0, 20))) for _ in range(draw(st.integers(1, 15)))]
+        for d in range(1, n_days + 1)
+    }
+    return days, draw(st.integers(1, 6))
+
+
+@given(timeline_cases())
+@settings(**_SETTINGS)
+def test_drift_timeline_matches_python(spark, case):
+    import datetime
+    import math
+
+    from sql4pandas_spark.operators.profile import drift_timeline
+
+    days, n_bins = case
+    lo, hi = 0.0, 21.0
+    rows = [
+        (datetime.datetime(2024, 5, d, h % 24), v)
+        for d, vals in days.items()
+        for h, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, x double")
+    got = {
+        r.bucket.day: (r.n_rows, r.psi)
+        for r in drift_timeline(df, "ts", "x", n_bins=n_bins, lo=lo, hi=hi).collect()
+    }
+
+    def binned(vals):
+        out = [0] * n_bins
+        for v in vals:
+            out[min(n_bins - 1, max(0, math.floor((v - lo) * n_bins / (hi - lo))))] += 1
+        return out
+
+    ref = binned(days[min(days)])
+    trr = sum(ref)
+    assert set(got) == set(days)
+    for d, vals in days.items():
+        h = binned(vals)
+        tb = sum(h)
+        acc = 0
+        for b in range(n_bins):
+            p = (ref[b] + 0.5) / (trr + 0.5 * n_bins)
+            q = (h[b] + 0.5) / (tb + 0.5 * n_bins)
+            # Spark F.round is HALF_UP; contributions are >= 0 so
+            # floor(x + 0.5) is the faithful integer quantization
+            acc += math.floor((p - q) * math.log(p / q) * 1_000_000.0 + 0.5)
+        want = (tb, round(acc / 1_000_000.0, 6))
+        assert got[d] == want, (d, got[d], want)
+
+
 # ------------------------------------------------- streaming CDC version chain
 
 
