@@ -1,0 +1,200 @@
+"""Behavioral analytics over event logs: ordered funnels and cohort
+retention — the two queries every product/growth team runs against the
+100 TB clickstream, and the reference's event-table use case (SURVEY.md
+§1.2) taken to its analytic conclusion.
+
+Both are pure DataFrame compositions (zero UDFs). The funnel is ONE
+groupBy(user) shuffle: events are pre-filtered to the funnel's step types
+(predicate pushdown at the scan), collected per user as a sorted
+(ts, type) array, and folded through a JVM higher-order ``aggregate``
+whose accumulator is the per-step completion timestamps — the greedy
+earliest-completion semantics every funnel product (first-touch
+anchoring) uses, provably equivalent to the iterative
+"min ts of step k strictly after step k-1" definition the SQL oracle
+replays. Retention is two narrow shuffles (per-user first-period
+aggregate, then a user-keyed join back) over (user, period) pairs only.
+
+Skew note for 100 TB: per-user arrays hold only the funnel's OWN event
+types, so a power user contributes |their funnel events|, not |their
+events|; a hostile bot with millions of step-type events is the one key
+that needs a per-user event cap upstream (filter_with_audit) — the same
+discipline as dedup's hot-shingle cap (operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    time_col: str,
+    type_col: str,
+    steps: list[str],
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """Ordered-sequence funnel: how many users completed step 1, then
+    step 2 strictly after their step-1 time, and so on.
+
+    Returns one row per step: ``(step, event_type, n_users,
+    pct_of_first)`` with ``step`` 1-based and ``pct_of_first`` the
+    conversion rate against the step-1 population (NULL when nobody
+    entered). Semantics are greedy/first-touch: each step's completion
+    time is the EARLIEST event of that type strictly after the previous
+    step's completion; with ``within_seconds`` set, steps 2..k must also
+    land within that many seconds of the user's first step-1 event (the
+    anchor — later step-1 events never re-anchor, matching standard
+    product-analytics windows). Ties at the exact same timestamp do NOT
+    chain (strictly-after), so out-of-order same-ms events can't fake a
+    conversion.
+
+    Rows with NULL user, time, or type are ignored. Duplicate step types
+    are allowed (e.g. view->click->view): one event fills at most the
+    first unfilled step, so a single event never satisfies two steps.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    k = len(steps)
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    ev = (
+        df.filter(
+            F.col(user_col).isNotNull()
+            & F.col(time_col).isNotNull()
+            & F.col(type_col).isin(steps)
+        )
+        .select(
+            F.col(user_col).alias("_u"),
+            F.struct(
+                F.col(time_col).alias("ts"), F.col(type_col).alias("et")
+            ).alias("_e"),
+        )
+    )
+    init = F.array(*[F.lit(None).cast("timestamp") for _ in range(k)])
+
+    def step(acc, x):
+        # one transform pass per event, all reads against the OLD acc:
+        # filling step i needs acc[i-1] already set by a strictly earlier
+        # event, so at most the first unfilled step can fire — duplicate
+        # step types can't double-fill from one event
+        def fill(a, i):
+            prev = F.get(acc, i - 1)  # null at i==0 (out-of-bounds get)
+            in_seq = (i == F.lit(0)) | (prev.isNotNull() & (x["ts"] > prev))
+            if within_seconds is not None:
+                anchor = F.when(i == F.lit(0), x["ts"]).otherwise(
+                    F.get(acc, 0)
+                )
+                in_seq = in_seq & (
+                    x["ts"]
+                    <= anchor + F.make_interval(secs=F.lit(within_seconds))
+                )
+            return (
+                F.when(a.isNotNull(), a)
+                .when((F.get(steps_arr, i) == x["et"]) & in_seq, x["ts"])
+                .otherwise(F.lit(None).cast("timestamp"))
+            )
+
+        return F.transform(acc, fill)
+
+    per_user = ev.groupBy("_u").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("_e")), init, step
+        ).alias("hits")
+    )
+    counts = (
+        per_user.select(F.posexplode("hits").alias("step0", "t"))
+        .groupBy("step0")
+        .agg(F.sum(F.col("t").isNotNull().cast("long")).alias("n_users"))
+    )
+    # |steps|-row spine keeps the output shape stable even on empty input
+    spine = (
+        df.sparkSession.range(k)
+        .select(F.col("id").cast("int").alias("step0"))
+        .withColumn("event_type", F.get(steps_arr, F.col("step0")))
+    )
+    base = spine.join(counts, "step0", "left").fillna(0, ["n_users"])
+    # n_first via a single-partition window over the k-row result — a
+    # separate aggregate-and-crossJoin lineage would make Catalyst scan
+    # and shuffle the events twice (no subtree reuse across self-joins)
+    n_first = F.max(
+        F.when(F.col("step0") == 0, F.col("n_users"))
+    ).over(Window.partitionBy(F.lit(1)))
+    return (
+        base.withColumn("n_first", n_first)
+        .select(
+            (F.col("step0") + 1).alias("step"),
+            "event_type",
+            "n_users",
+            F.when(
+                F.col("n_first") > 0,
+                F.round(F.col("n_users") * 100.0 / F.col("n_first"), 4),
+            ).alias("pct_of_first"),
+        )
+        .orderBy("step")
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    time_col: str,
+    bucket: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST-activity
+    period (the cohort), then counted in every later period they showed
+    up in.
+
+    Returns ``(cohort, period_offset, n_active, retention_pct)`` —
+    offset 0 is the cohort's own period (retention 100 by construction),
+    ``retention_pct`` is against the cohort's size. ``bucket`` is any
+    ``date_trunc`` unit whose periods are uniform in days ('week' or
+    'day'; months are not equal-length, so offsets would lie).
+
+    Scale shape: activity collapses to DISTINCT (user, period) pairs
+    before anything else (the one early-projection that matters — the
+    raw event volume never reaches any later stage), and everything
+    downstream is WINDOWS over that single lineage, not aggregate+join
+    branches: a per-user min window gives the cohort, and the cohort
+    size is read off each cohort's own offset-0 row (every user has
+    exactly one). A join-based phrasing makes Catalyst scan the events
+    once per branch — three full scans at 100 TB; this plan scans once.
+    """
+    days = {"day": 1, "week": 7}
+    if bucket not in days:
+        raise ValueError(f"bucket must be one of {sorted(days)}")
+    per = F.date_trunc(bucket, F.col(time_col))
+    act = (
+        df.filter(F.col(user_col).isNotNull() & F.col(time_col).isNotNull())
+        .select(F.col(user_col).alias("_u"), per.alias("period"))
+        .distinct()
+    )
+    cohort = F.min("period").over(Window.partitionBy("_u"))
+    r = (
+        act.withColumn("cohort", cohort)
+        .select(
+            "cohort",
+            (F.datediff("period", "cohort") / days[bucket])
+            .cast("int")
+            .alias("period_offset"),
+        )
+        .groupBy("cohort", "period_offset")
+        # rows are distinct (user, period) pairs, so plain count IS the
+        # distinct-user count — no Expand needed
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    n_cohort = F.max(
+        F.when(F.col("period_offset") == 0, F.col("n_active"))
+    ).over(Window.partitionBy("cohort"))
+    return (
+        r.withColumn("n_cohort", n_cohort)
+        .select(
+            "cohort",
+            "period_offset",
+            "n_active",
+            F.round(F.col("n_active") * 100.0 / F.col("n_cohort"), 4).alias(
+                "retention_pct"
+            ),
+        )
+        .orderBy("cohort", "period_offset")
+    )

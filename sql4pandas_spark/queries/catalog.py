@@ -92,6 +92,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # — the multimodal family stays covered in-window by
     # multimodal_payload_stats)
     "drift_timeline_events",
+    # (array_hof_norm yielded its slot to funnel_view_click_purchase —
+    # the array-HOF family stays covered in-window by
+    # array_funcs_embeddings and the funnel's own aggregate fold;
+    # dedup_embedding_pairs yielded its slot to
+    # cohort_retention_purchases — embedding similarity stays covered
+    # in-window by cosine_top20_pairs and sim_query_top10)
+    "funnel_view_click_purchase",
+    "cohort_retention_purchases",
     "dedup_substring_spans",
     "scrub_passages_documents",
     "incremental_passage_scrub_batches",
@@ -120,12 +128,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # array family stays covered in-window by array_funcs_embeddings and
     # array_hof_norm)
     "array_funcs_embeddings",
-    "array_hof_norm",
     "bucketed_join_segments",
     "chunk_documents_overlap",
     "cosine_top20_pairs",
     "date_funcs_orders",
-    "dedup_embedding_pairs",
     "dedup_exact_documents",
     "dedup_ngram_jaccard",
     "histogram_order_totals",

@@ -2752,6 +2752,105 @@ def drift_timeline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' AND user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+      GROUP BY 1),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+      GROUP BY 1),
+    c AS (SELECT (SELECT count(*) FROM s1) AS n1,
+                 (SELECT count(*) FROM s2) AS n2,
+                 (SELECT count(*) FROM s3) AS n3)
+    SELECT step, event_type, n_users,
+           CASE WHEN n1 > 0 THEN round(n_users * 100.0 / n1, 4) END
+             AS pct_of_first
+    FROM (
+      SELECT 1 AS step, 'view' AS event_type, n1 AS n_users, n1 FROM c
+      UNION ALL SELECT 2, 'click', n2, n1 FROM c
+      UNION ALL SELECT 3, 'purchase', n3, n1 FROM c)
+    ORDER BY step
+    """,
+    tags=("tier-c", "behavior", "funnel", "agg_group", "array_fns"),
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (operators/behavior.funnel): users who
+    viewed, then clicked strictly after within 24h of the first view,
+    then purchased strictly after the click inside the same 24h window
+    (first-touch anchoring — 150 -> 60 -> 14 at sf0.01, so every stage
+    of the chain discriminates). ONE groupBy(user) shuffle of
+    step-type-filtered events folded through a JVM higher-order
+    aggregate; the oracle replays the equivalent iterative
+    min-strictly-after definition."""
+    from sql4pandas_spark.operators.behavior import funnel
+
+    t = register_tables(spark, sf_dir, ("events",))
+    return funnel(
+        t["events"],
+        "user_id",
+        "ts",
+        "event_type",
+        ["view", "click", "purchase"],
+        within_seconds=24 * 3600,
+    )
+
+
+@query(
+    "cohort_retention_purchases",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS period
+      FROM events
+      WHERE event_type = 'purchase'
+        AND user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2),
+    f AS (SELECT user_id, min(period) AS cohort FROM p GROUP BY 1),
+    sz AS (SELECT cohort, count(*) AS n_cohort FROM f GROUP BY 1),
+    r AS (
+      SELECT f.cohort,
+             CAST(date_diff('day', CAST(f.cohort AS DATE),
+                            CAST(p.period AS DATE)) / 7 AS INT)
+               AS period_offset,
+             count(DISTINCT p.user_id) AS n_active
+      FROM p JOIN f USING (user_id) GROUP BY 1, 2)
+    SELECT r.cohort, r.period_offset, r.n_active,
+           round(r.n_active * 100.0 / sz.n_cohort, 4) AS retention_pct
+    FROM r JOIN sz USING (cohort)
+    ORDER BY cohort, period_offset
+    """,
+    tags=("tier-c", "behavior", "cohort", "agg_distinct", "date_fns"),
+)
+def cohort_retention_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (operators/behavior.cohort_retention) on
+    PURCHASE events: users cohorted by their first-purchase week, counted
+    in every later week they purchased again — the repeat-buyer matrix
+    (two cohorts at sf0.01: 143 week-1 and 7 week-2 buyers, retention
+    decaying below 100, so offsets and percentages both discriminate).
+    Activity collapses to distinct (user, week) pairs before any join;
+    all shuffles carry (user, period) only."""
+    from sql4pandas_spark.operators.behavior import cohort_retention
+
+    t = register_tables(spark, sf_dir, ("events",))
+    return cohort_retention(
+        t["events"].filter(F.col("event_type") == "purchase"),
+        "user_id",
+        "ts",
+        bucket="week",
+    )
+
+
+@query(
     "classifier_calibrated_gate",
     oracle=f"""
     WITH toks AS (

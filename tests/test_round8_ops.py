@@ -587,3 +587,121 @@ def test_drift_monitor_composes_with_foreach_batch_stream(spark, tmp_path):
     assert set(got) == {0, 1}
     assert got[0] < 0.05  # same distribution -> stable
     assert got[1] > 0.25  # shifted feed -> investigate regime
+
+
+# ------------------------------------------------ behavior (funnel, cohort)
+
+
+def _ev(spark, rows):
+    import datetime
+
+    base = datetime.datetime(2024, 6, 1)
+    data = [
+        (u, base + datetime.timedelta(minutes=m), t) for u, m, t in rows
+    ]
+    return spark.createDataFrame(data, "u long, ts timestamp, et string")
+
+
+def test_funnel_strictly_after_and_no_same_ts_chaining(spark):
+    from sql4pandas_spark.operators.behavior import funnel
+
+    df = _ev(
+        spark,
+        [
+            (1, 0, "A"), (1, 5, "B"), (1, 9, "C"),   # full conversion
+            (2, 0, "A"), (2, 0, "B"),                # same-ts: B can't chain
+            (3, 5, "B"), (3, 9, "A"),                # B before A: no step 2
+            (4, 0, "B"), (4, 1, "A"), (4, 2, "B"),   # later B converts
+        ],
+    )
+    out = {r.step: r for r in funnel(df, "u", "ts", "et", ["A", "B", "C"]).collect()}
+    assert [out[s].event_type for s in (1, 2, 3)] == ["A", "B", "C"]
+    assert (out[1].n_users, out[2].n_users, out[3].n_users) == (4, 2, 1)
+    assert out[1].pct_of_first == 100.0
+    assert out[2].pct_of_first == 50.0
+    assert out[3].pct_of_first == 25.0
+
+
+def test_funnel_duplicate_step_types_need_distinct_events(spark):
+    """steps A->B->A: one A event can't satisfy both A-steps, and the
+    second A must come strictly after the B."""
+    from sql4pandas_spark.operators.behavior import funnel
+
+    df = _ev(
+        spark,
+        [
+            (1, 0, "A"), (1, 1, "B"), (1, 2, "A"),  # converts
+            (2, 0, "A"), (2, 1, "B"),               # no second A
+            (3, 0, "A"), (3, 1, "A"), (3, 2, "B"),  # A,A,B: second A too early
+        ],
+    )
+    out = {r.step: r.n_users for r in funnel(df, "u", "ts", "et", ["A", "B", "A"]).collect()}
+    assert out == {1: 3, 2: 3, 3: 1}
+
+
+def test_funnel_window_anchors_at_first_entry_event(spark):
+    """within_seconds anchors at the user's FIRST step-1 event; a later
+    step-1 occurrence must not re-open the window."""
+    from sql4pandas_spark.operators.behavior import funnel
+
+    df = _ev(
+        spark,
+        [
+            (1, 0, "A"), (1, 30, "B"),               # inside 40-min window
+            (2, 0, "A"), (2, 50, "B"),               # outside window
+            (3, 0, "A"), (3, 45, "A"), (3, 60, "B"),  # 2nd A never re-anchors
+        ],
+    )
+    out = {
+        r.step: r.n_users
+        for r in funnel(
+            df, "u", "ts", "et", ["A", "B"], within_seconds=40 * 60
+        ).collect()
+    }
+    assert out == {1: 3, 2: 1}
+
+
+def test_funnel_empty_input_keeps_step_spine(spark):
+    import pytest
+
+    from sql4pandas_spark.operators.behavior import funnel
+
+    df = _ev(spark, []).filter("u IS NOT NULL")
+    rows = funnel(df, "u", "ts", "et", ["A", "B"]).collect()
+    assert [(r.step, r.event_type, r.n_users, r.pct_of_first) for r in rows] == [
+        (1, "A", 0, None),
+        (2, "B", 0, None),
+    ]
+    with pytest.raises(ValueError):
+        funnel(df, "u", "ts", "et", [])
+
+
+def test_cohort_retention_offsets_and_sizes(spark):
+    import pytest
+
+    from sql4pandas_spark.operators.behavior import cohort_retention
+
+    # weeks: 2024-06-03 is a Monday; users 1,2 start week 0 (via the
+    # preceding Sat/Sun which truncate to 2024-05-27), user 3 starts W1
+    df = _ev(
+        spark,
+        [
+            (1, 0, "x"),                  # Sat Jun 1 -> week of May 27
+            (1, 3 * 24 * 60, "x"),        # Tue Jun 4 -> week of Jun 3
+            (2, 60, "x"),                 # same week as user 1's first
+            (1, 17 * 24 * 60, "x"),       # week of Jun 17 -> offset 3
+            (3, 9 * 24 * 60, "x"),        # Mon Jun 10 week -> own cohort
+        ],
+    )
+    got = {
+        (r.cohort.strftime("%m-%d"), r.period_offset): (r.n_active, r.retention_pct)
+        for r in cohort_retention(df, "u", "ts", bucket="week").collect()
+    }
+    assert got == {
+        ("05-27", 0): (2, 100.0),
+        ("05-27", 1): (1, 50.0),
+        ("05-27", 3): (1, 50.0),
+        ("06-10", 0): (1, 100.0),
+    }
+    with pytest.raises(ValueError):
+        cohort_retention(df, "u", "ts", bucket="month")
