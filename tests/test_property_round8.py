@@ -590,3 +590,117 @@ def test_cdc_version_chain_matches_python(spark, tmp_path_factory, case):
     cdc.cdc_apply_batch(changes, root, ["k"], batch_id=last)
     got = {r.k: r.v for r in spark.read.parquet(f"{root}/v{last + 1}").collect()}
     assert got == state
+
+
+# ------------------------------------------------ behavior (funnel, cohort)
+
+
+@st.composite
+def funnel_cases(draw):
+    n = draw(st.integers(0, 40))
+    events = [
+        (
+            draw(st.integers(1, 5)),
+            draw(st.integers(0, 30)),
+            draw(st.sampled_from(["A", "B", "C"])),
+        )
+        for _ in range(n)
+    ]
+    steps = draw(st.sampled_from([["A", "B", "C"], ["A", "B", "A"], ["B"]]))
+    within = draw(st.sampled_from([None, 600, 3600]))
+    return events, steps, within
+
+
+@given(funnel_cases())
+@settings(**_SETTINGS)
+def test_funnel_matches_python_greedy_fold(spark, case):
+    from sql4pandas_spark.operators.behavior import funnel
+
+    events, steps, within = case
+    base = dt.datetime(2024, 6, 1)
+    rows = [(u, base + dt.timedelta(minutes=m), t) for u, m, t in events]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, et string") if rows else (
+        spark.createDataFrame([], "u long, ts timestamp, et string")
+    )
+    got = {
+        r.step: (r.event_type, r.n_users, r.pct_of_first)
+        for r in funnel(df, "u", "ts", "et", steps, within_seconds=within).collect()
+    }
+
+    k = len(steps)
+    by_user = defaultdict(list)
+    for u, m, t in events:
+        by_user[u].append((base + dt.timedelta(minutes=m), t))
+    counts = [0] * k
+    for u, evs in by_user.items():
+        acc = [None] * k
+        for ts, t in sorted(evs):  # (ts, type) — same order as array_sort
+            for i in range(k):
+                if acc[i] is not None:
+                    continue
+                if steps[i] != t:
+                    continue
+                if i > 0 and (acc[i - 1] is None or not ts > acc[i - 1]):
+                    continue
+                anchor = ts if i == 0 else acc[0]
+                if within is not None and ts > anchor + dt.timedelta(seconds=within):
+                    continue
+                acc[i] = ts
+                break  # one event fills at most one step
+        for i in range(k):
+            if acc[i] is not None:
+                counts[i] += 1
+    want = {
+        i + 1: (
+            steps[i],
+            counts[i],
+            round(counts[i] * 100.0 / counts[0], 4) if counts[0] else None,
+        )
+        for i in range(k)
+    }
+    assert got == want
+
+
+@given(st.data())
+@settings(**_SETTINGS)
+def test_cohort_retention_matches_python(spark, data):
+    from sql4pandas_spark.operators.behavior import cohort_retention
+
+    bucket = data.draw(st.sampled_from(["day", "week"]))
+    n = data.draw(st.integers(1, 40))
+    events = [
+        (data.draw(st.integers(1, 6)), data.draw(st.integers(0, 27)))
+        for _ in range(n)
+    ]
+    base = dt.datetime(2024, 6, 1)  # a Saturday — exercises week rollover
+    rows = [(u, base + dt.timedelta(days=d, hours=u)) for u, d in events]
+    df = spark.createDataFrame(rows, "u long, ts timestamp")
+    got = {
+        (r.cohort, r.period_offset): (r.n_active, r.retention_pct)
+        for r in cohort_retention(df, "u", "ts", bucket=bucket).collect()
+    }
+
+    span = 1 if bucket == "day" else 7
+
+    def trunc(ts):
+        d = ts.date()
+        if bucket == "week":
+            d = d - dt.timedelta(days=d.weekday())
+        return dt.datetime(d.year, d.month, d.day)
+
+    act = {(u, trunc(base + dt.timedelta(days=dd, hours=u))) for u, dd in events}
+    first = {}
+    for u, p in act:
+        if u not in first or p < first[u]:
+            first[u] = p
+    sizes = defaultdict(int)
+    for u in first:
+        sizes[first[u]] += 1
+    cells = defaultdict(int)
+    for u, p in act:
+        cells[(first[u], (p - first[u]).days // span)] += 1
+    want = {
+        (c, o): (n_act, round(n_act * 100.0 / sizes[c], 4))
+        for (c, o), n_act in cells.items()
+    }
+    assert got == want
