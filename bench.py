@@ -86,16 +86,18 @@ def main() -> None:
                 return None
 
         run_spark(), run_duck()  # warmups (codegen/JIT; fixtures page-cached)
-        s_runs, d_runs = [], []
+        # keep (spark, duck) PAIRED per alternation: if a DuckDB run fails
+        # mid-sequence, dropping the pair (not just the duck sample) keeps
+        # each ratio computed from the same alternation's two runs
+        pairs: list[tuple[float, float | None]] = []
         for _ in range(ALTERNATIONS):
-            s_runs.append(run_spark())
-            d = run_duck()
-            if d is not None:
-                d_runs.append(d)
+            pairs.append((run_spark(), run_duck()))
+        s_runs = [s for s, _ in pairs]
+        d_runs = [d for _, d in pairs if d is not None]
         times[name] = round(statistics.median(s_runs), 3)
         if d_runs:
             duck_times[name] = round(statistics.median(d_runs), 3)
-            ratios = [s / d for s, d in zip(s_runs, d_runs)]
+            ratios = [s / d for s, d in pairs if d is not None]
             mean = statistics.mean(ratios)
             ratio_stats[name] = {
                 "mean": round(mean, 3),
@@ -103,6 +105,8 @@ def main() -> None:
                 "spread": round((max(ratios) - min(ratios)) / mean, 3),
             }
 
+    if con is not None:
+        con.close()
     total = round(sum(times.values()), 3)
     duck_total = round(sum(duck_times.values()), 3) if duck_times else None
     # the ratio compares IDENTICAL query sets: spark time summed only over

@@ -212,9 +212,15 @@ def drift_timeline(
         .groupBy(b.alias("bucket"), bin_.alias("bin"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    spark = df.sparkSession
-    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
-    spine = counts.select("bucket").distinct().crossJoin(bins)
+    # densify row-locally: explode a 0..n_bins-1 sequence per distinct
+    # bucket — no crossJoin, so no BroadcastNestedLoopJoin in the plan
+    # (round-8 shipped the crossJoin form and tripped the plan-audit gate)
+    spine = (
+        counts.select("bucket")
+        .distinct()
+        .select("bucket", F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"))
+        .select("bucket", F.col("bin").cast("int").alias("bin"))
+    )
     h = spine.join(counts, ["bucket", "bin"], "left").fillna(0, ["n"])
     ref = (
         h.join(h.agg(F.min("bucket").alias("bucket")), "bucket")
@@ -263,14 +269,15 @@ def categorical_drift(
     ``'<null>'`` / ``'<other>'`` can never collide with the NULL /
     overflow buckets — escaped values start ``<<``, sentinels don't.
 
-    Scale shape: ONE job over the old snapshot yields BOTH the top-K
-    membership and the old histogram — groupBy(category) counts, a
-    single-partition row_number over the |categories| grouped rows
-    (bounded metadata, same class as sampling.py's per-stratum counts),
-    bucket rank≤K vs '<other>', re-sum, collect ≤ K+1 rows. The new side
-    is one map-combined groupBy(bucket) count shuffle against the
-    broadcast membership. Add-half smoothing as in
-    :func:`distribution_drift`.
+    Scale shape: ONE old-side scan (groupBy(category) map-combined count
+    shuffle, persisted at |categories| rows) feeds two metadata jobs —
+    the top-K via sort-limit, which Spark plans as TakeOrderedAndProject
+    (each task keeps only its local top K; K rows per task reach the
+    driver — NO global single-partition window, so a millions-of-domains
+    column never funnels through one task), and a map-combined total for
+    the '<other>' remainder. The new side is one map-combined
+    groupBy(bucket) count shuffle against the broadcast membership.
+    Add-half smoothing as in :func:`distribution_drift`.
     """
     if max_categories < 1:
         raise ValueError("max_categories must be positive")
@@ -279,26 +286,20 @@ def categorical_drift(
     esc = F.when(raw.startswith("<"), F.concat(F.lit("<"), raw)).otherwise(raw)
     cat = F.coalesce(esc, F.lit("<null>"))
 
-    # one old-side scan: counts -> rank -> bucket -> re-sum -> collect.
-    # Collecting the top-K membership and then lazily re-histogramming
-    # `old` would scan the raw data twice; re-aggregating the grouped
-    # counts costs |categories| rows instead.
-    w = Window.orderBy(F.desc("n"), "c")
-    old_rows = (
-        old.groupBy(cat.alias("c"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn(
-            "category",
-            F.when(
-                F.row_number().over(w) <= max_categories, F.col("c")
-            ).otherwise(F.lit("<other>")),
+    # persist the grouped histogram so the top-K job and the total job
+    # share one scan of `old` (the heavy side); the cached frame is
+    # |categories| rows of (string, long) — bounded metadata
+    counts = old.groupBy(cat.alias("c")).agg(F.count(F.lit(1)).alias("n")).persist()
+    try:
+        top_rows = (
+            counts.orderBy(F.desc("n"), "c").limit(max_categories).collect()
         )
-        .groupBy("category")
-        .agg(F.sum("n").alias("n_old"))
-        .collect()
-    )
-    top = sorted(r.category for r in old_rows if r.category != "<other>")
-    n_old_map = {r.category: r.n_old for r in old_rows}
+        total = counts.agg(F.sum("n")).collect()[0][0] or 0
+    finally:
+        counts.unpersist()
+    top = sorted(r.c for r in top_rows)
+    n_old_map = {r.c: r.n for r in top_rows}
+    n_old_map["<other>"] = total - sum(n_old_map.values())
     buckets = sorted(set(top) | {"<other>"})
     cats = old.sparkSession.createDataFrame(
         [(b, int(n_old_map.get(b, 0))) for b in buckets],

@@ -3078,7 +3078,8 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            count(*) AS n_docs,
            CAST(count(quality_score) AS BIGINT) AS n_scored,
-           round(sum(quality_score), 2) AS total_score
+           round(sum(CAST(round(quality_score * 10000) AS BIGINT)) / 10000.0, 2)
+             AS total_score
     FROM u GROUP BY lang ORDER BY lang
     """,
     tags=("tier-c", "scan_parquet", "schema_evolution"),
@@ -3106,12 +3107,17 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     gen1.write.mode("overwrite").parquet(out)
     gen2.write.mode("append").parquet(out)
     merged = spark.read.option("mergeSchema", "true").parquet(out)
+    # sum the 4dp-quantized scores as INTEGERS (×10000) so the group
+    # total is partition-order-independent, then scale back once — the
+    # repo-wide integer-summation convention (a double sum could land on
+    # a .005 midpoint where the 2dp round flips between engines/runs)
+    score_e4 = F.round(F.col("quality_score") * F.lit(10000)).cast("long")
     return (
         merged.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.count("quality_score").alias("n_scored"),
-            F.round(F.sum("quality_score"), 2).alias("total_score"),
+            F.round(F.sum(score_e4) / F.lit(10000.0), 2).alias("total_score"),
         )
         .orderBy("lang")
     )

@@ -78,8 +78,32 @@ def cdc_apply_batch(
     """Apply ONE CDC micro-batch: ``v{batch_id}`` + changes →
     ``v{batch_id + 1}``. Replay-idempotent by construction (same input
     version, same changes, overwrite write). Returns the new version
-    path."""
+    path.
+
+    Guards against checkpoint/version misalignment: a drain restarted
+    with a FRESH checkpoint re-numbers batches from 0, which would
+    silently re-apply changes onto stale ``v0`` while ``latest_snapshot``
+    keeps serving the newer version (lost updates). The only legal
+    inputs are batch_id == latest (normal advance) and
+    batch_id == latest - 1 (crash replay of the last uncommitted batch,
+    which rewrites the same dst from the same unchanged src); anything
+    else raises instead of corrupting the chain.
+    """
     spark = changes.sparkSession
+    vs = _versions(snapshot_root)
+    if not vs:
+        raise FileNotFoundError(
+            f"no snapshot versions under {snapshot_root}; seed_snapshot first"
+        )
+    latest = vs[-1]
+    if batch_id not in (latest, latest - 1):
+        raise RuntimeError(
+            f"CDC checkpoint/version misalignment: batch_id={batch_id} but "
+            f"latest committed version is v{latest} (expected batch_id "
+            f"{latest} to advance or {latest - 1} to replay). A fresh "
+            f"checkpoint restarts numbering at 0 — reuse the original "
+            f"checkpoint directory, or reseed the snapshot root."
+        )
     src = os.path.join(snapshot_root, f"v{batch_id}")
     dst = os.path.join(snapshot_root, f"v{batch_id + 1}")
     snap = spark.read.parquet(src)
