@@ -68,18 +68,24 @@ def query(
 #: already have green CORRECTNESS_r01/r02 rows (or are next in line if the
 #: window is ever wider than 50). Future rounds rotate this list.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- ROUND-8 WINDOW ----
-    # CORRECTNESS_r07 went 50/50 green, so after round 7 exactly ten
-    # entries sit at ONE green round (the r7 additions) and everything
-    # else is settled (>=2 greens, saturated). Per the rotation recipe:
-    # the 10 once-green r7 entries stay, the 8 round-8 NEW entries
-    # (0 greens) join them, and the remaining 32 slots go to the entries
-    # with the STALEST evidence — the 36 whose last green round is r02
-    # (six rounds ago; code-freshness is moot since none of them were
-    # touched in r8). tests/test_driver_window.py enforces the saturated
-    # least-evidence rule; tools/catalog_index.py prints the ledger.
+    # ---- ROUND-9 WINDOW ----
+    # CORRECTNESS_r08 went 50/50 green, leaving exactly 16 entries at ONE
+    # green round (the r8 additions) and everything else settled (>= 2
+    # saturated greens). Rotation recipe: round-9 NEW entries (0 greens)
+    # first, then the 16 once-green r8 entries, then the remaining slots
+    # go to the settled entries with the STALEST last-green round (the 12
+    # last green in r02, then the r04 cohort in registration order).
+    # tests/test_driver_window.py enforces the saturated least-evidence
+    # rule; tools/catalog_index.py prints the ledger.
     #
-    # -- the round-8 NEW entries (0 greens) --
+    # -- round-9 NEW entries (0 greens) --
+    # (added as they land; each new entry MUST enter the window or the
+    # evidence rule goes red)
+    # -- the 16 entries green only in r8 (drift_timeline_events,
+    #    drift_lang_mix, scan_schema_evolution, and stream_cdc_apply also
+    #    re-confirm round-9 code changes: the explode-sequence spine, the
+    #    top-K candidate bound, the integer-scaled sum, and the CDC
+    #    version-alignment guard) --
     "stream_cdc_apply",
     "dataset_split_assign",
     "scan_schema_evolution",
@@ -88,16 +94,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "classifier_calibrated_gate",
     "drift_psi_documents",
     "drift_lang_mix_documents",
-    # (multimodal_resize_stats yielded its slot to drift_timeline_events
-    # — the multimodal family stays covered in-window by
-    # multimodal_payload_stats)
     "drift_timeline_events",
-    # (array_hof_norm yielded its slot to funnel_view_click_purchase —
-    # the array-HOF family stays covered in-window by
-    # array_funcs_embeddings and the funnel's own aggregate fold;
-    # dedup_embedding_pairs yielded its slot to
-    # cohort_retention_purchases — embedding similarity stays covered
-    # in-window by cosine_top20_pairs and sim_query_top10)
     "funnel_view_click_purchase",
     "cohort_retention_purchases",
     "dedup_substring_spans",
@@ -105,61 +102,42 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "incremental_passage_scrub_batches",
     "merge_upsert_documents",
     "classifier_scores_documents",
-    # -- the 10 entries green only in r7 (weighted_sample_docs and
-    #    snapshot_diff_documents also re-confirm r8 code changes: the
-    #    hash tie-break and the compare_cols=None API fix) --
-    "profile_documents_table",
-    "tfidf_top_terms_documents",
-    "top_bigrams_documents",
-    "weighted_sample_docs",
-    "incremental_near_dedup_batches",
-    "profile_documents_approx",
-    "snapshot_diff_documents",
-    "asof_join_forward",
-    "asof_join_nearest",
-    "interval_overlap_pairs",
-    # -- 32 of the 36 entries last green in r02 (stalest settled
-    #    evidence; dedup_exact_keepers, math_funcs_extended,
-    #    date_arith_orders, and regexp_funcs_part yield their slots to
-    #    the 5th-8th new entries — their operator families stay covered
-    #    in-window by dedup_exact_documents, math_null_funcs,
-    #    date_funcs_orders, and string_funcs_part) --
-    # (array_explode_avg yielded its slot to scan_schema_evolution — the
-    # array family stays covered in-window by array_funcs_embeddings and
-    # array_hof_norm)
-    "array_funcs_embeddings",
-    "bucketed_join_segments",
-    "chunk_documents_overlap",
-    "cosine_top20_pairs",
-    "date_funcs_orders",
-    "dedup_exact_documents",
-    "dedup_ngram_jaccard",
-    "histogram_order_totals",
-    "json_props_avg",
-    # (json_filter_events yielded its slot to dataset_split_assign — the
-    # json family stays covered in-window by json_props_avg)
-    "map_funcs_events",
-    "math_null_funcs",
-    "multimodal_payload_stats",
-    "q1_pricing_summary",
-    "salted_join_segments",
-    "scan_csv_roundtrip",
-    # (scan_json_roundtrip yielded its slot to ann_ivf_persistent_top10 —
-    # the json function family stays covered in-window by json_props_avg)
-    "scan_pandas_join",
-    "scrub_patterns_events",
-    "sim_query_top10",
-    "sink_parquet_roundtrip",
-    "string_funcs_part",
-    # (struct_funcs_customer yielded its slot to classifier_gate_per_lang
-    # — the map/struct family stays covered in-window by map_funcs_events)
-    "text_quality_scores",
-    "text_stats_by_lang",
-    "token_count_bpe",
-    "try_funcs_part",
-    # (wordcount_documents yielded its slot to stream_cdc_apply — its
-    # operator families stay covered in-window by text_stats_by_lang and
-    # token_count_bpe)
+    # -- stalest settled: the 12 entries whose last green is r02 --
+    "regexp_funcs_part",
+    "date_arith_orders",
+    "math_funcs_extended",
+    "json_filter_events",
+    "array_explode_avg",
+    "array_hof_norm",
+    "struct_funcs_customer",
+    "dedup_exact_keepers",
+    "wordcount_documents",
+    "dedup_embedding_pairs",
+    "multimodal_resize_stats",
+    "scan_json_roundtrip",
+    # -- then the r04 cohort in registration order --
+    "agg_collect_ordered",
+    "lang_id_documents",
+    "dedup_near_minhash",
+    "dedup_simhash_pairs",
+    "multimodal_decode_features",
+    "approx_quantiles_orders",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "left_join_missing_orders",
+    "right_join_orders_customers",
+    "full_outer_join_counts",
+    "semi_customers",
+    "anti_customers",
+    "theta_join_supplier_pairs",
+    "range_join_close_events",
+    "rollup_region_nation",
+    "cube_status_priority",
+    "grouping_sets_orders",
+    "setop_intersect",
+    "setop_except",
+    "setop_union_counts",
+    "subq_big_spenders",
     # ---- driver window (50) ends here ----
 )
 
