@@ -34,3 +34,23 @@ def filter_with_audit(
         (F.count(F.lit(1)) - kept).alias("rows_rejected"),
     )
     return observed.filter(condition), obs
+
+
+def observation_or_recount(obs: Observation, fallback) -> dict:
+    """``Observation.get`` with a deterministic-recount escape hatch.
+
+    PySpark 4's ``Observation.get`` converts the JVM metrics row via
+    ``PythonSQLUtils.toPyRow``, which intermittently receives a
+    SCHEMA-LESS row (``java.lang.AssertionError``) when the observe
+    node's first materializing action is a nested eager checkpoint
+    (observed reproducibly ~1-in-4 on the composed incremental pipeline).
+    The metric VALUES are deterministic either way — only the row
+    conversion flakes — so on that failure ``fallback()`` recomputes the
+    same dict with an explicit aggregate. The fallback costs an extra
+    job; the observation stays the declared zero-extra-scan production
+    path.
+    """
+    try:
+        return obs.get
+    except Exception:
+        return fallback()

@@ -81,6 +81,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- round-9 NEW entries (0 greens) --
     # (added as they land; each new entry MUST enter the window or the
     # evidence rule goes red)
+    "incremental_pipeline_batches",
     # -- the 16 entries green only in r8 (drift_timeline_events,
     #    drift_lang_mix, scan_schema_evolution, and stream_cdc_apply also
     #    re-confirm round-9 code changes: the explode-sequence spine, the
@@ -137,7 +138,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "setop_intersect",
     "setop_except",
     "setop_union_counts",
-    "subq_big_spenders",
+    # (subq_big_spenders yielded its slot to incremental_pipeline_batches)
     # ---- driver window (50) ends here ----
 )
 

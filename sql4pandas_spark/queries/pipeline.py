@@ -3219,3 +3219,302 @@ def classifier_gate_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "n_docs", "n_kept", "threshold")
         .orderBy("lang")
     )
+
+
+_INCR_PIPE_ORACLE = f"""
+WITH RECURSIVE
+base AS (SELECT doc_id, text, n_chars FROM documents),
+corpus AS MATERIALIZED (
+  SELECT doc_id, n_chars,
+         CASE WHEN doc_id % 10 IN (0, 1) AND n_chars >= 300
+              THEN text || ' {_BOILER60}' ELSE text END AS text
+  FROM base),
+plants AS (
+  SELECT doc_id + 7000000 AS doc_id, text FROM corpus WHERE doc_id % 40 = 2
+  UNION ALL
+  SELECT doc_id + 8000000, text || ' near duplicate copy'
+  FROM corpus WHERE doc_id % 40 = 4 AND n_chars >= 300),
+allb AS (
+  SELECT CAST(0 AS BIGINT) AS b, doc_id, text FROM corpus WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT 1, doc_id, text FROM corpus WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT 1, doc_id, text FROM plants),
+toks AS MATERIALIZED (
+  SELECT b, doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '') AS w
+  FROM allb),
+gated AS MATERIALIZED (
+  SELECT * FROM toks
+  WHERE {text.DUCKDB_CLF_SCORE_SQL.format(w="w", n=256)} >= 0.5),
+ex_store1 AS (SELECT DISTINCT text FROM gated WHERE b = 0),
+ex1 AS (
+  SELECT b, doc_id, text, w FROM (
+    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM gated WHERE b = 0) WHERE rn = 1),
+ex2 AS (
+  SELECT b, doc_id, text, w FROM (
+    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM gated
+    WHERE b = 1 AND text NOT IN (SELECT text FROM ex_store1)) WHERE rn = 1),
+ex AS MATERIALIZED (SELECT * FROM ex1 UNION ALL SELECT * FROM ex2),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, shingle
+  FROM (SELECT doc_id,
+               unnest(CASE WHEN len(w) >= 3
+                      THEN [array_to_string(list_slice(w, i, i+2), ' ')
+                            FOR i IN range(1, len(w)-1)]
+                      ELSE [array_to_string(w, ' ')] END) AS shingle
+        FROM ex)),
+card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN card ca ON inter.id_a = ca.doc_id
+             JOIN card cb ON inter.id_b = cb.doc_id
+  WHERE round(CAST(i AS DOUBLE) / (ca.c + cb.c - i), 4) >= 0.7),
+edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+b1_edges AS (
+  SELECT e.src, e.dst FROM edges e
+  JOIN ex s ON e.src = s.doc_id AND s.b = 0
+  JOIN ex d ON e.dst = d.doc_id AND d.b = 0),
+b1_reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM ex WHERE b = 0
+  UNION
+  SELECT r.src, e.dst FROM b1_reach r JOIN b1_edges e ON r.dst = e.src),
+adm1 AS (
+  SELECT DISTINCT rep AS doc_id
+  FROM (SELECT src, min(dst) AS rep FROM b1_reach GROUP BY src)),
+rej2 AS (
+  SELECT DISTINCT e.src AS doc_id
+  FROM edges e
+  JOIN ex x ON e.src = x.doc_id AND x.b = 1
+  JOIN adm1 a ON e.dst = a.doc_id),
+surv2 AS (
+  SELECT doc_id FROM ex WHERE b = 1
+  AND doc_id NOT IN (SELECT doc_id FROM rej2)),
+s2_edges AS (
+  SELECT e.src, e.dst FROM edges e
+  JOIN surv2 s ON e.src = s.doc_id
+  JOIN surv2 d ON e.dst = d.doc_id),
+s2_reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM surv2
+  UNION
+  SELECT r.src, e.dst FROM s2_reach r JOIN s2_edges e ON r.dst = e.src),
+adm2 AS (
+  SELECT DISTINCT rep AS doc_id
+  FROM (SELECT src, min(dst) AS rep FROM s2_reach GROUP BY src)),
+adm AS MATERIALIZED (
+  SELECT e.b, e.doc_id, e.w FROM ex e JOIN adm1 a ON e.doc_id = a.doc_id
+  UNION ALL
+  SELECT e.b, e.doc_id, e.w FROM ex e JOIN adm2 a ON e.doc_id = a.doc_id),
+sites AS MATERIALIZED (
+  SELECT b, doc_id, s['pos'] AS pos, s['gram'] AS gram
+  FROM (SELECT b, doc_id,
+               unnest([{{'pos': i,
+                        'gram': array_to_string(list_slice(w, i, i + 49), ' ')}}
+                       FOR i IN range(1, len(w) - 48)]) AS s
+        FROM adm WHERE len(w) >= 50)),
+gstore1 AS MATERIALIZED (SELECT DISTINCT gram FROM sites WHERE b = 0),
+f1 AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY gram) AS n_sites,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+  FROM sites WHERE b = 0),
+flag1 AS (SELECT doc_id, pos, rn = 1 AS canon FROM f1 WHERE n_sites >= 2),
+s2s AS (
+  SELECT s.doc_id, s.pos, s.gram, g.gram IS NOT NULL AS seen
+  FROM (SELECT * FROM sites WHERE b = 1) s
+  LEFT JOIN gstore1 g USING (gram)),
+f2 AS (
+  SELECT doc_id, pos, seen,
+         count(*) OVER (PARTITION BY gram) AS n_sites,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+  FROM s2s),
+flag2 AS (
+  SELECT doc_id, pos, (NOT seen AND rn = 1) AS canon
+  FROM f2 WHERE seen OR n_sites >= 2),
+flags AS MATERIALIZED (SELECT * FROM flag1 UNION ALL SELECT * FROM flag2),
+poss AS (
+  SELECT doc_id, unnest(range(pos, pos + 50)) AS p, canon FROM flags),
+rmc AS (
+  SELECT doc_id, count(*) AS n_rm
+  FROM (SELECT doc_id, p FROM poss
+        GROUP BY doc_id, p HAVING NOT bool_or(canon))
+  GROUP BY doc_id),
+scrubbed AS MATERIALIZED (
+  SELECT a.b, a.doc_id,
+         CAST(len(a.w) AS BIGINT) AS n_before,
+         CAST(len(a.w) - coalesce(r.n_rm, 0) AS BIGINT) AS n_after
+  FROM adm a LEFT JOIN rmc r USING (doc_id)),
+spl AS MATERIALIZED (
+  SELECT b, doc_id,
+         CASE WHEN ({_SPLIT_HASH}) % 1000000 < 900000 THEN 'train'
+              WHEN ({_SPLIT_HASH}) % 1000000 < 950000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM scrubbed),
+metrics AS (
+  SELECT b AS batch_id, 'gate_seen' AS metric,
+         CAST(count(*) AS BIGINT) AS value FROM toks GROUP BY b
+  UNION ALL SELECT b, 'gate_kept', CAST(count(*) AS BIGINT)
+    FROM gated GROUP BY b
+  UNION ALL SELECT b, 'exact_kept', CAST(count(*) AS BIGINT)
+    FROM ex GROUP BY b
+  UNION ALL SELECT b, 'near_admitted', CAST(count(*) AS BIGINT)
+    FROM adm GROUP BY b
+  UNION ALL SELECT b, 'tokens_before', CAST(sum(n_before) AS BIGINT)
+    FROM scrubbed GROUP BY b
+  UNION ALL SELECT b, 'tokens_after', CAST(sum(n_after) AS BIGINT)
+    FROM scrubbed GROUP BY b
+  UNION ALL SELECT b, 'split_' || split, CAST(count(*) AS BIGINT)
+    FROM spl GROUP BY b, split)
+SELECT batch_id, metric, value FROM metrics ORDER BY batch_id, metric
+"""
+
+
+@query(
+    "incremental_pipeline_batches",
+    oracle=_INCR_PIPE_ORACLE,
+    tags=(
+        "tier-c", "pipeline", "incremental", "quality", "dedup_exact",
+        "dedup_near", "dedup_substring", "split", "audit_gate",
+    ),
+)
+def incremental_pipeline_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED incremental-ingestion pipeline — one batch function
+    chaining every cross-batch curation stage the incremental family
+    provides, in the order a production corpus feed runs them:
+
+      classifier gate (hashed_logistic_score >= 0.5, observe-audited)
+        -> incremental EXACT dedup   (persistent digest store, batch_id
+                                      dynamic-overwrite exactly-once)
+        -> incremental NEAR dedup    (persistent band+shingle store)
+        -> incremental PASSAGE scrub (persistent gram store, batch_id)
+        -> deterministic split assignment (90/5/5 keyed hash)
+
+    Two batches (even doc_ids, then odd) with three plant families making
+    every cross-batch path load-bearing: a 60-token boilerplate appended
+    in BOTH batches (%10 in (0,1), n_chars >= 300 so boiler-sharing docs
+    stay far below the 0.7 near threshold), re-ided EXACT copies of
+    batch-1 docs (%40==2 -> +7M, must be rejected by the digest store),
+    and re-ided NEAR copies (%40==4, n_chars >= 300 -> +8M, 4 appended
+    tokens, must be rejected by the band-store join + exact verify).
+
+    Per-stage counters ride the EXISTING actions via the Observation API
+    (operators/audit.filter_with_audit for the gate; observe() taps on
+    the exact/near outputs) — zero extra scans, the 100 TB accounting
+    discipline. The returned frame is the pipeline's run report:
+    (batch_id, metric, value) covering batch sizes, per-stage survivors,
+    pre/post-scrub token totals, and the split mix; the oracle replays
+    the ENTIRE two-batch chain — gate scores, text-equality exact dedup
+    with store handoff, the exact Jaccard pair graph with per-batch
+    transitive closure and cross-batch rejection, gram-level passage
+    flags against the batch-1 gram store, and the split hash — so a hash
+    match proves the five stages compose without semantic drift.
+
+    Scale shape: every stage is the same operator its standalone entry
+    declares (scale probes: dedup_scale_probe, passage_skew_probe); the
+    composition adds NO new shuffle — stage outputs hand off as narrow
+    (doc_id, text) frames, stores stay digest/gram-sized, and the report
+    is bounded driver-side metadata assembled from observations.
+    """
+    from pyspark.sql import Observation
+
+    from sql4pandas_spark.operators.audit import (
+        filter_with_audit,
+        observation_or_recount,
+    )
+    from sql4pandas_spark.operators.sampling import split_assign
+    from sql4pandas_spark.operators.text import hashed_logistic_score
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    boiler = F.when(
+        (F.col("doc_id") % 10).isin(0, 1) & (F.col("n_chars") >= 300),
+        F.concat(F.col("text"), F.lit(" " + _BOILER60)),
+    ).otherwise(F.col("text"))
+    corpus = docs.select("doc_id", boiler.alias("text"), "n_chars")
+    exact_plants = corpus.filter(F.col("doc_id") % 40 == 2).select(
+        (F.col("doc_id") + F.lit(7_000_000)).alias("doc_id"), "text"
+    )
+    near_plants = corpus.filter(
+        (F.col("doc_id") % 40 == 4) & (F.col("n_chars") >= 300)
+    ).select(
+        (F.col("doc_id") + F.lit(8_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near duplicate copy")).alias("text"),
+    )
+    b1 = corpus.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    b2 = (
+        corpus.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+        .unionByName(exact_plants)
+        .unionByName(near_plants)
+    )
+
+    root = os.path.join(_incr_store_root(), uuid.uuid4().hex)
+    rows: list[tuple[int, str, int]] = []
+    for k, batch in ((0, b1), (1, b2)):
+        scored = hashed_logistic_score(batch, n_buckets=256)
+        gated, gate_obs = filter_with_audit(
+            scored, F.col("score") >= 0.5, f"pipe_gate_b{k}"
+        )
+        gated = gated.select("doc_id", "text")
+        kept_base = dedup.incremental_exact_dedup(
+            gated, os.path.join(root, "exact"), batch_id=k
+        )
+        ex_obs = Observation(f"pipe_exact_b{k}")
+        kept = kept_base.observe(ex_obs, F.count(F.lit(1)).alias("n"))
+        adm_base = dedup.incremental_near_dedup(kept, os.path.join(root, "near"))
+        near_obs = Observation(f"pipe_near_b{k}")
+        adm = adm_base.observe(near_obs, F.count(F.lit(1)).alias("n"))
+        scrubbed = dedup.incremental_passage_scrub(
+            adm, os.path.join(root, "grams"), min_tokens=50, batch_id=k
+        )
+        final = split_assign(
+            scrubbed, "doc_id", {"train": 0.90, "val": 0.05, "test": 0.05}
+        )
+        agg = (
+            final.groupBy("split")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_tokens_before").alias("before"),
+                F.sum("n_tokens_after").alias("after"),
+            )
+            .collect()
+        )
+        g = observation_or_recount(
+            gate_obs,
+            lambda: scored.agg(
+                F.count(F.lit(1)).alias("rows_seen"),
+                F.sum((F.col("score") >= 0.5).cast("long")).alias("rows_kept"),
+            )
+            .collect()[0]
+            .asDict(),
+        )
+        rows.append((k, "gate_seen", int(g["rows_seen"])))
+        rows.append((k, "gate_kept", int(g["rows_kept"])))
+        rows.append(
+            (
+                k,
+                "exact_kept",
+                int(observation_or_recount(ex_obs, lambda: {"n": kept_base.count()})["n"]),
+            )
+        )
+        rows.append(
+            (
+                k,
+                "near_admitted",
+                int(observation_or_recount(near_obs, lambda: {"n": adm_base.count()})["n"]),
+            )
+        )
+        rows.append((k, "tokens_before", int(sum(r["before"] for r in agg))))
+        rows.append((k, "tokens_after", int(sum(r["after"] for r in agg))))
+        for r in agg:
+            rows.append((k, f"split_{r['split']}", int(r["n"])))
+    out = spark.createDataFrame(rows, "batch_id long, metric string, value long")
+    return out.orderBy("batch_id", "metric")

@@ -24,3 +24,22 @@ def test_filter_with_audit_counts_match_exact(spark):
         "rows_rejected": total - kept,
     }
     assert n_kept_action == kept
+
+
+def test_observation_or_recount_fallback():
+    """The recount fallback fires on a conversion failure and returns the
+    fallback dict unchanged; a healthy observation is passed through."""
+    from sql4pandas_spark.operators.audit import observation_or_recount
+
+    class _Broken:
+        @property
+        def get(self):
+            raise RuntimeError("toPyRow assertion")
+
+    class _Healthy:
+        @property
+        def get(self):
+            return {"n": 7}
+
+    assert observation_or_recount(_Broken(), lambda: {"n": 3}) == {"n": 3}
+    assert observation_or_recount(_Healthy(), lambda: {"n": 3}) == {"n": 7}
