@@ -307,3 +307,153 @@ def interval_overlap_join(
         )
         .drop("_bkt", "_bkt_r")
     )
+
+
+def _char_ngrams(col, n: int):
+    """Distinct character n-grams of a string column; strings shorter than
+    ``n`` fall back to the whole string as a single gram (mirrors the
+    word-shingle fallback in operators/dedup.shingles)."""
+    s = F.col(col) if isinstance(col, str) else col
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - F.lit(n - 1)),
+            lambda i: s.substr(i, F.lit(n)),
+        )
+    )
+    return F.when(F.length(s) >= n, grams).otherwise(F.array(s))
+
+
+def fuzzy_key_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    max_distance: int = 2,
+    ngram: int = 3,
+    n_hashes: int = 48,
+    n_bands: int = 24,
+) -> DataFrame:
+    """Entity-resolution key matching: all (left_key, right_key) value
+    pairs within ``max_distance`` Levenshtein edits — the "join user
+    tables on misspelled names" primitive, as an LSH-banded candidate
+    join + exact verify (NEVER all-pairs).
+
+    Pipeline: normalize (lower/trim) -> DISTINCT key values per side (the
+    match is a property of the key VALUE, so a billion-row table with a
+    million distinct names does LSH work on the million) -> char-n-gram
+    MinHash signatures (same affine permutations as the near-dedup
+    machinery, operators/dedup.minhash_signatures) -> 8-byte band-key
+    equi-join for candidates -> exact ``levenshtein() <= max_distance``
+    verify, JVM-side. Output: one row per matched ORIGINAL value pair
+    ``(left_key, right_key, key_distance)``, for equi-joining back to
+    either table (:func:`fuzzy_key_join`).
+
+    Scale shape: every join here shuffles normalized keys / 8-byte band
+    hashes, never table rows; the verify runs only on banded candidates.
+    Recall: a pair at edit distance d on length-L keys has char-3-gram
+    Jaccard >= ~(L-4d)/(L+4d); at the default 24 bands x 2 rows a
+    J=0.7 pair is missed with p ~= 1e-7 — and the MinHash is fully
+    deterministic, so a given corpus either matches its oracle or
+    doesn't, stably. Degeneracy note: LOW-DIVERSITY keys (serial IDs like
+    'Customer#000000042') share almost all n-grams, collapsing LSH
+    toward all-pairs — this operator is for name-like natural keys;
+    serial keys should equi-join exactly.
+    """
+    from sql4pandas_spark.operators.dedup import (
+        MERSENNE31,
+        _affine_params,
+        band_keys,
+    )
+
+    if n_hashes % n_bands:
+        raise ValueError(f"n_hashes {n_hashes} not divisible by n_bands {n_bands}")
+    rows_per_band = n_hashes // n_bands
+
+    def _norm(c: str):
+        return F.lower(F.trim(F.col(c)))
+
+    def _sigs(keys: DataFrame, col: str) -> DataFrame:
+        base = F.transform(
+            F.col("_grams"), lambda g: F.pmod(F.xxhash64(g), F.lit(MERSENNE31))
+        )
+
+        def _perm(a: int, b: int):
+            return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE31))
+
+        sig = F.array(
+            *[
+                F.array_min(F.transform(F.col("_bh"), _perm(a, b)))
+                for a, b in _affine_params(n_hashes)
+            ]
+        )
+        return (
+            keys.withColumn("_grams", _char_ngrams(col, ngram))
+            .withColumn("_bh", base)
+            .withColumn("sig", sig)
+            .select(F.col(col).alias("doc_id"), "sig")
+        )
+
+    lnorm = (
+        left.select(_norm(left_key).alias("_lnorm"))
+        .filter(F.col("_lnorm").isNotNull())
+        .distinct()
+    )
+    rnorm = (
+        right.select(_norm(right_key).alias("_rnorm"))
+        .filter(F.col("_rnorm").isNotNull())
+        .distinct()
+    )
+    lb = band_keys(_sigs(lnorm, "_lnorm"), n_bands, rows_per_band).select(
+        F.col("doc_id").alias("_lnorm"), "band_key"
+    )
+    rb = band_keys(_sigs(rnorm, "_rnorm"), n_bands, rows_per_band).select(
+        F.col("doc_id").alias("_rnorm"), "band_key"
+    )
+    cand = lb.join(rb, "band_key").select("_lnorm", "_rnorm").distinct()
+    dist = F.levenshtein("_lnorm", "_rnorm")
+    matched = cand.filter(dist <= F.lit(max_distance)).withColumn(
+        "key_distance", dist
+    )
+    # map normalized matches back to every ORIGINAL key spelling
+    lmap = (
+        left.select(F.col(left_key).alias("left_key_value"))
+        .filter(F.col("left_key_value").isNotNull())
+        .distinct()
+        .withColumn("_lnorm", F.lower(F.trim(F.col("left_key_value"))))
+    )
+    rmap = (
+        right.select(F.col(right_key).alias("right_key_value"))
+        .filter(F.col("right_key_value").isNotNull())
+        .distinct()
+        .withColumn("_rnorm", F.lower(F.trim(F.col("right_key_value"))))
+    )
+    return (
+        matched.join(lmap, "_lnorm")
+        .join(rmap, "_rnorm")
+        .select("left_key_value", "right_key_value", "key_distance")
+    )
+
+
+def fuzzy_key_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    max_distance: int = 2,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Fuzzy-key inner join: rows of ``left`` matched to rows of ``right``
+    whose keys are within ``max_distance`` edits (:func:`fuzzy_key_pairs`
+    for the mechanics). The pair set is |distinct-key-matches|-sized, so
+    both back-joins are plain equi-joins AQE will broadcast when small;
+    table rows never enter the LSH machinery. Caller owns column-name
+    disambiguation (rename before joining, as with any self-join-shaped
+    composition); ``key_distance`` rides along."""
+    pairs = fuzzy_key_pairs(
+        left, right, left_key, right_key, max_distance, **lsh_kwargs
+    )
+    return left.join(
+        pairs, left[left_key] == pairs["left_key_value"]
+    ).join(right, pairs["right_key_value"] == right[right_key]).drop(
+        "left_key_value", "right_key_value"
+    )

@@ -82,6 +82,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (added as they land; each new entry MUST enter the window or the
     # evidence rule goes red)
     "incremental_pipeline_batches",
+    "fuzzy_join_parts",
     # -- the 16 entries green only in r8 (drift_timeline_events,
     #    drift_lang_mix, scan_schema_evolution, and stream_cdc_apply also
     #    re-confirm round-9 code changes: the explode-sequence spine, the
@@ -137,8 +138,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "grouping_sets_orders",
     "setop_intersect",
     "setop_except",
-    "setop_union_counts",
-    # (subq_big_spenders yielded its slot to incremental_pipeline_batches)
+    # (subq_big_spenders and setop_union_counts yielded their slots to the
+    #  round-9 additions incremental_pipeline_batches and fuzzy_join_parts)
     # ---- driver window (50) ends here ----
 )
 
