@@ -97,6 +97,70 @@ def bm25_topk(
     )
 
 
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 10,
+    k0: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N top-k rankings — the RAG-era hybrid
+    retrieval default (Cormack et al. 2009): fuse a lexical ranking
+    (:func:`bm25_topk`) with a semantic one (ANN cosine top-k) without
+    comparing their incommensurable scores. Each input frame must be
+    ``(id_col, <score>)`` ALREADY deterministically ordered (score desc,
+    id asc — the contract every top-k in this repo meets) and already
+    truncated to its candidate budget.
+
+    ``rrf = Σ_sources 1/(k0 + rank)``, ranks 1-based per source. The
+    contribution is computed as an INTEGER micro-score
+    ``floor(1e9/(k0+rank))`` and summed as a BIGINT, so the fused total is
+    exact and order-independent across engines/partitionings — the repo's
+    integer-summation convention (a float Σ1/(k0+r) is commutative for 2
+    sources but not associative for 3+). Output:
+    ``(id_col, rrf_micro, n_sources)`` ordered (rrf_micro desc, n_sources
+    desc, id asc) and cut to ``k``.
+
+    Scale shape: ranks come from per-source row_number windows over frames
+    the caller already truncated (candidate-budget-sized, NOT corpus-
+    sized — a single-partition window over ≤ a few hundred rows); the
+    fuse is one union + one groupBy over ≤ Σ budgets rows. The corpora
+    behind the rankings never enter this operator."""
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    from pyspark.sql import Window
+
+    ranked = []
+    for i, r in enumerate(rankings):
+        cols = r.columns
+        if id_col not in cols or len(cols) != 2:
+            raise ValueError(
+                f"ranking {i} must be ({id_col}, <score>); got {cols}"
+            )
+        score = next(c for c in cols if c != id_col)
+        w = Window.orderBy(F.col(score).desc(), F.col(id_col).asc())
+        ranked.append(
+            r.select(
+                F.col(id_col),
+                F.floor(
+                    F.lit(1_000_000_000)
+                    / (F.lit(k0) + F.row_number().over(w))
+                ).cast("long").alias("_contrib"),
+            )
+        )
+    allr = ranked[0]
+    for r in ranked[1:]:
+        allr = allr.unionByName(r)
+    return (
+        allr.groupBy(id_col)
+        .agg(
+            F.sum("_contrib").alias("rrf_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+        )
+        .orderBy(F.desc("rrf_micro"), F.desc("n_sources"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     k_terms: int = 3,

@@ -83,6 +83,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # evidence rule goes red)
     "incremental_pipeline_batches",
     "fuzzy_join_parts",
+    "hybrid_rrf_top10",
     # -- the 16 entries green only in r8 (drift_timeline_events,
     #    drift_lang_mix, scan_schema_evolution, and stream_cdc_apply also
     #    re-confirm round-9 code changes: the explode-sequence spine, the
@@ -137,9 +138,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "cube_status_priority",
     "grouping_sets_orders",
     "setop_intersect",
-    "setop_except",
-    # (subq_big_spenders and setop_union_counts yielded their slots to the
-    #  round-9 additions incremental_pipeline_batches and fuzzy_join_parts)
+    # (subq_big_spenders, setop_union_counts, and setop_except yielded
+    #  their slots to the round-9 additions incremental_pipeline_batches,
+    #  fuzzy_join_parts, and hybrid_rrf_top10)
     # ---- driver window (50) ends here ----
 )
 

@@ -1676,6 +1676,83 @@ def bm25_top15_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(t["documents"], list(_BM25_TERMS), k=15)
 
 
+_RRF_LEX_BUDGET, _RRF_SEM_BUDGET, _RRF_K0 = 50, 50, 60
+
+
+@query(
+    "hybrid_rrf_top10",
+    oracle=f"""
+    WITH toks AS ({{toks}}),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(len(w)) AS avgdl, {{bm25_stats}}
+      FROM toks),
+    lex AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+      FROM (SELECT doc_id, round({{bm25_score}}, 4) AS bm25
+            FROM (SELECT doc_id, {{bm25_tfs}},
+                         1.2 * (0.25 + 0.75 * len(w) / avgdl) AS nrm,
+                         n_docs, {{bm25_dfs}}
+                  FROM toks, stats))
+      WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT {_RRF_LEX_BUDGET}),
+    sem AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (ORDER BY sim DESC, vec_id) AS r
+      FROM (SELECT e.vec_id,
+                   round(CAST(list_cosine_similarity(
+                         CAST(e.embedding AS DOUBLE[]),
+                         (SELECT CAST(embedding AS DOUBLE[])
+                          FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 4)
+                     AS sim
+            FROM embeddings e WHERE e.vec_id <> 0
+            ORDER BY sim DESC, e.vec_id LIMIT {_RRF_SEM_BUDGET})),
+    contrib AS (
+      SELECT doc_id, CAST(floor(1000000000.0 / ({_RRF_K0} + r)) AS BIGINT) AS c
+      FROM lex
+      UNION ALL
+      SELECT doc_id, CAST(floor(1000000000.0 / ({_RRF_K0} + r)) AS BIGINT)
+      FROM sem)
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro,
+           CAST(count(*) AS BIGINT) AS n_sources
+    FROM contrib GROUP BY doc_id
+    ORDER BY rrf_micro DESC, n_sources DESC, doc_id LIMIT 10
+    """.format(
+        toks=_TOKS_CTE,
+        bm25_stats=_BM25_STATS,
+        bm25_score=_BM25_SCORE,
+        bm25_tfs=_BM25_TFS,
+        bm25_dfs=", ".join(f"df{i}" for i in range(len(_BM25_TERMS))),
+    ),
+    tags=("tier-c", "retrieval", "hybrid", "sim_search", "rrf"),
+)
+def hybrid_rrf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion
+    (operators/retrieval.rrf_fuse) — the RAG-era default: a lexical BM25
+    ranking (3-term query, candidate budget 50) fused with a semantic
+    cosine ranking (query = vec_id 0's embedding, full-probe IVF → exact,
+    budget 50) by `Σ floor(1e9/(60+rank))` integer micro-scores, so the
+    fused total is bit-exact and order-independent across engines. Ranks
+    come from windows over the two ALREADY-truncated candidate frames
+    (≤50 rows each — never the corpora); the fuse itself is one union +
+    one ≤100-row groupBy. The oracle replays BOTH rankings (the BM25
+    operation order AND the brute-force cosine order the full-probe IVF
+    provably equals) and the exact micro-score sum. The embeddings side
+    reuses the session-cached no-vec0 IVF index (same cache_key as
+    ann_ivf_query_top10 / ivf_full_probe_top10 — one build per session)."""
+    from sql4pandas_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+    t = register_tables(spark, sf_dir, ("documents", "embeddings"))
+    lex = bm25_topk(t["documents"], list(_BM25_TERMS), k=_RRF_LEX_BUDGET)
+    sem = similarity.ann_ivf_query_topk(
+        t["embeddings"].filter(F.col("vec_id") != 0),
+        _query_vector(sf_dir),
+        k=_RRF_SEM_BUDGET,
+        n_cells=16,
+        n_probe=16,
+        cache_key=f"{sf_dir}:no_vec0",
+    ).withColumnRenamed("vec_id", "doc_id")
+    return rrf_fuse([lex, sem], id_col="doc_id", k=10, k0=_RRF_K0)
+
+
 @query(
     "dedup_keep_best_doc",
     oracle=_MINHASH_REACH_CTES + """

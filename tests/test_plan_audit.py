@@ -35,6 +35,8 @@ BNLJ_ALLOWED = {
     "incremental_near_dedup_batches",  # 1-row per-batch admitted counts
     "stratified_sample_mix",     # 1-row population total for the frac bound
     "bm25_top15_documents",      # 1-row corpus stats (N, avgdl, per-term df)
+    "hybrid_rrf_top10",          # same 1-row BM25 corpus-stats row on the
+                                 # lexical side; fuse itself is equi-only
     "tfidf_top_terms_documents", # 1-row corpus size N
     "classifier_calibrated_gate",  # 1-row p25 score threshold
     "gapfill_interpolate_15m",   # grid build: 5 event types x O(range) spine,
