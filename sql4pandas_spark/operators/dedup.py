@@ -927,9 +927,22 @@ def _apply_removals(
     joined = base.join(removals, "doc_id", "left").withColumn(
         "rm", F.coalesce(F.col("rm"), F.array().cast("array<int>"))
     )
-    kept = F.filter(
-        F.col("w"), lambda t, i: ~F.array_contains(F.col("rm"), (i + 1).cast("int"))
+    # Surviving positions via array_except (hash-set: O(tokens + |rm|)) then
+    # an O(1)-per-element gather — replaces the original
+    # filter(w, (t,i) -> !array_contains(rm, i+1)) HOF, whose linear
+    # membership scan made the rebuild O(tokens x |rm|) per row (quadratic
+    # row-local when a long doc is mostly boilerplate; round-8 verdict
+    # watch-list). array_except keeps first-array order, so positions stay
+    # ascending; the sequence is guarded because sequence(1, 0) counts DOWN.
+    # A/B at the 30x worst-case regime (every position removed) in
+    # BASELINE.md; values bit-identical (same entries hash-green).
+    keptpos = F.array_except(
+        F.sequence(F.lit(1), F.size("w")), F.col("rm")
     )
+    kept = F.when(
+        F.size("w") > 0,
+        F.transform(keptpos, lambda p: F.element_at(F.col("w"), p)),
+    ).otherwise(F.slice(F.col("w"), F.lit(1), F.lit(0)))
     return joined.select(
         "doc_id",
         F.array_join(kept, " ").alias(text_col),
