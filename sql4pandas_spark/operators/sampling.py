@@ -249,3 +249,34 @@ def split_assign(
     for name, b in zip(names[1:], bounds[1:]):
         expr = expr.when(bucket < F.lit(b), F.lit(name))
     return df.withColumn("split", expr)
+
+
+def group_safe_split(
+    df: DataFrame,
+    labels: DataFrame,
+    splits: dict[str, float],
+    id_col: str = "doc_id",
+    group_col: str = "cluster_id",
+    salt: str = "",
+) -> DataFrame:
+    """Leakage-safe split assignment: hash the GROUP id, not the row id, so
+    every member of a group lands in the same split.
+
+    :func:`split_assign` keyed on the row id already prevents the REFEED
+    leakage mode (the same doc drifting across splits between runs), but a
+    NEAR-duplicate of a train doc still lands wherever its own id hashes —
+    exactly the contamination `dedup.split_leakage_audit` keeps finding
+    after the fact. Keying on the near-dup cluster id (or any grouping:
+    source domain, article family, user id for per-user holdout) makes
+    cross-split leakage structurally impossible for everything the
+    grouping captures: a cluster is train or it is val, never both.
+
+    ``labels`` is a ``(id_col, group_col)`` frame (e.g. the output of
+    :func:`~sql4pandas_spark.operators.dedup.near_dedup_minhash`). Scale
+    shape: ONE equi-join on the id (labels are ids-only — text never
+    moves) and then the same zero-shuffle map-side hash-vs-integer-bounds
+    assignment as :func:`split_assign`; deterministic across engines,
+    runs, partitionings, and corpus refeeds.
+    """
+    joined = df.join(labels.select(id_col, group_col), id_col)
+    return split_assign(joined, group_col, splits, salt=salt)

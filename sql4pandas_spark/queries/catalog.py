@@ -84,6 +84,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "incremental_pipeline_batches",
     "fuzzy_join_parts",
     "hybrid_rrf_top10",
+    "cluster_safe_split",
     # -- the 16 entries green only in r8 (drift_timeline_events,
     #    drift_lang_mix, scan_schema_evolution, and stream_cdc_apply also
     #    re-confirm round-9 code changes: the explode-sequence spine, the
@@ -137,10 +138,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "rollup_region_nation",
     "cube_status_priority",
     "grouping_sets_orders",
-    "setop_intersect",
-    # (subq_big_spenders, setop_union_counts, and setop_except yielded
-    #  their slots to the round-9 additions incremental_pipeline_batches,
-    #  fuzzy_join_parts, and hybrid_rrf_top10)
+    # (subq_big_spenders, setop_union_counts, setop_except, and
+    #  setop_intersect yielded their slots to the round-9 additions
+    #  incremental_pipeline_batches, fuzzy_join_parts, hybrid_rrf_top10,
+    #  and cluster_safe_split)
     # ---- driver window (50) ends here ----
 )
 

@@ -3142,6 +3142,64 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLUSTER_SPLIT_HASH = text.DUCKDB_HASH60_SQL.format(
+    expr="CAST(cluster_id AS VARCHAR)"
+)
+
+
+@query(
+    "cluster_safe_split",
+    oracle=_MINHASH_REACH_CTES + f"""
+    , labels AS (SELECT src AS doc_id, min(dst) AS cluster_id
+                 FROM reach GROUP BY src),
+    assigned AS (
+      SELECT cluster_id,
+             CASE WHEN h < 900000 THEN 'train'
+                  WHEN h < 950000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, cluster_id,
+                   ({_CLUSTER_SPLIT_HASH}) % 1000000 AS h
+            FROM labels))
+    SELECT split, count(*) AS n_docs,
+           count(DISTINCT cluster_id) AS n_clusters
+    FROM assigned GROUP BY split ORDER BY split
+    """,
+    tags=("tier-c", "split", "dedup_near", "leakage"),
+)
+def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split assignment
+    (operators/sampling.group_safe_split): the 90/5/5 split is keyed on
+    the near-dup CLUSTER id (operators/dedup.near_dedup_minhash), so a
+    near-copy of a train document can never land in val/test — the
+    assignment-time PREVENTION of the contamination `split_leakage_audit`
+    detects post-hoc (its sf0.01 fixture really has 3/25 near-dup pairs
+    crossing a doc-keyed boundary; cluster-keying makes that count
+    structurally zero, pytest-pinned). Scale shape: clustering is the
+    standalone banded near-dedup (ids shuffle, text doesn't), then ONE
+    ids-only equi-join and the zero-shuffle hash-vs-integer-bounds
+    assignment. The oracle recomputes exact-Jaccard ground-truth
+    clusters via the shared recursive closure, replays the identical
+    cluster-id hash and boundaries, and checks per-split doc AND cluster
+    counts — Σ n_clusters across splits equals the total cluster count
+    exactly because no cluster spans two splits."""
+    from sql4pandas_spark.operators.sampling import group_safe_split
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    labels = dedup.near_dedup_minhash(docs)
+    assigned = group_safe_split(
+        docs, labels, {"train": 0.90, "val": 0.05, "test": 0.05}
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
+        .orderBy("split")
+    )
+
+
 @query(
     "scan_schema_evolution",
     oracle="""

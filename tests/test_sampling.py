@@ -210,3 +210,60 @@ def test_split_assign_validates_fractions(spark):
         split_assign(df, "doc_id", {"a": 0.5, "b": 0.4})
     with pytest.raises(ValueError):
         split_assign(df, "doc_id", {"a": 1.5, "b": -0.5})
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe group split (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_group_safe_split_no_group_spans_two_splits(spark):
+    """The structural invariant: every member of a group gets the group's
+    split — across 200 docs in 40 groups, zero groups straddle splits,
+    and the assignment is refeed-stable (same result on a re-built frame)."""
+    from sql4pandas_spark.operators.sampling import group_safe_split
+
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    labels = docs.select("doc_id", (F.col("doc_id") % 40).alias("cluster_id"))
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = group_safe_split(docs, labels, splits)
+    spans = (
+        a.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert spans == 0
+    assert a.count() == 200
+    b = group_safe_split(docs, labels, splits)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_cluster_safe_split_kills_fixture_leakage(spark):
+    """On the sf0.01 fixture the doc-keyed split provably leaks (the
+    split_leakage_audit entry finds 3 near-dup pairs crossing the 90/10
+    boundary); keying on the near-dup cluster drives cross-split near-dup
+    pairs to exactly zero on the same corpus."""
+    from sql4pandas_spark.operators import dedup
+    from sql4pandas_spark.operators.sampling import group_safe_split, split_assign
+    from sql4pandas_spark.sources.parquet import register_tables
+    from tests.conftest import SF_SMALL
+
+    docs = register_tables(spark, SF_SMALL, ("documents",))["documents"]
+    labels = dedup.near_dedup_minhash(docs)
+
+    def cross_pairs(assigned):
+        sides = assigned.select("doc_id", "cluster_id", "split")
+        multi = (
+            sides.groupBy("cluster_id")
+            .agg(F.countDistinct("split").alias("k"), F.count(F.lit(1)).alias("n"))
+            .filter((F.col("n") > 1) & (F.col("k") > 1))
+        )
+        return multi.count()
+
+    doc_keyed = split_assign(
+        docs.join(labels, "doc_id"), "doc_id", {"train": 0.90, "val": 0.10}
+    )
+    cluster_keyed = group_safe_split(docs, labels, {"train": 0.90, "val": 0.10})
+    assert cross_pairs(doc_keyed) > 0  # the fixture's real leakage
+    assert cross_pairs(cluster_keyed) == 0
