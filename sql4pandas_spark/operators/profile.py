@@ -316,3 +316,61 @@ def categorical_drift(
     )
     h = cats.join(new_hist, "category", "left").fillna(0, ["n_new"])
     return _psi_tail(h, "category", len(buckets))
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
+    """Join/agg-key skew diagnostic — the profiling step a 100 TB pipeline
+    runs BEFORE shuffling on a key: per-key row counts reduced to the
+    hot-key report that decides between a plain equi-join, ``salted_join``
+    (operators/joins.py), or AQE skew handling. A key carrying 10% of a
+    100 TB table means one 10 TB shuffle partition; this report is how
+    that is seen in a |keys|-sized frame instead of discovered as a hung
+    task.
+
+    Scale shape: ONE map-combined groupBy(key) count (the only pass over
+    data rows — |keys| output rows), then a 1-row summary aggregate over
+    the COUNTS frame and a TakeOrdered top-k of it; the report is the
+    top-k joined to the broadcast 1-row stats (the allowlisted
+    scalar-subquery BNLJ shape). NULL keys profile like any other key —
+    at scale NULL is the classic hidden hot key.
+
+    Determinism: all derived metrics are INTEGER arithmetic —
+    ``share_bp = floor(n_rows * 10000 / total_rows)`` (basis points),
+    ``skew_x100 = floor(n_rows * 100 * n_keys / total_rows)`` (the key's
+    count as a multiple of the mean, ×100) — so the report hash-matches
+    any engine. Output: (rank, key, n_rows, share_bp, skew_x100,
+    total_rows, n_keys), rank ordered by (count desc, key asc).
+    """
+    # counts feeds two consumers (summary + top-k); persist the |keys|-row
+    # frame so the data rows are scanned ONCE, not once per branch (the
+    # near_dedup_minhash signature-frame pattern — at 100 TB this is the
+    # difference between one pass and two)
+    counts = (
+        df.groupBy(F.col(key_col).cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .persist()
+    )
+    stats = counts.agg(
+        F.sum("n_rows").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    top = counts.orderBy(F.desc("n_rows"), F.asc_nulls_first("key")).limit(top_k)
+    w = Window.orderBy(F.desc("n_rows"), F.asc_nulls_first("key"))
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .select(
+            F.row_number().over(w).cast("int").alias("rank"),
+            "key",
+            "n_rows",
+            F.floor(F.col("n_rows") * F.lit(10000) / F.col("total_rows"))
+            .cast("long")
+            .alias("share_bp"),
+            F.floor(
+                F.col("n_rows") * F.lit(100) * F.col("n_keys") / F.col("total_rows")
+            )
+            .cast("long")
+            .alias("skew_x100"),
+            "total_rows",
+            "n_keys",
+        )
+    )

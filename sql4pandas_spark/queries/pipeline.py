@@ -3142,6 +3142,44 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "key_skew_profile_events",
+    oracle="""
+    WITH counts AS (
+      SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n_rows
+      FROM events GROUP BY 1),
+    stats AS (
+      SELECT sum(n_rows) AS total_rows, count(*) AS n_keys FROM counts),
+    top AS (
+      SELECT key, n_rows,
+             row_number() OVER (ORDER BY n_rows DESC, key ASC NULLS FIRST)
+               AS rnk
+      FROM counts ORDER BY n_rows DESC, key ASC NULLS FIRST LIMIT 10)
+    SELECT CAST(rnk AS INT) AS rank, key, n_rows,
+           CAST(floor(n_rows * 10000 / total_rows) AS BIGINT) AS share_bp,
+           CAST(floor(n_rows * 100 * n_keys / total_rows) AS BIGINT)
+             AS skew_x100,
+           CAST(total_rows AS BIGINT) AS total_rows,
+           CAST(n_keys AS BIGINT) AS n_keys
+    FROM top, stats ORDER BY rank
+    """,
+    tags=("tier-c", "profile", "skew", "diagnostics"),
+)
+def key_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (operators/profile.key_skew_profile) over
+    the event log's user key — the report a 100 TB pipeline reads BEFORE
+    shuffling on a key, deciding plain equi-join vs salted_join vs AQE
+    skew handling. One map-combined groupBy(key) count is the only pass
+    over data rows; the summary is a 1-row aggregate over the |keys|
+    frame, the hot-key list a TakeOrdered top-10, and every derived
+    metric (basis-point share, ×100 mean-multiple) is integer arithmetic
+    so the report hash-matches across engines."""
+    from sql4pandas_spark.operators.profile import key_skew_profile
+
+    t = register_tables(spark, sf_dir, ("events",))
+    return key_skew_profile(t["events"], "user_id", top_k=10).orderBy("rank")
+
+
 _CLUSTER_SPLIT_HASH = text.DUCKDB_HASH60_SQL.format(
     expr="CAST(cluster_id AS VARCHAR)"
 )

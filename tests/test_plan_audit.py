@@ -37,6 +37,7 @@ BNLJ_ALLOWED = {
     "bm25_top15_documents",      # 1-row corpus stats (N, avgdl, per-term df)
     "hybrid_rrf_top10",          # same 1-row BM25 corpus-stats row on the
                                  # lexical side; fuse itself is equi-only
+    "key_skew_profile_events",   # 1-row (total_rows, n_keys) summary row
     "tfidf_top_terms_documents", # 1-row corpus size N
     "classifier_calibrated_gate",  # 1-row p25 score threshold
     "gapfill_interpolate_15m",   # grid build: 5 event types x O(range) spine,

@@ -77,3 +77,47 @@ def test_null_heavy_column_keeps_null_in_topk(spark):
     ).repartition(4)
     top = [(r.item, r.n) for r in heavy_hitters_topk(df, "item", k=3).collect()]
     assert top[0] == (None, 500), top
+
+
+# ---------------------------------------------------------------------------
+# key skew profile (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_key_skew_profile_hand_computed(spark):
+    """20 rows over 4 keys (one deliberately hot, one NULL): counts, integer
+    basis-point shares, and the x100 mean-multiple all match hand math;
+    NULL profiles as a key and sorts first among count ties."""
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.profile import key_skew_profile
+
+    rows = [("a",)] * 12 + [("b",)] * 4 + [(None,)] * 2 + [("c",)] * 2
+    df = spark.createDataFrame(rows, "k string")
+    got = [tuple(r) for r in key_skew_profile(df, "k", top_k=3).orderBy("rank").collect()]
+    # total=20, n_keys=4, mean=5; a: 12 rows -> 6000bp, 240 x100
+    assert got[0] == (1, "a", 12, 6000, 240, 20, 4)
+    assert got[1] == (2, "b", 4, 2000, 80, 20, 4)
+    # NULL (2 rows) ties with "c" (2 rows) and ranks first (nulls first)
+    assert got[2] == (3, None, 2, 1000, 40, 20, 4)
+    assert len(got) == 3
+
+
+def test_key_skew_profile_single_groupby_over_data(spark):
+    """The only pass over data rows is one map-combined groupBy: the plan
+    holds exactly one scan of the input relation."""
+    from sql4pandas_spark.operators.profile import key_skew_profile
+    from sql4pandas_spark.plans import formatted_plan
+    from sql4pandas_spark.sources.parquet import register_tables
+    from tests.conftest import SF_SMALL
+
+    import re
+
+    events = register_tables(spark, SF_SMALL, ("events",))["events"]
+    plan = formatted_plan(key_skew_profile(events, "user_id"))
+    # the persisted counts frame serves both branches: distinct parquet
+    # scan operator ids == 1 (formatted output repeats operators in the
+    # tree and the details section, so count ids, not mentions)
+    scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scan_ids) == 1, plan
+    assert "InMemoryTableScan" in plan
