@@ -374,3 +374,67 @@ def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
             "n_keys",
         )
     )
+
+
+def mad_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    group_col: str,
+    bucket: str = "hour",
+    k: int = 3,
+) -> DataFrame:
+    """Robust time-series anomaly detection over an event stream: per-group
+    per-time-bucket counts flagged where the count deviates from the
+    group's median by more than ``k`` times the median absolute deviation
+    — the outage/spike/bot-burst detector that mean/stddev z-scores miss
+    (one huge spike inflates a stddev enough to hide itself; the MAD is
+    breakdown-point-0.5 robust).
+
+    Scale shape: ONE map-combined groupBy(group, bucket) count is the only
+    pass over data rows; the |groups × buckets| counts frame persists and
+    feeds the per-group median (|groups| rows, broadcast back), the
+    deviation column, and the per-group MAD (|groups| rows, broadcast
+    back) — three tiny aggregates/joins over bucket counts, nothing over
+    events. The distribution-level sibling of drift_timeline (which
+    compares value HISTOGRAMS per bucket; this flags VOLUME outliers).
+
+    Determinism: the median of integer counts is an exact half, so the
+    group median is carried ×2 (``med_x2``, exact BIGINT), deviations ×2
+    (``dev_x2 = |2n − med_x2|``), and the MAD — a median of the integer
+    ``dev_x2`` values, itself an exact half — ×4 (``mad_x4``). The flag
+    is pure integer arithmetic, ``2·dev_x2 > k·mad_x4`` ⇔ dev > k·MAD —
+    bit-exact on any engine/partitioning, no rounding anywhere. Output:
+    the anomalous buckets only,
+    ``(group, bucket_ts, n_events, med_x2, mad_x4, dev_x2)``.
+    """
+    counts = (
+        df.groupBy(
+            F.col(group_col).alias("grp"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .persist()
+    )
+    med = counts.groupBy("grp").agg(
+        F.round(F.median("n_events") * 2).cast("long").alias("med_x2")
+    )
+    dev = counts.join(F.broadcast(med), "grp").withColumn(
+        "dev_x2", F.abs(F.col("n_events") * 2 - F.col("med_x2"))
+    )
+    mad = dev.groupBy("grp").agg(
+        # dev_x2 is integer, so its median is again an exact half; x2 once
+        # more lands on an exact integer = 4x the raw MAD
+        F.round(F.median("dev_x2") * 2).cast("long").alias("mad_x4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "grp")
+        .filter(F.col("dev_x2") * 2 > F.lit(k) * F.col("mad_x4"))
+        .select(
+            F.col("grp").alias(group_col),
+            "bucket_ts",
+            "n_events",
+            "med_x2",
+            "mad_x4",
+            "dev_x2",
+        )
+    )

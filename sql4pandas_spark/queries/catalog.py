@@ -86,6 +86,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "hybrid_rrf_top10",
     "cluster_safe_split",
     "key_skew_profile_events",
+    "anomaly_hours_events",
     # -- the 16 entries green only in r8 (drift_timeline_events,
     #    drift_lang_mix, scan_schema_evolution, and stream_cdc_apply also
     #    re-confirm round-9 code changes: the explode-sequence spine, the
@@ -137,12 +138,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "theta_join_supplier_pairs",
     "range_join_close_events",
     "rollup_region_nation",
-    "cube_status_priority",
     # (subq_big_spenders, setop_union_counts, setop_except,
-    #  setop_intersect, and grouping_sets_orders yielded their slots to
-    #  the round-9 additions incremental_pipeline_batches,
-    #  fuzzy_join_parts, hybrid_rrf_top10, cluster_safe_split, and
-    #  key_skew_profile_events)
+    #  setop_intersect, grouping_sets_orders, and cube_status_priority
+    #  yielded their slots to the round-9 additions
+    #  incremental_pipeline_batches, fuzzy_join_parts, hybrid_rrf_top10,
+    #  cluster_safe_split, key_skew_profile_events, and
+    #  anomaly_hours_events)
     # ---- driver window (50) ends here ----
 )
 

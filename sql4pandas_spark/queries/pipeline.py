@@ -3143,6 +3143,50 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "anomaly_hours_events",
+    oracle="""
+    WITH b AS (
+      SELECT event_type AS grp, date_trunc('hour', ts) AS bucket_ts,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT grp, CAST(round(median(n_events) * 2) AS BIGINT) AS med_x2
+      FROM b GROUP BY 1),
+    d AS (
+      SELECT b.grp, bucket_ts, n_events, med_x2,
+             abs(n_events * 2 - med_x2) AS dev_x2
+      FROM b JOIN m USING (grp)),
+    mad AS (
+      SELECT grp, CAST(round(median(dev_x2) * 2) AS BIGINT) AS mad_x4
+      FROM d GROUP BY 1)
+    SELECT d.grp AS event_type, bucket_ts, n_events, med_x2, mad_x4, dev_x2
+    FROM d JOIN mad USING (grp)
+    WHERE dev_x2 * 2 > 3 * mad_x4
+    ORDER BY event_type, bucket_ts
+    """,
+    tags=("tier-c", "anomaly", "timeseries", "profile"),
+)
+def anomaly_hours_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust volume-anomaly detection (operators/profile.mad_anomalies)
+    over hourly event counts per type: buckets whose count deviates from
+    the type's median by more than 3 median-absolute-deviations — the
+    outage/spike/bot-burst detector a mean/stddev z-score misses (a big
+    spike inflates the stddev enough to hide itself; the MAD has
+    breakdown point 0.5). One map-combined groupBy over events is the
+    only data pass; medians/MADs are |types|-row aggregates over the
+    persisted bucket-count frame, broadcast back. Exact-half medians ride
+    as ×2/×4 BIGINTs so the flag is pure integer arithmetic — the oracle
+    replays every statistic bit-for-bit (the sf0.01 fixture has ~90 real
+    anomalous hours across the 5 types)."""
+    from sql4pandas_spark.operators.profile import mad_anomalies
+
+    t = register_tables(spark, sf_dir, ("events",))
+    return mad_anomalies(t["events"], "ts", "event_type", bucket="hour", k=3).orderBy(
+        "event_type", "bucket_ts"
+    )
+
+
+@query(
     "key_skew_profile_events",
     oracle="""
     WITH counts AS (

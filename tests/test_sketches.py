@@ -121,3 +121,54 @@ def test_key_skew_profile_single_groupby_over_data(spark):
     scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", plan))
     assert len(scan_ids) == 1, plan
     assert "InMemoryTableScan" in plan
+
+
+# ---------------------------------------------------------------------------
+# MAD volume anomalies (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_mad_anomalies_hand_computed(spark):
+    """7 hourly buckets per group with one planted 100x spike: counts of
+    [5,5,6,6,7,7,500] give med=6 (med_x2=12), dev_x2=[2,2,0,0,2,2,988],
+    MAD=1 (mad_x4=4) -> only the spike satisfies 2*dev_x2 > 3*mad_x4 ...
+    along with the honest near-tie buckets: 2*2=4 > 3*4=12 is FALSE, so
+    exactly the spike flags. A steady group flags nothing."""
+    import datetime as dt
+
+    from sql4pandas_spark.operators.profile import mad_anomalies
+
+    rows = []
+    counts = {0: 5, 1: 5, 2: 6, 3: 6, 4: 7, 5: 7, 6: 500}
+    for h, n in counts.items():
+        t0 = dt.datetime(2024, 3, 1, h, 0, 0)
+        rows += [("spiky", t0 + dt.timedelta(seconds=i)) for i in range(n)]
+        rows += [("steady", t0 + dt.timedelta(seconds=i)) for i in range(6)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    got = {
+        (r.g, r.bucket_ts.hour): (r.n_events, r.med_x2, r.mad_x4, r.dev_x2)
+        for r in mad_anomalies(df, "ts", "g", bucket="hour", k=3).collect()
+    }
+    assert got == {("spiky", 6): (500, 12, 4, 988)}
+
+
+def test_mad_flags_spike_a_stddev_zscore_hides(spark):
+    """The docstring's robustness claim: one enormous spike inflates the
+    stddev enough that its own z-score stays under 3, while the MAD gate
+    still flags it."""
+    import datetime as dt
+    import statistics
+
+    from sql4pandas_spark.operators.profile import mad_anomalies
+
+    counts = [10] * 4 + [1000]  # one point holding ~96% of the variance
+    rows = []
+    for h, n in enumerate(counts):
+        t0 = dt.datetime(2024, 3, 2, h, 0, 0)
+        rows += [("g", t0 + dt.timedelta(seconds=i)) for i in range(n)]
+    mean = statistics.mean(counts)
+    sd = statistics.pstdev(counts)
+    assert abs(counts[-1] - mean) / sd < 3  # stddev z-score misses it
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    flagged = mad_anomalies(df, "ts", "g", bucket="hour", k=3).collect()
+    assert [r.n_events for r in flagged] == [1000]  # MAD catches it
