@@ -438,3 +438,66 @@ def mad_anomalies(
             "dev_x2",
         )
     )
+
+
+def categorical_association(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Chi-square contingency analysis between two categorical columns —
+    "is lang independent of source?", "did quality tier become correlated
+    with domain?": the ASSOCIATION sibling of categorical_drift (which
+    compares one column across two snapshots; this crosses two columns in
+    one snapshot). Reports every (a, b) cell with observed count,
+    expected count under independence, and the cell's chi-square
+    contribution ``(o − e)² / e``; ``sum(chi2_e6)/1e6`` against the
+    chi-square distribution at ``(|a|−1)(|b|−1)`` dof is the headline
+    test statistic.
+
+    Cells with ZERO observed count still contribute (``(0−e)²/e = e``),
+    so the full |a|×|b| grid is built — distinct a-values crossed with
+    the 1-row collected b-value array (the allowlisted scalar-broadcast
+    shape, then a row-local explode; both sides are category metadata,
+    data-volume-independent). NULL categories count like any other (SQL
+    GROUP BY semantics).
+
+    Scale shape: ONE map-combined groupBy(a, b) count is the only pass
+    over data rows; marginals are aggregates OVER the persisted
+    |a|×|b|-bounded counts frame, broadcast back. Determinism: expected
+    values and contributions are 1e-6-quantized to BIGINTs (the PSI
+    discipline) — identical IEEE arithmetic both engines, and the
+    order-independent integer sum is safe to total at any parallelism.
+    """
+    counts = (
+        df.groupBy(
+            F.col(col_a).cast("string").alias("a"),
+            F.col(col_b).cast("string").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    row_tot = counts.groupBy("a").agg(F.sum("n").alias("n_a"))
+    col_tot = counts.groupBy("b").agg(F.sum("n").alias("n_b"))
+    total = counts.agg(F.sum("n").alias("n_tot"))
+    grid = (
+        counts.select("a")
+        .distinct()
+        .crossJoin(F.broadcast(counts.agg(F.sort_array(F.collect_set("b")).alias("_bs"))))
+        .select("a", F.explode("_bs").alias("b"))
+    )
+    e = F.col("n_a") * F.col("n_b") / F.col("n_tot")
+    contrib = (F.col("n") - e) * (F.col("n") - e) / e
+    return (
+        grid.join(counts, ["a", "b"], "left")
+        .fillna(0, ["n"])
+        .join(F.broadcast(row_tot), "a")
+        .join(F.broadcast(col_tot), "b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("a").alias(col_a),
+            F.col("b").alias(col_b),
+            "n",
+            F.round(e * 1_000_000).cast("long").alias("expected_e6"),
+            F.round(contrib * 1_000_000).cast("long").alias("chi2_e6"),
+        )
+        .orderBy(col_a, col_b)
+    )

@@ -3143,6 +3143,48 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "chisq_lang_source",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(lang AS VARCHAR) AS a, CAST(source AS VARCHAR) AS b,
+             count(*) AS n
+      FROM documents GROUP BY 1, 2),
+    ra AS (SELECT a, sum(n) AS n_a FROM c GROUP BY 1),
+    cb AS (SELECT b, sum(n) AS n_b FROM c GROUP BY 1),
+    tot AS (SELECT sum(n) AS n_tot FROM c),
+    grid AS (SELECT ra.a, cb.b FROM ra, cb),
+    filled AS (
+      SELECT g.a, g.b, coalesce(c.n, 0) AS n
+      FROM grid g LEFT JOIN c ON g.a = c.a AND g.b = c.b)
+    SELECT f.a AS lang, f.b AS source, f.n,
+           CAST(round(n_a * n_b / n_tot * 1000000) AS BIGINT) AS expected_e6,
+           CAST(round((f.n - n_a * n_b / n_tot) * (f.n - n_a * n_b / n_tot)
+                      / (n_a * n_b / n_tot) * 1000000) AS BIGINT) AS chi2_e6
+    FROM filled f JOIN ra USING (a) JOIN cb USING (b), tot
+    ORDER BY lang, source
+    """,
+    tags=("tier-c", "profile", "association", "chisq"),
+)
+def chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency analysis
+    (operators/profile.categorical_association) between lang and source —
+    "did language mix become correlated with source?", the ASSOCIATION
+    sibling of the PSI drift gates (those compare one column across
+    snapshots; this crosses two columns in one snapshot). All 100 cells
+    (20 sources × 5 langs) including zero-observed ones (which still
+    contribute (0−e)²/e = e); one map-combined groupBy(lang, source)
+    count is the only pass over data rows, marginals are aggregates over
+    the persisted bounded counts frame, and every expected value /
+    contribution is 1e-6-quantized to BIGINT so the oracle replays the
+    statistic bit-for-bit. sum(chi2_e6)/1e6 vs χ²((|a|−1)(|b|−1)) is the
+    headline independence test."""
+    from sql4pandas_spark.operators.profile import categorical_association
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    return categorical_association(t["documents"], "lang", "source")
+
+
+@query(
     "anomaly_hours_events",
     oracle="""
     WITH b AS (

@@ -38,6 +38,8 @@ BNLJ_ALLOWED = {
     "hybrid_rrf_top10",          # same 1-row BM25 corpus-stats row on the
                                  # lexical side; fuse itself is equi-only
     "key_skew_profile_events",   # 1-row (total_rows, n_keys) summary row
+    "chisq_lang_source",         # 1-row collected b-values array (grid
+                                 # spine) + 1-row grand-total row
     "tfidf_top_terms_documents", # 1-row corpus size N
     "classifier_calibrated_gate",  # 1-row p25 score threshold
     "gapfill_interpolate_15m",   # grid build: 5 event types x O(range) spine,

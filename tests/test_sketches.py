@@ -172,3 +172,44 @@ def test_mad_flags_spike_a_stddev_zscore_hides(spark):
     df = spark.createDataFrame(rows, "g string, ts timestamp")
     flagged = mad_anomalies(df, "ts", "g", bucket="hour", k=3).collect()
     assert [r.n_events for r in flagged] == [1000]  # MAD catches it
+
+
+# ---------------------------------------------------------------------------
+# chi-square association (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_categorical_association_hand_computed(spark):
+    """2x2 with a known chi-square: rows a:(8,2), b:(2,8) over n=20.
+    Marginals 10/10 each way -> every expected cell is 5; chi2 =
+    4 * (3^2/5) = 7.2. Plus a zero-observed cell case in a 2x3."""
+    from sql4pandas_spark.operators.profile import categorical_association
+
+    rows = (
+        [("x", "p")] * 8 + [("x", "q")] * 2 + [("y", "p")] * 2 + [("y", "q")] * 8
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = {(r.a, r.b): (r.n, r.expected_e6, r.chi2_e6) for r in
+           categorical_association(df, "a", "b").collect()}
+    assert got == {
+        ("x", "p"): (8, 5_000_000, 1_800_000),
+        ("x", "q"): (2, 5_000_000, 1_800_000),
+        ("y", "p"): (2, 5_000_000, 1_800_000),
+        ("y", "q"): (8, 5_000_000, 1_800_000),
+    }
+    assert sum(v[2] for v in got.values()) == 7_200_000
+
+
+def test_categorical_association_zero_cell_contributes_expected(spark):
+    """A never-observed (a, b) combination still appears with n=0 and
+    chi2 contribution == its expected count ((0-e)^2/e = e)."""
+    from sql4pandas_spark.operators.profile import categorical_association
+
+    rows = [("x", "p")] * 6 + [("x", "q")] * 2 + [("y", "p")] * 2
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = {(r.a, r.b): (r.n, r.expected_e6, r.chi2_e6) for r in
+           categorical_association(df, "a", "b").collect()}
+    assert len(got) == 4  # full 2x2 grid despite 3 observed cells
+    n0, e0, c0 = got[("y", "q")]
+    # row y total 2, col q total 2, n 10 -> e = 2*2/10 = 0.4
+    assert n0 == 0 and e0 == c0 == 400_000
