@@ -501,3 +501,52 @@ def categorical_association(
         )
         .orderBy(col_a, col_b)
     )
+
+
+def robust_outlier_rows(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: int = 3,
+    exact: bool = True,
+) -> DataFrame:
+    """Row-level robust outlier flagging — the VALUE sibling of
+    :func:`mad_anomalies` (that flags time buckets by volume; this flags
+    individual ROWS whose integer value sits more than ``k`` MADs from
+    their group's median): "documents with absurd n_chars for their
+    language", "orders priced far outside their priority band" — the
+    data-cleaning primitive that survives the skew that breaks
+    mean/stddev z-scores.
+
+    Exactness contract: ``value_col`` must be integer-valued; medians are
+    then exact halves and ride as ×2/×4 BIGINTs with the pure-integer
+    flag ``2·dev_x2 > k·mad_x4`` — engine-bit-exact (the mad_anomalies
+    discipline). Scale shape: per-group median and MAD are |groups|-row
+    aggregates broadcast back; the flag is map-side. Three passes over
+    data rows total (median → deviations/MAD → flag) — irreducible for
+    an exact MAD, whose deviations depend on the finished median. The
+    100 TB path is ``exact=False``: ``approx_percentile`` medians
+    (fixed-size sketch state per group, same pass structure) trading
+    bit-exactness for bounded memory — the profile_table exact-vs-HLL
+    trade, declared the same way.
+    """
+    med_fn = (
+        (lambda c: F.median(c))
+        if exact
+        else (lambda c: F.expr(f"approx_percentile({c}, 0.5)"))
+    )
+    v2 = (F.col(value_col) * 2).cast("long")
+    med = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.round(med_fn(value_col) * 2).cast("long").alias("med_x2")
+    )
+    withdev = df.join(
+        F.broadcast(med), F.col(group_col).eqNullSafe(F.col("_g"))
+    ).withColumn("dev_x2", F.abs(v2 - F.col("med_x2")))
+    mad = withdev.groupBy(F.col("_g").alias("_g2")).agg(
+        F.round(med_fn("dev_x2") * 2).cast("long").alias("mad_x4")
+    )
+    return (
+        withdev.join(F.broadcast(mad), F.col("_g").eqNullSafe(F.col("_g2")))
+        .filter(F.col("dev_x2") * 2 > F.lit(k) * F.col("mad_x4"))
+        .drop("_g", "_g2")
+    )

@@ -3143,6 +3143,46 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "outlier_docs_by_lang",
+    oracle="""
+    WITH m AS (
+      SELECT lang AS g, CAST(round(median(n_chars) * 2) AS BIGINT) AS med_x2
+      FROM documents GROUP BY 1),
+    d AS (
+      SELECT doc_id, d.lang, n_chars, med_x2,
+             abs(n_chars * 2 - med_x2) AS dev_x2
+      FROM documents d JOIN m ON d.lang = m.g),
+    mad AS (
+      SELECT lang, CAST(round(median(dev_x2) * 2) AS BIGINT) AS mad_x4
+      FROM d GROUP BY 1)
+    SELECT doc_id, d.lang, n_chars, med_x2, mad.mad_x4, dev_x2
+    FROM d JOIN mad USING (lang)
+    WHERE dev_x2 * 2 > 2 * mad_x4
+    ORDER BY doc_id
+    """,
+    tags=("tier-c", "anomaly", "outlier", "profile", "quality"),
+)
+def outlier_docs_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level robust outliers (operators/profile.robust_outlier_rows):
+    documents whose n_chars sits more than 2 MADs from their language's
+    median — the "absurd length for its language" data-cleaning flag that
+    mean/stddev z-scores miss under skew. Per-lang median and MAD are
+    |langs|-row aggregates broadcast back; exact-half medians ride as
+    ×2/×4 BIGINTs and the flag is pure integer arithmetic, replayed
+    bit-for-bit by the oracle (21 real outliers at sf0.01). The declared
+    100 TB path is exact=False (approx_percentile medians, fixed sketch
+    state per group)."""
+    from sql4pandas_spark.operators.profile import robust_outlier_rows
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    return (
+        robust_outlier_rows(t["documents"], "n_chars", "lang", k=2)
+        .select("doc_id", "lang", "n_chars", "med_x2", "mad_x4", "dev_x2")
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "chisq_lang_source",
     oracle="""
     WITH c AS (

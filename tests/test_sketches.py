@@ -213,3 +213,31 @@ def test_categorical_association_zero_cell_contributes_expected(spark):
     n0, e0, c0 = got[("y", "q")]
     # row y total 2, col q total 2, n 10 -> e = 2*2/10 = 0.4
     assert n0 == 0 and e0 == c0 == 400_000
+
+
+def test_robust_outlier_rows_hand_computed(spark):
+    """Group values [10,10,12,12,14,14,100]: med=12 (x2=24),
+    dev_x2=[4,4,0,0,4,4,176], MAD_x4=8 -> at k=3 only 100 flags
+    (2*176=352 > 24); the near-ties (2*4=8 > 24 false) stay."""
+    from sql4pandas_spark.operators.profile import robust_outlier_rows
+
+    vals = [10, 10, 12, 12, 14, 14, 100]
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, x long")
+    got = [
+        (r.x, r.med_x2, r.mad_x4, r.dev_x2)
+        for r in robust_outlier_rows(df, "x", "grp", k=3).collect()
+    ]
+    assert got == [(100, 24, 8, 176)]
+
+
+def test_robust_outlier_rows_null_group_and_approx_path(spark):
+    """NULL group is a group (null-safe joins); the approx path flags the
+    same obvious outlier on this easy distribution."""
+    from sql4pandas_spark.operators.profile import robust_outlier_rows
+
+    rows = [(None, v) for v in [5, 5, 5, 5, 500]] + [("g", 7)] * 3
+    df = spark.createDataFrame(rows, "grp string, x long")
+    exact = robust_outlier_rows(df, "x", "grp", k=3).collect()
+    assert [(r.grp, r.x) for r in exact] == [(None, 500)]
+    approx = robust_outlier_rows(df, "x", "grp", k=3, exact=False).collect()
+    assert [(r.grp, r.x) for r in approx] == [(None, 500)]
