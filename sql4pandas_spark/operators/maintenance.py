@@ -303,3 +303,80 @@ def merge_upsert(
     ).select(*key_cols, *data_cols)
     kept = snapshot.join(latest.select(*key_cols), key_cols, "left_anti")
     return kept.unionByName(upserts)
+
+
+#: Merge functions for distributive aggregate states. ``count`` is merged
+#: as a SUM of partial counts (the classic count-combine identity); avg and
+#: stddev are ALGEBRAIC — derive them from (count, sum, sum-of-squares)
+#: after the merge, never store them in the state (merged averages of
+#: averages are wrong under unequal batch sizes).
+AGG_STATE_MERGE = {
+    "sum": F.sum,
+    "count": F.sum,
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def partial_agg_state(
+    df: DataFrame, key_cols: list[str], measures: dict[str, tuple[str, str]]
+) -> DataFrame:
+    """Aggregate one raw batch into a per-key partial state.
+
+    ``measures`` maps state-column name -> (kind, source-expression), kind
+    in {sum, count, min, max}. Sums over floats must be pre-quantized to
+    integers by the caller (the repo-wide order-independent-summation
+    convention) so that merge order can never change the state.
+    """
+    aggs = []
+    for name, (kind, src) in measures.items():
+        col = F.expr(src)
+        fn = F.count if kind == "count" else AGG_STATE_MERGE[kind]
+        aggs.append(fn(col).alias(name))
+    return df.groupBy(*key_cols).agg(*aggs)
+
+
+def merge_agg_states(
+    state: DataFrame,
+    delta: DataFrame,
+    key_cols: list[str],
+    merges: dict[str, str],
+) -> DataFrame:
+    """Incremental aggregate maintenance — fold a new batch's partial
+    aggregate state into a persisted per-key state WITHOUT rescanning any
+    raw history (the materialized-view delta-maintenance primitive, the
+    read-side dual of merge_upsert's row-level CDC apply).
+
+    ``merges`` maps state column -> merge kind: ``sum``/``count`` partials
+    add, ``min``/``max`` partials take the extremum — the distributive
+    aggregates, whose partial states combine losslessly. Algebraic
+    aggregates (avg, stddev) are DERIVED from distributive state columns
+    after the final merge; holistic ones (exact median/distinct) have no
+    mergeable state and need the sketch path (HLL/quantile-digest,
+    operators/sketches.py).
+
+    Scale shape: ``unionByName`` + one ``groupBy(key)`` over NARROW
+    state rows (|state-keys| + |batch-partial-keys|; partial_agg_state
+    has already map-side-combined the raw batch), never the raw history.
+    Because both union children arrive hash-partitioned on the key
+    (partial_agg_state's own groupBy leaves them so; bucketed state
+    storage preserves it on disk), Catalyst plans the merge aggregate
+    with ZERO additional exchanges — pinned in
+    tests/test_round9_ops.py::test_merge_adds_zero_exchanges… This is
+    Spark's own partial-aggregation combine re-applied across batches:
+    each refresh costs O(|keys|) map-side work regardless of how many
+    billions of raw rows the state summarizes; re-deriving the same
+    state from raw would be a full-history scan per refresh.
+
+    Idempotence warning: unlike merge_upsert, re-applying the SAME batch
+    double-counts (sum/count states are not idempotent under replay) —
+    exactly-once delivery is the caller's contract; under at-least-once
+    streaming, stamp batches and dynamic-overwrite a batch-id partition
+    (streaming/etl.py) before merging.
+    """
+    merged = state.unionByName(delta)
+    aggs = [
+        (F.sum if k in ("sum", "count") else AGG_STATE_MERGE[k])(c).alias(c)
+        for c, k in merges.items()
+    ]
+    return merged.groupBy(*key_cols).agg(*aggs)

@@ -89,6 +89,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "anomaly_hours_events",
     "chisq_lang_source",
     "outlier_docs_by_lang",
+    "incr_agg_orders_state",
     # -- the 16 entries green only in r8 (drift_timeline_events,
     #    drift_lang_mix, scan_schema_evolution, and stream_cdc_apply also
     #    re-confirm round-9 code changes: the explode-sequence spine, the
@@ -137,14 +138,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "full_outer_join_counts",
     "semi_customers",
     "anti_customers",
-    "theta_join_supplier_pairs",
-    # (the r04-cohort tail — subq_big_spenders, setop_union_counts,
-    #  setop_except, setop_intersect, grouping_sets_orders,
-    #  cube_status_priority, rollup_region_nation, range_join_close_events
-    #  — yielded slots to the round-9 additions
+    # (the r04-cohort tail — theta_join_supplier_pairs, subq_big_spenders,
+    #  setop_union_counts, setop_except, setop_intersect,
+    #  grouping_sets_orders, cube_status_priority, rollup_region_nation,
+    #  range_join_close_events — yielded slots to the round-9 additions
     #  incremental_pipeline_batches, fuzzy_join_parts, hybrid_rrf_top10,
     #  cluster_safe_split, key_skew_profile_events, anomaly_hours_events,
-    #  chisq_lang_source, and outlier_docs_by_lang)
+    #  chisq_lang_source, outlier_docs_by_lang, and incr_agg_orders_state)
     # ---- driver window (50) ends here ----
 )
 

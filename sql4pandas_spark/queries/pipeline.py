@@ -3885,3 +3885,82 @@ def fuzzy_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "clean_key",
         F.col("key_distance").cast("long").alias("key_distance"),
     ).orderBy("dirty_key", "clean_key")
+
+
+# --------------------------------------------------------------------------
+# Incremental aggregate maintenance (round 9)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "incr_agg_orders_state",
+    oracle="""
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           min(o_orderdate) AS first_order,
+           max(o_orderdate) AS last_order,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             * 100 // count(*) AS avg_price_e4
+    FROM orders GROUP BY 1 ORDER BY o_custkey
+    """,
+    tags=("tier-c", "incr_agg", "matview", "agg_group"),
+)
+def incr_agg_orders_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance
+    (operators/maintenance.merge_agg_states): a per-customer order-stats
+    state (count / integer-cent sum / min / max dates) built from the
+    pre-1996 history, then folded forward through the 1996 batch and the
+    1997+ batch WITHOUT rescanning history — each merge is one
+    O(|keys|) exchange over narrow state rows, the materialized-view
+    delta-refresh that replaces a full-history groupBy per refresh at
+    100 TB. avg_price_e4 (an exact e4-scaled integer division) is derived
+    algebraically from the distributive state AFTER the final merge (averaging per-batch averages would be
+    wrong under unequal batch sizes). The oracle is the ground-truth
+    full recompute over all of orders — equality proves the maintained
+    state is indistinguishable from a from-scratch rebuild."""
+    from sql4pandas_spark.operators.maintenance import (
+        merge_agg_states,
+        partial_agg_state,
+    )
+
+    t = register_tables(spark, sf_dir, ("orders",))
+    o = t["orders"]
+    measures = {
+        "n_orders": ("count", "o_orderkey"),
+        "sum_cents": ("sum", "CAST(round(o_totalprice * 100) AS BIGINT)"),
+        "first_order": ("min", "o_orderdate"),
+        "last_order": ("max", "o_orderdate"),
+    }
+    merges = {
+        "n_orders": "count",
+        "sum_cents": "sum",
+        "first_order": "min",
+        "last_order": "max",
+    }
+    base = o.filter(F.col("o_orderdate") < "1996-01-01")
+    b1 = o.filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    b2 = o.filter(F.col("o_orderdate") >= "1997-01-01")
+    state = partial_agg_state(base, ["o_custkey"], measures)
+    for batch in (b1, b2):
+        state = merge_agg_states(
+            state,
+            partial_agg_state(batch, ["o_custkey"], measures),
+            ["o_custkey"],
+            merges,
+        )
+    return state.select(
+        "o_custkey",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        "sum_cents",
+        "first_order",
+        "last_order",
+        # integer e4-scaled average (cents*100 DIV n): exact integer
+        # division in BOTH engines — a float round(x, 4) here diverged on
+        # true .00005 midpoints (Spark HALF_UP vs DuckDB half-even)
+        F.expr("sum_cents * 100 DIV n_orders").alias("avg_price_e4"),
+    ).orderBy("o_custkey")
