@@ -550,3 +550,63 @@ def robust_outlier_rows(
         .filter(F.col("dev_x2") * 2 > F.lit(k) * F.col("mad_x4"))
         .drop("_g", "_g2")
     )
+
+
+def referential_integrity_audit(
+    edges: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity (foreign-key) audit: for each declared
+    ``(edge_name, child, fk_col, parent, pk_col)`` edge, count the child
+    rows whose FK has no matching parent key — the "orphan" rows that
+    break every downstream join — plus NULL FKs (which joins silently
+    drop rather than violate). One report row per edge:
+    ``(edge, n_rows, n_null_fk, n_orphan_rows, n_orphan_keys)``.
+
+    A healthy warehouse returns all-zero orphan columns; a non-zero row
+    pinpoints which ingest edge broke and how widely. This is the audit
+    every pipeline should run between load and publish — the relational
+    sibling of the split-leakage and decontamination audits.
+
+    Scale shape, per edge: the child is first reduced map-side to
+    ``groupBy(fk) -> count`` (the exchange carries |distinct fk| narrow
+    rows, never raw child rows), then LEFT-joined against the parent's
+    key column with a hit indicator — a keyed join of two key-sized
+    sides (AQE broadcasts whichever is small) feeding ONE final
+    aggregate, so all four stats come from a single lineage with no
+    scalar cross join. ``pk_col`` must be unique (it is the parent's
+    primary key — duplicate-PK detection is profile_columns'
+    distinct-count job); a duplicated pk would fan the indicator join
+    out and overcount. Edges audit independently and union into one
+    action, so the scheduler overlaps their jobs.
+    """
+    reports = []
+    for edge, child, fk, parent, pk in edges:
+        per_key = child.groupBy(F.col(fk).alias("_k")).agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        hit = parent.select(F.col(pk).alias("_k"), F.lit(1).alias("_hit"))
+        joined = per_key.join(hit, "_k", "left")
+        is_orphan = F.col("_k").isNotNull() & F.col("_hit").isNull()
+        stats = joined.agg(
+            F.coalesce(F.sum("_n"), F.lit(0)).alias("n_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("_k").isNull(), F.col("_n"))), F.lit(0)
+            ).alias("n_null_fk"),
+            F.coalesce(
+                F.sum(F.when(is_orphan, F.col("_n"))), F.lit(0)
+            ).alias("n_orphan_rows"),
+            F.count(F.when(is_orphan, F.lit(1))).alias("n_orphan_keys"),
+        )
+        reports.append(
+            stats.select(
+                F.lit(edge).alias("edge"),
+                "n_rows",
+                "n_null_fk",
+                "n_orphan_rows",
+                "n_orphan_keys",
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

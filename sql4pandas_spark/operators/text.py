@@ -491,3 +491,69 @@ DUCKDB_CLF_SCORE_SQL = (
     + ") % {n}) * " + str(_CLF_MULT) + ") % 2001) - 1000))::DOUBLE"
     " / (1000.0 * len({w})) ELSE 0.0 END))), 6)"
 )
+
+
+def unigram_surprisal(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram language-model surprisal scoring — the CCNet/KenLM-style
+    "perplexity vs the corpus itself" quality signal: documents whose
+    tokens are collectively RARE in the corpus score high (gibberish,
+    boilerplate headers, foreign fragments); fluent common prose scores
+    low. The practical pretraining filter is "drop/down-weight the top
+    surprisal tail per language" — the model-free complement of
+    hashed_logistic_score's trained classifier.
+
+    Model: add-one-smoothed unigram, p(t) = (c_t + 1) / (N + V) over the
+    corpus' own counts; per-token surprisal ln(1/p) is quantized to an
+    e6 integer ONCE per DISTINCT vocabulary token (the PSI convention:
+    quantize after the transcendental, then only integer arithmetic —
+    document sums become order-independent and bit-exact across engines).
+
+    Scale shape: (1) one exchange to token counts, map-side combined;
+    (2) a 1-row (N, V) corpus aggregate broadcast back onto the vocab
+    frame (the BM25/tfidf scalar pattern); (3) docs pre-reduced to
+    (doc, token, in-doc count) so the vocab join carries each DOC-DISTINCT
+    token once, not every occurrence — the stopword-skew buster: "the"
+    joins once per document, not once per position, and AQE's skew join
+    splits whatever hot vocab rows remain; (4) one groupBy(doc) of
+    integer products. No raw-token-level join anywhere.
+    """
+    toks = df.select(id_col, tokens(text_col).alias("_w"))
+    ex = toks.select(id_col, F.explode("_w").alias("_t"))
+    counts = ex.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    nv = counts.agg(
+        F.sum("_c").alias("_n"), F.count(F.lit(1)).alias("_v")
+    )
+    vocab = counts.crossJoin(F.broadcast(nv)).select(
+        "_t",
+        F.round(
+            F.log(
+                (F.col("_n") + F.col("_v")) / (F.col("_c") + F.lit(1.0))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("_s_e6"),
+    )
+    per_dt = ex.groupBy(id_col, "_t").agg(F.count(F.lit(1)).alias("_k"))
+    perdoc = (
+        per_dt.join(vocab, "_t")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_k").alias("_nt"),
+            F.sum(F.col("_k") * F.col("_s_e6")).alias("_sum"),
+        )
+    )
+    return (
+        toks.select(id_col)
+        .join(perdoc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_nt", F.lit(0)).alias("n_tokens"),
+            F.coalesce("_sum", F.lit(0)).alias("surprisal_sum_e6"),
+            F.expr(
+                "CASE WHEN coalesce(_nt, 0) > 0 THEN _sum DIV _nt END"
+            ).alias("avg_surprisal_e6"),
+        )
+    )

@@ -90,6 +90,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "chisq_lang_source",
     "outlier_docs_by_lang",
     "incr_agg_orders_state",
+    "fk_integrity_audit",
+    "lm_surprisal_documents",
     # -- the 16 entries green only in r8 (drift_timeline_events,
     #    drift_lang_mix, scan_schema_evolution, and stream_cdc_apply also
     #    re-confirm round-9 code changes: the explode-sequence spine, the
@@ -136,15 +138,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "left_join_missing_orders",
     "right_join_orders_customers",
     "full_outer_join_counts",
-    "semi_customers",
-    "anti_customers",
-    # (the r04-cohort tail — theta_join_supplier_pairs, subq_big_spenders,
-    #  setop_union_counts, setop_except, setop_intersect,
-    #  grouping_sets_orders, cube_status_priority, rollup_region_nation,
-    #  range_join_close_events — yielded slots to the round-9 additions
+    # (the r04-cohort tail — semi_customers, anti_customers,
+    #  theta_join_supplier_pairs, subq_big_spenders, setop_union_counts,
+    #  setop_except, setop_intersect, grouping_sets_orders,
+    #  cube_status_priority, rollup_region_nation, range_join_close_events
+    #  — yielded slots to the round-9 additions
     #  incremental_pipeline_batches, fuzzy_join_parts, hybrid_rrf_top10,
     #  cluster_safe_split, key_skew_profile_events, anomaly_hours_events,
-    #  chisq_lang_source, outlier_docs_by_lang, and incr_agg_orders_state)
+    #  chisq_lang_source, outlier_docs_by_lang, incr_agg_orders_state,
+    #  fk_integrity_audit, and lm_surprisal_documents)
     # ---- driver window (50) ends here ----
 )
 

@@ -3964,3 +3964,136 @@ def incr_agg_orders_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         # true .00005 midpoints (Spark HALF_UP vs DuckDB half-even)
         F.expr("sum_cents * 100 DIV n_orders").alias("avg_price_e4"),
     ).orderBy("o_custkey")
+
+
+@query(
+    "fk_integrity_audit",
+    oracle="""
+    WITH dirty AS (
+      SELECT CASE WHEN o_custkey % 89 = 0 THEN NULL
+                  WHEN o_custkey % 97 = 0 THEN o_custkey + 9000000
+                  ELSE o_custkey END AS fk
+      FROM orders)
+    SELECT 'customer->nation' AS edge, count(*) AS n_rows,
+           count(*) FILTER (WHERE c_nationkey IS NULL) AS n_null_fk,
+           count(*) FILTER (WHERE c_nationkey IS NOT NULL AND c_nationkey
+             NOT IN (SELECT n_nationkey FROM nation)) AS n_orphan_rows,
+           count(DISTINCT c_nationkey) FILTER (WHERE c_nationkey
+             NOT IN (SELECT n_nationkey FROM nation)) AS n_orphan_keys
+    FROM customer
+    UNION ALL
+    SELECT 'dirty_orders->customer', count(*),
+           count(*) FILTER (WHERE fk IS NULL),
+           count(*) FILTER (WHERE fk IS NOT NULL AND fk
+             NOT IN (SELECT c_custkey FROM customer)),
+           count(DISTINCT fk) FILTER (WHERE fk
+             NOT IN (SELECT c_custkey FROM customer))
+    FROM dirty
+    UNION ALL
+    SELECT 'lineitem->orders', count(*),
+           count(*) FILTER (WHERE l_orderkey IS NULL),
+           count(*) FILTER (WHERE l_orderkey IS NOT NULL AND l_orderkey
+             NOT IN (SELECT o_orderkey FROM orders)),
+           count(DISTINCT l_orderkey) FILTER (WHERE l_orderkey
+             NOT IN (SELECT o_orderkey FROM orders))
+    FROM lineitem
+    UNION ALL
+    SELECT 'nation->region', count(*),
+           count(*) FILTER (WHERE n_regionkey IS NULL),
+           count(*) FILTER (WHERE n_regionkey IS NOT NULL AND n_regionkey
+             NOT IN (SELECT r_regionkey FROM region)),
+           count(DISTINCT n_regionkey) FILTER (WHERE n_regionkey
+             NOT IN (SELECT r_regionkey FROM region))
+    FROM nation
+    UNION ALL
+    SELECT 'orders->customer', count(*),
+           count(*) FILTER (WHERE o_custkey IS NULL),
+           count(*) FILTER (WHERE o_custkey IS NOT NULL AND o_custkey
+             NOT IN (SELECT c_custkey FROM customer)),
+           count(DISTINCT o_custkey) FILTER (WHERE o_custkey
+             NOT IN (SELECT c_custkey FROM customer))
+    FROM orders
+    ORDER BY edge
+    """,
+    tags=("tier-c", "integrity", "audit", "join_anti", "profile"),
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit
+    (operators/profile.referential_integrity_audit): orphan / NULL-FK
+    report over four real TPC-H foreign-key edges (all must audit clean
+    — zeros ARE the assertion) plus one deliberately corrupted edge
+    (orders with %97 custkeys remapped out of range and %89 custkeys
+    NULLed) proving the audit detects both violation kinds and counts
+    rows vs distinct keys separately. Per edge: one map-combined
+    groupBy(fk) so the exchange carries distinct keys only, then a
+    LEFT join indicator against the parent PK feeding a single
+    aggregate — no scalar cross join, no second child scan. The oracle
+    recomputes every count with NOT IN subqueries."""
+    from sql4pandas_spark.operators.profile import referential_integrity_audit
+
+    t = register_tables(
+        spark, sf_dir, ("orders", "lineitem", "customer", "nation", "region")
+    )
+    orders = t["orders"]
+    dirty = orders.select(
+        F.when(F.col("o_custkey") % 89 == 0, F.lit(None))
+        .when(F.col("o_custkey") % 97 == 0, F.col("o_custkey") + 9000000)
+        .otherwise(F.col("o_custkey"))
+        .alias("fk")
+    )
+    edges = [
+        ("customer->nation", t["customer"], "c_nationkey", t["nation"], "n_nationkey"),
+        ("dirty_orders->customer", dirty, "fk", t["customer"], "c_custkey"),
+        ("lineitem->orders", t["lineitem"], "l_orderkey", orders, "o_orderkey"),
+        ("nation->region", t["nation"], "n_regionkey", t["region"], "r_regionkey"),
+        ("orders->customer", orders, "o_custkey", t["customer"], "c_custkey"),
+    ]
+    return referential_integrity_audit(edges).orderBy("edge")
+
+
+@query(
+    "lm_surprisal_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         t -> t <> '') AS w
+      FROM documents),
+    ex AS (SELECT doc_id, unnest(w) AS t FROM toks),
+    c AS (SELECT t, count(*) AS c FROM ex GROUP BY 1),
+    nv AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM c),
+    vocab AS (
+      SELECT t, CAST(round(ln((n + v) / (c + 1.0)) * 1000000) AS BIGINT)
+               AS s_e6
+      FROM c, nv),
+    per_dt AS (
+      SELECT doc_id, t, count(*) AS k FROM ex GROUP BY 1, 2),
+    d AS (
+      SELECT doc_id, CAST(sum(k) AS BIGINT) AS nt,
+             CAST(sum(k * s_e6) AS BIGINT) AS s
+      FROM per_dt JOIN vocab USING (t) GROUP BY 1)
+    SELECT t.doc_id,
+           coalesce(d.nt, 0) AS n_tokens,
+           coalesce(d.s, 0) AS surprisal_sum_e6,
+           CASE WHEN coalesce(d.nt, 0) > 0 THEN d.s // d.nt
+           END AS avg_surprisal_e6
+    FROM toks t LEFT JOIN d USING (doc_id) ORDER BY doc_id
+    """,
+    tags=("tier-c", "quality", "lm_score", "text_analysis"),
+)
+def lm_surprisal_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal quality scoring
+    (operators/text.unigram_surprisal): the CCNet/KenLM-style
+    "perplexity against the corpus itself" filter — add-one-smoothed
+    unigram probabilities from the corpus' own counts, per-token
+    surprisal ln(1/p) e6-quantized ONCE per vocabulary entry, then
+    integer-only document sums (order-independent, bit-exact vs the
+    oracle). Docs pre-reduce to (doc, token, count) before the vocab
+    join so stopwords join once per document, never once per position.
+    High avg_surprisal = unusual-token docs (the drop/down-weight
+    tail); the trained-classifier complement is
+    classifier_scores_documents."""
+    from sql4pandas_spark.operators.text import unigram_surprisal
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    return unigram_surprisal(t["documents"]).orderBy("doc_id")

@@ -41,6 +41,7 @@ BNLJ_ALLOWED = {
     "chisq_lang_source",         # 1-row collected b-values array (grid
                                  # spine) + 1-row grand-total row
     "tfidf_top_terms_documents", # 1-row corpus size N
+    "lm_surprisal_documents",    # 1-row (N, V) unigram-model normalizer
     "classifier_calibrated_gate",  # 1-row p25 score threshold
     "gapfill_interpolate_15m",   # grid build: 5 event types x O(range) spine,
                                  # both tiny and data-volume-independent
