@@ -198,3 +198,64 @@ def cohort_retention(
         )
         .orderBy("cohort", "period_offset")
     )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_secs: int = 1800,
+) -> DataFrame:
+    """Batch gap-based sessionization — the classic "new session after
+    30 idle minutes" segmentation, the BATCH complement of the streaming
+    session windows (queries/streaming_queries.events_session_windows
+    computes the same boundaries with watermarked state; this form runs
+    over history at rest). One row per (user, session):
+    ``(user, session_idx, session_start, session_end, n_events,
+    duration_secs)``; session_idx is 1-based in time order.
+
+    Mechanics: lag(ts) over (user ORDER BY ts) flags a session start when
+    the gap exceeds ``gap_secs`` (compared in exact epoch MICROSECONDS —
+    truncating each timestamp to seconds first would mis-bucket
+    sub-second gaps near the threshold), a running sum of start flags
+    numbers the sessions, and one groupBy((user, session_idx)) folds the
+    stats. Equal-timestamp ties are harmless by construction: within a
+    tie group every pairwise gap is 0, so exactly one row carries the
+    start flag and all tie rows land in the same session whatever the
+    scan order — the (ts -> session) mapping is deterministic.
+
+    Scale shape: ONE exchange on user_col — the window sorts within
+    partitions, and the follow-up groupBy(user, session_idx) reuses the
+    same hash partitioning (user alone clusters every (user, idx) group),
+    so Catalyst plans no second exchange. Skew = a bot user's whole
+    history in one task: cap per-user events upstream (the funnel
+    module's documented discipline); the window itself is streaming-safe
+    (no per-user array materialization).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    us = F.unix_micros(F.col(ts_col))
+    prev = F.lag(us).over(w)
+    new_sess = (
+        prev.isNull() | (us - prev > F.lit(int(gap_secs) * 1_000_000))
+    ).cast("int")
+    sid = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(user_col, F.col(ts_col), sid.alias("session_idx"))
+        .groupBy(user_col, "session_idx")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                (
+                    F.unix_micros(F.max(ts_col))
+                    - F.unix_micros(F.min(ts_col))
+                )
+                / F.lit(1_000_000)
+            )
+            .cast("long")
+            .alias("duration_secs"),
+        )
+    )

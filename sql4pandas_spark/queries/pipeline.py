@@ -4097,3 +4097,41 @@ def lm_surprisal_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = register_tables(spark, sf_dir, ("documents",))
     return unigram_surprisal(t["documents"]).orderBy("doc_id")
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH l AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS ns
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (
+      SELECT user_id, ts,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM l)
+    SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+             AS duration_secs
+    FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx
+    """,
+    tags=("tier-c", "sessionize", "win_lag", "behavior", "timeseries"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization (operators/behavior.sessionize):
+    a new session after >30 idle minutes, per-session start/end/count/
+    duration — the at-rest complement of the watermarked streaming
+    session windows (events_session_windows), for replaying history or
+    backfilling. Gap compares exact epoch microseconds (no per-timestamp
+    second truncation); ONE exchange on user_id serves both the lag
+    window and the (user, session) rollup. The oracle replays the
+    lag-flag / running-sum construction identically."""
+    from sql4pandas_spark.operators.behavior import sessionize
+
+    t = register_tables(spark, sf_dir, ("events",))
+    return sessionize(t["events"]).orderBy("user_id", "session_idx")

@@ -189,3 +189,51 @@ def test_unigram_surprisal_rare_tokens_score_higher(spark):
     assert out[1]["surprisal_sum_e6"] == 6 * s_the
     assert out[2]["surprisal_sum_e6"] == 3 * s_the + s_z
     assert out[2]["avg_surprisal_e6"] == (3 * s_the + s_z) // 4
+
+
+# ------------------------------------------------------ batch sessionize
+
+
+def test_sessionize_gap_boundaries_and_stats(spark):
+    from datetime import datetime
+
+    from sql4pandas_spark.operators.behavior import sessionize
+
+    t0 = datetime(2025, 1, 1, 12, 0, 0)
+
+    def at(secs):
+        from datetime import timedelta
+
+        return t0 + timedelta(seconds=secs)
+
+    rows = [
+        (1, at(0)),
+        (1, at(1800)),      # exactly the gap -> SAME session (> not >=)
+        (1, at(3601)),      # 1801s after previous -> new session
+        (1, at(3601)),      # duplicate ts -> same session, extra event
+        (2, at(0)),         # another user sessions independently
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = sorted(
+        (r["user_id"], r["session_idx"], r["n_events"], r["duration_secs"])
+        for r in sessionize(df, gap_secs=1800).collect()
+    )
+    assert out == [(1, 1, 2, 1800), (1, 2, 2, 0), (2, 1, 1, 0)]
+
+
+def test_sessionize_is_one_exchange(spark):
+    """The lag window and the (user, session) rollup must share one hash
+    exchange on user — a second exchange would double the wire cost of
+    sessionizing a 100 TB clickstream."""
+    from datetime import datetime
+
+    from sql4pandas_spark.operators.behavior import sessionize
+
+    df = spark.createDataFrame(
+        [(1, datetime(2025, 1, 1)), (2, datetime(2025, 1, 2))],
+        ["user_id", "ts"],
+    )
+    plan = (
+        sessionize(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
