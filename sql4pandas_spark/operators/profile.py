@@ -610,3 +610,58 @@ def referential_integrity_audit(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def winsorize_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+) -> DataFrame:
+    """Winsorize (percentile-clip) a numeric column within each group:
+    values below the group's lo_pct-th / above its hi_pct-th percentile
+    are clamped to those thresholds — the standard heavy-tail taming
+    before training on metric features (robust_outlier_rows FLAGS the
+    tail; this REPAIRS it). Adds ``lo_val``, ``hi_val`` and
+    ``{value_col}_winsorized`` to every row.
+
+    Percentiles are DISCRETE (the value at 1-based sorted position
+    ``ceil(p/100 * n)``, computed as the exact integer
+    ``(p*n + 99) DIV 100``) — no interpolation, so thresholds are actual
+    data values and bit-exact across engines; ties collapse to the same
+    picked value whatever the tie order, keeping the result
+    deterministic.
+
+    Scale shape: ONE exchange on the group column serves everything —
+    row_number + partition count + the threshold pick-out are all
+    windows over the same partitioning, and the thresholds ride back to
+    rows as full-partition-frame max(CASE) windows instead of a
+    join-back (which would re-scan the input; cohort_retention learned
+    that lesson). Skew = the largest group sorts in one task — for a
+    single global group use the approx-quantile path
+    (approx_quantiles_orders) instead.
+    """
+    if not (0 < lo_pct < hi_pct < 100):
+        raise ValueError("need 0 < lo_pct < hi_pct < 100")
+    wo = Window.partitionBy(group_col).orderBy(value_col)
+    wf = Window.partitionBy(group_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rn = F.row_number().over(wo)
+    n = F.count(F.lit(1)).over(wf)
+    with_rank = df.withColumn("_rn", rn).withColumn("_n", n)
+    lo_at = F.expr(f"({lo_pct} * _n + 99) DIV 100")
+    hi_at = F.expr(f"({hi_pct} * _n + 99) DIV 100")
+    v = F.col(value_col)
+    lo_val = F.max(F.when(F.col("_rn") == lo_at, v)).over(wf)
+    hi_val = F.max(F.when(F.col("_rn") == hi_at, v)).over(wf)
+    return (
+        with_rank.withColumn("lo_val", lo_val)
+        .withColumn("hi_val", hi_val)
+        .withColumn(
+            f"{value_col}_winsorized",
+            F.least(F.greatest(v, F.col("lo_val")), F.col("hi_val")),
+        )
+        .drop("_rn", "_n")
+    )

@@ -4135,3 +4135,49 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = register_tables(spark, sf_dir, ("events",))
     return sessionize(t["events"]).orderBy("user_id", "session_idx")
+
+
+@query(
+    "winsorize_docs_by_lang",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents),
+    t AS (
+      SELECT lang,
+             max(CASE WHEN rn = (5 * n + 99) // 100 THEN n_chars END)
+               AS lo_val,
+             max(CASE WHEN rn = (95 * n + 99) // 100 THEN n_chars END)
+               AS hi_val
+      FROM r GROUP BY 1)
+    SELECT doc_id, r.lang, n_chars, lo_val, hi_val,
+           least(greatest(n_chars, lo_val), hi_val) AS n_chars_winsorized
+    FROM r JOIN t USING (lang) ORDER BY doc_id
+    """,
+    tags=("tier-c", "winsorize", "quality", "win_frame", "profile"),
+)
+def winsorize_docs_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (operators/profile.winsorize_by_group):
+    n_chars clipped to each language's [p5, p95] — the heavy-tail repair
+    applied before using length as a training feature
+    (robust_outlier_rows flags the tail; this clamps it). Discrete
+    percentiles at exact integer rank (p*n+99) DIV 100 — no
+    interpolation, bit-exact across engines. One exchange on lang serves
+    the rank window, the partition count, and the threshold pick-out
+    (full-frame max(CASE) windows instead of a join-back re-scan). The
+    oracle replays rank, thresholds, and clamps row-for-row."""
+    from sql4pandas_spark.operators.profile import winsorize_by_group
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    out = winsorize_by_group(
+        t["documents"].select("doc_id", "lang", "n_chars"),
+        "n_chars",
+        "lang",
+        lo_pct=5,
+        hi_pct=95,
+    )
+    return out.select(
+        "doc_id", "lang", "n_chars", "lo_val", "hi_val", "n_chars_winsorized"
+    ).orderBy("doc_id")

@@ -237,3 +237,44 @@ def test_sessionize_is_one_exchange(spark):
         sessionize(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 1, plan
+
+
+# --------------------------------------------------------- winsorization
+
+
+def test_winsorize_clips_to_discrete_percentiles(spark):
+    from sql4pandas_spark.operators.profile import winsorize_by_group
+
+    # group g: values 1..20 -> p5 rank ceil(0.05*20)=1 -> lo=1;
+    # p95 rank ceil(0.95*20)=19 -> hi=19; so 20 clips to 19
+    rows = [("g", v) for v in range(1, 21)]
+    out = winsorize_by_group(
+        spark.createDataFrame(rows, ["grp", "v"]), "v", "grp"
+    )
+    got = {r["v"]: (r["lo_val"], r["hi_val"], r["v_winsorized"]) for r in out.collect()}
+    assert got[1] == (1, 19, 1)
+    assert got[19] == (1, 19, 19)
+    assert got[20] == (1, 19, 19)
+
+
+def test_winsorize_single_exchange(spark):
+    from sql4pandas_spark.operators.profile import winsorize_by_group
+
+    df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], ["g", "v"])
+    plan = (
+        winsorize_by_group(df, "v", "g")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_winsorize_rejects_bad_percentiles(spark):
+    import pytest as _pytest
+
+    from sql4pandas_spark.operators.profile import winsorize_by_group
+
+    df = spark.createDataFrame([("a", 1)], ["g", "v"])
+    with _pytest.raises(ValueError):
+        winsorize_by_group(df, "v", "g", lo_pct=95, hi_pct=5)
