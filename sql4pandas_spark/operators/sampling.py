@@ -280,3 +280,57 @@ def group_safe_split(
     """
     joined = df.join(labels.select(id_col, group_col), id_col)
     return split_assign(joined, group_col, splits, salt=salt)
+
+
+def negative_samples(
+    df: DataFrame, id_col: str, k: int = 3, n_buckets: int = 64
+) -> DataFrame:
+    """Deterministic hash-bucketed negative sampling — k pseudo-random
+    "negative" partners per anchor row for contrastive training pairs
+    (anchor, positive, negative) or ranking evaluation, with NO cross
+    join and NO RNG state: every engine, run, and refeed draws the same
+    negatives.
+
+    Construction: each row lands in bucket ``portable_hash(id) %
+    n_buckets``; each bucket elects one representative (its min id —
+    determinism is the point, the randomness already came from the
+    hash); anchor ``a`` draws its j-th negative from bucket
+    ``(bucket(a) + j) % n_buckets`` for j = 1..k. Offsets start at 1,
+    so an anchor never draws from its OWN bucket — a negative can never
+    be the anchor itself (requires k < n_buckets). An empty target
+    bucket silently yields no pair for that (anchor, j) — size
+    n_buckets well below the expected row count (or accept sparse
+    draws).
+
+    Scale shape: one |buckets|-sized groupBy for representatives,
+    broadcast back onto an explode(sequence(1, k)) fan-out of the
+    anchors — the per-anchor cost is k broadcast-hash lookups, zero
+    wide shuffles. This trades sampling-without-replacement rigor for
+    O(1) per-row work: at 100 TB a per-anchor uniform draw over ALL
+    rows would need a global index (sort or zipWithIndex); bucket
+    representatives approximate it with bounded state.
+    """
+    if not 0 < k < n_buckets:
+        raise ValueError("need 0 < k < n_buckets")
+    h = portable_hash60(F.col(id_col).cast("string"))
+    bucketed = df.select(
+        F.col(id_col), F.pmod(h, F.lit(n_buckets)).alias("_b")
+    )
+    reps = bucketed.groupBy("_b").agg(F.min(id_col).alias("neg_id"))
+    fanned = bucketed.select(
+        id_col,
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("neg_rank"),
+        "_b",
+    ).select(
+        id_col,
+        "neg_rank",
+        F.pmod(F.col("_b") + F.col("neg_rank"), F.lit(n_buckets)).alias(
+            "_tb"
+        ),
+    )
+    return (
+        fanned.join(
+            F.broadcast(reps.withColumnRenamed("_b", "_tb")), "_tb"
+        )
+        .select(id_col, "neg_rank", "neg_id")
+    )

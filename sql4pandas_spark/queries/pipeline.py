@@ -4181,3 +4181,39 @@ def winsorize_docs_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "lang", "n_chars", "lo_val", "hi_val", "n_chars_winsorized"
     ).orderBy("doc_id")
+
+
+_NEG_HASH = text.DUCKDB_HASH60_SQL.format(expr="CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "negative_samples_docs",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, ({_NEG_HASH}) % 64 AS bkt FROM documents),
+    reps AS (SELECT bkt, min(doc_id) AS neg_id FROM b GROUP BY 1),
+    fanned AS (
+      SELECT doc_id, j AS neg_rank, (bkt + j) % 64 AS tb
+      FROM b, unnest([1, 2, 3]) AS t(j))
+    SELECT f.doc_id, CAST(f.neg_rank AS BIGINT) AS neg_rank, r.neg_id
+    FROM fanned f JOIN reps r ON f.tb = r.bkt
+    ORDER BY f.doc_id, neg_rank
+    """,
+    tags=("tier-c", "negative_sampling", "sample", "contrastive"),
+)
+def negative_samples_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling
+    (operators/sampling.negative_samples): 3 pseudo-random contrastive
+    negatives per document via hash-bucket representatives — no cross
+    join, no RNG state, same draws on every engine/run/refeed (the
+    property that makes training data diffable). Offsets start at 1 so
+    an anchor never draws itself; per-anchor cost is k broadcast
+    lookups against a 64-row representative table. The oracle replays
+    hash, bucketing, representative election, and offsets exactly."""
+    from sql4pandas_spark.operators.sampling import negative_samples
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    out = negative_samples(t["documents"], "doc_id", k=3, n_buckets=64)
+    return out.select(
+        "doc_id", F.col("neg_rank").cast("long").alias("neg_rank"), "neg_id"
+    ).orderBy("doc_id", "neg_rank")

@@ -278,3 +278,49 @@ def test_winsorize_rejects_bad_percentiles(spark):
     df = spark.createDataFrame([("a", 1)], ["g", "v"])
     with _pytest.raises(ValueError):
         winsorize_by_group(df, "v", "g", lo_pct=95, hi_pct=5)
+
+
+# ------------------------------------------------------ negative sampling
+
+
+def test_negative_samples_never_self_and_deterministic(spark):
+    from sql4pandas_spark.operators.sampling import negative_samples
+
+    df = spark.createDataFrame([(i,) for i in range(40)], ["doc_id"])
+    out = negative_samples(df, "doc_id", k=2, n_buckets=8)
+    rows = [(r["doc_id"], r["neg_rank"], r["neg_id"]) for r in out.collect()]
+    assert all(a != n for a, _, n in rows)  # never the anchor itself
+    again = [
+        (r["doc_id"], r["neg_rank"], r["neg_id"])
+        for r in negative_samples(df, "doc_id", k=2, n_buckets=8).collect()
+    ]
+    assert sorted(rows) == sorted(again)  # refeed-stable
+    per_anchor = {}
+    for a, j, n in rows:
+        per_anchor.setdefault(a, set()).add(n)
+    # adjacent buckets are distinct, so each anchor's k draws differ
+    assert all(len(v) == 2 for v in per_anchor.values())
+
+
+def test_negative_samples_is_broadcast_join(spark):
+    from sql4pandas_spark.operators.sampling import negative_samples
+
+    df = spark.createDataFrame([(i,) for i in range(40)], ["doc_id"])
+    plan = (
+        negative_samples(df, "doc_id", k=2, n_buckets=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_negative_samples_rejects_k_ge_buckets(spark):
+    import pytest as _pytest
+
+    from sql4pandas_spark.operators.sampling import negative_samples
+
+    df = spark.createDataFrame([(1,)], ["doc_id"])
+    with _pytest.raises(ValueError):
+        negative_samples(df, "doc_id", k=8, n_buckets=8)
