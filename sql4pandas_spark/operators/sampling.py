@@ -334,3 +334,40 @@ def negative_samples(
         )
         .select(id_col, "neg_rank", "neg_id")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    order_col: str,
+    id_col: str,
+    descending: bool = True,
+) -> DataFrame:
+    """Per-group volume cap, keep-best-first — "at most ``cap`` documents
+    per domain, best quality first", the curation primitive that stops a
+    handful of over-crawled domains from dominating a pretraining mix
+    (the per-GROUP complement of quota_sample's per-STRATUM exact
+    quotas: a quota PICKS a target count, a cap only TRIMS the excess).
+
+    Adds ``_rank`` (1-based within group, best first) and boolean
+    ``kept`` (= rank <= cap) to every row rather than dropping — callers
+    filter for the trimmed corpus or aggregate for the audit report
+    (kept/dropped per group). Ordering ties break on ``id_col`` so the
+    cut is deterministic across engines and refeeds.
+
+    Scale shape: one hash exchange on the group column + in-partition
+    sort; Spark rewrites the rank filter form to WindowGroupLimit when
+    callers filter early, and the hot-group skew bound is the biggest
+    group's rows in one task — same discipline as topk_per_group
+    (queries/windows.py).
+    """
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    oc = F.col(order_col)
+    w = Window.partitionBy(group_col).orderBy(
+        oc.desc() if descending else oc.asc(), F.col(id_col)
+    )
+    return df.withColumn("_rank", F.row_number().over(w)).withColumn(
+        "kept", F.col("_rank") <= cap
+    )

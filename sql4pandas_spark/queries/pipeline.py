@@ -4217,3 +4217,48 @@ def negative_samples_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", F.col("neg_rank").cast("long").alias("neg_rank"), "neg_id"
     ).orderBy("doc_id", "neg_rank")
+
+
+@query(
+    "source_cap_report",
+    oracle="""
+    WITH r AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents)
+    SELECT source,
+           count(*) AS n_docs,
+           count(*) FILTER (WHERE rn <= 20) AS n_kept,
+           count(*) FILTER (WHERE rn > 20) AS n_dropped,
+           min(n_chars) FILTER (WHERE rn <= 20) AS kept_cutoff_chars
+    FROM r GROUP BY 1 ORDER BY source
+    """,
+    tags=("tier-c", "cap", "curation", "sample", "data_mix"),
+)
+def source_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source volume cap audit (operators/sampling.cap_per_group):
+    at most 20 documents per source, longest-first with doc_id
+    tie-break — the over-crawled-domain trim every pretraining mix
+    applies, reported as kept/dropped counts and the quality cutoff per
+    source (the report a curation run logs before committing the trim).
+    One exchange on source; the oracle replays rank, cap, and cutoff
+    exactly."""
+    from sql4pandas_spark.operators.sampling import cap_per_group
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    capped = cap_per_group(
+        t["documents"], "source", 20, "n_chars", "doc_id"
+    )
+    return (
+        capped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
+            F.count(F.when(~F.col("kept"), 1)).alias("n_dropped"),
+            F.min(F.when(F.col("kept"), F.col("n_chars"))).alias(
+                "kept_cutoff_chars"
+            ),
+        )
+        .orderBy("source")
+    )

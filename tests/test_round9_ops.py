@@ -324,3 +324,28 @@ def test_negative_samples_rejects_k_ge_buckets(spark):
     df = spark.createDataFrame([(1,)], ["doc_id"])
     with _pytest.raises(ValueError):
         negative_samples(df, "doc_id", k=8, n_buckets=8)
+
+
+# ------------------------------------------------------- per-group cap
+
+
+def test_cap_per_group_keeps_best_first_with_deterministic_ties(spark):
+    from sql4pandas_spark.operators.sampling import cap_per_group
+
+    rows = [
+        ("a", 10, 1),
+        ("a", 30, 2),
+        ("a", 30, 3),  # tie with id 2 -> id 2 ranks first
+        ("a", 20, 4),
+        ("b", 5, 5),
+    ]
+    df = spark.createDataFrame(rows, ["g", "score", "id"])
+    out = {
+        r["id"]: (r["_rank"], r["kept"])
+        for r in cap_per_group(df, "g", 2, "score", "id").collect()
+    }
+    assert out[2] == (1, True)
+    assert out[3] == (2, True)
+    assert out[4] == (3, False)
+    assert out[1] == (4, False)
+    assert out[5] == (1, True)
