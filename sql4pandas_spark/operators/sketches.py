@@ -79,3 +79,103 @@ def heavy_hitters_topk(
         .orderBy(F.col("n").desc(), "item")
         .limit(k)
     )
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Fixed-width MERGEABLE histogram of a numeric column: one row per
+    occupied bin ``(bin, n)``. Out-of-range values clamp into the edge
+    bins, NULLs are excluded (profile_columns' n_nulls signal). The bin
+    expression is the same float-exact arithmetic as distribution_drift's
+    PSI binning, so DuckDB replays it bit-for-bit.
+
+    This is the mergeable-state form of a quantile sketch: histograms of
+    DISJOINT batches over the SAME [lo, hi, n_bins] grid combine by pure
+    per-bin addition (merge_histograms / merge_agg_states), which is what
+    makes cross-batch percentile maintenance possible without any raw
+    re-scan — the [lo, hi] grid must therefore be FIXED up front (domain
+    knowledge), not derived per batch, or states stop being addable.
+    Resolution contract: quantile answers are exact to one bin width.
+    """
+    if n_bins < 1 or not hi > lo:
+        raise ValueError("need n_bins >= 1 and hi > lo")
+    x = F.col(value_col).cast("double")
+    raw = F.floor((x - F.lit(lo)) * F.lit(float(n_bins)) / F.lit(hi - lo))
+    bin_ = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw)).cast("long")
+    return (
+        df.filter(x.isNotNull())
+        .groupBy(bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def merge_histograms(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Combine two value_histogram states over the same grid: per-bin
+    addition (one groupBy over <= 2*n_bins narrow rows, and Catalyst
+    adds no new exchange when both sides are already hash-partitioned
+    on bin — the merge_agg_states property)."""
+    return a.unionByName(b).groupBy("bin").agg(F.sum("n").alias("n"))
+
+
+def quantiles_from_histogram(
+    hist: DataFrame,
+    pcts: list[int],
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Read discrete percentile estimates off a value_histogram state:
+    for each integer percentile p, the first bin whose cumulative count
+    reaches rank ``ceil(p/100 * n)`` (integer-exact as (p*n+99) DIV 100)
+    and that bin's LOWER edge as the estimate — no interpolation, so the
+    answer is deterministic and engine-replayable; error is bounded by
+    one bin width by construction.
+
+    Returns one row per requested percentile: ``(pct, n_total, bin,
+    est_value)``. The cumulative sum is a single-partition window over
+    the |bins|-row state — bounded metadata by design (n_bins is a
+    constant, never data-sized), the same justification as the PSI
+    histogram tails.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wf = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "bin",
+        F.sum("n").over(w).alias("_cum"),
+        F.sum("n").over(wf).alias("_tot"),
+    )
+    width = (hi - lo) / float(n_bins)
+    per_pct = F.array(
+        *[
+            F.struct(
+                F.lit(p).cast("long").alias("pct"),
+                F.max("_tot").alias("n_total"),
+                F.min(
+                    F.when(
+                        F.col("_cum")
+                        >= F.expr(f"({p} * _tot + 99) DIV 100"),
+                        F.col("bin"),
+                    )
+                ).alias("bin"),
+            )
+            for p in pcts
+        ]
+    )
+    agg = cum.agg(per_pct.alias("_a")).select(F.explode("_a").alias("q"))
+    return agg.select(
+        "q.pct",
+        "q.n_total",
+        "q.bin",
+        (F.lit(lo) + F.col("q.bin") * F.lit(width)).alias("est_value"),
+    )

@@ -96,6 +96,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "winsorize_docs_by_lang",
     "negative_samples_docs",
     "source_cap_report",
+    "incr_quantile_orders",
     # -- the 16 entries green only in r8 (drift_timeline_events,
     #    drift_lang_mix, scan_schema_evolution, and stream_cdc_apply also
     #    re-confirm round-9 code changes: the explode-sequence spine, the
@@ -137,8 +138,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_simhash_pairs",
     "multimodal_decode_features",
     "approx_quantiles_orders",
-    "q3_shipping_priority",
-    # (the r04-cohort tail — q5_local_supplier_volume,
+    # (the r04-cohort tail — q3_shipping_priority,
+    #  q5_local_supplier_volume,
     #  left_join_missing_orders,
     #  right_join_orders_customers,
     #  full_outer_join_counts, semi_customers, anti_customers,
@@ -150,8 +151,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #  cluster_safe_split, key_skew_profile_events, anomaly_hours_events,
     #  chisq_lang_source, outlier_docs_by_lang, incr_agg_orders_state,
     #  fk_integrity_audit, lm_surprisal_documents, sessionize_events,
-    #  winsorize_docs_by_lang, negative_samples_docs, and
-    #  source_cap_report)
+    #  winsorize_docs_by_lang, negative_samples_docs, source_cap_report,
+    #  and incr_quantile_orders)
     # ---- driver window (50) ends here ----
 )
 

@@ -4262,3 +4262,62 @@ def source_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "incr_quantile_orders",
+    oracle="""
+    WITH b AS (
+      SELECT least(999, greatest(0, CAST(floor(
+               (o_totalprice - 0.0) * 1000.0 / 600000.0) AS BIGINT)))
+               AS bin
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    h AS (SELECT bin, count(*) AS n FROM b GROUP BY 1),
+    c AS (
+      SELECT bin,
+             sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(n) OVER () AS tot
+      FROM h)
+    SELECT CAST(p.pct AS BIGINT) AS pct, CAST(max(tot) AS BIGINT) AS n_total,
+           min(CASE WHEN cum >= (p.pct * tot + 99) // 100 THEN bin END)
+             AS bin,
+           0.0 + min(CASE WHEN cum >= (p.pct * tot + 99) // 100
+                     THEN bin END) * 600.0 AS est_value
+    FROM c, (SELECT unnest([50, 95, 99]) AS pct) p
+    GROUP BY p.pct ORDER BY pct
+    """,
+    tags=("tier-c", "incr_agg", "quantile", "sketch", "agg_approx"),
+)
+def incr_quantile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch percentile maintenance
+    (operators/sketches.value_histogram + merge_histograms +
+    quantiles_from_histogram): p50/p95/p99 of o_totalprice kept current
+    across three order-date batches by merging fixed-grid histogram
+    states (1000 bins over [0, 600000]) with pure per-bin addition —
+    the MERGEABLE-sketch answer to "exact percentiles need a full
+    re-sort per refresh" (exact median is holistic;
+    merge_agg_states's distributive columns can't carry it). Answers
+    are discrete bin lower edges, exact to one bin width (600 here) and
+    bit-replayable; the oracle rebuilds the same grid over all of
+    orders — equality proves batch-merged state == from-scratch state."""
+    from sql4pandas_spark.operators.sketches import (
+        merge_histograms,
+        quantiles_from_histogram,
+        value_histogram,
+    )
+
+    t = register_tables(spark, sf_dir, ("orders",))
+    o = t["orders"]
+    grid = dict(value_col="o_totalprice", lo=0.0, hi=600000.0, n_bins=1000)
+    state = value_histogram(
+        o.filter(F.col("o_orderdate") < "1996-01-01"), **grid
+    )
+    for pred in (
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01"),
+        F.col("o_orderdate") >= "1997-01-01",
+    ):
+        state = merge_histograms(state, value_histogram(o.filter(pred), **grid))
+    return quantiles_from_histogram(
+        state, [50, 95, 99], lo=0.0, hi=600000.0, n_bins=1000
+    ).orderBy("pct")

@@ -349,3 +349,50 @@ def test_cap_per_group_keeps_best_first_with_deterministic_ties(spark):
     assert out[4] == (3, False)
     assert out[1] == (4, False)
     assert out[5] == (1, True)
+
+
+# ------------------------------------------- mergeable quantile histogram
+
+
+def test_histogram_merge_equals_full_rebuild_and_quantiles(spark):
+    from sql4pandas_spark.operators.sketches import (
+        merge_histograms,
+        quantiles_from_histogram,
+        value_histogram,
+    )
+
+    grid = dict(value_col="v", lo=0.0, hi=100.0, n_bins=10)
+    all_rows = [(float(v),) for v in range(100)]
+    df = spark.createDataFrame(all_rows, ["v"])
+    b1 = spark.createDataFrame(all_rows[:37], ["v"])
+    b2 = spark.createDataFrame(all_rows[37:], ["v"])
+    merged = merge_histograms(
+        value_histogram(b1, **grid), value_histogram(b2, **grid)
+    )
+    full = value_histogram(df, **grid)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    q = {
+        r["pct"]: (r["n_total"], r["bin"], r["est_value"])
+        for r in quantiles_from_histogram(
+            merged, [50, 90], lo=0.0, hi=100.0, n_bins=10
+        ).collect()
+    }
+    # rank(p50) = ceil(0.5*100) = 50 -> cum reaches 50 in bin 4 (40..49)
+    assert q[50] == (100, 4, 40.0)
+    # rank(p90) = 90 -> bin 8 (80..89)
+    assert q[90] == (100, 8, 80.0)
+
+
+def test_histogram_clamps_and_excludes_nulls(spark):
+    from sql4pandas_spark.operators.sketches import value_histogram
+
+    df = spark.createDataFrame(
+        [(-5.0,), (150.0,), (None,), (50.0,)], ["v"]
+    )
+    h = dict(
+        (r["bin"], r["n"])
+        for r in value_histogram(df, "v", 0.0, 100.0, 10).collect()
+    )
+    assert h == {0: 1, 9: 1, 5: 1}
