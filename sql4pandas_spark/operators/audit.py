@@ -54,3 +54,56 @@ def observation_or_recount(obs: Observation, fallback) -> dict:
         return obs.get
     except Exception:
         return fallback()
+
+
+def check_constraints(
+    df: DataFrame, checks: list[tuple[str, Column]]
+) -> DataFrame:
+    """Declarative data-contract gate: evaluate named row-level
+    constraints in ONE aggregate pass and return one report row per
+    constraint — ``(check, n_rows, n_violations, violation_ppm)``. The
+    expectations-style publish gate: ship the batch iff every
+    n_violations is 0 (or under each contract's tolerance), and when it
+    isn't, the report names WHICH contract broke and how widely.
+
+    A row violates a check when its condition is not TRUE — a NULL
+    condition (e.g. ``price > 0`` with NULL price) counts as a
+    violation, because "unknown" does not satisfy a contract; express
+    intended NULL-tolerance explicitly (``col.isNull() | cond``).
+    violation_ppm is integer parts-per-million
+    (``violations * 1_000_000 DIV rows``) — order-independent, no float
+    rates.
+
+    Scale shape: all checks fold in a single map-combined aggregate over
+    one scan (a count() per check would re-scan the table per contract),
+    then the 1-row result fans out via explode — |checks| report rows,
+    zero joins. Complements referential_integrity_audit (cross-table
+    contracts) and filter_with_audit (counters riding a REAL gate
+    action); this one is the standalone report over a table at rest.
+    """
+    if not checks:
+        raise ValueError("need at least one check")
+    agg = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.coalesce(
+                F.sum(F.when(~cond.eqNullSafe(True), 1)), F.lit(0)
+            ).alias(f"_v_{i}")
+            for i, (_, cond) in enumerate(checks)
+        ],
+    )
+    per_check = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_v_{i}").alias("n_violations"),
+                F.expr(f"CASE WHEN _n > 0 THEN _v_{i} * 1000000 DIV _n "
+                       "ELSE 0 END").alias("violation_ppm"),
+            )
+            for i, (name, _) in enumerate(checks)
+        ]
+    )
+    return agg.select(F.explode(per_check).alias("c")).select(
+        "c.check", "c.n_rows", "c.n_violations", "c.violation_ppm"
+    )

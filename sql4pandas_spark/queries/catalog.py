@@ -97,6 +97,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "negative_samples_docs",
     "source_cap_report",
     "incr_quantile_orders",
+    "constraint_gate_orders",
     # -- the 16 entries green only in r8 (drift_timeline_events,
     #    drift_lang_mix, scan_schema_evolution, and stream_cdc_apply also
     #    re-confirm round-9 code changes: the explode-sequence spine, the
@@ -137,8 +138,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_near_minhash",
     "dedup_simhash_pairs",
     "multimodal_decode_features",
-    "approx_quantiles_orders",
-    # (the r04-cohort tail — q3_shipping_priority,
+    # (the r04-cohort tail — approx_quantiles_orders,
+    #  q3_shipping_priority,
     #  q5_local_supplier_volume,
     #  left_join_missing_orders,
     #  right_join_orders_customers,
@@ -152,7 +153,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #  chisq_lang_source, outlier_docs_by_lang, incr_agg_orders_state,
     #  fk_integrity_audit, lm_surprisal_documents, sessionize_events,
     #  winsorize_docs_by_lang, negative_samples_docs, source_cap_report,
-    #  and incr_quantile_orders)
+    #  incr_quantile_orders, and constraint_gate_orders)
     # ---- driver window (50) ends here ----
 )
 

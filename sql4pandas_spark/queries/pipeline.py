@@ -4321,3 +4321,62 @@ def incr_quantile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantiles_from_histogram(
         state, [50, 95, 99], lo=0.0, hi=600000.0, n_bins=1000
     ).orderBy("pct")
+
+
+@query(
+    "constraint_gate_orders",
+    oracle="""
+    WITH checks(name, v) AS (
+      SELECT 'orderdate_in_range',
+             count(*) FILTER (WHERE (o_orderdate BETWEEN DATE '1992-01-01'
+               AND DATE '1998-12-31') IS DISTINCT FROM TRUE) FROM orders
+      UNION ALL
+      SELECT 'orderkey_not_null',
+             count(*) FILTER (WHERE (o_orderkey IS NOT NULL)
+               IS DISTINCT FROM TRUE) FROM orders
+      UNION ALL
+      SELECT 'status_in_set',
+             count(*) FILTER (WHERE (o_orderstatus IN ('O', 'F', 'P'))
+               IS DISTINCT FROM TRUE) FROM orders
+      UNION ALL
+      SELECT 'totalprice_positive',
+             count(*) FILTER (WHERE (o_totalprice > 0)
+               IS DISTINCT FROM TRUE) FROM orders
+      UNION ALL
+      SELECT 'totalprice_under_500k',
+             count(*) FILTER (WHERE (o_totalprice < 500000)
+               IS DISTINCT FROM TRUE) FROM orders),
+    n AS (SELECT count(*) AS n_rows FROM orders)
+    SELECT name AS "check", n_rows, CAST(v AS BIGINT) AS n_violations,
+           v * 1000000 // n_rows AS violation_ppm
+    FROM checks, n ORDER BY name
+    """,
+    tags=("tier-c", "contract", "audit", "quality", "profile"),
+)
+def constraint_gate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract gate (operators/audit.check_constraints):
+    five named constraints over orders — key non-null, positive price,
+    status enum, date range, price ceiling — evaluated in ONE
+    map-combined aggregate scan (a count() per contract would re-scan
+    the table per check) and reported as named violation counts +
+    integer ppm rates. The date-range contract REALLY fails on this
+    corpus (fixture dates run past 1998; ~399k ppm) — the report proves
+    detection, not just green checkmarks. NULL
+    conditions count as violations (unknown does not satisfy a
+    contract). The oracle recomputes every count with
+    IS DISTINCT FROM TRUE semantics."""
+    from sql4pandas_spark.operators.audit import check_constraints
+
+    t = register_tables(spark, sf_dir, ("orders",))
+    o = t["orders"]
+    checks = [
+        (
+            "orderdate_in_range",
+            F.col("o_orderdate").between("1992-01-01", "1998-12-31"),
+        ),
+        ("orderkey_not_null", F.col("o_orderkey").isNotNull()),
+        ("status_in_set", F.col("o_orderstatus").isin("O", "F", "P")),
+        ("totalprice_positive", F.col("o_totalprice") > 0),
+        ("totalprice_under_500k", F.col("o_totalprice") < 500000),
+    ]
+    return check_constraints(o, checks).orderBy("check")

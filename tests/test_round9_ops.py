@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from sql4pandas_spark.operators.maintenance import (
@@ -396,3 +397,57 @@ def test_histogram_clamps_and_excludes_nulls(spark):
         for r in value_histogram(df, "v", 0.0, 100.0, 10).collect()
     )
     assert h == {0: 1, 9: 1, 5: 1}
+
+
+# ----------------------------------------------------- constraint gate
+
+
+def test_check_constraints_null_condition_is_violation(spark):
+    from sql4pandas_spark.operators.audit import check_constraints
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, -5)], ["id", "price"]
+    )
+    out = {
+        r["check"]: (r["n_rows"], r["n_violations"], r["violation_ppm"])
+        for r in check_constraints(
+            df,
+            [
+                ("price_positive", F.col("price") > 0),
+                ("id_not_null", F.col("id").isNotNull()),
+                (
+                    "price_positive_or_null",
+                    F.col("price").isNull() | (F.col("price") > 0),
+                ),
+            ],
+        ).collect()
+    }
+    # NULL price fails `price > 0` (unknown != satisfied)...
+    assert out["price_positive"] == (3, 2, 666666)
+    assert out["id_not_null"] == (3, 0, 0)
+    # ...until the contract declares NULL-tolerance explicitly
+    assert out["price_positive_or_null"] == (3, 1, 333333)
+
+
+def test_check_constraints_single_scan(spark):
+    from sql4pandas_spark.operators.audit import check_constraints
+
+    df = spark.createDataFrame([(1,)], ["x"])
+    plan = (
+        check_constraints(
+            df, [("a", F.col("x") > 0), ("b", F.col("x") < 9)]
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan ExistingRDD") == 1, plan
+
+
+def test_check_constraints_rejects_empty(spark):
+    import pytest as _pytest
+
+    from sql4pandas_spark.operators.audit import check_constraints
+
+    with _pytest.raises(ValueError):
+        check_constraints(spark.range(1), [])
