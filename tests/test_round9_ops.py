@@ -451,3 +451,87 @@ def test_check_constraints_rejects_empty(spark):
 
     with _pytest.raises(ValueError):
         check_constraints(spark.range(1), [])
+
+
+def test_streaming_quantile_maintenance_exactly_once(spark, tmp_path):
+    """Production shape for a streaming percentile monitor: foreachBatch
+    reduces each micro-batch to its fixed-grid histogram partial and
+    dynamic-overwrites a batch_id partition of a histogram store — the
+    same exactly-once discipline as the incremental dedup stores (a
+    replayed batch overwrites ITS OWN partition, never double-counts).
+    Reading the store and summing per bin must equal the from-scratch
+    histogram of all rows, before AND after a simulated batch replay."""
+    import os as _os
+
+    from sql4pandas_spark.operators.sketches import (
+        quantiles_from_histogram,
+        value_histogram,
+    )
+
+    grid = dict(value_col="x", lo=0.0, hi=100.0, n_bins=10)
+    files = [
+        [(float(i % 50),) for i in range(60)],
+        [(50.0 + i % 50,) for i in range(40)],
+    ]
+    src = tmp_path / "src"
+    flat = tmp_path / "flat"
+    _os.makedirs(flat)
+    for i, rows in enumerate(files):
+        d = str(src / f"f{i}")
+        spark.createDataFrame(rows, "x double").coalesce(1).write.parquet(d)
+        for f in sorted(_os.listdir(d)):
+            if f.endswith(".parquet"):
+                _os.symlink(_os.path.join(d, f), str(flat / f"{i:02d}_{f}"))
+
+    store = str(tmp_path / "hist_store")
+
+    def update_store(df, batch_id):
+        part = value_histogram(df, **grid).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        )
+        (
+            part.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(store)
+        )
+
+    q = (
+        spark.readStream.schema("x double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+        .writeStream.foreachBatch(update_store)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    def merged_state():
+        return (
+            spark.read.parquet(store)
+            .groupBy("bin")
+            .agg(F.sum("n").alias("n"))
+        )
+
+    all_rows = [r for rows in files for r in rows]
+    full = value_histogram(
+        spark.createDataFrame(all_rows, "x double"), **grid
+    )
+    assert sorted(map(tuple, merged_state().collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+    # crash-replay: re-deliver batch 0 — the partition overwrite makes it
+    # a no-op, not a double count
+    update_store(spark.createDataFrame(files[0], "x double"), 0)
+    assert sorted(map(tuple, merged_state().collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+    q50 = quantiles_from_histogram(
+        merged_state(), [50], lo=0.0, hi=100.0, n_bins=10
+    ).collect()[0]
+    # batch 1 doubles values 0..9 (60 rows of i%50), so bin counts are
+    # [20,10,10,10,10, 10,10,10,10,10]; rank(p50)=50 first reached at bin 3
+    assert q50["n_total"] == 100 and q50["bin"] == 3
