@@ -615,3 +615,73 @@ def centroid_outlier_stats(
         )
         .orderBy(label_col)
     )
+
+
+def projection_signs(in_dim: int, out_dim: int) -> list[list[int]]:
+    """Deterministic ±1 sign matrix for :func:`random_projection_e6`,
+    derived from md5 of the (out, in) coordinate — no RNG state, so every
+    engine/run/build of the same (in_dim, out_dim) gets the same matrix
+    (the property that lets a DuckDB oracle replay the projection and
+    lets an index built last month keep working). Rademacher signs
+    satisfy the Johnson-Lindenstrauss guarantee the same as Gaussians
+    (Achlioptas 2001)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0], 16) % 2
+            == 0
+            else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection_e6(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with Rademacher
+    (±1) signs: project ``in_dim`` float vectors to ``out_dim``
+    integer-exact components — the standard shrink step before ANN
+    indexing (a 4x narrower vector is 4x less index I/O and compute per
+    probe, at a distortion bounded by JL for out_dim ~ O(ln n / eps^2)).
+
+    Exactness: inputs quantize ONCE to e6 integers
+    (``round(v * 1e6)``), then every projection component is a pure
+    INTEGER sum of sign-flipped quantized values — no float summation
+    anywhere, so components are order-independent and bit-identical in
+    any engine (the repo-wide integer-summation convention). Components
+    are unscaled (the JL 1/sqrt(out_dim) factor cancels in cosine and
+    relative-distance use; apply it at read time if absolute distances
+    matter).
+
+    Scale shape: zero shuffles — the whole projection is a map-side
+    zip_with/aggregate expression over the vector column (JVM
+    higher-order functions, codegen-friendly, no UDF); out_dim x in_dim
+    sign literals ride the plan. Output: ``(id_col, proj_e6
+    array<long>)``.
+    """
+    signs = projection_signs(in_dim, out_dim)
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(1e6)).cast("long"),
+    )
+    comps = [
+        F.aggregate(
+            F.zip_with(
+                q,
+                F.array(*[F.lit(s) for s in signs[j]]),
+                lambda x, s: x * s,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        for j in range(out_dim)
+    ]
+    return df.select(F.col(id_col), F.array(*comps).alias("proj_e6"))

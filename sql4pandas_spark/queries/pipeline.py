@@ -4380,3 +4380,48 @@ def constraint_gate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("totalprice_under_500k", F.col("o_totalprice") < 500000),
     ]
     return check_constraints(o, checks).orderBy("check")
+
+
+def _proj_oracle_sql() -> str:
+    from sql4pandas_spark.operators.similarity import projection_signs
+
+    signs = projection_signs(64, 16)
+    dims = ",\n             ".join(
+        "CAST(list_sum(list_transform(range(1, 65), i -> q[i] * "
+        f"([{', '.join(map(str, s))}])[i])) AS BIGINT)"
+        for s in signs
+    )
+    return f"""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+               AS q
+      FROM embeddings)
+    SELECT vec_id,
+           [{dims}] AS proj_e6
+    FROM qv ORDER BY vec_id
+    """
+
+
+@query(
+    "random_projection_embeddings",
+    oracle=_proj_oracle_sql(),
+    tags=("tier-c", "embedding", "projection", "ann", "array_fns"),
+)
+def random_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection
+    (operators/similarity.random_projection_e6): 64-dim float embeddings
+    -> 16 integer-exact components via a deterministic md5-derived
+    Rademacher sign matrix — the shrink step before ANN indexing (4x
+    less index I/O per probe). Inputs e6-quantize once, then every
+    component is a pure integer sum: order-independent, zero shuffles,
+    no UDF — just zip_with/aggregate JVM expressions. The oracle
+    replays quantization, the identical sign literals, and the integer
+    sums."""
+    from sql4pandas_spark.operators.similarity import random_projection_e6
+
+    t = register_tables(spark, sf_dir, ("embeddings",))
+    return random_projection_e6(t["embeddings"], in_dim=64, out_dim=16).orderBy(
+        "vec_id"
+    )
