@@ -259,3 +259,102 @@ def sessionize(
             .alias("duration_secs"),
         )
     )
+
+
+def top_movers(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    bucket: str = "week",
+    min_prev: int = 1,
+) -> DataFrame:
+    """Trending detection: per (group, time-bucket) activity counts with
+    the previous bucket alongside and an integer growth rate — "which
+    sources/domains/event types surged this week", the telemetry query
+    behind every trending dashboard and crawl-anomaly review (the
+    DIRECTIONAL sibling of mad_anomalies: MAD flags a bucket as
+    abnormal vs the group's whole history; this ranks CHANGE between
+    adjacent buckets).
+
+    Output per (group, bucket_ts) with at least ``min_prev`` events in
+    the previous bucket: ``(group, bucket_ts, n_events, prev_events,
+    growth_ppm)`` where growth_ppm = (n - prev) * 1_000_000 DIV prev —
+    integer, sign-carrying, engine-exact. Buckets with no previous
+    bucket (the group's first) are excluded: growth from nothing is
+    undefined, and min_prev guards the divide-by-tiny noise
+    (1 -> 7 events is 600% growth and means nothing).
+
+    A group that went fully SILENT this bucket does not emit a row
+    (there is no event to bucket) — absence detection is gapfill's job
+    (gapfill_interpolate_15m) feeding this after zero-filling.
+
+    Scale shape: one map-combined groupBy((group, bucket)) over raw
+    events, then a lag window over the BOUNDED counts frame — the
+    expensive pass exchanges |groups x buckets| narrow rows, and the
+    window partitions by group, so no single-task global sort.
+    """
+    counts = df.groupBy(
+        F.col(group_col).alias("grp"),
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("grp").orderBy("bucket_ts")
+    out = counts.withColumn("prev_events", F.lag("n_events").over(w))
+    return (
+        out.filter(F.col("prev_events") >= min_prev)
+        .select(
+            F.col("grp").alias(group_col),
+            "bucket_ts",
+            "n_events",
+            "prev_events",
+            # sign-magnitude integer division: Spark's DIV truncates
+            # toward zero while DuckDB's // floors, so a bare signed
+            # division diverges on every DECLINING bucket — divide the
+            # absolute change instead and re-apply the sign
+            F.expr(
+                "CASE WHEN n_events >= prev_events THEN"
+                "  (n_events - prev_events) * 1000000 DIV prev_events"
+                " ELSE"
+                "  -((prev_events - n_events) * 1000000 DIV prev_events)"
+                " END"
+            ).alias("growth_ppm"),
+        )
+    )
+
+
+def ohlc_resample(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Time-series downsample to OHLC bars: per (key, time bucket) the
+    Open (value at the earliest event), High, Low, Close (value at the
+    latest event) and event count — the classic metrics/market resample
+    that turns a raw tick stream into chartable bars and feeds
+    mad_anomalies/top_movers at a bounded row count.
+
+    Open/Close pick the row with the extreme ``(ts, id)`` STRUCT via
+    min_by/max_by — ONE aggregate, no self-join, no window re-sort; the
+    id tie-break makes same-timestamp ticks deterministic across
+    engines and partitionings (min_by on ts alone would return an
+    arbitrary tied row). High/Low are plain min/max. Values pass
+    through untouched (no float arithmetic to diverge).
+
+    Scale shape: a single map-combined groupBy((key, bucket)) — the
+    only exchange carries |keys x buckets| narrow rows, each holding
+    constant-size state (two struct extremes + two floats + a count).
+    """
+    b = F.date_trunc(bucket, F.col(ts_col))
+    tie = F.struct(F.col(ts_col), F.col(id_col))
+    v = F.col(value_col)
+    return df.groupBy(
+        F.col(key_col), b.alias("bucket_ts")
+    ).agg(
+        F.min_by(v, tie).alias("open"),
+        F.max(v).alias("high"),
+        F.min(v).alias("low"),
+        F.max_by(v, tie).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -99,6 +99,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "incr_quantile_orders",
     "constraint_gate_orders",
     "random_projection_embeddings",
+    "top_movers_events",
+    "ohlc_hourly_events",
     # -- the 16 entries green only in r8 (drift_timeline_events,
     #    drift_lang_mix, scan_schema_evolution, and stream_cdc_apply also
     #    re-confirm round-9 code changes: the explode-sequence spine, the
@@ -136,9 +138,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- then the r04 cohort in registration order --
     "agg_collect_ordered",
     "lang_id_documents",
-    "dedup_near_minhash",
-    "dedup_simhash_pairs",
-    # (the r04-cohort tail — multimodal_decode_features,
+    # (the r04-cohort tail — dedup_near_minhash, dedup_simhash_pairs,
+    #  multimodal_decode_features,
     #  approx_quantiles_orders,
     #  q3_shipping_priority,
     #  q5_local_supplier_volume,
@@ -154,8 +155,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #  chisq_lang_source, outlier_docs_by_lang, incr_agg_orders_state,
     #  fk_integrity_audit, lm_surprisal_documents, sessionize_events,
     #  winsorize_docs_by_lang, negative_samples_docs, source_cap_report,
-    #  incr_quantile_orders, constraint_gate_orders, and
-    #  random_projection_embeddings)
+    #  incr_quantile_orders, constraint_gate_orders,
+    #  random_projection_embeddings, top_movers_events, and
+    #  ohlc_hourly_events)
     # ---- driver window (50) ends here ----
 )
 

@@ -4425,3 +4425,85 @@ def random_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_projection_e6(t["embeddings"], in_dim=64, out_dim=16).orderBy(
         "vec_id"
     )
+
+
+@query(
+    "top_movers_events",
+    oracle="""
+    WITH c AS (
+      -- CAST: DuckDB date_trunc('week') yields DATE where Spark
+      -- yields TIMESTAMP; the driver's string hash sees the difference
+      SELECT event_type, CAST(date_trunc('week', ts) AS TIMESTAMP)
+               AS bucket_ts,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2),
+    l AS (
+      SELECT event_type, bucket_ts, n_events,
+             lag(n_events) OVER (PARTITION BY event_type
+                                 ORDER BY bucket_ts) AS prev_events
+      FROM c)
+    SELECT event_type, bucket_ts, n_events, prev_events,
+           CASE WHEN n_events >= prev_events THEN
+             (n_events - prev_events) * 1000000 // prev_events
+           ELSE
+             -((prev_events - n_events) * 1000000 // prev_events)
+           END AS growth_ppm
+    FROM l WHERE prev_events >= 1
+    ORDER BY event_type, bucket_ts
+    """,
+    tags=("tier-c", "trending", "timeseries", "win_lag", "behavior"),
+)
+def top_movers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending / top-movers detection (operators/behavior.top_movers):
+    weekly activity per event type with previous-week counts and
+    sign-magnitude integer growth ppm — the "what surged this week"
+    telemetry review, directional where mad_anomalies is absolute. One
+    map-combined groupBy over raw events; the lag window runs over the
+    bounded counts frame partitioned by group. Growth divides the
+    ABSOLUTE change and re-applies the sign because Spark DIV truncates
+    while DuckDB // floors — a bare signed division diverges on every
+    declining bucket. The oracle replays buckets, lag, and the division
+    exactly."""
+    from sql4pandas_spark.operators.behavior import top_movers
+
+    t = register_tables(spark, sf_dir, ("events",))
+    return top_movers(t["events"], "event_type").orderBy(
+        "event_type", "bucket_ts"
+    )
+
+
+@query(
+    "ohlc_hourly_events",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts, value,
+             row_number() OVER (PARTITION BY event_type,
+                                  date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type,
+                                  date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events)
+    SELECT event_type, bucket_ts,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*) AS n_events
+    FROM r GROUP BY 1, 2 ORDER BY event_type, bucket_ts
+    """,
+    tags=("tier-c", "ohlc", "timeseries", "agg_group", "resample"),
+)
+def ohlc_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (operators/behavior.ohlc_resample): hourly
+    open/high/low/close/count bars of the event value stream per event
+    type — the resample that turns raw ticks into chartable bars. Open
+    and Close come from min_by/max_by over a (ts, event_id) struct in
+    the SAME single aggregate as High/Low (no self-join, no window
+    re-sort; the id tie-break pins same-timestamp ticks). The oracle
+    replays the extremes with rank windows — a deliberately different
+    construction proving the semantics, not the implementation."""
+    from sql4pandas_spark.operators.behavior import ohlc_resample
+
+    t = register_tables(spark, sf_dir, ("events",))
+    return ohlc_resample(t["events"]).orderBy("event_type", "bucket_ts")

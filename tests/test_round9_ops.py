@@ -593,3 +593,66 @@ def test_random_projection_roughly_preserves_relative_distances(spark):
             d_proj = np.sum((proj[i] - proj[j]) ** 2) / 16.0  # JL scale
             ratios.append(d_proj / d_orig)
     assert 0.3 < min(ratios) and max(ratios) < 3.0, (min(ratios), max(ratios))
+
+
+# -------------------------------------------------- top movers + OHLC
+
+
+def test_top_movers_growth_signs_and_first_bucket_excluded(spark):
+    from datetime import datetime, timedelta
+
+    from sql4pandas_spark.operators.behavior import top_movers
+
+    base = datetime(2025, 1, 6)  # a Monday
+    rows = []
+    # type A: 4 events wk0, 6 wk1 (+50%), 3 wk2 (-50%)
+    for wk, n in [(0, 4), (1, 6), (2, 3)]:
+        rows += [("A", base + timedelta(weeks=wk, minutes=i)) for i in range(n)]
+    df = spark.createDataFrame(rows, ["event_type", "ts"])
+    got = {
+        (r["event_type"], r["bucket_ts"].isocalendar()[1]): (
+            r["n_events"],
+            r["prev_events"],
+            r["growth_ppm"],
+        )
+        for r in top_movers(df, "event_type").collect()
+    }
+    assert len(got) == 2  # week 0 has no previous -> excluded
+    vals = sorted(got.values())
+    assert vals == [(3, 6, -500000), (6, 4, 500000)]
+
+
+def test_ohlc_open_close_tie_break_deterministic(spark):
+    from datetime import datetime
+
+    from sql4pandas_spark.operators.behavior import ohlc_resample
+
+    t = datetime(2025, 1, 1, 10, 15)
+    rows = [
+        (1, t, "m", 5.0),
+        (0, t, "m", 7.0),   # same ts as id 1 -> lower id wins "open"
+        (2, datetime(2025, 1, 1, 10, 50), "m", 2.0),
+        (3, datetime(2025, 1, 1, 10, 50), "m", 9.0),  # higher id wins close
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type", "value"])
+    r = ohlc_resample(df).collect()[0]
+    assert (r["open"], r["high"], r["low"], r["close"], r["n_events"]) == (
+        7.0,
+        9.0,
+        2.0,
+        9.0,
+        4,
+    )
+
+
+def test_ohlc_single_exchange(spark):
+    from datetime import datetime
+
+    from sql4pandas_spark.operators.behavior import ohlc_resample
+
+    df = spark.createDataFrame(
+        [(1, datetime(2025, 1, 1), "m", 1.0)],
+        ["event_id", "ts", "event_type", "value"],
+    )
+    plan = ohlc_resample(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
