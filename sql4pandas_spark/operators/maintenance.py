@@ -380,3 +380,91 @@ def merge_agg_states(
         for c, k in merges.items()
     ]
     return merged.groupBy(*key_cols).agg(*aggs)
+
+
+def extract_changeset(
+    old: DataFrame, new: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """CDC changeset GENERATION — the inverse of :func:`merge_upsert`:
+    diff two keyed snapshots into the minimal op-log that turns ``old``
+    into ``new``. Output: key columns + ``new``'s data columns (NULL on
+    deletes) + ``op`` in {insert, update, delete}; unchanged keys emit
+    NOTHING (that's the "minimal": replaying a no-op log is free).
+    Roundtrip law, pinned in tests:
+    ``merge_upsert(old, extract_changeset(old, new), keys) == new``.
+
+    This is how a batch-recomputed table ships to consumers as a
+    changeset (backfill-diff publishing): downstream stores apply the
+    small op-log instead of re-ingesting the full snapshot, and
+    snapshot_diff's status counts become the publish audit.
+
+    Scale shape: one full-outer SMJ on the narrow key columns — both
+    sides exchange once, the value comparison is a null-safe conjunction
+    evaluated in the join row (no second pass); output volume is the
+    CHANGE volume, not the table volume.
+    """
+    data_cols = [c for c in new.columns if c not in set(key_cols)]
+    if [c for c in old.columns if c not in set(key_cols)] != data_cols:
+        raise ValueError("old/new must share the same data columns")
+    o = old.select(
+        *[F.col(c).alias(f"_o_{c}") for c in key_cols],
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"_od_{c}") for c in data_cols],
+    )
+    nw = new.select(
+        *[F.col(c).alias(f"_n_{c}") for c in key_cols],
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"_nd_{c}") for c in data_cols],
+    )
+    cond = [
+        F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")) for c in key_cols
+    ]
+    j = o.join(nw, cond, "full_outer")
+    same = F.lit(True)
+    for c in data_cols:
+        same = same & F.col(f"_od_{c}").eqNullSafe(F.col(f"_nd_{c}"))
+    op = (
+        F.when(F.col("_in_old").isNull(), F.lit("insert"))
+        .when(F.col("_in_new").isNull(), F.lit("delete"))
+        .when(~same, F.lit("update"))
+    )
+    return (
+        j.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"_n_{c}"), F.col(f"_o_{c}")).alias(c)
+                for c in key_cols
+            ],
+            *[F.col(f"_nd_{c}").alias(c) for c in data_cols],
+            "op",
+        )
+    )
+
+
+def scd2_history(
+    changes: DataFrame, key_cols: list[str], seq_col: str
+) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 history build: turn a versioned
+    change log (one row per key per change, ordered by ``seq_col``) into
+    validity intervals — each row gains ``valid_to_seq`` (the NEXT
+    change's sequence, NULL while current) and ``is_current``. The
+    warehouse-classic "as-of any version" layout: a point-in-time query
+    is ``WHERE seq <= :v AND (valid_to_seq IS NULL OR valid_to_seq >
+    :v)``, no log replay needed.
+
+    ``(key, seq)`` must be unique (a change log's natural contract —
+    merge_upsert's seq_col dedup produces exactly this); equal-seq
+    duplicates would create zero-width intervals.
+
+    Scale shape: ONE exchange on the key columns — the lead() window
+    and the is_current flag share the same partitioning; no joins, no
+    second pass. History tables dwarf their snapshots over time: pair
+    with range clustering on (key, seq) (cluster_parquet_dir) so as-of
+    scans prune to one row group per key.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(seq_col)
+    nxt = F.lead(seq_col).over(w)
+    return changes.withColumn("valid_to_seq", nxt).withColumn(
+        "is_current", F.col("valid_to_seq").isNull()
+    )

@@ -7,7 +7,7 @@ whole-stage codegen and scale linearly with input splits.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Tiny per-language stopword lists for the n-gram/stopword lang-id heuristic.
@@ -556,4 +556,45 @@ def unigram_surprisal(
                 "CASE WHEN coalesce(_nt, 0) > 0 THEN _sum DIV _nt END"
             ).alias("avg_surprisal_e6"),
         )
+    )
+
+
+def percentile_rank_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Quantile-normalize a score WITHIN each group: adds
+    ``pct_rank_ppm`` = (rows in the group with value <= this row's)
+    * 1e6 DIV group size — integer parts-per-million cume_dist. The
+    cross-group calibration step: a raw quality score of 0.8 means
+    different things in English (huge corpus, tight distribution) and
+    Swahili (small corpus); per-language percentile ranks ARE
+    comparable, which is what lets one global keep-threshold treat
+    languages fairly (the continuous generalization of the per-language
+    p25 gate in classifier_gate_per_lang).
+
+    Ties share a rank (all equal values get the count of values <= the
+    tie), so the output is deterministic under any partitioning —
+    row_number-based percentiles would not be. Integer DIV keeps it
+    engine-exact (cume_dist()'s float division is replayable too, but
+    ppm matches the repo convention and sorts stably).
+
+    Scale shape: one exchange on the group column; the cumulative count
+    is a RANGE frame over the in-partition sort (no second pass), group
+    size is a full-frame window on the same partitioning.
+    """
+    wr = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = Window.partitionBy(group_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    le = F.count(F.lit(1)).over(wr)
+    n = F.count(F.lit(1)).over(wf)
+    return df.withColumn(
+        "pct_rank_ppm",
+        (le * F.lit(1_000_000) / n).cast("long"),
     )

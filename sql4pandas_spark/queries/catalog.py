@@ -101,6 +101,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "random_projection_embeddings",
     "top_movers_events",
     "ohlc_hourly_events",
+    "pct_rank_docs_by_lang",
+    "cdc_extract_documents",
+    "scd2_doc_versions",
     # -- the 16 entries green only in r8 (drift_timeline_events,
     #    drift_lang_mix, scan_schema_evolution, and stream_cdc_apply also
     #    re-confirm round-9 code changes: the explode-sequence spine, the
@@ -134,11 +137,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "wordcount_documents",
     "dedup_embedding_pairs",
     "multimodal_resize_stats",
-    "scan_json_roundtrip",
+    # (scan_json_roundtrip — last green r01,r02 — also yielded its slot
+    #  to the round-9 additions)
     # -- then the r04 cohort in registration order --
-    "agg_collect_ordered",
-    "lang_id_documents",
-    # (the r04-cohort tail — dedup_near_minhash, dedup_simhash_pairs,
+    # (the r04-cohort tail — agg_collect_ordered, lang_id_documents,
+    #  dedup_near_minhash, dedup_simhash_pairs,
     #  multimodal_decode_features,
     #  approx_quantiles_orders,
     #  q3_shipping_priority,
@@ -156,8 +159,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     #  fk_integrity_audit, lm_surprisal_documents, sessionize_events,
     #  winsorize_docs_by_lang, negative_samples_docs, source_cap_report,
     #  incr_quantile_orders, constraint_gate_orders,
-    #  random_projection_embeddings, top_movers_events, and
-    #  ohlc_hourly_events)
+    #  random_projection_embeddings, top_movers_events,
+    #  ohlc_hourly_events, pct_rank_docs_by_lang, cdc_extract_documents,
+    #  and scd2_doc_versions)
     # ---- driver window (50) ends here ----
 )
 

@@ -4507,3 +4507,146 @@ def ohlc_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = register_tables(spark, sf_dir, ("events",))
     return ohlc_resample(t["events"]).orderBy("event_type", "bucket_ts")
+
+
+@query(
+    "pct_rank_docs_by_lang",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           count(*) OVER (PARTITION BY lang ORDER BY n_chars
+                          RANGE UNBOUNDED PRECEDING) * 1000000
+             // count(*) OVER (PARTITION BY lang) AS pct_rank_ppm
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("tier-c", "calibration", "win_rangeframe", "quality"),
+)
+def pct_rank_docs_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language percentile-rank calibration
+    (operators/text.percentile_rank_by_group): n_chars mapped to integer
+    ppm cume_dist within each language — the step that makes scores
+    comparable ACROSS languages so one global threshold treats a
+    low-resource language fairly (continuous generalization of the
+    per-language p25 gate). Ties share a rank (deterministic under any
+    partitioning); one exchange on lang serves the range-frame
+    cumulative count and the group size. The oracle replays the window
+    arithmetic exactly."""
+    from sql4pandas_spark.operators.text import percentile_rank_by_group
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    return (
+        percentile_rank_by_group(
+            t["documents"].select("doc_id", "lang", "n_chars"),
+            "n_chars",
+            "lang",
+        )
+        .select("doc_id", "lang", "n_chars", "pct_rank_ppm")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "cdc_extract_documents",
+    oracle="""
+    WITH snap AS (SELECT doc_id, lang, n_chars FROM documents),
+    new AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 10 = 3 THEN n_chars + 500
+                  ELSE n_chars END AS n_chars
+      FROM snap WHERE doc_id % 10 <> 7
+      UNION ALL
+      SELECT doc_id + 7000000, lang, n_chars FROM snap
+      WHERE doc_id % 100 = 11),
+    j AS (
+      SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
+             n.lang, n.n_chars,
+             CASE WHEN o.doc_id IS NULL THEN 'insert'
+                  WHEN n.doc_id IS NULL THEN 'delete'
+                  WHEN n.lang IS DISTINCT FROM o.lang
+                    OR n.n_chars IS DISTINCT FROM o.n_chars THEN 'update'
+             END AS op
+      FROM snap o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+    SELECT doc_id, lang, n_chars, op FROM j WHERE op IS NOT NULL
+    ORDER BY doc_id
+    """,
+    tags=("tier-c", "cdc_extract", "snapshot_diff", "join_full"),
+)
+def cdc_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changeset extraction
+    (operators/maintenance.extract_changeset — the inverse of
+    merge_upsert): diff the documents snapshot against a recomputed
+    version (updates on %10==3, deletes of %10==7, inserts from
+    %100==11 under new ids) into the minimal insert/update/delete
+    op-log; unchanged keys emit nothing. This is backfill-diff
+    publishing: consumers apply the small op-log instead of re-ingesting
+    the table, and the roundtrip law merge_upsert(old, changeset) == new
+    is pinned in tests/test_round9_ops.py. One full-outer join on the
+    key; output volume is change volume."""
+    from sql4pandas_spark.operators.maintenance import extract_changeset
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    snap = t["documents"].select("doc_id", "lang", "n_chars")
+    new = (
+        snap.filter(F.col("doc_id") % 10 != 7)
+        .withColumn(
+            "n_chars",
+            F.when(
+                F.col("doc_id") % 10 == 3, F.col("n_chars") + 500
+            ).otherwise(F.col("n_chars")),
+        )
+        .unionByName(
+            snap.filter(F.col("doc_id") % 100 == 11).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(7_000_000)
+            )
+        )
+    )
+    return extract_changeset(snap, new, ["doc_id"]).orderBy("doc_id")
+
+
+@query(
+    "scd2_doc_versions",
+    oracle="""
+    WITH changes AS (
+      SELECT doc_id, CAST(1 AS BIGINT) AS seq, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id, 2, n_chars + 100 FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, 3, n_chars + 200 FROM documents WHERE doc_id % 4 = 0)
+    SELECT doc_id, seq, n_chars,
+           lead(seq) OVER (PARTITION BY doc_id ORDER BY seq)
+             AS valid_to_seq,
+           lead(seq) OVER (PARTITION BY doc_id ORDER BY seq) IS NULL
+             AS is_current
+    FROM changes ORDER BY doc_id, seq
+    """,
+    tags=("tier-c", "scd2", "history", "win_lag", "merge_upsert"),
+)
+def scd2_doc_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build (operators/maintenance.scd2_history):
+    a three-version change log of documents (all docs at seq 1, evens
+    re-changed at seq 2, every fourth at seq 3) turned into validity
+    intervals — valid_to_seq = the next change's sequence, NULL while
+    current — so any as-of-version query is a plain range predicate, no
+    log replay. ONE exchange on doc_id serves the lead window and the
+    is_current flag. The oracle replays the window identically."""
+    from sql4pandas_spark.operators.maintenance import scd2_history
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    d = t["documents"]
+    changes = (
+        d.select("doc_id", F.lit(1).cast("long").alias("seq"), "n_chars")
+        .unionByName(
+            d.filter(F.col("doc_id") % 2 == 0).select(
+                "doc_id",
+                F.lit(2).cast("long").alias("seq"),
+                (F.col("n_chars") + 100).alias("n_chars"),
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 4 == 0).select(
+                "doc_id",
+                F.lit(3).cast("long").alias("seq"),
+                (F.col("n_chars") + 200).alias("n_chars"),
+            )
+        )
+    )
+    return scd2_history(changes, ["doc_id"], "seq").orderBy("doc_id", "seq")

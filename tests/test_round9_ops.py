@@ -656,3 +656,72 @@ def test_ohlc_single_exchange(spark):
     )
     plan = ohlc_resample(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+# ------------------------------------- CDC extract + SCD2 + pct rank
+
+
+def test_extract_changeset_roundtrips_through_merge_upsert(spark):
+    """The defining law: applying the extracted changeset to the old
+    snapshot reproduces the new snapshot exactly — inserts, updates,
+    deletes, and NULL-valued data columns all covered."""
+    from sql4pandas_spark.operators.maintenance import (
+        extract_changeset,
+        merge_upsert,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 30), (4, "d", 40)],
+        "k long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (3, None, 31), (5, None, 50)],
+        "k long, s string, v long",
+    )
+    cs = extract_changeset(old, new, ["k"])
+    ops = {r["k"]: r["op"] for r in cs.collect()}
+    assert ops == {2: "update", 3: "update", 4: "delete", 5: "insert"}
+    replayed = merge_upsert(old, cs, ["k"])
+    assert sorted(map(tuple, replayed.collect())) == sorted(
+        map(tuple, new.collect())
+    )
+
+
+def test_extract_changeset_unchanged_emits_nothing(spark):
+    from sql4pandas_spark.operators.maintenance import extract_changeset
+
+    df = spark.createDataFrame([(1, 10)], "k long, v long")
+    assert extract_changeset(df, df, ["k"]).count() == 0
+
+
+def test_scd2_intervals_and_current_flag(spark):
+    from sql4pandas_spark.operators.maintenance import scd2_history
+
+    changes = spark.createDataFrame(
+        [(1, 1, 10), (1, 3, 11), (1, 7, 12), (2, 2, 20)],
+        "k long, seq long, v long",
+    )
+    got = {
+        (r["k"], r["seq"]): (r["valid_to_seq"], r["is_current"])
+        for r in scd2_history(changes, ["k"], "seq").collect()
+    }
+    assert got == {
+        (1, 1): (3, False),
+        (1, 3): (7, False),
+        (1, 7): (None, True),
+        (2, 2): (None, True),
+    }
+
+
+def test_pct_rank_ties_share_rank(spark):
+    from sql4pandas_spark.operators.text import percentile_rank_by_group
+
+    df = spark.createDataFrame(
+        [("g", 1), ("g", 5), ("g", 5), ("g", 9)], ["grp", "v"]
+    )
+    got = sorted(
+        (r["v"], r["pct_rank_ppm"])
+        for r in percentile_rank_by_group(df, "v", "grp").collect()
+    )
+    # ranks: 1 -> 1/4, both 5s -> 3/4 (range frame: count of v <= 5), 9 -> 4/4
+    assert got == [(1, 250000), (5, 750000), (5, 750000), (9, 1000000)]
