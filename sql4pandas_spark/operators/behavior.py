@@ -358,3 +358,75 @@ def ohlc_resample(
         F.max_by(v, tie).alias("close"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def rolling_active_users(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Exact rolling distinct-user counts — DAU / WAU(window_days) /
+    stickiness per day, the growth metrics on every product dashboard.
+    Output per calendar day of the data span: ``(day, dau, wau,
+    stickiness_ppm)`` with stickiness = dau/wau in integer ppm.
+
+    Rolling DISTINCT is the aggregation that naive windowing cannot do
+    (distinct state doesn't fold like a sum, so a sliding sum-of-dailies
+    overcounts repeat users). The distributed-exact construction:
+    collapse to distinct (user, day) pairs, fan each pair out to the
+    ``window_days`` window-END days it contributes to (a BOUNDED x7
+    multiplier on the already-collapsed pairs, not on raw events), and
+    count distinct users per end day — re-deduplicating users active on
+    several days of one window. DAU rides the same aggregate via a
+    conditional distinct (day == window end).
+
+    Scale shape: exchange 1 = the (user, day) distinct; explode is
+    map-side; exchange 2 = the per-day distinct count. The day spine
+    (min..max calendar days) comes from a 1-row bound aggregate exploded
+    to |days| rows and broadcast onto the counts — gap days (nobody
+    active) still report, with wau counting the surrounding window.
+    For week-scale windows at 100 TB this beats recomputing a distinct
+    per day by window_days x; for very large windows switch to HLL
+    sketch unions (operators/sketches) and accept the approximation.
+    """
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    d = F.date_trunc("day", F.col(ts_col))
+    ud = (
+        df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(F.col(user_col).alias("_u"), d.alias("_d"))
+        .distinct()
+    )
+    contrib = ud.select(
+        "_u",
+        "_d",
+        F.explode(
+            F.expr(
+                f"sequence(_d, _d + interval {window_days - 1} day,"
+                " interval 1 day)"
+            )
+        ).alias("day"),
+    )
+    counts = contrib.groupBy("day").agg(
+        F.countDistinct("_u").alias("wau"),
+        F.countDistinct(F.when(F.col("_d") == F.col("day"), F.col("_u")))
+        .alias("dau"),
+    )
+    spine = ud.agg(F.min("_d").alias("_mn"), F.max("_d").alias("_mx")).select(
+        F.explode(
+            F.expr("sequence(_mn, _mx, interval 1 day)")
+        ).alias("day")
+    )
+    return (
+        spine.join(counts, "day", "left")
+        .fillna(0, ["dau", "wau"])
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.expr(
+                "CASE WHEN wau > 0 THEN dau * 1000000 DIV wau END"
+            ).alias("stickiness_ppm"),
+        )
+    )

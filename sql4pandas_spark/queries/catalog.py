@@ -104,6 +104,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "pct_rank_docs_by_lang",
     "cdc_extract_documents",
     "scd2_doc_versions",
+    "active_users_rolling7",
     # -- the 16 entries green only in r8 (drift_timeline_events,
     #    drift_lang_mix, scan_schema_evolution, and stream_cdc_apply also
     #    re-confirm round-9 code changes: the explode-sequence spine, the
@@ -136,9 +137,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_exact_keepers",
     "wordcount_documents",
     "dedup_embedding_pairs",
-    "multimodal_resize_stats",
-    # (scan_json_roundtrip — last green r01,r02 — also yielded its slot
-    #  to the round-9 additions)
+    # (multimodal_resize_stats and scan_json_roundtrip — last green
+    #  r01,r02 — also yielded their slots to the round-9 additions)
     # -- then the r04 cohort in registration order --
     # (the r04-cohort tail — agg_collect_ordered, lang_id_documents,
     #  dedup_near_minhash, dedup_simhash_pairs,

@@ -4650,3 +4650,44 @@ def scd2_doc_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scd2_history(changes, ["doc_id"], "seq").orderBy("doc_id", "seq")
+
+
+@query(
+    "active_users_rolling7",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    b AS (SELECT min(d) AS mn, max(d) AS mx FROM ud),
+    days AS (
+      SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+      FROM b),
+    w AS (
+      SELECT day,
+             count(DISTINCT user_id) AS wau,
+             count(DISTINCT CASE WHEN d = day THEN user_id END) AS dau
+      FROM days LEFT JOIN ud
+        ON ud.d BETWEEN day - INTERVAL 6 DAY AND day
+      GROUP BY 1)
+    SELECT day, dau, wau,
+           CASE WHEN wau > 0 THEN dau * 1000000 // wau
+           END AS stickiness_ppm
+    FROM w ORDER BY day
+    """,
+    tags=("tier-c", "active_users", "behavior", "agg_distinct", "timeseries"),
+)
+def active_users_rolling7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DAU / 7-day WAU / stickiness per day
+    (operators/behavior.rolling_active_users): rolling DISTINCT users —
+    the aggregation a sliding sum-of-dailies gets WRONG (repeat users
+    overcount; distinct state doesn't fold). Spark fans each distinct
+    (user, day) pair out to the 7 window-end days it feeds (bounded x7
+    on collapsed pairs, never raw events) and re-deduplicates per end
+    day; the oracle computes the same metric with a range join — two
+    deliberately different constructions agreeing value-for-value,
+    including zero-filled gap days from the calendar spine."""
+    from sql4pandas_spark.operators.behavior import rolling_active_users
+
+    t = register_tables(spark, sf_dir, ("events",))
+    return rolling_active_users(t["events"]).orderBy("day")

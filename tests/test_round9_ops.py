@@ -725,3 +725,29 @@ def test_pct_rank_ties_share_rank(spark):
     )
     # ranks: 1 -> 1/4, both 5s -> 3/4 (range frame: count of v <= 5), 9 -> 4/4
     assert got == [(1, 250000), (5, 750000), (5, 750000), (9, 1000000)]
+
+
+def test_rolling_active_users_dedupes_repeat_users(spark):
+    """A user active on 3 days of one window counts ONCE in wau — the
+    case a sliding sum of daily distinct counts gets wrong — and gap
+    days report from the calendar spine with dau=0 but a live window."""
+    from datetime import datetime, timedelta
+
+    from sql4pandas_spark.operators.behavior import rolling_active_users
+
+    base = datetime(2025, 3, 1)
+    rows = [
+        (1, base),
+        (1, base + timedelta(days=2)),
+        (1, base + timedelta(days=4)),  # same user, 3 days
+        (2, base),                      # one-day user
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {
+        r["day"].day: (r["dau"], r["wau"], r["stickiness_ppm"])
+        for r in rolling_active_users(df).collect()
+    }
+    assert got[1] == (2, 2, 1000000)   # both active
+    assert got[2] == (0, 2, 0)         # gap day: window still sees both
+    assert got[3] == (1, 2, 500000)    # user 1 again -> wau stays 2
+    assert got[5] == (1, 2, 500000)    # days 1..5: users {1, 2}
