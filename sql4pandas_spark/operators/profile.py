@@ -665,3 +665,108 @@ def winsorize_by_group(
         )
         .drop("_rn", "_n")
     )
+
+
+def join_fanout_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_keys: list[str],
+    right_keys: list[str] | None = None,
+    top_k: int = 10,
+) -> DataFrame:
+    """Pre-join explosion audit — the JOIN-level sibling of
+    :func:`key_skew_profile`: exact output cardinality of an equi-join
+    computed WITHOUT running the join (sum over matching keys of
+    n_left * n_right) plus the top keys by contribution. This is the
+    pre-flight that catches "this join outputs 400x its inputs" as a
+    |keys|-sized report instead of as a dead cluster — many-to-many key
+    duplication is the usual cause, and the top-key list names the
+    offenders to dedup or salt first.
+
+    Scale shape: one map-combined groupBy per side (the only passes over
+    data rows), an inner join of the two COUNTS frames on the key (AQE
+    broadcasts the smaller), a 1-row total aggregate over the product
+    frame, and a TakeOrdered top-k joined to the broadcast 1-row total
+    (the allowlisted scalar BNLJ shape). Integer share metrics only.
+
+    Output: ``(rank, key, n_left, n_right, rows_out, share_bp,
+    total_rows_out, n_matching_keys)`` ordered by (rows_out desc, key).
+    """
+
+    right_keys = right_keys or left_keys
+
+    def side_counts(df: DataFrame, cols: list[str], out: str) -> DataFrame:
+        key = F.concat_ws("", *[F.col(c).cast("string") for c in cols])
+        return df.groupBy(key.alias("key")).agg(
+            F.count(F.lit(1)).alias(out)
+        )
+
+    per_key = (
+        side_counts(left, left_keys, "n_left")
+        .join(side_counts(right, right_keys, "n_right"), "key")
+        .withColumn("rows_out", F.col("n_left") * F.col("n_right"))
+        .persist()
+    )
+    stats = per_key.agg(
+        F.coalesce(F.sum("rows_out"), F.lit(0)).alias("total_rows_out"),
+        F.count(F.lit(1)).alias("n_matching_keys"),
+    )
+    top = per_key.orderBy(F.desc("rows_out"), F.asc("key")).limit(top_k)
+    w = Window.orderBy(F.desc("rows_out"), F.asc("key"))
+    return top.crossJoin(F.broadcast(stats)).select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "key",
+        "n_left",
+        "n_right",
+        "rows_out",
+        F.floor(F.col("rows_out") * F.lit(10000) / F.col("total_rows_out"))
+        .cast("long")
+        .alias("share_bp"),
+        "total_rows_out",
+        "n_matching_keys",
+    )
+
+
+def k_anonymity_audit(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """K-anonymity audit before publishing a dataset: how many rows sit
+    in a quasi-identifier group smaller than ``k`` — i.e. how many
+    records an attacker could narrow to fewer than k candidates by
+    joining on the quasi-identifiers (the privacy-publication gate;
+    k=5 is the common release bar). One report row:
+    ``(n_rows, n_groups, n_small_groups, n_rows_below_k,
+    min_group_size, risk_ppm)`` with risk_ppm = rows-below-k per
+    million, integer.
+
+    NULLs group together per SQL GROUP BY — correct here: NULL values
+    are still a joinable fingerprint.
+
+    Scale shape: one map-combined groupBy over the quasi-identifier
+    columns (|groups| narrow rows out), then a single 1-row aggregate
+    over the counts frame. No joins, no second scan. The fix for a
+    failing audit is coarsening the quasi-identifiers (bucket ages,
+    truncate zips) and re-running — each iteration costs one pass.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    counts = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("_n"))
+    return counts.agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count(F.when(F.col("_n") < k, 1)).alias("n_small_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("_n") < k, F.col("_n"))), F.lit(0)
+        ).alias("n_rows_below_k"),
+        F.min("_n").alias("min_group_size"),
+    ).select(
+        "n_rows",
+        "n_groups",
+        "n_small_groups",
+        "n_rows_below_k",
+        "min_group_size",
+        F.expr(
+            "CASE WHEN n_rows > 0 THEN n_rows_below_k * 1000000 DIV n_rows"
+            " ELSE 0 END"
+        ).alias("risk_ppm"),
+    )

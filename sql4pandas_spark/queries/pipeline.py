@@ -4691,3 +4691,82 @@ def active_users_rolling7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = register_tables(spark, sf_dir, ("events",))
     return rolling_active_users(t["events"]).orderBy("day")
+
+
+@query(
+    "join_fanout_orders_lineitem",
+    oracle="""
+    WITH lc AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS key, count(*) AS n_left
+      FROM orders GROUP BY 1),
+    rc AS (
+      SELECT CAST(l_orderkey AS VARCHAR) AS key, count(*) AS n_right
+      FROM lineitem GROUP BY 1),
+    pk AS (
+      SELECT key, n_left, n_right,
+             CAST(n_left * n_right AS BIGINT) AS rows_out
+      FROM lc JOIN rc USING (key)),
+    st AS (
+      SELECT CAST(sum(rows_out) AS BIGINT) AS total_rows_out,
+             count(*) AS n_matching_keys
+      FROM pk),
+    top AS (SELECT * FROM pk ORDER BY rows_out DESC, key LIMIT 10)
+    SELECT CAST(row_number() OVER (ORDER BY rows_out DESC, key)
+             AS INTEGER) AS rank,
+           key, n_left, n_right, rows_out,
+           rows_out * 10000 // total_rows_out AS share_bp,
+           total_rows_out, n_matching_keys
+    FROM top, st ORDER BY rank
+    """,
+    tags=("tier-c", "join_audit", "fanout", "profile", "skew"),
+)
+def join_fanout_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join explosion audit (operators/profile.join_fanout_estimate):
+    the exact output cardinality of orders JOIN lineitem ON orderkey
+    computed from two per-key count frames WITHOUT running the join,
+    plus the top-10 contributing keys — the pre-flight that catches a
+    many-to-many key blow-up as a report instead of a dead cluster.
+    Only the two map-combined groupBys touch data rows; totals ride the
+    allowlisted scalar-broadcast shape. The oracle replays counts,
+    products, ordering, and integer shares exactly."""
+    from sql4pandas_spark.operators.profile import join_fanout_estimate
+
+    t = register_tables(spark, sf_dir, ("orders", "lineitem"))
+    return join_fanout_estimate(
+        t["orders"], t["lineitem"], ["o_orderkey"], ["l_orderkey"], top_k=10
+    ).orderBy("rank")
+
+
+@query(
+    "k_anonymity_customers",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS n
+      FROM customer GROUP BY 1, 2)
+    SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+           count(*) AS n_groups,
+           count(*) FILTER (WHERE n < 10) AS n_small_groups,
+           CAST(coalesce(sum(n) FILTER (WHERE n < 10), 0) AS BIGINT)
+             AS n_rows_below_k,
+           min(n) AS min_group_size,
+           CAST(coalesce(sum(n) FILTER (WHERE n < 10), 0) * 1000000
+                // sum(n) AS BIGINT) AS risk_ppm
+    FROM g
+    """,
+    tags=("tier-c", "privacy", "k_anonymity", "audit", "profile"),
+)
+def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity audit (operators/profile.k_anonymity_audit): how many
+    customer rows sit in a (nation, market-segment) quasi-identifier
+    group smaller than k=10 — the privacy gate a dataset passes before
+    publication (an attacker joining on those two columns narrows such
+    rows to <10 candidates). One map-combined groupBy + one 1-row
+    aggregate, integer ppm risk; the oracle replays group sizes and
+    every count. Fix for a failing audit = coarsen the
+    quasi-identifiers and re-run (one pass per iteration)."""
+    from sql4pandas_spark.operators.profile import k_anonymity_audit
+
+    t = register_tables(spark, sf_dir, ("customer",))
+    return k_anonymity_audit(
+        t["customer"], ["c_nationkey", "c_mktsegment"], k=10
+    )

@@ -38,6 +38,7 @@ BNLJ_ALLOWED = {
     "hybrid_rrf_top10",          # same 1-row BM25 corpus-stats row on the
                                  # lexical side; fuse itself is equi-only
     "key_skew_profile_events",   # 1-row (total_rows, n_keys) summary row
+    "join_fanout_orders_lineitem",  # 1-row (total_rows_out, n_keys) row
     "chisq_lang_source",         # 1-row collected b-values array (grid
                                  # spine) + 1-row grand-total row
     "tfidf_top_terms_documents", # 1-row corpus size N

@@ -751,3 +751,47 @@ def test_rolling_active_users_dedupes_repeat_users(spark):
     assert got[2] == (0, 2, 0)         # gap day: window still sees both
     assert got[3] == (1, 2, 500000)    # user 1 again -> wau stays 2
     assert got[5] == (1, 2, 500000)    # days 1..5: users {1, 2}
+
+
+# --------------------------------------- join fan-out + k-anonymity
+
+
+def test_join_fanout_estimate_matches_actual_join(spark):
+    from sql4pandas_spark.operators.profile import join_fanout_estimate
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,)], ["k"]
+    )
+    right = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (9,)], ["r"]
+    )
+    est = join_fanout_estimate(left, right, ["k"], ["r"], top_k=5)
+    rows = est.collect()
+    total = rows[0]["total_rows_out"]
+    actual = left.join(right, left["k"] == right["r"]).count()
+    assert total == actual == 7  # key 1: 2*3=6, key 2: 1*1=1
+    top = rows[0]
+    assert (top["key"], top["n_left"], top["n_right"], top["rows_out"]) == (
+        "1",
+        2,
+        3,
+        6,
+    )
+    assert top["share_bp"] == 6 * 10000 // 7
+    assert rows[0]["n_matching_keys"] == 2
+
+
+def test_k_anonymity_counts_small_groups(spark):
+    from sql4pandas_spark.operators.profile import k_anonymity_audit
+
+    rows = [("a", 1)] * 6 + [("b", 1)] * 2 + [("c", None)] * 1
+    df = spark.createDataFrame(rows, ["seg", "nat"])
+    r = k_anonymity_audit(df, ["seg", "nat"], k=5).collect()[0]
+    assert (
+        r["n_rows"],
+        r["n_groups"],
+        r["n_small_groups"],
+        r["n_rows_below_k"],
+        r["min_group_size"],
+        r["risk_ppm"],
+    ) == (9, 3, 2, 3, 1, 333333)
