@@ -222,3 +222,64 @@ def tfidf_top_terms(
         .filter(F.col("rn") <= k_terms)
         .select(id_col, "term", "tfidf", "rn")
     )
+
+
+def stub_cross_encoder_scores(query: str, texts) -> list[int]:
+    """Deterministic STAND-IN for a cross-encoder relevance model —
+    score_e6 = md5-hash of "query | text" mod 1_000_001. This container
+    has no torch/ONNX runtime; swap this function for a real model call
+    (``model.predict([(query, t) for t in texts])``) and everything
+    around it — batching, schema, ordering — is production-shaped. The
+    hash stub is what lets the catalog entry carry an exact DuckDB
+    oracle for the PLUMBING (the multimodal decode-stub discipline,
+    operators/multimodal.py)."""
+    import hashlib
+
+    return [
+        int(
+            hashlib.md5(f"{query} | {t}".encode()).hexdigest()[:15], 16
+        )
+        % 1_000_001
+        for t in texts
+    ]
+
+
+def rerank_with_model(
+    candidates: DataFrame,
+    query: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score_fn=stub_cross_encoder_scores,
+) -> DataFrame:
+    """Cross-encoder reranking stage — the second hop of a two-stage
+    retrieval stack: a cheap recall pass (BM25 / ANN / hybrid RRF)
+    produces a SMALL candidate frame, and an expensive pairwise
+    (query, document) model re-scores only those. This operator is the
+    Arrow-batched model-inference shape for TEXT (the sibling of the
+    multimodal decode/resize stubs): ``mapInPandas`` streams candidate
+    batches through ``score_fn`` — a real cross-encoder amortizes model
+    load per PARTITION and runs vectorized per Arrow batch; the default
+    stub scorer is deterministic (md5-based) so the plumbing carries an
+    exact cross-engine oracle.
+
+    Scale shape: the model only ever sees the candidate frame (budget-
+    sized by the recall stage — never the corpus), partitions score
+    independently with no shuffle, and the output adds one
+    ``rerank_score_e6`` column for the caller's top-k. The recall/
+    precision split is the load-bearing design: at 100 TB the corpus
+    never meets the expensive model.
+    """
+    from pyspark.sql import types as T
+
+    fields = candidates.schema.fields
+    out_schema = T.StructType(
+        list(fields) + [T.StructField("rerank_score_e6", T.LongType())]
+    )
+
+    def score_batches(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["rerank_score_e6"] = score_fn(query, list(pdf[text_col]))
+            yield pdf
+
+    return candidates.mapInPandas(score_batches, schema=out_schema)

@@ -4770,3 +4770,50 @@ def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_audit(
         t["customer"], ["c_nationkey", "c_mktsegment"], k=10
     )
+
+
+_RERANK_HASH = text.DUCKDB_HASH60_SQL.format(expr="'data | ' || text")
+
+
+@query(
+    "rerank_stub_documents",
+    oracle=f"""
+    WITH cand AS (
+      SELECT doc_id, text FROM documents
+      WHERE contains(lower(text), 'data')
+      ORDER BY doc_id LIMIT 50),
+    scored AS (
+      SELECT doc_id, ({_RERANK_HASH}) % 1000001 AS rerank_score_e6
+      FROM cand)
+    SELECT doc_id, rerank_score_e6
+    FROM scored ORDER BY rerank_score_e6 DESC, doc_id LIMIT 10
+    """,
+    tags=("tier-c", "retrieval", "rerank", "udf_pandas", "multimodal_stub"),
+)
+def rerank_stub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval, precision hop
+    (operators/retrieval.rerank_with_model): a cheap deterministic
+    recall pass (50 lowest-doc_id docs containing 'data') re-scored
+    pairwise against the query by an Arrow-batched mapInPandas
+    "cross-encoder" — the model-inference plumbing is real (per-batch
+    vectorized scoring, schema extension, no shuffle, model never sees
+    the corpus); the scorer is the documented md5 stub this container's
+    lack of torch/ONNX imposes, which is exactly what lets the oracle
+    replay the whole stage bit-for-bit (the multimodal decode-stub
+    discipline). Top-10 by (score desc, doc_id)."""
+    from sql4pandas_spark.operators.retrieval import rerank_with_model
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    cand = (
+        t["documents"]
+        .filter(F.lower(F.col("text")).contains("data"))
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(50)
+    )
+    scored = rerank_with_model(cand, query="data")
+    return (
+        scored.select("doc_id", "rerank_score_e6")
+        .orderBy(F.desc("rerank_score_e6"), "doc_id")
+        .limit(10)
+    )

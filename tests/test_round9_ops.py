@@ -795,3 +795,43 @@ def test_k_anonymity_counts_small_groups(spark):
         r["min_group_size"],
         r["risk_ppm"],
     ) == (9, 3, 2, 3, 1, 333333)
+
+
+# ----------------------------------------- rerank stub + SCD2 as-of
+
+
+def test_rerank_preserves_rows_and_appends_deterministic_scores(spark):
+    from sql4pandas_spark.operators.retrieval import (
+        rerank_with_model,
+        stub_cross_encoder_scores,
+    )
+
+    cand = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], ["doc_id", "text"]
+    )
+    out = rerank_with_model(cand, query="q")
+    rows = {r["doc_id"]: r["rerank_score_e6"] for r in out.collect()}
+    expected = stub_cross_encoder_scores("q", ["alpha", "beta", "alpha"])
+    assert rows == {1: expected[0], 2: expected[1], 3: expected[2]}
+    assert rows[1] == rows[3]  # same (query, text) -> same score
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # model pass shuffles nothing
+    assert "MapInPandas" in plan   # Arrow-batched, not row-wise Python
+
+
+def test_scd2_supports_as_of_version_lookup(spark):
+    """The layout's purpose: a point-in-time query is a plain range
+    predicate over the intervals — replaying to version 2 shows seq-1
+    values for odd keys and seq-2 values for the changed key."""
+    from sql4pandas_spark.operators.maintenance import scd2_history
+
+    changes = spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 11), (1, 3, 12), (2, 1, 20)],
+        "k long, seq long, v long",
+    )
+    hist = scd2_history(changes, ["k"], "seq")
+    as_of_2 = hist.filter(
+        (F.col("seq") <= 2)
+        & (F.col("valid_to_seq").isNull() | (F.col("valid_to_seq") > 2))
+    )
+    assert {(r["k"], r["v"]) for r in as_of_2.collect()} == {(1, 11), (2, 20)}
