@@ -1050,3 +1050,47 @@ def incremental_passage_scrub(
                 .parquet(store_dir)
             )
     return _apply_removals(batch, removals, text_col, id_col)
+
+
+def dedup_report(
+    clusters: DataFrame, cluster_col: str = "cluster_id"
+) -> DataFrame:
+    """Corpus duplication report — the headline numbers quoted from any
+    dedup run, computed from a (row, cluster_id) labeling (exact, LSH,
+    or SimHash — any of this module's cluster outputs): total docs,
+    cluster count, singletons, docs in multi-doc clusters, how many
+    rows a keep-one-per-cluster pass would REMOVE, the largest cluster,
+    and the removable fraction in integer ppm. "removable_ppm = 180000"
+    is the '18% of the crawl is duplicates' number that decides whether
+    dedup runs at all.
+
+    Scale shape: one map-combined groupBy(cluster) over the labels
+    frame (narrow rows out), then a single 1-row aggregate over the
+    |clusters|-sized frame. No joins, no text, no second pass.
+    """
+    sizes = clusters.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return sizes.agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("n_docs"),
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.count(F.when(F.col("_n") == 1, 1)).alias("n_singletons"),
+        F.coalesce(
+            F.sum(F.when(F.col("_n") >= 2, F.col("_n"))), F.lit(0)
+        ).alias("n_dup_docs"),
+        F.coalesce(
+            F.sum(F.when(F.col("_n") >= 2, F.col("_n") - 1)), F.lit(0)
+        ).alias("n_removable"),
+        F.max("_n").alias("max_cluster_size"),
+    ).select(
+        "n_docs",
+        "n_clusters",
+        "n_singletons",
+        "n_dup_docs",
+        "n_removable",
+        "max_cluster_size",
+        F.expr(
+            "CASE WHEN n_docs > 0 THEN n_removable * 1000000 DIV n_docs"
+            " ELSE 0 END"
+        ).alias("removable_ppm"),
+    )

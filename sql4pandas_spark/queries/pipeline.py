@@ -4817,3 +4817,38 @@ def rerank_stub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rerank_score_e6"), "doc_id")
         .limit(10)
     )
+
+
+@query(
+    "dedup_cluster_stats",
+    oracle=_MINHASH_REACH_CTES + """
+    , labels AS (
+      SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+    sizes AS (SELECT cluster_id, count(*) AS n FROM labels GROUP BY 1)
+    SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+           count(*) AS n_clusters,
+           count(*) FILTER (WHERE n = 1) AS n_singletons,
+           CAST(coalesce(sum(n) FILTER (WHERE n >= 2), 0) AS BIGINT)
+             AS n_dup_docs,
+           CAST(coalesce(sum(n - 1) FILTER (WHERE n >= 2), 0) AS BIGINT)
+             AS n_removable,
+           max(n) AS max_cluster_size,
+           CAST(coalesce(sum(n - 1) FILTER (WHERE n >= 2), 0) * 1000000
+                // sum(n) AS BIGINT) AS removable_ppm
+    FROM sizes
+    """,
+    tags=("tier-c", "dedup_near", "profile", "audit"),
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplication report (operators/dedup.dedup_report over the
+    MinHash-LSH near-dedup labels): total docs, clusters, singletons,
+    docs in multi-doc clusters, rows a keep-one pass would remove, the
+    largest cluster, and removable ppm — the "X% of the crawl is
+    duplicates" headline that decides whether dedup ships. One groupBy
+    over the labels frame + one 1-row aggregate; the oracle recomputes
+    the stats over the exact-Jaccard ground-truth closure, so the hash
+    also re-proves LSH cluster equivalence end-to-end."""
+    t = register_tables(spark, sf_dir, ("documents",))
+    from sql4pandas_spark.operators.dedup import dedup_report
+
+    return dedup_report(dedup.near_dedup_minhash(t["documents"]))

@@ -835,3 +835,22 @@ def test_scd2_supports_as_of_version_lookup(spark):
         & (F.col("valid_to_seq").isNull() | (F.col("valid_to_seq") > 2))
     )
     assert {(r["k"], r["v"]) for r in as_of_2.collect()} == {(1, 11), (2, 20)}
+
+
+def test_dedup_report_counts(spark):
+    from sql4pandas_spark.operators.dedup import dedup_report
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)],
+        ["doc_id", "cluster_id"],
+    )
+    r = dedup_report(labels).collect()[0]
+    assert (
+        r["n_docs"],
+        r["n_clusters"],
+        r["n_singletons"],
+        r["n_dup_docs"],
+        r["n_removable"],
+        r["max_cluster_size"],
+        r["removable_ppm"],
+    ) == (6, 3, 1, 5, 3, 3, 500000)
