@@ -232,6 +232,10 @@ def sessionize(
     module's documented discipline); the window itself is streaming-safe
     (no per-user array materialization).
     """
+    df = df.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    )  # unstamped/anonymous events cannot be sessionized, and NULL sort
+    # placement differs across engines
     w = Window.partitionBy(user_col).orderBy(ts_col)
     us = F.unix_micros(F.col(ts_col))
     prev = F.lag(us).over(w)
@@ -293,10 +297,14 @@ def top_movers(
     expensive pass exchanges |groups x buckets| narrow rows, and the
     window partitions by group, so no single-task global sort.
     """
-    counts = df.groupBy(
-        F.col(group_col).alias("grp"),
-        F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
-    ).agg(F.count(F.lit(1)).alias("n_events"))
+    counts = (
+        df.filter(F.col(ts_col).isNotNull())  # unstamped events can't bucket
+        .groupBy(
+            F.col(group_col).alias("grp"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
     w = Window.partitionBy("grp").orderBy("bucket_ts")
     out = counts.withColumn("prev_events", F.lag("n_events").over(w))
     return (
@@ -349,6 +357,7 @@ def ohlc_resample(
     b = F.date_trunc(bucket, F.col(ts_col))
     tie = F.struct(F.col(ts_col), F.col(id_col))
     v = F.col(value_col)
+    df = df.filter(F.col(ts_col).isNotNull())  # unstamped ticks can't bar
     return df.groupBy(
         F.col(key_col), b.alias("bucket_ts")
     ).agg(

@@ -626,6 +626,11 @@ def winsorize_by_group(
     tail; this REPAIRS it). Adds ``lo_val``, ``hi_val`` and
     ``{value_col}_winsorized`` to every row.
 
+    ``value_col`` must be NULL-free (filter first; profile_columns
+    counts them): engines disagree on NULL sort placement (Spark ASC =
+    nulls first, DuckDB = nulls last), so ranks — and with them the
+    thresholds — would silently diverge.
+
     Percentiles are DISCRETE (the value at 1-based sorted position
     ``ceil(p/100 * n)``, computed as the exact integer
     ``(p*n + 99) DIV 100``) — no interpolation, so thresholds are actual
@@ -701,9 +706,21 @@ def join_fanout_estimate(
             F.count(F.lit(1)).alias(out)
         )
 
+    def non_null(df: DataFrame, cols: list[str]) -> DataFrame:
+        # an equi-join DROPS null keys, so they contribute zero output
+        # rows — counting them (concat_ws would fold NULL to '' and
+        # collide with real empty strings) would overestimate
+        cond = F.lit(True)
+        for c in cols:
+            cond = cond & F.col(c).isNotNull()
+        return df.filter(cond)
+
     per_key = (
-        side_counts(left, left_keys, "n_left")
-        .join(side_counts(right, right_keys, "n_right"), "key")
+        side_counts(non_null(left, left_keys), left_keys, "n_left")
+        .join(
+            side_counts(non_null(right, right_keys), right_keys, "n_right"),
+            "key",
+        )
         .withColumn("rows_out", F.col("n_left") * F.col("n_right"))
         .persist()
     )

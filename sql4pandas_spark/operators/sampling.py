@@ -350,6 +350,11 @@ def cap_per_group(
     (the per-GROUP complement of quota_sample's per-STRATUM exact
     quotas: a quota PICKS a target count, a cap only TRIMS the excess).
 
+    ``order_col`` must be NULL-free within rows you intend to keep
+    (Spark and DuckDB place NULLs at opposite ends of a sort, so a NULL
+    quality score would rank differently per engine — score it or drop
+    it first).
+
     Adds ``_rank`` (1-based within group, best first) and boolean
     ``kept`` (= rank <= cap) to every row rather than dropping — callers
     filter for the trimmed corpus or aggregate for the audit report

@@ -574,6 +574,8 @@ def percentile_rank_by_group(
     languages fairly (the continuous generalization of the per-language
     p25 gate in classifier_gate_per_lang).
 
+    ``value_col`` must be NULL-free (engines disagree on NULL sort
+    placement, so NULL ranks would diverge — filter or impute first).
     Ties share a rank (all equal values get the count of values <= the
     tie), so the output is deterministic under any partitioning —
     row_number-based percentiles would not be. Integer DIV keeps it
