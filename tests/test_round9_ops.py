@@ -854,3 +854,54 @@ def test_dedup_report_counts(spark):
         r["max_cluster_size"],
         r["removable_ppm"],
     ) == (6, 3, 1, 5, 3, 3, 500000)
+
+
+# -------------------------------------------------- empty-input edges
+
+
+def test_round9_ops_survive_empty_inputs(spark):
+    """Empty frames must flow through, not crash — the regression class
+    that shows up on the first idle ingest interval in production."""
+    from sql4pandas_spark.operators.audit import check_constraints
+    from sql4pandas_spark.operators.behavior import (
+        ohlc_resample,
+        rolling_active_users,
+        sessionize,
+        top_movers,
+    )
+    from sql4pandas_spark.operators.profile import (
+        k_anonymity_audit,
+        referential_integrity_audit,
+        winsorize_by_group,
+    )
+    from sql4pandas_spark.operators.sampling import (
+        cap_per_group,
+        negative_samples,
+    )
+
+    empty_ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double"
+    )
+    assert sessionize(empty_ev).count() == 0
+    assert top_movers(empty_ev, "event_type").count() == 0
+    assert ohlc_resample(empty_ev).count() == 0
+    # rolling_active_users derives its day spine from min/max: empty -> 0
+    assert rolling_active_users(empty_ev).count() == 0
+
+    empty_kv = spark.createDataFrame([], "g string, v long, id long")
+    assert winsorize_by_group(empty_kv, "v", "g").count() == 0
+    assert cap_per_group(empty_kv, "g", 3, "v", "id").count() == 0
+    assert negative_samples(empty_kv, "id", k=2, n_buckets=8).count() == 0
+
+    r = check_constraints(empty_kv, [("v_pos", F.col("v") > 0)]).collect()[0]
+    assert (r["n_rows"], r["n_violations"], r["violation_ppm"]) == (0, 0, 0)
+
+    parent = spark.createDataFrame([(1,)], ["pk"])
+    a = referential_integrity_audit(
+        [("e", empty_kv.select(F.col("id").alias("fk")), "fk", parent, "pk")]
+    ).collect()[0]
+    assert (a["n_rows"], a["n_null_fk"], a["n_orphan_rows"]) == (0, 0, 0)
+
+    k = k_anonymity_audit(empty_kv, ["g"], k=5).collect()[0]
+    assert (k["n_rows"], k["n_groups"], k["risk_ppm"]) == (0, 0, 0)
