@@ -2939,13 +2939,20 @@ def cohort_retention_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang,
              {text.DUCKDB_CLF_SCORE_SQL.format(w="w", n=256)} AS score
       FROM toks),
-    thresh AS (SELECT round(quantile_cont(score, 0.25), 6) AS t FROM scored)
+    se6 AS (
+      SELECT doc_id, lang, CAST(round(score * 1000000) AS BIGINT) AS score_e6
+      FROM scored),
+    thresh AS (
+      -- integer-space p25 (see classifier_gate_per_lang): exact, no
+      -- 6dp rounding for a 1-ulp interpolation difference to flip
+      SELECT CAST(quantile_cont(score_e6, 0.25) * 4 AS BIGINT) AS t
+      FROM se6)
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(CASE WHEN score >= t THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(sum(CASE WHEN score_e6 * 4 >= t THEN 1 ELSE 0 END) AS BIGINT)
              AS n_kept,
-           t AS threshold
-    FROM scored, thresh
+           t AS threshold_e6x4
+    FROM se6, thresh
     GROUP BY lang, t ORDER BY lang
     """,
     tags=("tier-c", "quality", "classifier", "agg_stats"),
@@ -2966,20 +2973,26 @@ def classifier_calibrated_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql4pandas_spark.operators.text import hashed_logistic_score
 
     t = register_tables(spark, sf_dir, ("documents",))
-    scored = hashed_logistic_score(t["documents"]).select("doc_id", "lang", "score")
+    scored = hashed_logistic_score(t["documents"]).select(
+        "doc_id",
+        "lang",
+        F.round(F.col("score") * 1e6).cast("long").alias("score_e6"),
+    )
     thresh = scored.agg(
-        F.round(F.percentile("score", F.lit(0.25)), 6).alias("threshold")
+        (F.percentile("score_e6", F.lit(0.25)) * 4)
+        .cast("long")
+        .alias("threshold_e6x4")
     )
     return (
         scored.crossJoin(F.broadcast(thresh))
-        .groupBy("lang", "threshold")
+        .groupBy("lang", "threshold_e6x4")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum((F.col("score") >= F.col("threshold")).cast("long")).alias(
-                "n_kept"
-            ),
+            F.sum(
+                (F.col("score_e6") * 4 >= F.col("threshold_e6x4")).cast("long")
+            ).alias("n_kept"),
         )
-        .select("lang", "n_docs", "n_kept", "threshold")
+        .select("lang", "n_docs", "n_kept", "threshold_e6x4")
         .orderBy("lang")
     )
 
@@ -3474,16 +3487,25 @@ def ann_ivf_persistent_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang,
              {text.DUCKDB_CLF_SCORE_SQL.format(w="w", n=256)} AS score
       FROM toks),
+    se6 AS (
+      SELECT doc_id, lang, CAST(round(score * 1000000) AS BIGINT) AS score_e6
+      FROM scored),
     th AS (
-      SELECT lang, round(quantile_cont(score, 0.25), 6) AS threshold
-      FROM scored GROUP BY lang)
+      -- integer-space p25: scores are 6dp-quantized, so interpolating
+      -- their e6 integers at 0.25 (lo + (hi-lo)/4) is EXACTLY
+      -- representable and x4 recovers an integer — no float rounding for
+      -- a threshold to flip on (a round(quantile, 6) threshold flipped
+      -- by 1 ulp on one language at sf0.1)
+      SELECT lang, CAST(quantile_cont(score_e6, 0.25) * 4 AS BIGINT)
+               AS threshold_e6x4
+      FROM se6 GROUP BY lang)
     SELECT s.lang,
            CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_kept,
-           threshold
-    FROM scored s JOIN th USING (lang)
-    GROUP BY s.lang, threshold ORDER BY s.lang
+           CAST(sum(CASE WHEN score_e6 * 4 >= threshold_e6x4
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           threshold_e6x4
+    FROM se6 s JOIN th USING (lang)
+    GROUP BY s.lang, threshold_e6x4 ORDER BY s.lang
     """,
     tags=("tier-c", "quality", "classifier", "data_mix"),
 )
@@ -3496,26 +3518,37 @@ def classifier_gate_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     classifier_calibrated_gate but the threshold aggregate is per-stratum
     (|langs| rows, broadcast equi-join back instead of a scalar
     crossJoin) — and the same exact-percentile honesty note applies:
-    swap F.approx_percentile at the 100 TB design point. Every language
-    keeps ~75% of its own docs by construction; the oracle replays
-    per-lang quantile_cont interpolation and the gate exactly."""
+    swap F.approx_percentile at the 100 TB design point. The threshold
+    lives in e6-INTEGER space: p25 interpolation of integers
+    (lo + (hi-lo)/4) is exactly representable and x4 recovers a BIGINT,
+    so no float rounding exists for engines to disagree on (the previous
+    round(quantile, 6) form flipped by 1 ulp on one language at sf0.1 —
+    caught by this round's sf0.1 rehearsal). Every language keeps ~75%
+    of its own docs by construction; the oracle replays the integer
+    interpolation and the gate exactly."""
     from sql4pandas_spark.operators.text import hashed_logistic_score
 
     t = register_tables(spark, sf_dir, ("documents",))
-    scored = hashed_logistic_score(t["documents"]).select("doc_id", "lang", "score")
+    scored = hashed_logistic_score(t["documents"]).select(
+        "doc_id",
+        "lang",
+        F.round(F.col("score") * 1e6).cast("long").alias("score_e6"),
+    )
     th = scored.groupBy("lang").agg(
-        F.round(F.percentile("score", F.lit(0.25)), 6).alias("threshold")
+        (F.percentile("score_e6", F.lit(0.25)) * 4)
+        .cast("long")
+        .alias("threshold_e6x4")
     )
     return (
         scored.join(F.broadcast(th), "lang")
-        .groupBy("lang", "threshold")
+        .groupBy("lang", "threshold_e6x4")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum((F.col("score") >= F.col("threshold")).cast("long")).alias(
-                "n_kept"
-            ),
+            F.sum(
+                (F.col("score_e6") * 4 >= F.col("threshold_e6x4")).cast("long")
+            ).alias("n_kept"),
         )
-        .select("lang", "n_docs", "n_kept", "threshold")
+        .select("lang", "n_docs", "n_kept", "threshold_e6x4")
         .orderBy("lang")
     )
 
