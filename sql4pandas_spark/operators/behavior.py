@@ -439,3 +439,60 @@ def rolling_active_users(
             ).alias("stickiness_ppm"),
         )
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order event-transition matrix: for each ordered pair of
+    event types, how often type B immediately follows type A within one
+    user's stream, plus the row-normalized share — the empirical Markov
+    chain behind "what do users do AFTER a search?". The EXPLORATORY
+    sibling of funnel(): a funnel checks one hypothesized path, this
+    surfaces all observed adjacent pairs to hypothesize from.
+
+    Transitions never cross users; same-timestamp ties order by
+    ``id_col`` so adjacency is deterministic across engines and
+    partitionings. ``share_ppm`` = transitions / all transitions OUT of
+    the same source type, in integer ppm.
+
+    Scale shape: one exchange on user for the lead() window over raw
+    events, then a map-combined groupBy((from, to)) whose output is
+    |types|² narrow rows; the share window runs over that bounded
+    counts frame (partitioned by from_type — never a single global
+    task). Same bot-skew bound as sessionize: one user's stream sorts
+    in one task; cap upstream.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        df.filter(
+            F.col(user_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(type_col).isNotNull()
+        )
+        .select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wf = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.expr("n_transitions * 1000000").cast("long").alias("_num"),
+        F.sum("n_transitions").over(wf).alias("_den"),
+    ).select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.expr("_num DIV _den").alias("share_ppm"),
+    )

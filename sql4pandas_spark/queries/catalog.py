@@ -109,6 +109,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "k_anonymity_customers",
     "rerank_stub_documents",
     "dedup_cluster_stats",
+    "event_transitions_matrix",
     # -- the 16 entries green only in r8 (drift_timeline_events,
     #    drift_lang_mix, scan_schema_evolution, and stream_cdc_apply also
     #    re-confirm round-9 code changes: the explode-sequence spine, the
@@ -136,8 +137,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "math_funcs_extended",
     "json_filter_events",
     "array_explode_avg",
-    "array_hof_norm",
-    # (struct_funcs_customer, dedup_exact_keepers, wordcount_documents,
+    # (array_hof_norm, struct_funcs_customer, dedup_exact_keepers,
+    #  wordcount_documents,
     #  dedup_embedding_pairs,
     #  multimodal_resize_stats, and scan_json_roundtrip — last green
     #  r01,r02 — also yielded their slots to the round-9 additions)

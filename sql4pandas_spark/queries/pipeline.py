@@ -4885,3 +4885,37 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql4pandas_spark.operators.dedup import dedup_report
 
     return dedup_report(dedup.near_dedup_minhash(t["documents"]))
+
+
+@query(
+    "event_transitions_matrix",
+    oracle="""
+    WITH p AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events),
+    c AS (
+      SELECT from_type, to_type, count(*) AS n_transitions
+      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n_transitions,
+           CAST(n_transitions * 1000000
+                // sum(n_transitions) OVER (PARTITION BY from_type)
+                AS BIGINT) AS share_ppm
+    FROM c ORDER BY from_type, to_type
+    """,
+    tags=("tier-c", "behavior", "transitions", "win_lag", "markov"),
+)
+def event_transitions_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-transition matrix
+    (operators/behavior.event_transitions): how often each event type
+    immediately follows each other type within a user stream, with
+    row-normalized integer-ppm shares — the empirical Markov chain that
+    funnels get hypothesized from. Same-ts ties order by event_id
+    (deterministic adjacency); one user exchange for the lead window,
+    then a |types|²-row counts frame whose share window partitions by
+    source type. The oracle replays adjacency, counts, and shares."""
+    from sql4pandas_spark.operators.behavior import event_transitions
+
+    t = register_tables(spark, sf_dir, ("events",))
+    return event_transitions(t["events"]).orderBy("from_type", "to_type")

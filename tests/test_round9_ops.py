@@ -905,3 +905,44 @@ def test_round9_ops_survive_empty_inputs(spark):
 
     k = k_anonymity_audit(empty_kv, ["g"], k=5).collect()[0]
     assert (k["n_rows"], k["n_groups"], k["risk_ppm"]) == (0, 0, 0)
+
+
+def test_event_transitions_adjacency_and_shares(spark):
+    from datetime import datetime, timedelta
+
+    from sql4pandas_spark.operators.behavior import event_transitions
+
+    t0 = datetime(2025, 1, 1)
+    rows = [
+        # user 1: a -> b -> a ; user 2: a -> c. No cross-user transition.
+        (1, 1, t0, "a"),
+        (2, 1, t0 + timedelta(minutes=1), "b"),
+        (3, 1, t0 + timedelta(minutes=2), "a"),
+        (4, 2, t0, "a"),
+        (5, 2, t0 + timedelta(minutes=1), "c"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    got = {
+        (r["from_type"], r["to_type"]): (r["n_transitions"], r["share_ppm"])
+        for r in event_transitions(df).collect()
+    }
+    assert got == {
+        ("a", "b"): (1, 500000),
+        ("a", "c"): (1, 500000),
+        ("b", "a"): (1, 1000000),
+    }
+
+
+def test_event_transitions_same_ts_tie_breaks_on_id(spark):
+    from datetime import datetime
+
+    from sql4pandas_spark.operators.behavior import event_transitions
+
+    t0 = datetime(2025, 1, 1)
+    rows = [(2, 1, t0, "y"), (1, 1, t0, "x")]  # tie: id 1 ("x") first
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    got = [
+        (r["from_type"], r["to_type"])
+        for r in event_transitions(df).collect()
+    ]
+    assert got == [("x", "y")]
