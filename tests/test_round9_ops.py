@@ -946,3 +946,42 @@ def test_event_transitions_same_ts_tie_breaks_on_id(spark):
         for r in event_transitions(df).collect()
     ]
     assert got == [("x", "y")]
+
+
+def test_sessionize_agrees_with_spark_session_window(spark):
+    """Cross-validation of two independent implementations: batch
+    sessionize (lag + running sum) vs Spark's built-in session_window
+    (used by the streaming entry). Correspondence: same session starts
+    and event counts; session_window's end = last event + gap, while
+    sessionize reports the last event itself. Event times step in 7s
+    multiples so no gap can land exactly ON the 600s boundary (where the
+    two definitions differ by design: > vs >=)."""
+    import random
+    from datetime import datetime, timedelta
+
+    from sql4pandas_spark.operators.behavior import sessionize
+    from sql4pandas_spark.streaming.windows import session_windows_10m
+
+    rng = random.Random(11)
+    t0 = datetime(2025, 1, 1)
+    rows = []
+    for u in (1, 2, 3):
+        t = 0
+        for _ in range(rng.randint(1, 25)):
+            t += 7 * rng.randint(1, 150)  # gaps 7s..1050s, never ==600
+            rows.append((u, t0 + timedelta(seconds=t)))
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+
+    mine = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in sessionize(df, gap_secs=600).collect()
+    }
+    theirs = {
+        (r["user_id"], r["s_start"]): (r["s_end"], r["n"])
+        for r in session_windows_10m(df).collect()
+    }
+    assert set(mine) == set(theirs)
+    for k, (end, n) in mine.items():
+        s_end, sn = theirs[k]
+        assert sn == n
+        assert s_end == end + timedelta(seconds=600)
