@@ -179,3 +179,33 @@ def quantiles_from_histogram(
         "q.bin",
         (F.lit(lo) + F.col("q.bin") * F.lit(width)).alias("est_value"),
     )
+
+
+def heavy_hitter_state(
+    df: DataFrame, item_col: str, m: int
+) -> DataFrame:
+    """One batch's heavy-hitter candidate state: exact per-item counts
+    truncated to the top ``m`` items by (count desc, item) — the
+    bounded, MERGEABLE unit of cross-batch top-k maintenance (the
+    frequency sibling of value_histogram's quantile state). Determinism:
+    the truncation tie-breaks on the item itself.
+    """
+    counts = df.groupBy(F.col(item_col).alias("item")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return counts.orderBy(F.desc("n"), F.asc("item")).limit(m)
+
+
+def merge_heavy_hitter_states(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two candidate states by per-item addition (one groupBy over
+    <= |a|+|b| narrow rows). Accuracy contract, inherited from
+    heavy_hitters_topk and now applied ACROSS batches: a merged count
+    can undercount an item only by the contributions of batches where
+    it missed that batch's top-m — so with per-batch distinct items
+    <= m the merged state is EXACT (how the catalog oracle checks it),
+    and under Zipfian skew m = 4k is the standard working choice. An
+    item that misses every batch is absent. Counts present are sums of
+    exact per-batch counts — never inflated. State stays bounded at
+    <= batches x m rows; re-truncate periodically at scale.
+    """
+    return a.unionByName(b).groupBy("item").agg(F.sum("n").alias("n"))

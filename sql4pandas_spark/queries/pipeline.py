@@ -4919,3 +4919,48 @@ def event_transitions_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = register_tables(spark, sf_dir, ("events",))
     return event_transitions(t["events"]).orderBy("from_type", "to_type")
+
+
+@query(
+    "incr_heavy_hitters_tokens",
+    oracle="""
+    WITH ex AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                t -> t <> '')) AS item
+      FROM documents)
+    SELECT item, count(*) AS n FROM ex
+    GROUP BY 1 ORDER BY n DESC, item LIMIT 10
+    """,
+    tags=("tier-c", "heavy_hitters", "incr_agg", "sketch", "agg_approx"),
+)
+def incr_heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch heavy-hitters maintenance
+    (operators/sketches.heavy_hitter_state + merge_heavy_hitter_states):
+    top-10 corpus tokens kept current across three document batches by
+    merging bounded per-batch candidate states (top-64 per batch) with
+    per-item addition — the frequency member of the incremental-state
+    family (merge_agg_states: distributive aggs; value_histogram:
+    quantiles; this: top-k). The fixture vocabulary (31 tokens) sits
+    under the batch budget, so the merged state is provably EXACT and
+    the oracle is the ground-truth full recount; the miss-bound
+    contract for vocab > m is pinned adversarially in
+    tests/test_round9_ops.py."""
+    from sql4pandas_spark.operators.sketches import (
+        heavy_hitter_state,
+        merge_heavy_hitter_states,
+    )
+    from sql4pandas_spark.operators.text import tokens as tok
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    d = t["documents"].select("doc_id", F.explode(tok("text")).alias("item"))
+    state = None
+    for b in range(3):
+        part = heavy_hitter_state(
+            d.filter(F.col("doc_id") % 3 == b), "item", m=64
+        )
+        state = part if state is None else merge_heavy_hitter_states(state, part)
+    return (
+        state.select("item", F.col("n").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("item"))
+        .limit(10)
+    )

@@ -985,3 +985,35 @@ def test_sessionize_agrees_with_spark_session_window(spark):
         s_end, sn = theirs[k]
         assert sn == n
         assert s_end == end + timedelta(seconds=600)
+
+
+def test_incr_heavy_hitters_miss_bound_contract(spark):
+    """Adversarial vocab > m: an item that makes SOME batch's top-m
+    keeps (at least) those batches' exact contributions; an item that
+    misses EVERY batch is absent; present counts are never inflated."""
+    from sql4pandas_spark.operators.sketches import (
+        heavy_hitter_state,
+        merge_heavy_hitter_states,
+    )
+
+    # batch 1: 'hot' x5 + fillers a..d x2 each; batch 2: 'hot' x1 +
+    # fillers e..h x3 each. m=3 per batch.
+    b1 = ["hot"] * 5 + [x for x in "abcd" for _ in range(2)]
+    b2 = ["hot"] * 1 + [x for x in "efgh" for _ in range(3)]
+    d1 = spark.createDataFrame([(x,) for x in b1], ["item"])
+    d2 = spark.createDataFrame([(x,) for x in b2], ["item"])
+    s = merge_heavy_hitter_states(
+        heavy_hitter_state(d1, "item", m=3),
+        heavy_hitter_state(d2, "item", m=3),
+    )
+    got = {r["item"]: r["n"] for r in s.collect()}
+    # 'hot' won batch 1 (5) but missed batch 2's top-3 (1 < 3) -> its
+    # merged count is the batch-1 contribution only: undercount, bounded
+    assert got["hot"] == 5
+    # batch-2 winners carry exact counts
+    assert all(got[x] == 3 for x in "efg" if x in got)
+    # nothing is ever overcounted vs truth
+    truth = {}
+    for x in b1 + b2:
+        truth[x] = truth.get(x, 0) + 1
+    assert all(n <= truth[i] for i, n in got.items())
