@@ -600,3 +600,52 @@ def percentile_rank_by_group(
         "pct_rank_ppm",
         (le * F.lit(1_000_000) / n).cast("long"),
     )
+
+
+def lexicon_tag(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lexicon tagging — the content-policy/moderation primitive: match a
+    term list (blocklist, topic lexicon, compliance vocabulary) against
+    each document's TOKENS and report which terms hit and how often.
+    Adds ``matched_terms`` (sorted distinct hits), ``n_matched_terms``,
+    and ``n_hits`` (total occurrences). The tag-and-route complement of
+    scrub_patterns (which rewrites): policy pipelines usually TAG first
+    (route to review, compute per-source violation rates via
+    check_constraints) and scrub second.
+
+    Token-boundary matching, not substring: "class" does not hit an
+    "ass" blocklist entry — the standard word-boundary discipline that
+    keeps false-positive rates usable. Case-insensitive via the shared
+    tokens() lowercasing.
+
+    Scale shape: the lexicon rides the plan as an array literal (the
+    broadcast-a-small-model pattern of hashed_logistic_score) and the
+    match is one JVM filter over the token array — zero shuffles, zero
+    joins, whole-stage codegen. For lexicons beyond literal-size
+    (~10k+ terms) switch to a broadcast join against an exploded token
+    frame; same semantics, one exchange.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    lex = F.array(*[F.lit(t.lower()) for t in sorted(set(terms))])
+    toks = tokens(text_col)
+    hits = F.filter(toks, lambda t: F.array_contains(lex, t))
+
+    def per_hits(h):
+        return F.struct(
+            F.array_sort(F.array_distinct(h)).alias("matched_terms"),
+            F.size(F.array_distinct(h)).alias("n_matched_terms"),
+            F.size(h).alias("n_hits"),
+        )
+
+    tagged = let_col(hits, per_hits)
+    return df.withColumn("_t", tagged).select(
+        *df.columns,
+        F.col("_t.matched_terms").alias("matched_terms"),
+        F.col("_t.n_matched_terms").cast("long").alias("n_matched_terms"),
+        F.col("_t.n_hits").cast("long").alias("n_hits"),
+    ).drop("_t")

@@ -4964,3 +4964,43 @@ def incr_heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("item"))
         .limit(10)
     )
+
+
+@query(
+    "lexicon_tags_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         t -> t <> '') AS w
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_filter(w, t -> list_contains(
+               ['data', 'filter', 'join', 'window'], t)) AS hits
+      FROM toks)
+    SELECT doc_id,
+           list_sort(list_distinct(hits)) AS matched_terms,
+           CAST(len(list_distinct(hits)) AS BIGINT) AS n_matched_terms,
+           CAST(len(hits) AS BIGINT) AS n_hits
+    FROM h ORDER BY doc_id
+    """,
+    tags=("tier-c", "lexicon", "moderation", "text_analysis", "array_fns"),
+)
+def lexicon_tags_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon tagging (operators/text.lexicon_tag): which terms of a
+    4-word lexicon each document contains and how often —
+    token-boundary matched ("class" never hits "ass"), the tag-and-route
+    moderation primitive that precedes scrubbing. Lexicon rides the plan
+    as an array literal; one JVM filter over the token array, zero
+    shuffles. The oracle replays tokenization, boundary matching,
+    distinct/sort, and counts exactly."""
+    from sql4pandas_spark.operators.text import lexicon_tag
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    out = lexicon_tag(
+        t["documents"], ["data", "filter", "join", "window"]
+    )
+    return out.select(
+        "doc_id", "matched_terms", "n_matched_terms", "n_hits"
+    ).orderBy("doc_id")

@@ -1059,3 +1059,27 @@ def test_rolling_active_users_hll_path_within_tolerance(spark):
     assert set(exact) == set(approx)
     for d, n in exact.items():
         assert abs(approx[d] - n) <= max(2, 0.1 * n), (d, n, approx[d])
+
+
+def test_lexicon_tag_token_boundaries_and_counts(spark):
+    from sql4pandas_spark.operators.text import lexicon_tag
+
+    df = spark.createDataFrame(
+        [
+            (1, "the Data class has data inside"),  # 'data' x2 (ci),
+            (2, "database classes"),                # substrings must NOT hit
+            (3, "join the data"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (
+            list(r["matched_terms"]),
+            r["n_matched_terms"],
+            r["n_hits"],
+        )
+        for r in lexicon_tag(df, ["data", "join", "ass"]).collect()
+    }
+    assert out[1] == (["data"], 1, 2)
+    assert out[2] == ([], 0, 0)  # 'database'/'classes' are not hits
+    assert out[3] == (["data", "join"], 2, 2)
