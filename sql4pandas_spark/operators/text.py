@@ -649,3 +649,85 @@ def lexicon_tag(
         F.col("_t.n_matched_terms").cast("long").alias("n_matched_terms"),
         F.col("_t.n_hits").cast("long").alias("n_hits"),
     ).drop("_t")
+
+
+def pmi_cooccurrence(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_pair_docs: int = 5,
+) -> DataFrame:
+    """Document-level co-occurrence statistics with pointwise mutual
+    information — collocation mining: which token pairs appear in the
+    same document far more often than their individual frequencies
+    predict (multi-word expressions, topic anchors) or far less
+    (complementary-distribution signals). PMI(a,b) =
+    ln(N * d_ab / (d_a * d_b)) over DOCUMENT frequencies, e6-quantized
+    per distinct pair (the PSI/LM-surprisal transcendental discipline —
+    integer once quantized, order-independent).
+
+    Pairs are UNORDERED distinct-token pairs per document (a < b
+    lexicographically, presence not multiplicity — the standard doc-level
+    collocation definition); ``min_pair_docs`` prunes the unstable
+    low-count tail before PMI amplifies it.
+
+    Scale shape: per-document DISTINCT tokens fan out row-locally into
+    |d|*(|d|-1)/2 pairs (bounded by per-doc vocabulary squared — cap
+    document token counts upstream, the funnel module's bot discipline;
+    never corpus-vocabulary squared), then ONE map-combined
+    groupBy(a, b) count; marginal doc-frequencies are a second
+    groupBy over exploded distinct tokens whose |vocab|-sized result
+    broadcasts back onto the pair frame; N is the 1-row corpus size
+    (allowlisted scalar shape).
+    """
+    toks = df.select(
+        F.col(id_col), F.array_distinct(tokens(text_col)).alias("_w")
+    )
+    n_docs = toks.agg(F.count(F.lit(1)).alias("_n"))
+    term_df = toks.select(F.explode("_w").alias("_t")).groupBy("_t").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+
+    def pair_list(w):
+        s = F.array_sort(w)
+        return F.flatten(
+            F.transform(
+                s,
+                lambda a, i: F.transform(
+                    F.slice(s, i + 2, F.size(s)),
+                    lambda b: F.struct(a.alias("a"), b.alias("b")),
+                ),
+            )
+        )
+
+    pairs = (
+        toks.select(F.explode(let_col(F.col("_w"), pair_list)).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_docs_pair"))
+        .filter(F.col("n_docs_pair") >= min_pair_docs)
+    )
+    with_margins = (
+        pairs.join(
+            F.broadcast(term_df.withColumnRenamed("_t", "a")), "a"
+        )
+        .withColumnRenamed("_df", "df_a")
+        .join(F.broadcast(term_df.withColumnRenamed("_t", "b")), "b")
+        .withColumnRenamed("_df", "df_b")
+        .crossJoin(F.broadcast(n_docs))
+    )
+    pmi = F.round(
+        F.log(
+            F.col("_n")
+            * F.col("n_docs_pair")
+            / (F.col("df_a") * F.col("df_b"))
+        )
+        * 1e6
+    ).cast("long")
+    return with_margins.select(
+        "a",
+        "b",
+        "n_docs_pair",
+        F.col("df_a").cast("long").alias("df_a"),
+        F.col("df_b").cast("long").alias("df_b"),
+        pmi.alias("pmi_e6"),
+    )

@@ -112,6 +112,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "event_transitions_matrix",
     "incr_heavy_hitters_tokens",
     "lexicon_tags_documents",
+    "pmi_pairs_documents",
     # -- the 16 entries green only in r8 (drift_timeline_events,
     #    drift_lang_mix, scan_schema_evolution, and stream_cdc_apply also
     #    re-confirm round-9 code changes: the explode-sequence spine, the
@@ -136,8 +137,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- stalest settled: the 12 entries whose last green is r02 --
     "regexp_funcs_part",
     "date_arith_orders",
-    "math_funcs_extended",
-    # (json_filter_events, array_explode_avg, array_hof_norm,
+    # (math_funcs_extended, json_filter_events, array_explode_avg,
+    #  array_hof_norm,
     #  struct_funcs_customer,
     #  dedup_exact_keepers,
     #  wordcount_documents,

@@ -5004,3 +5004,44 @@ def lexicon_tags_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "matched_terms", "n_matched_terms", "n_hits"
     ).orderBy("doc_id")
+
+
+@query(
+    "pmi_pairs_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               regexp_split_to_array(lower(text), '\\s+'), t -> t <> ''))
+               AS w
+      FROM documents),
+    n AS (SELECT count(*) AS n_docs FROM toks),
+    ex AS (SELECT doc_id, unnest(w) AS t FROM toks),
+    tdf AS (SELECT t, count(*) AS df FROM ex GROUP BY 1),
+    prs AS (
+      SELECT a.t AS a, b.t AS b, count(*) AS n_docs_pair
+      FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND a.t < b.t
+      GROUP BY 1, 2 HAVING count(*) >= 5)
+    SELECT p.a, p.b, n_docs_pair,
+           ta.df AS df_a, tb.df AS df_b,
+           CAST(round(ln(n_docs * n_docs_pair / (ta.df * tb.df))
+                      * 1000000) AS BIGINT) AS pmi_e6
+    FROM prs p JOIN tdf ta ON p.a = ta.t JOIN tdf tb ON p.b = tb.t, n
+    ORDER BY a, b
+    """,
+    tags=("tier-c", "cooccurrence", "pmi", "text_analysis", "corpus_stats"),
+)
+def pmi_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level PMI collocations (operators/text.pmi_cooccurrence):
+    unordered distinct-token pairs appearing together in >= 5 documents,
+    scored by e6-quantized pointwise mutual information over document
+    frequencies — collocation mining / topic-anchor discovery. Pairs fan
+    out row-locally (per-doc vocabulary squared, never corpus vocabulary
+    squared), one map-combined pair count, |vocab|-row marginals
+    broadcast back; the oracle recomputes pairs with a self-join — a
+    different construction agreeing value-for-value, including the
+    quantized logarithm."""
+    from sql4pandas_spark.operators.text import pmi_cooccurrence
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    return pmi_cooccurrence(t["documents"], min_pair_docs=5).orderBy("a", "b")

@@ -1083,3 +1083,29 @@ def test_lexicon_tag_token_boundaries_and_counts(spark):
     assert out[1] == (["data"], 1, 2)
     assert out[2] == ([], 0, 0)  # 'database'/'classes' are not hits
     assert out[3] == (["data", "join"], 2, 2)
+
+
+def test_pmi_pairs_presence_not_multiplicity_and_sign(spark):
+    """PMI counts PRESENCE per doc (repeats don't inflate), pairs are
+    unordered a<b, and the sign is right: always-together pairs score
+    positive, independent-ish pairs near ln(N*d_ab/(d_a*d_b))."""
+    import math
+
+    from sql4pandas_spark.operators.text import pmi_cooccurrence
+
+    docs = [
+        (1, "x y x y x"),   # x,y together (repeats!)
+        (2, "x y"),
+        (3, "x z"),
+        (4, "x z"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        (r["a"], r["b"]): (r["n_docs_pair"], r["df_a"], r["df_b"], r["pmi_e6"])
+        for r in pmi_cooccurrence(df, min_pair_docs=2).collect()
+    }
+    # x in 4 docs, y in 2, z in 2; (x,y) in 2 docs, (x,z) in 2 docs
+    assert out[("x", "y")][:3] == (2, 4, 2)
+    assert out[("x", "y")][3] == round(math.log(4 * 2 / (4 * 2)) * 1e6)  # 0
+    assert out[("x", "z")][3] == 0
+    assert ("y", "x") not in out  # unordered, a < b only
