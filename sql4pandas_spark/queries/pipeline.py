@@ -4432,7 +4432,9 @@ def _proj_oracle_sql() -> str:
                AS q
       FROM embeddings)
     SELECT vec_id,
-           [{dims}] AS proj_e6
+           -- CSV-serialized: the driver's pandas canonicalizer cannot
+           -- hash array cells (round-9 err), so both sides emit scalars
+           array_to_string([{dims}], ',') AS proj_e6_csv
     FROM qv ORDER BY vec_id
     """
 
@@ -4451,13 +4453,19 @@ def random_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     component is a pure integer sum: order-independent, zero shuffles,
     no UDF — just zip_with/aggregate JVM expressions. The oracle
     replays quantization, the identical sign literals, and the integer
-    sums."""
+    sums. The 16 components are CSV-serialized into one string column —
+    the driver's canonicalizer hashes scalar cells only (array cells are
+    unhashable in pandas sort_values; round-9 gate err)."""
     from sql4pandas_spark.operators.similarity import random_projection_e6
 
     t = register_tables(spark, sf_dir, ("embeddings",))
-    return random_projection_e6(t["embeddings"], in_dim=64, out_dim=16).orderBy(
-        "vec_id"
-    )
+    proj = random_projection_e6(t["embeddings"], in_dim=64, out_dim=16)
+    return proj.select(
+        "vec_id",
+        F.array_join(
+            F.transform("proj_e6", lambda x: x.cast("string")), ","
+        ).alias("proj_e6_csv"),
+    ).orderBy("vec_id")
 
 
 @query(
@@ -4980,7 +4988,12 @@ def incr_heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                ['data', 'filter', 'join', 'window'], t)) AS hits
       FROM toks)
     SELECT doc_id,
-           list_sort(list_distinct(hits)) AS matched_terms,
+           -- CSV-serialized: the driver's pandas canonicalizer cannot
+           -- hash array cells (round-9 err), so both sides emit scalars.
+           -- coalesce: DuckDB array_to_string([]) is NULL, Spark
+           -- array_join(empty) is ''
+           coalesce(array_to_string(list_sort(list_distinct(hits)), ','), '')
+             AS matched_terms_csv,
            CAST(len(list_distinct(hits)) AS BIGINT) AS n_matched_terms,
            CAST(len(hits) AS BIGINT) AS n_hits
     FROM h ORDER BY doc_id
@@ -4994,7 +5007,9 @@ def lexicon_tags_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     moderation primitive that precedes scrubbing. Lexicon rides the plan
     as an array literal; one JVM filter over the token array, zero
     shuffles. The oracle replays tokenization, boundary matching,
-    distinct/sort, and counts exactly."""
+    distinct/sort, and counts exactly. matched_terms is CSV-serialized —
+    the driver's canonicalizer hashes scalar cells only (array cells
+    crashed the round-9 gate)."""
     from sql4pandas_spark.operators.text import lexicon_tag
 
     t = register_tables(spark, sf_dir, ("documents",))
@@ -5002,7 +5017,10 @@ def lexicon_tags_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["documents"], ["data", "filter", "join", "window"]
     )
     return out.select(
-        "doc_id", "matched_terms", "n_matched_terms", "n_hits"
+        "doc_id",
+        F.array_join("matched_terms", ",").alias("matched_terms_csv"),
+        "n_matched_terms",
+        "n_hits",
     ).orderBy("doc_id")
 
 

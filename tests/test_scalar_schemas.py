@@ -1,0 +1,63 @@
+"""Driver-hashability guard: every catalog entry must return SCALAR columns.
+
+The correctness driver canonicalizes results via pandas ``sort_values`` over
+every column before hashing. Array/Map/Struct cells arrive as
+``numpy.ndarray`` / ``dict`` / ``Row`` — unhashable — so the whole entry
+crashes with ``err`` before any value comparison runs. Round 9 lost
+``random_projection_embeddings`` and ``lexicon_tags_documents`` to exactly
+this while the (then string-hashing) rehearsal passed them. This test pins
+the contract at the catalog level so a non-scalar result schema can never
+re-enter: serialize arrays (``array_join``/``concat_ws``) or flatten structs
+before returning from a ``@query`` entry.
+
+Schema inspection only needs analysis, not execution, so the batch sweep is
+cheap. Streaming entries are covered too: their builders drain into a
+memory sink, and the returned batch frame's schema IS what the driver
+hashes — the drains are redundant with test_streaming's but this is the
+only place the hashability contract is asserted for them.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql.types import ArrayType, MapType, StructType
+
+from sql4pandas_spark.queries import load_catalog
+
+SF = "/root/testdata/sf0.001"
+
+CATALOG = load_catalog()
+BATCH = [
+    n
+    for n, s in CATALOG.items()
+    if not (n.startswith("stream_") or "scan_stream" in s.tags)
+]
+STREAMING = [n for n in CATALOG if n not in set(BATCH)]
+
+
+def _nonscalar(schema):
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
+@pytest.mark.parametrize("name", BATCH)
+def test_batch_entry_schema_is_scalar_only(spark, name):
+    df = CATALOG[name].build(spark, SF)
+    bad = _nonscalar(df.schema)
+    assert bad == [], (
+        f"{name} returns driver-unhashable columns {bad}: serialize to a "
+        "scalar (array_join / concat_ws / flatten) in the entry AND oracle"
+    )
+
+
+def test_streaming_entries_schema_is_scalar_only(spark):
+    bad = {}
+    for name in STREAMING:
+        cols = _nonscalar(CATALOG[name].build(spark, SF).schema)
+        if cols:
+            bad[name] = cols
+    assert bad == {}, f"driver-unhashable streaming result columns: {bad}"

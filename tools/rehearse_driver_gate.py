@@ -35,6 +35,26 @@ def canon_hash(rows: list[tuple], cols: list[str]) -> str:
     return hashlib.md5(str(canon).encode()).hexdigest()
 
 
+def nonscalar_cols(schema) -> list[str]:
+    """Columns whose type the DRIVER's canonicalizer cannot hash.
+
+    The driver converts results to pandas and sort_values over every
+    column; Array/Map/Struct cells arrive as numpy.ndarray / dict / Row
+    — unhashable, so the whole comparison crashes with err (this is
+    exactly how random_projection_embeddings and lexicon_tags_documents
+    went red in round 9 while this rehearsal's str() hashing sailed
+    through). Reject such schemas HERE, before the stringified compare
+    can mask them.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
 def main() -> int:
     sf = os.environ.get("S4PS_REHEARSE_SF_DIR", "/root/testdata/sf0.01")
     spark = get_spark(app_name="s4ps-rehearsal")
@@ -69,6 +89,10 @@ def main() -> int:
         tq = time.time()
         try:
             sdf = build(spark, sf)
+            ns = nonscalar_cols(sdf.schema)
+            if ns:
+                bad.append((name, f"non-scalar result columns {ns} (driver-unhashable)"))
+                continue
             srows = [tuple(r) for r in sdf.collect()]
             if name in oracles:
                 res = con.execute(oracles[name])
