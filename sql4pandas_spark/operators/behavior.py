@@ -281,11 +281,16 @@ def top_movers(
     adjacent buckets).
 
     Output per (group, bucket_ts) with at least ``min_prev`` events in
-    the previous bucket: ``(group, bucket_ts, n_events, prev_events,
-    growth_ppm)`` where growth_ppm = (n - prev) * 1_000_000 DIV prev —
-    integer, sign-carrying, engine-exact. Buckets with no previous
-    bucket (the group's first) are excluded: growth from nothing is
-    undefined, and min_prev guards the divide-by-tiny noise
+    the CALENDAR-ADJACENT previous bucket: ``(group, bucket_ts,
+    n_events, prev_events, growth_ppm)`` where growth_ppm =
+    (n - prev) * 1_000_000 DIV prev — integer, sign-carrying,
+    engine-exact. Adjacency is enforced, not assumed: lag() over
+    occupied buckets would otherwise compare a bucket that follows a
+    silent period against the LAST ACTIVE bucket — possibly many
+    periods back — and report misleading "growth" against stale counts.
+    A bucket whose predecessor (bucket_ts − 1 unit) is empty emits no
+    row, same as the group's first bucket: growth from silence is
+    undefined here. min_prev additionally guards divide-by-tiny noise
     (1 -> 7 events is 600% growth and means nothing).
 
     A group that went fully SILENT this bucket does not emit a row
@@ -306,7 +311,15 @@ def top_movers(
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     w = Window.partitionBy("grp").orderBy("bucket_ts")
-    out = counts.withColumn("prev_events", F.lag("n_events").over(w))
+    # lag() walks OCCUPIED buckets; gate it on calendar adjacency so a
+    # bucket after a silent gap gets NULL prev (excluded below), never a
+    # stale count from many periods back
+    adjacent = F.lag("bucket_ts").over(w) == F.expr(
+        f"timestampadd({bucket.upper()}, -1, bucket_ts)"
+    )
+    out = counts.withColumn(
+        "prev_events", F.when(adjacent, F.lag("n_events").over(w))
+    )
     return (
         out.filter(F.col("prev_events") >= min_prev)
         .select(

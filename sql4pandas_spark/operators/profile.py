@@ -341,14 +341,14 @@ def key_skew_profile(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
     any engine. Output: (rank, key, n_rows, share_bp, skew_x100,
     total_rows, n_keys), rank ordered by (count desc, key asc).
     """
-    # counts feeds two consumers (summary + top-k); persist the |keys|-row
-    # frame so the data rows are scanned ONCE, not once per branch (the
-    # near_dedup_minhash signature-frame pattern — at 100 TB this is the
-    # difference between one pass and two)
-    counts = (
-        df.groupBy(F.col(key_col).cast("string").alias("key"))
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .persist()
+    # counts feeds two consumers (summary + top-k); both branches live in
+    # the ONE returned plan, so AQE's ReusedExchange serves the second
+    # branch from the first's shuffle files — data rows are scanned once
+    # WITHOUT persist (a .persist() here pinned executor storage for the
+    # session lifetime since the lazy result can't unpersist after itself;
+    # tests/test_round9_ops.py asserts the ReusedExchange)
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
     )
     stats = counts.agg(
         F.sum("n_rows").alias("total_rows"),
@@ -391,7 +391,8 @@ def mad_anomalies(
     breakdown-point-0.5 robust).
 
     Scale shape: ONE map-combined groupBy(group, bucket) count is the only
-    pass over data rows; the |groups × buckets| counts frame persists and
+    pass over data rows; the |groups × buckets| counts frame (shuffle
+    reused across branches, never cached)
     feeds the per-group median (|groups| rows, broadcast back), the
     deviation column, and the per-group MAD (|groups| rows, broadcast
     back) — three tiny aggregates/joins over bucket counts, nothing over
@@ -407,14 +408,14 @@ def mad_anomalies(
     the anomalous buckets only,
     ``(group, bucket_ts, n_events, med_x2, mad_x4, dev_x2)``.
     """
-    counts = (
-        df.groupBy(
-            F.col(group_col).alias("grp"),
-            F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .persist()
-    )
+    # the counts frame feeds three consumers (median, deviations, MAD)
+    # all inside the ONE returned plan — AQE's ReusedExchange serves
+    # every branch from the first shuffle, so no persist (which would
+    # pin executor storage past the query with nobody to unpersist)
+    counts = df.groupBy(
+        F.col(group_col).alias("grp"),
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
     med = counts.groupBy("grp").agg(
         F.round(F.median("n_events") * 2).cast("long").alias("med_x2")
     )
@@ -461,19 +462,28 @@ def categorical_association(
     GROUP BY semantics).
 
     Scale shape: ONE map-combined groupBy(a, b) count is the only pass
-    over data rows; marginals are aggregates OVER the persisted
+    over data rows; marginals are aggregates OVER the shuffle-reused
     |a|×|b|-bounded counts frame, broadcast back. Determinism: expected
     values and contributions are 1e-6-quantized to BIGINTs (the PSI
     discipline) — identical IEEE arithmetic both engines, and the
     order-independent integer sum is safe to total at any parallelism.
     """
+    # five consumers (marginals, total, grid spine, the cell join) share
+    # the counts frame; their column-pruned subplans differ, so exchange
+    # reuse can't dedup them. localCheckpoint materializes the
+    # |a|x|b|-bounded frame ONCE (single pass over data rows) WITHOUT
+    # registering in the CacheManager: the blocks are RDD-level storage
+    # the ContextCleaner releases when the result frame is GC'd — unlike
+    # .persist(), which pinned executor storage for the session lifetime
+    # (round-9 ADVICE). Non-fault-tolerant lineage truncation is fine
+    # for a profiling report: an executor loss fails the job, re-run.
     counts = (
         df.groupBy(
             F.col(col_a).cast("string").alias("a"),
             F.col(col_b).cast("string").alias("b"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     row_tot = counts.groupBy("a").agg(F.sum("n").alias("n_a"))
     col_tot = counts.groupBy("b").agg(F.sum("n").alias("n_b"))
@@ -689,40 +699,64 @@ def join_fanout_estimate(
     offenders to dedup or salt first.
 
     Scale shape: one map-combined groupBy per side (the only passes over
-    data rows), an inner join of the two COUNTS frames on the key (AQE
-    broadcasts the smaller), a 1-row total aggregate over the product
-    frame, and a TakeOrdered top-k joined to the broadcast 1-row total
-    (the allowlisted scalar BNLJ shape). Integer share metrics only.
+    data rows), an inner join of the two COUNTS frames on ALL key
+    columns (AQE broadcasts the smaller), a 1-row total aggregate over
+    the product frame, and a TakeOrdered top-k joined to the broadcast
+    1-row total (the allowlisted scalar BNLJ shape). The product frame
+    feeds two consumers but is NOT persisted: both branches sit in the
+    one returned plan, so AQE's ReusedExchange serves the second branch
+    from the first's shuffle files — single scan, and no cache pinned
+    past the query (a .persist() here leaked executor storage for the
+    session lifetime). Integer share metrics only.
+
+    Multi-column keys group and join on the actual columns — never a
+    separator-less string concat, which would merge distinct tuples like
+    ('ab','c') and ('a','bc') within a side and fabricate matches across
+    sides. The report's ``key`` column renders the tuple with a 0x1f
+    unit separator (unambiguous: cast values never contain it); for a
+    single key column this is just the value's string form.
 
     Output: ``(rank, key, n_left, n_right, rows_out, share_bp,
     total_rows_out, n_matching_keys)`` ordered by (rows_out desc, key).
     """
 
     right_keys = right_keys or left_keys
-
-    def side_counts(df: DataFrame, cols: list[str], out: str) -> DataFrame:
-        key = F.concat_ws("", *[F.col(c).cast("string") for c in cols])
-        return df.groupBy(key.alias("key")).agg(
-            F.count(F.lit(1)).alias(out)
-        )
+    if len(right_keys) != len(left_keys):
+        raise ValueError("left_keys and right_keys must have equal length")
 
     def non_null(df: DataFrame, cols: list[str]) -> DataFrame:
         # an equi-join DROPS null keys, so they contribute zero output
-        # rows — counting them (concat_ws would fold NULL to '' and
-        # collide with real empty strings) would overestimate
+        # rows — counting them would overestimate
         cond = F.lit(True)
         for c in cols:
             cond = cond & F.col(c).isNotNull()
         return df.filter(cond)
 
+    lc = (
+        non_null(left, left_keys)
+        .groupBy(*left_keys)
+        .agg(F.count(F.lit(1)).alias("n_left"))
+    )
+    rc = (
+        non_null(right, right_keys)
+        .groupBy(*right_keys)
+        .agg(F.count(F.lit(1)).alias("n_right"))
+    )
+    for i, c in enumerate(right_keys):
+        rc = rc.withColumnRenamed(c, f"_rk_{i}")
+    cond = [
+        F.col(lk) == F.col(f"_rk_{i}") for i, lk in enumerate(left_keys)
+    ]
     per_key = (
-        side_counts(non_null(left, left_keys), left_keys, "n_left")
-        .join(
-            side_counts(non_null(right, right_keys), right_keys, "n_right"),
-            "key",
+        lc.join(rc, cond)
+        .select(
+            F.concat_ws(
+                "\x1f", *[F.col(c).cast("string") for c in left_keys]
+            ).alias("key"),
+            "n_left",
+            "n_right",
         )
         .withColumn("rows_out", F.col("n_left") * F.col("n_right"))
-        .persist()
     )
     stats = per_key.agg(
         F.coalesce(F.sum("rows_out"), F.lit(0)).alias("total_rows_out"),

@@ -107,8 +107,13 @@ def value_histogram(
     x = F.col(value_col).cast("double")
     raw = F.floor((x - F.lit(lo)) * F.lit(float(n_bins)) / F.lit(hi - lo))
     bin_ = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw)).cast("long")
+    # NaN passes isNotNull, and greatest/least treat NaN as larger than
+    # any number — it would silently land in the TOP bin and read back as
+    # a max-range observation; drop it like NULL (no value to bin).
+    # +/-Infinity by contrast IS an ordered value: it clamps to the edge
+    # bins like any out-of-range observation.
     return (
-        df.filter(x.isNotNull())
+        df.filter(x.isNotNull() & ~F.isnan(x))
         .groupBy(bin_.alias("bin"))
         .agg(F.count(F.lit(1)).alias("n"))
     )

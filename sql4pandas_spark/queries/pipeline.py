@@ -575,10 +575,13 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes every signature and takes all-pairs Hamming ≤ 3, which
     equals the banded result because chunk banding is pigeonhole-exact."""
     t = register_tables(spark, sf_dir, ("documents",))
-    # persist: both sides of the banded self-join read the signature frame —
-    # without it the 60-bit signature expression is compiled and computed
-    # twice (measured 10 s vs 4 s cold at sf0.01; signatures are 16 B/doc)
-    sim = dedup.simhash(t["documents"]).persist()
+    # both sides of the banded self-join read the signature frame — without
+    # materialization the 60-bit signature expression is compiled and
+    # computed twice (measured 10 s vs 4 s cold at sf0.01; signatures are
+    # 16 B/doc). localCheckpoint, not persist: the blocks are GC-cleaned
+    # after the result is consumed, where a persist in a lazily-returned
+    # builder has no unpersist point and pins storage per call.
+    sim = dedup.simhash(t["documents"]).localCheckpoint(eager=True)
     return dedup.simhash_near_pairs(sim).orderBy("id_a", "id_b").limit(500)
 
 
@@ -3227,7 +3230,7 @@ def chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     (20 sources × 5 langs) including zero-observed ones (which still
     contribute (0−e)²/e = e); one map-combined groupBy(lang, source)
     count is the only pass over data rows, marginals are aggregates over
-    the persisted bounded counts frame, and every expected value /
+    the once-materialized bounded counts frame, and every expected value /
     contribution is 1e-6-quantized to BIGINT so the oracle replays the
     statistic bit-for-bit. sum(chi2_e6)/1e6 vs χ²((|a|−1)(|b|−1)) is the
     headline independence test."""
@@ -3269,7 +3272,7 @@ def anomaly_hours_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spike inflates the stddev enough to hide itself; the MAD has
     breakdown point 0.5). One map-combined groupBy over events is the
     only data pass; medians/MADs are |types|-row aggregates over the
-    persisted bucket-count frame, broadcast back. Exact-half medians ride
+    shuffle-reused bucket-count frame, broadcast back. Exact-half medians ride
     as ×2/×4 BIGINTs so the flag is pure integer arithmetic — the oracle
     replays every statistic bit-for-bit (the sf0.01 fixture has ~90 real
     anomalous hours across the 5 types)."""
@@ -4140,7 +4143,10 @@ def lm_surprisal_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                   THEN 1 ELSE 0 END AS ns
-      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      -- mirror the operator's NULL drops (unstamped/anonymous events
+      -- can't sessionize) so the contract is pinned, not coincidental
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
     s AS (
       SELECT user_id, ts,
              sum(ns) OVER (PARTITION BY user_id ORDER BY ts
@@ -4477,12 +4483,14 @@ def random_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, CAST(date_trunc('week', ts) AS TIMESTAMP)
                AS bucket_ts,
              count(*) AS n_events
-      FROM events GROUP BY 1, 2),
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
     l AS (
+      -- prev only when the previous OCCUPIED bucket is the
+      -- calendar-adjacent one: growth after a silent gap is undefined
       SELECT event_type, bucket_ts, n_events,
-             lag(n_events) OVER (PARTITION BY event_type
-                                 ORDER BY bucket_ts) AS prev_events
-      FROM c)
+             CASE WHEN lag(bucket_ts) OVER w = bucket_ts - INTERVAL 1 WEEK
+                  THEN lag(n_events) OVER w END AS prev_events
+      FROM c WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts))
     SELECT event_type, bucket_ts, n_events, prev_events,
            CASE WHEN n_events >= prev_events THEN
              (n_events - prev_events) * 1000000 // prev_events
@@ -4902,7 +4910,10 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type AS from_type,
              lead(event_type) OVER (PARTITION BY user_id
                                     ORDER BY ts, event_id) AS to_type
-      FROM events),
+      -- mirror the operator's NULL drops so the contract is pinned
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL),
     c AS (
       SELECT from_type, to_type, count(*) AS n_transitions
       FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)

@@ -107,20 +107,24 @@ def test_key_skew_profile_single_groupby_over_data(spark):
     """The only pass over data rows is one map-combined groupBy: the plan
     holds exactly one scan of the input relation."""
     from sql4pandas_spark.operators.profile import key_skew_profile
-    from sql4pandas_spark.plans import formatted_plan
     from sql4pandas_spark.sources.parquet import register_tables
     from tests.conftest import SF_SMALL
 
-    import re
-
     events = register_tables(spark, SF_SMALL, ("events",))["events"]
-    plan = formatted_plan(key_skew_profile(events, "user_id"))
-    # the persisted counts frame serves both branches: distinct parquet
-    # scan operator ids == 1 (formatted output repeats operators in the
-    # tree and the details section, so count ids, not mentions)
-    scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", plan))
-    assert len(scan_ids) == 1, plan
-    assert "InMemoryTableScan" in plan
+    out = key_skew_profile(events, "user_id")
+    out.collect()
+    # the counts exchange serves both branches via ReusedExchange in the
+    # executed plan — single data scan, and NO cache (a persist here had
+    # no unpersist point and pinned executor storage; round-9 ADVICE)
+    final = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert final.count("FileScan parquet") == 1, final
+    assert "ReusedExchange" in final
+    assert "InMemoryTableScan" not in final
 
 
 # ---------------------------------------------------------------------------
