@@ -68,19 +68,27 @@ def query(
 #: already have green CORRECTNESS_r01/r02 rows (or are next in line if the
 #: window is ever wider than 50). Future rounds rotate this list.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- ROUND-9 WINDOW ----
-    # CORRECTNESS_r08 went 50/50 green, leaving exactly 16 entries at ONE
-    # green round (the r8 additions) and everything else settled (>= 2
-    # saturated greens). Rotation recipe: round-9 NEW entries (0 greens)
-    # first, then the 16 once-green r8 entries, then the remaining slots
-    # go to the settled entries with the STALEST last-green round (the 12
-    # last green in r02, then the r04 cohort in registration order).
-    # tests/test_driver_window.py enforces the saturated least-evidence
-    # rule; tools/catalog_index.py prints the ledger.
+    # ---- ROUND-10 WINDOW ----
+    # CORRECTNESS_r09 went 48/50: the two array-result entries errored in
+    # the driver's canonicalizer (fixed in-round: scalarized to CSV-string
+    # columns) and so remain at ZERO greens; the 30 other round-9 additions
+    # are at exactly ONE green; everything else is settled (>= 2 saturated
+    # greens). Rotation recipe: round-10 NEW entries (0 greens) first, then
+    # the 2 fixed zero-green entries, then the 30 once-green r9 entries,
+    # then the remaining slots go to the settled entries with the STALEST
+    # last-green round (the 10 last green in r02, then the r04 cohort in
+    # registration order). tests/test_driver_window.py enforces the
+    # saturated least-evidence rule; tools/catalog_index.py prints the
+    # ledger.
     #
-    # -- round-9 NEW entries (0 greens) --
+    # -- round-10 NEW entries (0 greens) --
     # (added as they land; each new entry MUST enter the window or the
     # evidence rule goes red)
+    # -- the 2 entries red in r9 (array-shape driver errs, now scalarized;
+    #    still 0 committed greens) --
+    "random_projection_embeddings",
+    "lexicon_tags_documents",
+    # -- the 30 entries green only in r9 --
     "incremental_pipeline_batches",
     "fuzzy_join_parts",
     "hybrid_rrf_top10",
@@ -98,7 +106,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "source_cap_report",
     "incr_quantile_orders",
     "constraint_gate_orders",
-    "random_projection_embeddings",
     "top_movers_events",
     "ohlc_hourly_events",
     "pct_rank_docs_by_lang",
@@ -111,64 +118,31 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_cluster_stats",
     "event_transitions_matrix",
     "incr_heavy_hitters_tokens",
-    "lexicon_tags_documents",
     "pmi_pairs_documents",
-    # -- the 16 entries green only in r8 (drift_timeline_events,
-    #    drift_lang_mix, scan_schema_evolution, and stream_cdc_apply also
-    #    re-confirm round-9 code changes: the explode-sequence spine, the
-    #    top-K candidate bound, the integer-scaled sum, and the CDC
-    #    version-alignment guard) --
-    "stream_cdc_apply",
-    "dataset_split_assign",
-    "scan_schema_evolution",
-    "ann_ivf_persistent_top10",
-    "classifier_gate_per_lang",
-    "classifier_calibrated_gate",
-    "drift_psi_documents",
-    "drift_lang_mix_documents",
-    "drift_timeline_events",
-    "funnel_view_click_purchase",
-    "cohort_retention_purchases",
-    "dedup_substring_spans",
-    "scrub_passages_documents",
-    "incremental_passage_scrub_batches",
-    "merge_upsert_documents",
-    "classifier_scores_documents",
-    # -- stalest settled: the 12 entries whose last green is r02 --
-    "regexp_funcs_part",
-    "date_arith_orders",
-    # (math_funcs_extended, json_filter_events, array_explode_avg,
-    #  array_hof_norm,
-    #  struct_funcs_customer,
-    #  dedup_exact_keepers,
-    #  wordcount_documents,
-    #  dedup_embedding_pairs,
-    #  multimodal_resize_stats, and scan_json_roundtrip — last green
-    #  r01,r02 — also yielded their slots to the round-9 additions)
+    # -- stalest settled fill: the 10 entries whose last green is r02, in
+    #    registration order (regexp_funcs_part and date_arith_orders went
+    #    green again in r9 and rejoin the settled pool) --
+    "math_funcs_extended",
+    "json_filter_events",
+    "array_explode_avg",
+    "array_hof_norm",
+    "struct_funcs_customer",
+    "dedup_exact_keepers",
+    "wordcount_documents",
+    "dedup_embedding_pairs",
+    "multimodal_resize_stats",
+    "scan_json_roundtrip",
     # -- then the r04 cohort in registration order --
-    # (the r04-cohort tail — agg_collect_ordered, lang_id_documents,
-    #  dedup_near_minhash, dedup_simhash_pairs,
-    #  multimodal_decode_features,
-    #  approx_quantiles_orders,
-    #  q3_shipping_priority,
-    #  q5_local_supplier_volume,
-    #  left_join_missing_orders,
-    #  right_join_orders_customers,
-    #  full_outer_join_counts, semi_customers, anti_customers,
-    #  theta_join_supplier_pairs, subq_big_spenders, setop_union_counts,
-    #  setop_except, setop_intersect, grouping_sets_orders,
-    #  cube_status_priority, rollup_region_nation, range_join_close_events
-    #  — yielded slots to the round-9 additions
-    #  incremental_pipeline_batches, fuzzy_join_parts, hybrid_rrf_top10,
-    #  cluster_safe_split, key_skew_profile_events, anomaly_hours_events,
-    #  chisq_lang_source, outlier_docs_by_lang, incr_agg_orders_state,
-    #  fk_integrity_audit, lm_surprisal_documents, sessionize_events,
-    #  winsorize_docs_by_lang, negative_samples_docs, source_cap_report,
-    #  incr_quantile_orders, constraint_gate_orders,
-    #  random_projection_embeddings, top_movers_events,
-    #  ohlc_hourly_events, pct_rank_docs_by_lang, cdc_extract_documents,
-    #  and scd2_doc_versions)
-    # ---- driver window (50) ends here ----
+    "agg_collect_ordered",
+    "lang_id_documents",
+    "dedup_near_minhash",
+    "dedup_simhash_pairs",
+    "multimodal_decode_features",
+    "approx_quantiles_orders",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    # ---- driver window (50) ends here; round-10 NEW entries prepended
+    # above push this tail out of the window automatically ----
 )
 
 
