@@ -227,9 +227,18 @@ class Engine:
         self.register_stream(name, read_events_stream(self.spark, sf_dir))
 
     # -- execution ---------------------------------------------------------
-    def sql(self, statement: str) -> Result:
-        """Execute SQL → lazy Result (Catalyst parses/optimizes/plans)."""
-        return Result(self.spark.sql(statement))
+    def sql(self, statement: str, dialect: str | None = None) -> Result:
+        """Execute SQL → lazy Result (Catalyst parses/optimizes/plans).
+
+        ``dialect="duckdb"`` accepts the reference-dialect spelling and
+        rewrites function names through the reverse of the harness's
+        SPARK_TO_DUCKDB_FN table before parsing
+        (functions/transpile.py) — the same statement text that runs on
+        the reference engine runs here unchanged. Default: Spark SQL.
+        """
+        from sql4pandas_spark.functions.transpile import to_spark_sql
+
+        return Result(self.spark.sql(to_spark_sql(statement, dialect)))
 
     def cursor(self) -> Cursor:
         return Cursor(self)

@@ -323,6 +323,62 @@ def _char_ngrams(col, n: int):
     return F.when(F.length(s) >= n, grams).otherwise(F.array(s))
 
 
+def _salted_band_candidates(
+    lb: DataFrame, rb: DataFrame, n_salts: int, hot_product: int
+) -> DataFrame:
+    """Skew-salted variant of the LSH band join for the hot-band regime.
+
+    Low-diversity key corpora (the docstring's 'Customer#000000042'
+    degenerate case) share almost all n-grams, so a handful of band_key
+    values collect most signatures on BOTH sides — the band equi-join
+    then puts a near-cartesian n_l × n_r candidate blow-up on single
+    shuffle tasks (stragglers AQE's skew split can't fix: the skew is
+    inside ONE key). The candidate SET is legitimate — LSH degenerating
+    toward all-pairs is the honest recall answer for such keys — but its
+    evaluation must spread.
+
+    Mechanics: count each band on both sides; bands whose candidate
+    PRODUCT n_l × n_r exceeds ``hot_product`` are 'hot' (a tiny set by
+    construction — it takes ≥ √hot_product rows on each side to qualify,
+    so ≤ |rows|/√hot_product bands can be hot; broadcast). Cold bands
+    join exactly as before. Hot bands join salted: left rows take a
+    deterministic salt from the hash of their key value, right rows
+    replicate once per salt, and the equi-join runs on (band_key, salt)
+    — each hot band's product now spreads over ``n_salts`` tasks. Same
+    shape as :func:`salted_join`, applied per-band. The union is
+    row-identical to the unsalted join (pinned in tests/test_joins.py).
+    """
+    lc = lb.groupBy("band_key").agg(F.count(F.lit(1)).alias("_ln"))
+    rc = rb.groupBy("band_key").agg(F.count(F.lit(1)).alias("_rn"))
+    hot = (
+        lc.join(rc, "band_key")
+        .filter(F.col("_ln") * F.col("_rn") > F.lit(hot_product))
+        .select("band_key")
+        .withColumn("_hot", F.lit(True))
+    )
+    lsplit = lb.join(F.broadcast(hot), "band_key", "left")
+    rsplit = rb.join(F.broadcast(hot), "band_key", "left")
+    cold = (
+        lsplit.filter(F.col("_hot").isNull())
+        .drop("_hot")
+        .join(rsplit.filter(F.col("_hot").isNull()).drop("_hot"), "band_key")
+    )
+    lhot = (
+        lsplit.filter(F.col("_hot"))
+        .drop("_hot")
+        .withColumn("_salt", F.pmod(F.xxhash64("_lnorm"), F.lit(n_salts)))
+    )
+    rhot = (
+        rsplit.filter(F.col("_hot"))
+        .drop("_hot")
+        .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    )
+    hot_cand = lhot.join(rhot, ["band_key", "_salt"]).drop("_salt")
+    return cold.select("_lnorm", "_rnorm").unionByName(
+        hot_cand.select("_lnorm", "_rnorm")
+    )
+
+
 def fuzzy_key_pairs(
     left: DataFrame,
     right: DataFrame,
@@ -332,6 +388,8 @@ def fuzzy_key_pairs(
     ngram: int = 3,
     n_hashes: int = 48,
     n_bands: int = 24,
+    salt_hot_bands: int | None = None,
+    hot_band_product: int = 1 << 22,
 ) -> DataFrame:
     """Entity-resolution key matching: all (left_key, right_key) value
     pairs within ``max_distance`` Levenshtein edits — the "join user
@@ -357,7 +415,13 @@ def fuzzy_key_pairs(
     doesn't, stably. Degeneracy note: LOW-DIVERSITY keys (serial IDs like
     'Customer#000000042') share almost all n-grams, collapsing LSH
     toward all-pairs — this operator is for name-like natural keys;
-    serial keys should equi-join exactly.
+    serial keys should equi-join exactly. When such keys are MIXED into
+    a natural-key corpus (the realistic dirty feed), set
+    ``salt_hot_bands``: bands whose candidate product exceeds
+    ``hot_band_product`` get the skew-salted join
+    (:func:`_salted_band_candidates` — left rows salted by key hash,
+    right rows replicated per salt), spreading each hot band over that
+    many tasks with a row-identical result.
     """
     from sql4pandas_spark.operators.dedup import (
         MERSENNE31,
@@ -409,7 +473,18 @@ def fuzzy_key_pairs(
     rb = band_keys(_sigs(rnorm, "_rnorm"), n_bands, rows_per_band).select(
         F.col("doc_id").alias("_rnorm"), "band_key"
     )
-    cand = lb.join(rb, "band_key").select("_lnorm", "_rnorm").distinct()
+    if salt_hot_bands:
+        # the salted path consumes each band frame twice (hot-band counts
+        # + the split join); checkpoint so the MinHash signatures compute
+        # once, not per consumer. Narrow rows (key, 8-byte band), GC-owned
+        # storage — never the CacheManager pin the round-9 ADVICE flagged.
+        lb = lb.localCheckpoint(eager=False)
+        rb = rb.localCheckpoint(eager=False)
+        cand = _salted_band_candidates(
+            lb, rb, salt_hot_bands, hot_band_product
+        ).distinct()
+    else:
+        cand = lb.join(rb, "band_key").select("_lnorm", "_rnorm").distinct()
     dist = F.levenshtein("_lnorm", "_rnorm")
     matched = cand.filter(dist <= F.lit(max_distance)).withColumn(
         "key_distance", dist

@@ -84,6 +84,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- round-10 NEW entries (0 greens) --
     # (added as they land; each new entry MUST enter the window or the
     # evidence rule goes red)
+    "sql_frontend_duckdb",
+    "fuzzy_join_salted_parts",
+    "stream_heavy_hitters_tokens",
+    "stream_quantile_orders",
     # -- the 2 entries red in r9 (array-shape driver errs, now scalarized;
     #    still 0 committed greens) --
     "random_projection_embeddings",

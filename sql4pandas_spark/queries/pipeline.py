@@ -5074,3 +5074,234 @@ def pmi_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = register_tables(spark, sf_dir, ("documents",))
     return pmi_cooccurrence(t["documents"], min_pair_docs=5).orderBy("a", "b")
+
+
+# --------------------------------------------------------------------------
+# Round 10: SQL front-end, streaming sketch maintenance, salted fuzzy join
+# --------------------------------------------------------------------------
+
+#: ONE statement text, two engines: the oracle runs this string verbatim in
+#: DuckDB; the Spark side feeds the SAME string through the reference-dialect
+#: front end (Engine.sql(dialect="duckdb") → functions/transpile.py). The
+#: driver's hash match is then a direct proof of statement-level parity —
+#: the reference's actual identity ("SQL strings in, frames out").
+_FRONTEND_SQL = """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN regexp_matches(text, 'data|join')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_regex_docs,
+           CAST(sum(n_chars // 100) AS BIGINT) AS hecto_chars,
+           max(substr(text, 1, 12)) AS max_prefix
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+"""
+
+
+@query(
+    "sql_frontend_duckdb",
+    oracle=_FRONTEND_SQL,
+    tags=("tier-a", "sql_frontend", "transpile", "engine_api", "agg_group"),
+)
+def sql_frontend_duckdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-dialect SQL front end (engine.Engine.sql +
+    functions/transpile.py): the oracle's OWN DuckDB statement — len over
+    string_split, regexp_matches, integer //, substr — is transpiled
+    through the reverse SPARK_TO_DUCKDB_FN rename table (call-position,
+    literal-safe) and handed to Catalyst. No wrapper nodes, no UDFs: the
+    rewritten text plans exactly like hand-written Spark SQL (one
+    map-combined aggregate over a pruned 3-column scan). Entry and oracle
+    share one string constant, so the value hash proves statement-level
+    engine parity, not just operator parity."""
+    from sql4pandas_spark.engine import Engine
+
+    register_tables(spark, sf_dir, ("documents",))
+    eng = Engine(spark)
+    return eng.sql(_FRONTEND_SQL, dialect="duckdb").df
+
+
+@query(
+    "fuzzy_join_salted_parts",
+    oracle="""
+    WITH clean AS MATERIALIZED (
+      SELECT p_partkey AS clean_key,
+             lower(trim(p_name || ' ' || p_brand || ' ' || p_type)) AS clean_name
+      FROM part),
+    dirty AS MATERIALIZED (
+      SELECT p_partkey AS dirty_key,
+             substr(nm, 1, pos - 1) || substr(nm, pos + 1) AS dirty_name
+      FROM (SELECT p_partkey, nm,
+                   CAST(p_partkey % length(nm) AS INT) + 1 AS pos
+            FROM (SELECT p_partkey,
+                         lower(trim(p_name || ' ' || p_brand || ' ' || p_type)) AS nm
+                  FROM part)
+            WHERE p_partkey % 20 = 7))
+    SELECT d.dirty_key, c.clean_key,
+           CAST(levenshtein(d.dirty_name, c.clean_name) AS BIGINT)
+             AS key_distance
+    FROM dirty d JOIN clean c
+      ON abs(length(d.dirty_name) - length(c.clean_name)) <= 2
+    WHERE levenshtein(d.dirty_name, c.clean_name) <= 2
+    ORDER BY dirty_key, clean_key
+    """,
+    tags=("tier-c", "join_fuzzy", "join_salted", "entity_resolution", "lsh"),
+)
+def fuzzy_join_salted_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fuzzy-key join (operators/joins.fuzzy_key_pairs with
+    salt_hot_bands — the hot-band mitigation its docstring documents):
+    same dirty-entity reconstruction as fuzzy_join_parts (different
+    cohort, %20==7) but with hot_band_product=1 so EVERY band takes the
+    salted path — hot-band counts, broadcast hot set, left rows salted
+    by key hash, right rows replicated 8x, equi-join on (band_key,
+    salt). The oracle is the exact all-pairs edit-distance join, so the
+    hash match proves the salted rewrite is row-identical to the plain
+    band join at full recall; mixed hot/cold equality is pinned in
+    tests/test_round10_ops.py."""
+    t = register_tables(spark, sf_dir, ("part",))
+    part = t["part"]
+    ent = F.lower(
+        F.trim(F.concat_ws(" ", F.col("p_name"), F.col("p_brand"), F.col("p_type")))
+    )
+    clean = part.select(
+        F.col("p_partkey").alias("clean_key"), ent.alias("clean_name")
+    )
+    pos = (F.col("p_partkey") % F.length(ent) + F.lit(1)).cast("int")
+    dirty = part.filter(F.col("p_partkey") % 20 == 7).select(
+        F.col("p_partkey").alias("dirty_key"),
+        F.concat(
+            ent.substr(F.lit(1), pos - 1),
+            ent.substr(pos + 1, F.length(ent)),
+        ).alias("dirty_name"),
+    )
+    j = joins.fuzzy_key_join(
+        dirty, clean, "dirty_name", "clean_name",
+        max_distance=2, n_hashes=48, n_bands=48,
+        salt_hot_bands=8, hot_band_product=1,
+    )
+    return j.select(
+        "dirty_key",
+        "clean_key",
+        F.col("key_distance").cast("long").alias("key_distance"),
+    ).orderBy("dirty_key", "clean_key")
+
+
+@query(
+    "stream_heavy_hitters_tokens",
+    oracle="""
+    WITH ex AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                t -> t <> '')) AS item
+      FROM documents)
+    SELECT item, CAST(count(*) AS BIGINT) AS n FROM ex
+    GROUP BY 1 ORDER BY n DESC, item LIMIT 10
+    """,
+    tags=("tier-c", "heavy_hitters", "scan_stream", "foreach_batch", "incr_agg"),
+)
+def stream_heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING heavy-hitters maintenance (streaming/sketches.py): a
+    document stream folded into a versioned top-k candidate store via
+    readStream -> foreachBatch -> heavy_hitter_state merged by per-item
+    addition — exactly-once by the same version-chain construction as
+    the CDC store (batch k reads v{k}, overwrites v{k+1}; additive
+    states make exactly-once LOAD-BEARING: a replayed merge would
+    double-count, pinned in tests/test_round10_ops.py). Two real
+    availableNow drains share one checkpoint — the second RESUMES batch
+    numbering and folds only the newly-landed file. Per-batch vocab (31
+    tokens) sits under m=64, so the maintained state is provably EXACT
+    and the oracle is the ground-truth full recount."""
+    from sql4pandas_spark.operators.sketches import (
+        heavy_hitter_state,
+        merge_heavy_hitter_states,
+    )
+    from sql4pandas_spark.operators.text import tokens as tok
+    from sql4pandas_spark.streaming import sketches as sk
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    d = t["documents"].select("doc_id", "text")
+    root, land, ckpt = _scratch_dirs("hh_store", "hh_landing", "hh_ckpt")
+    os.makedirs(land, exist_ok=True)
+    sk.empty_state(spark, "item string, n long", root)
+
+    def batch_state(df: DataFrame) -> DataFrame:
+        return heavy_hitter_state(
+            df.select(F.explode(tok("text")).alias("item")), "item", m=64
+        )
+
+    for i, pred in enumerate(
+        (F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1)
+    ):
+        _stage_changeset_file(d.filter(pred), land, f"docs_{i:02d}.parquet")
+        stream = spark.readStream.schema(d.schema).parquet(land)
+        sk.run_sketch_stream(
+            stream, root, batch_state, merge_heavy_hitter_states, checkpoint=ckpt
+        )
+
+    return (
+        sk.latest_state(spark, root)
+        .select("item", F.col("n").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("item"))
+        .limit(10)
+    )
+
+
+@query(
+    "stream_quantile_orders",
+    oracle="""
+    WITH b AS (
+      SELECT least(999, greatest(0, CAST(floor(
+               (o_totalprice - 0.0) * 1000.0 / 600000.0) AS BIGINT)))
+               AS bin
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    h AS (SELECT bin, count(*) AS n FROM b GROUP BY 1),
+    c AS (
+      SELECT bin,
+             sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(n) OVER () AS tot
+      FROM h)
+    SELECT CAST(p.pct AS BIGINT) AS pct, CAST(max(tot) AS BIGINT) AS n_total,
+           min(CASE WHEN cum >= (p.pct * tot + 99) // 100 THEN bin END)
+             AS bin,
+           0.0 + min(CASE WHEN cum >= (p.pct * tot + 99) // 100
+                     THEN bin END) * 600.0 AS est_value
+    FROM c, (SELECT unnest([50, 95, 99]) AS pct) p
+    GROUP BY p.pct ORDER BY pct
+    """,
+    tags=("tier-c", "quantile", "scan_stream", "foreach_batch", "incr_agg"),
+)
+def stream_quantile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING percentile maintenance (streaming/sketches.py): an order
+    stream folded into a versioned fixed-grid histogram store (1000 bins
+    over [0, 600000]) via readStream -> foreachBatch -> value_histogram
+    merged by per-bin addition; p50/p95/p99 read off the latest state
+    with quantiles_from_histogram, exact to one bin width, raw history
+    never re-scanned. Two availableNow drains share one checkpoint
+    (resume), split on order date — the same batches as the batch-form
+    incr_quantile_orders, now flowing through the exactly-once version
+    chain. The oracle rebuilds the grid over ALL of orders: the hash
+    match proves stream-maintained state == from-scratch state."""
+    from sql4pandas_spark.operators.sketches import quantiles_from_histogram
+    from sql4pandas_spark.streaming import sketches as sk
+
+    t = register_tables(spark, sf_dir, ("orders",))
+    o = t["orders"].select("o_orderkey", "o_orderdate", "o_totalprice")
+    root, land, ckpt = _scratch_dirs("vh_store", "vh_landing", "vh_ckpt")
+    os.makedirs(land, exist_ok=True)
+    sk.empty_state(spark, "bin long, n long", root)
+
+    for i, pred in enumerate(
+        (
+            F.col("o_orderdate") < "1996-01-01",
+            F.col("o_orderdate") >= "1996-01-01",
+        )
+    ):
+        _stage_changeset_file(o.filter(pred), land, f"orders_{i:02d}.parquet")
+        stream = spark.readStream.schema(o.schema).parquet(land)
+        sk.run_histogram_stream(
+            stream, root, "o_totalprice", 0.0, 600000.0, 1000, checkpoint=ckpt
+        )
+
+    return quantiles_from_histogram(
+        sk.latest_state(spark, root), [50, 95, 99],
+        lo=0.0, hi=600000.0, n_bins=1000,
+    ).orderBy("pct")

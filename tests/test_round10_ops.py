@@ -162,3 +162,223 @@ def test_value_histogram_drops_nan_keeps_infinity_clamped(spark):
     hist = {r["bin"]: r["n"] for r in value_histogram(df, "x", 0.0, 10.0, 10).collect()}
     # NaN dropped; +inf clamps to top bin, -inf to bottom bin
     assert hist == {0: 2, 9: 2}
+
+
+# ------------------------------------- SQL front-end (reference dialect)
+
+
+def test_transpile_renames_call_position_only():
+    from sql4pandas_spark.functions.transpile import transpile_duckdb
+
+    out = transpile_duckdb(
+        "SELECT len(xs) AS n, substr(s, 1, 2) AS p FROM t "
+        "WHERE regexp_matches(s, 'a+') AND power(x, 2) > sign(y)"
+    )
+    assert out == (
+        "SELECT size(xs) AS n, substring(s, 1, 2) AS p FROM t "
+        "WHERE rlike(s, 'a+') AND pow(x, 2) > signum(y)"
+    )
+
+
+def test_transpile_protects_literals_identifiers_and_bare_names():
+    from sql4pandas_spark.functions.transpile import transpile_duckdb
+
+    # 'len(x)' is a string; "len" a quoted identifier; bare `len` a column
+    out = transpile_duckdb(
+        """SELECT 'len(x)' AS lit, "len", len FROM t WHERE a // b > 2"""
+    )
+    assert "'len(x)'" in out and '"len"' in out
+    assert " size" not in out  # no call position, no rename
+    assert " DIV " in out and "//" not in out
+    # '//' inside a literal survives
+    out2 = transpile_duckdb("SELECT 'a//b' AS s, x // 3 AS d FROM t")
+    assert "'a//b'" in out2 and " DIV 3" in out2.replace("  ", " ")
+
+
+def test_transpile_unknown_dialect_rejected():
+    import pytest as _pytest
+
+    from sql4pandas_spark.functions.transpile import to_spark_sql
+
+    with _pytest.raises(ValueError, match="unknown dialect"):
+        to_spark_sql("SELECT 1", dialect="oracle11g")
+    assert to_spark_sql("SELECT len(x) FROM t") == "SELECT len(x) FROM t"
+
+
+def test_engine_runs_reference_dialect_sql(spark):
+    """The SAME statement text runs on DuckDB (reference dialect) and on
+    the Engine with dialect='duckdb' — SQL strings in, frames out."""
+    import duckdb
+    import pandas as pd
+
+    from sql4pandas_spark import Engine
+
+    pdf = pd.DataFrame(
+        {"s": ["a b c", "d e", "f", "g h i j"], "k": [1, 2, 3, 4]}
+    )
+    stmt = (
+        "SELECT CAST(sum(len(string_split(s, ' '))) AS BIGINT) AS n_tokens, "
+        "CAST(sum(CASE WHEN regexp_matches(s, '[aeiou]') THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_vowel_rows, CAST(sum(k // 2) AS BIGINT) AS half_sum "
+        "FROM t"
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    expected = con.execute(stmt).fetchall()
+    con.close()
+
+    eng = Engine(spark)
+    eng.register("t", pdf)
+    got = [tuple(r) for r in eng.sql(stmt, dialect="duckdb").collect()]
+    assert got == expected
+
+
+# ------------------------------------- skew-salted fuzzy band join
+
+
+def test_salted_fuzzy_pairs_identical_on_degenerate_keys(spark):
+    """The docstring's degenerate regime: serial IDs share nearly all
+    n-grams, collapsing LSH bands. Salting must spread the hot bands and
+    return the EXACT same pair set as the unsalted join."""
+    from sql4pandas_spark.operators.joins import fuzzy_key_pairs
+
+    clean = spark.createDataFrame(
+        [(f"Customer#{i:09d}",) for i in range(60)], ["name"]
+    )
+    # one char deleted mid-string for every 3rd key
+    dirty = spark.createDataFrame(
+        [(f"Customer#{i:09d}"[:11] + f"Customer#{i:09d}"[12:],)
+         for i in range(0, 60, 3)],
+        ["dname"],
+    )
+    base = {
+        (r["left_key_value"], r["right_key_value"], r["key_distance"])
+        for r in fuzzy_key_pairs(dirty, clean, "dname", "name").collect()
+    }
+    salted = {
+        (r["left_key_value"], r["right_key_value"], r["key_distance"])
+        for r in fuzzy_key_pairs(
+            dirty, clean, "dname", "name",
+            salt_hot_bands=4, hot_band_product=1,  # force EVERY band hot
+        ).collect()
+    }
+    assert salted == base and base  # identical and non-empty
+
+
+def test_salted_fuzzy_pairs_mixed_hot_cold(spark):
+    """Mid threshold: some bands salt, some don't — union still exact."""
+    from sql4pandas_spark.operators.joins import fuzzy_key_pairs
+
+    names = [f"Customer#{i:09d}" for i in range(40)] + [
+        "alice smith", "bob jones", "carol white", "dave black",
+    ]
+    clean = spark.createDataFrame([(n,) for n in names], ["name"])
+    dirty = spark.createDataFrame(
+        [(n[:3] + n[4:],) for n in names[::4]], ["dname"]
+    )
+    kw = dict(max_distance=2, n_hashes=24, n_bands=12)
+    base = {
+        tuple(r) for r in fuzzy_key_pairs(
+            dirty, clean, "dname", "name", **kw
+        ).collect()
+    }
+    salted = {
+        tuple(r) for r in fuzzy_key_pairs(
+            dirty, clean, "dname", "name", **kw,
+            salt_hot_bands=3, hot_band_product=25,
+        ).collect()
+    }
+    assert salted == base and base
+
+
+# ------------------------------------- streaming sketch-state maintenance
+
+
+def _land_one_file(df, landing_dir, fname):
+    import os
+    import shutil
+    import uuid as _uuid
+
+    stage = os.path.join(landing_dir, f"_stage_{_uuid.uuid4().hex[:8]}")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    (part,) = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+    os.makedirs(landing_dir, exist_ok=True)
+    shutil.copyfile(os.path.join(stage, part), os.path.join(landing_dir, fname))
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def test_heavy_hitter_stream_matches_batch_recount(spark, tmp_path):
+    """Two drains over a shared checkpoint (resume), final state == exact
+    full recount (per-batch vocab under m ⇒ provably exact)."""
+    from sql4pandas_spark.streaming import sketches as sk
+
+    store = str(tmp_path / "store")
+    land = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1, ["item"]
+    )
+    b2 = spark.createDataFrame(
+        [("a",)] * 2 + [("c",)] * 7 + [("d",)] * 4, ["item"]
+    )
+    sk.empty_state(spark, "item string, n long", store)
+
+    _land_one_file(b1, land, "batch_00.parquet")
+    stream = spark.readStream.schema(b1.schema).parquet(land)
+    sk.run_heavy_hitter_stream(stream, store, "item", m=8, checkpoint=ckpt)
+
+    _land_one_file(b2, land, "batch_01.parquet")
+    stream = spark.readStream.schema(b1.schema).parquet(land)
+    sk.run_heavy_hitter_stream(stream, store, "item", m=8, checkpoint=ckpt)
+
+    final = {r["item"]: r["n"] for r in sk.latest_state(spark, store).collect()}
+    assert final == {"a": 7, "b": 3, "c": 8, "d": 4}
+
+
+def test_histogram_stream_matches_batch_histogram(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.sketches import value_histogram
+    from sql4pandas_spark.streaming import sketches as sk
+
+    store = str(tmp_path / "store")
+    land = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    full = spark.range(1000).select((F.col("id") % 97).cast("double").alias("v"))
+    b1 = full.filter(F.col("v") < 50)
+    b2 = full.filter(F.col("v") >= 50)
+    sk.empty_state(spark, "bin long, n long", store)
+
+    _land_one_file(b1, land, "batch_00.parquet")
+    stream = spark.readStream.schema(b1.schema).parquet(land)
+    sk.run_histogram_stream(stream, store, "v", 0.0, 100.0, 20, checkpoint=ckpt)
+
+    _land_one_file(b2, land, "batch_01.parquet")
+    stream = spark.readStream.schema(b1.schema).parquet(land)
+    sk.run_histogram_stream(stream, store, "v", 0.0, 100.0, 20, checkpoint=ckpt)
+
+    got = {r["bin"]: r["n"] for r in sk.latest_state(spark, store).collect()}
+    want = {
+        r["bin"]: r["n"]
+        for r in value_histogram(full, "v", 0.0, 100.0, 20).collect()
+    }
+    assert got == want
+
+
+def test_sketch_apply_batch_replay_idempotent_and_guarded(spark, tmp_path):
+    """Replaying the last uncommitted batch rewrites the same version from
+    the same input (no double count); a renumbered batch id raises."""
+    import pytest as _pytest
+
+    from sql4pandas_spark.operators.sketches import merge_heavy_hitter_states
+    from sql4pandas_spark.streaming import sketches as sk
+
+    store = str(tmp_path / "store")
+    sk.empty_state(spark, "item string, n long", store)
+    b = spark.createDataFrame([("a", 5), ("b", 2)], "item string, n long")
+    sk.sketch_apply_batch(b, store, merge_heavy_hitter_states, 0)  # v1
+    sk.sketch_apply_batch(b, store, merge_heavy_hitter_states, 0)  # replay v1
+    final = {r["item"]: r["n"] for r in sk.latest_state(spark, store).collect()}
+    assert final == {"a": 5, "b": 2}  # NOT doubled
+    with _pytest.raises(RuntimeError, match="misalignment"):
+        sk.sketch_apply_batch(b, store, merge_heavy_hitter_states, 5)
