@@ -22,6 +22,20 @@ SPARK_TO_DUCKDB_FN = {
     "pow": "power",
     "substring": "substr",
     "rlike": "regexp_matches",
+    # array/list family — same argument order and semantics, names differ;
+    # higher-order functions share the `x -> expr` SQL lambda syntax in
+    # both engines, so transform/filter are pure renames too
+    "array_contains": "list_contains",
+    "array_distinct": "list_distinct",
+    "sort_array": "list_sort",
+    "array_join": "array_to_string",
+    "transform": "list_transform",
+    "filter": "list_filter",
+    # semantic trap, not just a rename: DuckDB log() is log10 while Spark
+    # log() is ln — mapping Spark log10 <-> DuckDB log keeps both sides'
+    # statements meaning what they meant
+    "log10": "log",
+    "hex": "to_hex",
 }
 
 

@@ -27,7 +27,13 @@ from sql4pandas_spark.functions import SPARK_TO_DUCKDB_FN
 
 #: DuckDB-name → Spark-name, derived (not hand-maintained) from the same
 #: table the oracle harness reads, so the two directions can never drift.
-DUCKDB_TO_SPARK_FN: dict[str, str] = {v: k for k, v in SPARK_TO_DUCKDB_FN.items()}
+#: Reverse-only synonyms: DuckDB spellings with no distinct Spark partner
+#: (their Spark target is already claimed by another reverse pair).
+DUCKDB_TO_SPARK_FN: dict[str, str] = {
+    v: k for k, v in SPARK_TO_DUCKDB_FN.items()
+} | {
+    "regexp_split_to_array": "split",  # Spark split IS regex-based
+}
 
 #: Dialect-isms that are not simple 1:1 function renames (kept tiny and
 #: explicit; anything not listed rides through to Catalyst unchanged).

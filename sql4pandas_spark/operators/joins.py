@@ -473,6 +473,18 @@ def fuzzy_key_pairs(
     rb = band_keys(_sigs(rnorm, "_rnorm"), n_bands, rows_per_band).select(
         F.col("doc_id").alias("_rnorm"), "band_key"
     )
+    # explicit co-partitioning: the band frames are tiny RELATIVE TO THEIR
+    # JOIN OUTPUT (band collisions fan out), so AQE's post-shuffle coalesce
+    # — which only sees the small input — would run the exploding join +
+    # Levenshtein verify on a handful of tasks. A user-specified partition
+    # count is exempt from coalescing; spreading on band_key keeps the
+    # join co-partitioned. (Measured at sf0.1: the coalesced plan ran the
+    # verify single-task for ~15 min.)
+    n_spread = int(
+        left.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    lb = lb.repartition(n_spread, "band_key")
+    rb = rb.repartition(n_spread, "band_key")
     if salt_hot_bands:
         # the salted path consumes each band frame twice (hot-band counts
         # + the split join); checkpoint so the MinHash signatures compute
@@ -480,14 +492,23 @@ def fuzzy_key_pairs(
         # storage — never the CacheManager pin the round-9 ADVICE flagged.
         lb = lb.localCheckpoint(eager=False)
         rb = rb.localCheckpoint(eager=False)
-        cand = _salted_band_candidates(
-            lb, rb, salt_hot_bands, hot_band_product
-        ).distinct()
+        raw = _salted_band_candidates(lb, rb, salt_hot_bands, hot_band_product)
     else:
-        cand = lb.join(rb, "band_key").select("_lnorm", "_rnorm").distinct()
-    dist = F.levenshtein("_lnorm", "_rnorm")
-    matched = cand.filter(dist <= F.lit(max_distance)).withColumn(
-        "key_distance", dist
+        raw = lb.join(rb, "band_key").select("_lnorm", "_rnorm")
+    # cheap JVM length prefilter BEFORE the distinct: keys within d edits
+    # differ in length by <= d, and band collisions between unrelated keys
+    # are the bulk of the candidate volume — dropping them here shrinks
+    # both the distinct's shuffle and the Levenshtein verify (an O(L*L)
+    # dynamic program per pair vs an O(1) length compare).
+    cand = raw.filter(
+        F.abs(F.length("_lnorm") - F.length("_rnorm")) <= F.lit(max_distance)
+    ).distinct()
+    # thresholded Levenshtein: the banded DP short-circuits once distance
+    # exceeds max_distance (returns -1), O(d*L) per pair instead of O(L*L)
+    # — and the returned value IS the exact distance when within bound.
+    dist = F.levenshtein("_lnorm", "_rnorm", max_distance)
+    matched = cand.withColumn("key_distance", dist).filter(
+        F.col("key_distance") >= 0
     )
     # map normalized matches back to every ORIGINAL key spelling
     lmap = (

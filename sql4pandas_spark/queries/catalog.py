@@ -85,6 +85,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (added as they land; each new entry MUST enter the window or the
     # evidence rule goes red)
     "sql_frontend_duckdb",
+    "sql_frontend_events_json",
     "fuzzy_join_salted_parts",
     "stream_heavy_hitters_tokens",
     "stream_quantile_orders",

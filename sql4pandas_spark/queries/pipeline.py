@@ -5305,3 +5305,54 @@ def stream_quantile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         sk.latest_state(spark, root), [50, 95, 99],
         lo=0.0, hi=600000.0, n_bins=1000,
     ).orderBy("pct")
+
+
+#: Second front-end statement — the array/JSON/math rename families
+#: (list_* higher-order lambdas, json_extract_string, the log()-is-log10
+#: semantic trap, to_hex), again ONE string for both engines.
+_FRONTEND_EVENTS_SQL = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_e2_sum,
+           CAST(sum(CASE WHEN list_contains(
+                  string_split('view click purchase', ' '), event_type)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_funnel_rows,
+           CAST(sum(len(list_filter(string_split(event_type, 'e'),
+                                    x -> x <> ''))) AS BIGINT)
+             AS n_e_segments,
+           max(array_to_string(list_sort(list_distinct(
+                 string_split(event_type, 'e'))), '|')) AS seg_sig,
+           CAST(sum(CAST(floor(log10(CAST(user_id + 10 AS DOUBLE)))
+                AS BIGINT)) AS BIGINT) AS log10_sum,
+           max(to_hex(user_id % 255)) AS hex_max
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+@query(
+    "sql_frontend_events_json",
+    oracle=_FRONTEND_EVENTS_SQL,
+    tags=("tier-a", "sql_frontend", "transpile", "json_fns", "array_fns"),
+)
+def sql_frontend_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-dialect front end, harder families
+    (functions/transpile.py): one DuckDB statement exercising
+    json_extract_string→get_json_object, the list_* higher-order family
+    with shared `x -> expr` lambda syntax (list_filter→filter,
+    list_contains→array_contains, list_sort→sort_array,
+    list_distinct→array_distinct, array_to_string→array_join), the
+    log()-means-log10 semantic trap (log10↔log mapping keeps both sides'
+    meaning), and to_hex→hex — transpiled and handed to Catalyst, then
+    hash-matched against DuckDB running the IDENTICAL string. Split
+    empty-segment semantics (leading/trailing '') agree engine-to-engine
+    and are covered by the n_e_segments / seg_sig columns."""
+    from sql4pandas_spark.engine import Engine
+
+    register_tables(spark, sf_dir, ("events",))
+    eng = Engine(spark)
+    return eng.sql(_FRONTEND_EVENTS_SQL, dialect="duckdb").df
