@@ -337,6 +337,92 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via PREFIX FILTERING (the PPJoin-family
+    candidate generation; Xiao et al., WWW'08; Bayardo et al., WWW'07) —
+    same contract as :func:`ngram_jaccard_pairs` (exact, (id_a, id_b,
+    jaccard≥t) with jaccard 4dp), different candidate algebra.
+
+    The inverted-index AllPairs join meets every pair once per SHARED
+    shingle — candidate volume Σ_shingle df², quadratic in each hot
+    shingle's document frequency. Prefix filtering joins only on each
+    document's PREFIX under a global rarest-first shingle order: sort
+    each doc's shingle set by (corpus df, shingle) ascending and keep the
+    first ``|X| - ceil(t·|X|) + 1`` entries. Completeness: for J(A,B) ≥ t
+    the globally-smallest element m of A∩B has at most |A| - |A∩B| ≤
+    |A| - ceil(t·|A|) A-only elements before it, so m sits inside BOTH
+    prefixes — every qualifying pair meets on m (no recall loss; pinned
+    against the AllPairs output in tests/test_dedup.py). ceil(t·|X|) is
+    computed integer-exactly from the e6-quantized threshold so a float
+    ulp can never shorten a prefix.
+
+    Scale shape: boilerplate shingles (the hot-bucket failure mode that
+    needs max_doc_freq capping in the AllPairs form) are the LAST
+    candidates for a rare-first prefix — they effectively vanish from
+    the join, uncapped and still exact. Shuffles: df-count groupBy, one
+    doc-level groupBy carrying the shingle set once, the prefix
+    self-join, and the verify join on int pairs; the verify reads the
+    full sets as JVM arrays (array_intersect), never re-exploding.
+    """
+    t_e6 = round(threshold * 1_000_000)
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    docs = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df_", "shingle"))).alias("_ord"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        # rarest-first shingle list + integer-exact prefix length
+        .select(
+            "doc_id",
+            F.transform("_ord", lambda s: s["shingle"]).alias("sset"),
+            "c",
+            F.expr(
+                f"CAST(c - ({t_e6} * c + 999999) DIV 1000000 + 1 AS INT)"
+            ).alias("p"),
+        )
+    )
+    pref = docs.select(
+        "doc_id", F.explode(F.slice("sset", F.lit(1), F.col("p"))).alias("shingle")
+    )
+    cand = (
+        pref.select("shingle", F.col("doc_id").alias("id_a"))
+        .join(
+            pref.select(F.col("shingle").alias("sh2"), F.col("doc_id").alias("id_b")),
+            (F.col("shingle") == F.col("sh2")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("sset").alias("sa"), F.col("c").alias("ca")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"), F.col("sset").alias("sb"), F.col("c").alias("cb")
+    )
+    i = F.size(F.array_intersect("sa", "sb")).cast("long")
+    # same unrounded int64-derived ratio as ngram_jaccard_pairs — the two
+    # constructions (and the DuckDB oracle) produce bit-identical doubles
+    jac = let_col(i, lambda ic: ic.cast("double") / (F.col("ca") + F.col("cb") - ic))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

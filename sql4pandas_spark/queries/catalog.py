@@ -89,6 +89,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "fuzzy_join_salted_parts",
     "stream_heavy_hitters_tokens",
     "stream_quantile_orders",
+    "jaccard_prefix_pairs",
     # -- the 2 entries red in r9 (array-shape driver errs, now scalarized;
     #    still 0 committed greens) --
     "random_projection_embeddings",

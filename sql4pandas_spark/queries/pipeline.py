@@ -5356,3 +5356,48 @@ def sql_frontend_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir, ("events",))
     eng = Engine(spark)
     return eng.sql(_FRONTEND_EVENTS_SQL, dialect="duckdb").df
+
+
+@query(
+    "jaccard_prefix_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS w
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (SELECT doc_id,
+                   unnest(CASE WHEN len(w) >= 3
+                          THEN [array_to_string(list_slice(w, i, i+2), ' ') FOR i IN range(1, len(w)-1)]
+                          ELSE [array_to_string(w, ' ')] END) AS shingle
+            FROM toks)),
+    card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(CAST(i AS DOUBLE) / (ca.c + cb.c - i), 4) AS jaccard
+    FROM inter JOIN card ca ON inter.id_a = ca.doc_id
+               JOIN card cb ON inter.id_b = cb.doc_id
+    WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.5
+    ORDER BY jaccard DESC, id_a, id_b
+    """,
+    tags=("tier-c", "dedup_near", "prefix_filter", "set_similarity"),
+)
+def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs (≥ 0.5) via PREFIX FILTERING
+    (operators/dedup.prefix_filter_jaccard_pairs — the PPJoin-family
+    candidate generation): each document joins only on the rarest
+    ``|X| - ceil(t·|X|) + 1`` shingles under a global rare-first order,
+    provably meeting every qualifying pair while boilerplate shingles —
+    the AllPairs hot-bucket failure mode — effectively vanish from the
+    join. The oracle is the SAME exact all-shared-shingles construction
+    that checks dedup_ngram_jaccard, so the hash match proves the
+    prefix-filtered candidate algebra is lossless on this corpus;
+    threshold-boundary exactness is pinned in tests/test_round10_ops.py."""
+    t = register_tables(spark, sf_dir, ("documents",))
+    return (
+        dedup.prefix_filter_jaccard_pairs(t["documents"], threshold=0.5)
+        .orderBy(F.col("jaccard").desc(), "id_a", "id_b")
+    )

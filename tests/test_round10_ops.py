@@ -382,3 +382,68 @@ def test_sketch_apply_batch_replay_idempotent_and_guarded(spark, tmp_path):
     assert final == {"a": 5, "b": 2}  # NOT doubled
     with _pytest.raises(RuntimeError, match="misalignment"):
         sk.sketch_apply_batch(b, store, merge_heavy_hitter_states, 5)
+
+
+# ------------------------------------- prefix-filter exact Jaccard join
+
+
+def test_prefix_filter_equals_allpairs_on_threshold_spanning_corpus(spark):
+    """Synthetic corpus whose pair similarities straddle the threshold,
+    including an exact-boundary pair — prefix filtering must lose
+    nothing (the globally-smallest shared shingle sits in both
+    prefixes)."""
+    from sql4pandas_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = [
+        # near-identical pair (J high)
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        # moderate-overlap pair
+        (3, "alpha beta gamma delta kappa lambda mu nu"),
+        # low-overlap docs
+        (4, "omicron pi rho sigma tau upsilon phi chi"),
+        (5, "omicron pi psi omega alef bet gimel dalet"),
+        # short-doc fallback (whole-text shingle)
+        (6, "he said"),
+        (7, "he said"),
+        # boilerplate-heavy docs (hot shingles land LAST in rare-first order)
+        (8, "the quick brown fox jumps over the lazy dog again today"),
+        (9, "the quick brown fox jumps over the lazy dog again tomorrow"),
+        (10, "the quick brown fox sleeps under the lazy dog again today"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for thr in (0.2, 0.5, 0.8):
+        base = {tuple(r) for r in ngram_jaccard_pairs(df, threshold=thr).collect()}
+        pf = {
+            tuple(r)
+            for r in prefix_filter_jaccard_pairs(df, threshold=thr).collect()
+        }
+        assert pf == base, f"threshold {thr}: {pf ^ base}"
+    # sanity: thresholds actually discriminate on this corpus
+    n_02 = len(ngram_jaccard_pairs(df, threshold=0.2).collect())
+    n_08 = len(ngram_jaccard_pairs(df, threshold=0.8).collect())
+    assert n_02 > n_08
+
+
+def test_prefix_filter_exact_boundary_pair(spark):
+    """A pair sitting EXACTLY at the threshold must survive (the
+    integer-exact ceil can't shorten a prefix past the safe bound)."""
+    from sql4pandas_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    # 3-gram shingle sets: doc1 has 4 shingles, doc2 has 4, overlap 2
+    # J = 2 / (4 + 4 - 2) = 1/3 — test at threshold exactly 1/3 (e6 334/3?)
+    # use t=0.3333 (below) and 0.3334 (above): the pair flips
+    d = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),   # shingles: abc bcd cde def
+            (2, "a b c d x y"),   # shingles: abc bcd cdx dxy → overlap {abc,bcd}
+        ],
+        ["doc_id", "text"],
+    )
+    lo = prefix_filter_jaccard_pairs(d, threshold=0.3333).collect()
+    hi = prefix_filter_jaccard_pairs(d, threshold=0.3334).collect()
+    assert len(lo) == 1 and abs(lo[0]["jaccard"] - 0.3333) < 1e-9
+    assert len(hi) == 0
