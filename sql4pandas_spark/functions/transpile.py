@@ -39,6 +39,7 @@ DUCKDB_TO_SPARK_FN: dict[str, str] = {
 #: explicit; anything not listed rides through to Catalyst unchanged).
 #: ``//`` is DuckDB integer division; Spark spells it the ANSI way.
 _INT_DIV = re.compile(r"//")
+_BARE_VARCHAR = re.compile(r"\bVARCHAR\b(?!\s*\()", re.IGNORECASE)
 
 # one scan, three token classes: single-quoted strings (with '' escapes),
 # double-quoted identifiers, and candidate function-call names. Strings and
@@ -71,13 +72,18 @@ def transpile_duckdb(statement: str) -> str:
         return DUCKDB_TO_SPARK_FN.get(name.lower(), name)
 
     out = _TOKEN.sub(_sub, statement)
-    # '//' cannot appear inside the surviving unquoted SQL except as the
-    # integer-division operator (string literals were protected above only
-    # within _TOKEN's substitution, so guard '//' the same way: split on
-    # literals and rewrite outside them).
+    # Non-call-position rewrites, applied outside string literals only
+    # (split on literals, rewrite the even segments):
+    # - '//' is DuckDB integer division → ANSI DIV;
+    # - bare VARCHAR (no length) is a valid DuckDB cast target but Spark
+    #   demands a length — STRING is the shared-semantics spelling.
+    #   VARCHAR(n) is valid in both and passes through untouched.
     parts = re.split(r"('(?:[^']|'')*')", out)
     parts = [
-        p if i % 2 else _INT_DIV.sub(" DIV ", p) for i, p in enumerate(parts)
+        p
+        if i % 2
+        else _BARE_VARCHAR.sub("STRING", _INT_DIV.sub(" DIV ", p))
+        for i, p in enumerate(parts)
     ]
     return "".join(parts)
 

@@ -169,6 +169,31 @@ def distribution_drift(
     return _psi_tail(h, "bin", n_bins)
 
 
+def psi_from_histograms(
+    old_hist: DataFrame, new_hist: DataFrame, n_bins: int
+) -> DataFrame:
+    """PSI read-out over two MERGEABLE histogram states
+    (operators/sketches.value_histogram ``(bin, n)`` rows on the same
+    fixed grid) — the read-side adapter that turns the streaming sketch
+    store (streaming/sketches.run_histogram_stream) into the same drift
+    gate :func:`distribution_drift` computes from raw rows. Because the
+    states merge by per-bin addition, the reference side can be a frozen
+    store version and the current side the live one: continuous drift
+    monitoring with O(n_bins) work per read-out and zero raw re-scans.
+
+    Same add-half smoothing and 6dp rounding as every PSI gate
+    (:func:`_psi_tail`); bins absent from a state count 0.
+    """
+    spark = old_hist.sparkSession
+    bins = spark.range(n_bins).select(F.col("id").alias("bin"))
+    h = (
+        bins.join(old_hist.withColumnRenamed("n", "n_old"), "bin", "left")
+        .join(new_hist.withColumnRenamed("n", "n_new"), "bin", "left")
+        .fillna(0, ["n_old", "n_new"])
+    )
+    return _psi_tail(h, "bin", n_bins)
+
+
 def drift_timeline(
     df: DataFrame,
     time_col: str,

@@ -5401,3 +5401,73 @@ def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.prefix_filter_jaccard_pairs(t["documents"], threshold=0.5)
         .orderBy(F.col("jaccard").desc(), "id_a", "id_b")
     )
+
+
+@query(
+    "stream_drift_psi_events",
+    oracle="""
+    WITH ref AS (
+      SELECT least(19, greatest(0, CAST(floor(value * 20.0 / 600.0)
+               AS BIGINT))) AS bin, count(*) AS n_old
+      FROM events
+      WHERE value IS NOT NULL AND ts < TIMESTAMP '2024-01-11'
+      GROUP BY 1),
+    cur AS (
+      SELECT least(19, greatest(0, CAST(floor(value * 20.0 / 600.0)
+               AS BIGINT))) AS bin, count(*) AS n_new
+      FROM events
+      WHERE value IS NOT NULL AND ts >= TIMESTAMP '2024-01-11'
+      GROUP BY 1),
+    spine AS (SELECT unnest(range(0, 20)) AS bin),
+    h AS (
+      SELECT s.bin, coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+      FROM spine s LEFT JOIN ref USING (bin) LEFT JOIN cur USING (bin)),
+    t AS (SELECT sum(n_old) AS tot_o, sum(n_new) AS tot_n FROM h)
+    SELECT bin, n_old, n_new,
+           round((n_old + 0.5) / (tot_o + 10.0), 6) AS p,
+           round((n_new + 0.5) / (tot_n + 10.0), 6) AS q,
+           round(((n_old + 0.5) / (tot_o + 10.0)
+                  - (n_new + 0.5) / (tot_n + 10.0))
+                 * ln(((n_old + 0.5) / (tot_o + 10.0))
+                      / ((n_new + 0.5) / (tot_n + 10.0))), 6) AS psi
+    FROM h, t ORDER BY bin
+    """,
+    tags=("tier-c", "drift_monitor", "scan_stream", "foreach_batch", "incr_agg"),
+)
+def stream_drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING drift monitoring (streaming/sketches.py +
+    operators/profile.psi_from_histograms): a frozen reference histogram
+    (events days 1-10, 20 bins over value [0, 600]) against a
+    stream-maintained current histogram — two availableNow drains
+    (days 11-20, then the rest) fold into the versioned store via
+    foreachBatch per-bin addition, and the PSI gate reads off the two
+    |bins|-row states with zero raw re-scans. This is the production
+    drift loop: the reference is a pinned store version, the current
+    side advances with ingestion, every read-out is O(n_bins). The
+    oracle rebuilds both histograms over ALL raw rows and replays the
+    add-half-smoothed PSI formula — the hash match proves
+    stream-maintained drift == from-scratch drift."""
+    from sql4pandas_spark.operators.profile import psi_from_histograms
+    from sql4pandas_spark.operators.sketches import value_histogram
+    from sql4pandas_spark.streaming import sketches as sk
+
+    t = register_tables(spark, sf_dir, ("events",))
+    e = t["events"].select("event_id", "ts", "value")
+    grid = dict(value_col="value", lo=0.0, hi=600.0, n_bins=20)
+    ref = value_histogram(e.filter(F.col("ts") < "2024-01-11"), **grid)
+
+    root, land, ckpt = _scratch_dirs("psi_store", "psi_landing", "psi_ckpt")
+    os.makedirs(land, exist_ok=True)
+    sk.empty_state(spark, "bin long, n long", root)
+    for i, pred in enumerate(
+        (
+            (F.col("ts") >= "2024-01-11") & (F.col("ts") < "2024-01-21"),
+            F.col("ts") >= "2024-01-21",
+        )
+    ):
+        _stage_changeset_file(e.filter(pred), land, f"events_{i:02d}.parquet")
+        stream = spark.readStream.schema(e.schema).parquet(land)
+        sk.run_histogram_stream(
+            stream, root, "value", 0.0, 600.0, 20, checkpoint=ckpt
+        )
+    return psi_from_histograms(ref, sk.latest_state(spark, root), 20)

@@ -447,3 +447,56 @@ def test_prefix_filter_exact_boundary_pair(spark):
     hi = prefix_filter_jaccard_pairs(d, threshold=0.3334).collect()
     assert len(lo) == 1 and abs(lo[0]["jaccard"] - 0.3333) < 1e-9
     assert len(hi) == 0
+
+
+def test_transpile_bare_varchar_cast(spark):
+    """DuckDB CAST(x AS VARCHAR) is legal without a length; Spark demands
+    one — the transpiler rewrites the bare type to STRING (VARCHAR(n)
+    passes through, both engines accept it)."""
+    from sql4pandas_spark.functions.transpile import transpile_duckdb
+
+    out = transpile_duckdb(
+        "SELECT CAST(x AS VARCHAR) AS s, CAST(y AS VARCHAR(10)) AS v, "
+        "'VARCHAR' AS lit FROM t"
+    )
+    assert "CAST(x AS STRING)" in out
+    assert "VARCHAR(10)" in out
+    assert "'VARCHAR'" in out
+    got = [
+        tuple(r)
+        for r in spark.sql(
+            transpile_duckdb("SELECT CAST(42 AS VARCHAR) AS s")
+        ).collect()
+    ]
+    assert got == [("42",)]
+
+
+def test_psi_from_histograms_equals_distribution_drift(spark):
+    """The histogram-state PSI read-out must reproduce the raw-row drift
+    gate on the same fixed grid (streaming monitoring == batch gate)."""
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.profile import (
+        distribution_drift,
+        psi_from_histograms,
+    )
+    from sql4pandas_spark.operators.sketches import value_histogram
+
+    full = spark.range(2000).select(
+        (F.col("id") % 37).cast("double").alias("v"),
+        (F.col("id") % 2).alias("half"),
+    )
+    old = full.filter("half = 0")
+    new = full.filter("half = 1")
+    raw = {
+        r["bin"]: (r["n_old"], r["n_new"], r["p"], r["q"], r["psi"])
+        for r in distribution_drift(old, new, "v", n_bins=8, lo=0.0, hi=40.0).collect()
+    }
+    grid = dict(value_col="v", lo=0.0, hi=40.0, n_bins=8)
+    st = {
+        r["bin"]: (r["n_old"], r["n_new"], r["p"], r["q"], r["psi"])
+        for r in psi_from_histograms(
+            value_histogram(old, **grid), value_histogram(new, **grid), 8
+        ).collect()
+    }
+    assert st == raw
