@@ -201,6 +201,93 @@ def heavy_hitter_state(
     return counts.orderBy(F.desc("n"), F.asc("item")).limit(m)
 
 
+def _cms_cols(item_col: str, depth: int, width: int):
+    """The ``depth`` deterministic cell columns of a count-min sketch:
+    ``col_r(x) = ((a_r·(h60(x) mod M31) + b_r) mod M31) mod width`` —
+    portable_hash60 reduced below 2^31 FIRST so every product stays under
+    2^62 (int64-exact in Spark AND DuckDB; the same overflow discipline as
+    the MinHash affine permutations). Returns a list of (row, col) structs.
+    """
+    from sql4pandas_spark.operators.dedup import MERSENNE31, _affine_params
+    from sql4pandas_spark.operators.text import portable_hash60
+
+    hm = F.pmod(portable_hash60(F.col(item_col)), F.lit(MERSENNE31))
+    return [
+        F.struct(
+            F.lit(r).cast("int").alias("row"),
+            F.pmod(
+                F.pmod(F.lit(a) * hm + F.lit(b), F.lit(MERSENNE31)),
+                F.lit(width),
+            ).cast("int").alias("col"),
+        )
+        for r, (a, b) in enumerate(_affine_params(depth, seed=29))
+    ]
+
+
+def count_min_state(
+    df: DataFrame, item_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """One batch's count-min sketch: per-cell counts ``(row, col, n)`` over
+    a fixed ``depth × width`` grid — the point-frequency member of the
+    mergeable-state family (value_histogram: quantiles;
+    heavy_hitter_state: top-k; HLL: distinct; this: "how often did THIS
+    item occur", answerable for ANY item in O(depth) from a state of at
+    most depth·width rows regardless of cardinality).
+
+    Error contract (the classic CMS guarantee, opposite sign to
+    heavy-hitters): estimates NEVER undercount — an item's cell can only
+    gain counts from hash-colliding items — and overcount by more than
+    2N/width in any single row with probability < 1/2 per row, so the
+    min over ``depth`` rows exceeds true+2N/width with probability
+    < 2^-depth. Fully deterministic (portable_hash60 + fixed affine
+    params), so a DuckDB oracle replays every cell bit-for-bit.
+
+    Scale shape: one map-combined groupBy over depth×|rows| narrow
+    fan-out; the state is ≤ depth·width cells — constant-size, like the
+    histogram grid, and merges by pure per-cell addition.
+    """
+    cells = F.explode(F.array(*_cms_cols(item_col, depth, width)))
+    return (
+        df.filter(F.col(item_col).isNotNull())
+        .select(cells.alias("cell"))
+        .groupBy(F.col("cell.row").alias("row"), F.col("cell.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def merge_cms_states(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two count-min states over the same (depth, width, seed) grid:
+    per-cell addition — same mergeability law as merge_histograms, same
+    exactly-once requirement under streaming replay (additive)."""
+    return a.unionByName(b).groupBy("row", "col").agg(F.sum("n").alias("n"))
+
+
+def cms_lookup(
+    state: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates for ``items`` against a count-min state:
+    recompute each item's ``depth`` cells, join the state, take the MIN
+    — ``(item, cms_n)``. An item absent from the corpus reads 0 only if
+    one of its cells is empty; otherwise it reads the colliders' mass
+    (the never-undercount contract). The join is |items|·depth narrow
+    rows against a ≤ depth·width-row state — broadcast-sized by
+    construction."""
+    probes = items.select(
+        F.col(item_col).alias("item"),
+        F.explode(F.array(*_cms_cols(item_col, depth, width))).alias("cell"),
+    ).select("item", F.col("cell.row").alias("row"), F.col("cell.col").alias("col"))
+    return (
+        probes.join(F.broadcast(state), ["row", "col"], "left")
+        .fillna(0, ["n"])
+        .groupBy("item")
+        .agg(F.min("n").alias("cms_n"))
+    )
+
+
 def merge_heavy_hitter_states(a: DataFrame, b: DataFrame) -> DataFrame:
     """Fold two candidate states by per-item addition (one groupBy over
     <= |a|+|b| narrow rows). Accuracy contract, inherited from

@@ -91,6 +91,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_quantile_orders",
     "jaccard_prefix_pairs",
     "stream_drift_psi_events",
+    "cms_token_counts",
     # -- the 2 entries red in r9 (array-shape driver errs, now scalarized;
     #    still 0 committed greens) --
     "random_projection_embeddings",

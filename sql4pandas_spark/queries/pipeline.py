@@ -5471,3 +5471,76 @@ def stream_drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream, root, "value", 0.0, 600.0, 20, checkpoint=ckpt
         )
     return psi_from_histograms(ref, sk.latest_state(spark, root), 20)
+
+
+def _cms_oracle_sql(depth: int = 4, width: int = 256) -> str:
+    """DuckDB replay of the count-min grid: same portable_hash60, same
+    affine params (seed 29), same mod discipline — generated from the
+    one Python source of the constants so the two engines cannot drift."""
+    from sql4pandas_spark.operators.dedup import MERSENNE31, _affine_params
+
+    h60 = text.DUCKDB_HASH60_SQL.format(expr="item")
+    case = " ".join(
+        f"WHEN {r} THEN (({a} * hm + {b}) % {MERSENNE31}) % {width}"
+        for r, (a, b) in enumerate(_affine_params(depth, seed=29))
+    )
+    return f"""
+    WITH ex AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                t -> t <> '')) AS item
+      FROM documents),
+    exact AS (SELECT item, count(*) AS exact_n FROM ex GROUP BY 1),
+    h AS (SELECT item, exact_n, ({h60}) % {MERSENNE31} AS hm FROM exact),
+    pc AS (
+      SELECT item, exact_n, r,
+             CAST(CASE r {case} END AS INT) AS col_
+      FROM h, (SELECT unnest(range(0, {depth})) AS r)),
+    cells AS (SELECT r, col_, sum(exact_n) AS cn FROM pc GROUP BY 1, 2),
+    est AS (
+      SELECT item, CAST(min(cn) AS BIGINT) AS cms_n
+      FROM pc JOIN cells USING (r, col_) GROUP BY item)
+    SELECT e.item, CAST(e.exact_n AS BIGINT) AS exact_n, est.cms_n
+    FROM exact e JOIN est USING (item)
+    ORDER BY item
+    """
+
+
+@query(
+    "cms_token_counts",
+    oracle=_cms_oracle_sql(),
+    tags=("tier-c", "count_min", "sketch", "incr_agg", "agg_approx"),
+)
+def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point-frequency estimates
+    (operators/sketches.count_min_state / merge_cms_states /
+    cms_lookup): a 4×256 CMS built over corpus tokens in three merged
+    batches, then probed for every vocabulary item — reported next to
+    the exact count as (item, exact_n, cms_n). The CMS completes the
+    mergeable-state family (histogram: quantiles; top-m: heavy hitters;
+    HLL: distinct; CMS: any-item frequency from a constant-size state
+    that never undercounts). The oracle replays the identical grid —
+    portable_hash60, seed-29 affine rows, the mod-before-multiply
+    int64-overflow discipline — from a from-scratch full recount, so the
+    hash match proves batch-merged state == global state AND the lookup
+    path; the never-undercount and 2N/width bounds are pinned
+    adversarially in tests/test_round10_ops.py."""
+    from sql4pandas_spark.operators.sketches import (
+        cms_lookup,
+        count_min_state,
+        merge_cms_states,
+    )
+    from sql4pandas_spark.operators.text import tokens as tok
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    d = t["documents"].select("doc_id", F.explode(tok("text")).alias("item"))
+    state = None
+    for b in range(3):
+        part = count_min_state(d.filter(F.col("doc_id") % 3 == b), "item")
+        state = part if state is None else merge_cms_states(state, part)
+    exact = d.groupBy("item").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = cms_lookup(state, exact.select("item"), "item")
+    return (
+        exact.join(est, "item")
+        .select("item", F.col("exact_n").cast("long"), F.col("cms_n").cast("long"))
+        .orderBy("item")
+    )

@@ -500,3 +500,67 @@ def test_psi_from_histograms_equals_distribution_drift(spark):
         ).collect()
     }
     assert st == raw
+
+
+# ------------------------------------- count-min sketch
+
+
+def test_cms_never_undercounts_and_bounds_overcount(spark):
+    """Adversarial: vocabulary (600) far exceeds width (64), forcing
+    collisions — every estimate must be >= exact, and the min-over-rows
+    must keep the worst overcount within a few multiples of 2N/width."""
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.sketches import cms_lookup, count_min_state
+
+    df = spark.range(6000).select(
+        F.concat(F.lit("tok"), (F.pmod(F.col("id") * 7919, F.lit(600)))).alias("item")
+    )
+    state = count_min_state(df, "item", depth=4, width=64)
+    exact = df.groupBy("item").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = cms_lookup(state, exact.select("item"), "item", depth=4, width=64)
+    rows = exact.join(est, "item").collect()
+    n_total = 6000
+    bound = 2 * n_total / 64  # classic single-row expectation bound
+    assert all(r["cms_n"] >= r["exact_n"] for r in rows)
+    worst = max(r["cms_n"] - r["exact_n"] for r in rows)
+    assert worst <= 4 * bound, worst  # min over 4 rows: far inside
+    # collisions actually happened (the test would be vacuous otherwise)
+    assert any(r["cms_n"] > r["exact_n"] for r in rows)
+
+
+def test_cms_merge_equals_global_build(spark):
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.sketches import (
+        count_min_state,
+        merge_cms_states,
+    )
+
+    df = spark.range(3000).select(
+        (F.col("id") % 97).cast("string").alias("item"), (F.col("id") % 3).alias("b")
+    )
+    merged = None
+    for b in range(3):
+        part = count_min_state(df.filter(F.col("b") == b), "item", depth=3, width=32)
+        merged = part if merged is None else merge_cms_states(merged, part)
+    want = {
+        (r["row"], r["col"]): r["n"]
+        for r in count_min_state(df, "item", depth=3, width=32).collect()
+    }
+    got = {(r["row"], r["col"]): r["n"] for r in merged.collect()}
+    assert got == want
+
+
+def test_cms_absent_item_reads_zero_when_cell_empty(spark):
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.sketches import cms_lookup, count_min_state
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], ["item"])
+    state = count_min_state(df, "item", depth=4, width=256)
+    probe = spark.createDataFrame([("never-seen-xyz",)], ["item"])
+    (row,) = cms_lookup(state, probe, "item", depth=4, width=256).collect()
+    # width 256 with 2 distinct items: astronomically unlikely all 4 cells
+    # collide — the empty-cell path must return 0, not NULL
+    assert row["cms_n"] == 0
