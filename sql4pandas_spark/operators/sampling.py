@@ -201,6 +201,47 @@ def weighted_sample_topk(
     )
 
 
+def merge_weighted_samples(
+    states: list[DataFrame], k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fold per-batch A-ES top-k samples into the global weighted sample —
+    the MERGEABLE-state property of Efraimidis–Spirakis keys, and the
+    round-10 member of the incremental family for SAMPLING: a row's key
+    ``ln(u)/w`` is a pure function of (id, weight), so it never changes
+    as the corpus grows, and the global top-k is necessarily contained
+    in the union of per-batch top-ks (any global winner wins its own
+    batch too). Union the ≤ batches·k state rows, re-rank with the SAME
+    (skey desc, portable-hash, id) order, keep k — EXACTLY the sample a
+    from-scratch pass over all batches would draw (pinned against the
+    global build in tests and by the driver oracle).
+
+    Scale shape: each batch contributes a k-row state
+    (TakeOrderedAndProject, zero data-row shuffles); the merge sorts
+    ≤ batches·k rows — bounded metadata, never corpus-sized. This is how
+    a curation sample stays current under continuous ingestion without
+    re-scanning history (foreachBatch-able like every mergeable state;
+    exactly-once NOT required here — re-merging the same batch state is
+    idempotent, unlike the additive sketches).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if not states:
+        raise ValueError("need at least one state")
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    # id-dedup before ranking: a replayed or overlapping batch state
+    # contributes byte-identical rows (keys are pure functions of the
+    # row), and orderBy+limit would otherwise keep the duplicates —
+    # this is what makes re-merging the same state idempotent
+    h = portable_hash60(F.col(id_col).cast("string"))
+    return (
+        out.dropDuplicates([id_col])
+        .orderBy(F.desc("skey"), h, F.col(id_col))
+        .limit(k)
+    )
+
+
 def split_assign(
     df: DataFrame,
     key_col: str,

@@ -2029,6 +2029,45 @@ def top_bigrams_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "weighted_sample_merged_docs",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             round(ln((({_MIX_HASH_PRED}) + 1) / 1152921504606846976.0)
+                   / n_chars, 6) AS skey,
+             ({_MIX_HASH_PRED}) AS tb
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, text, lang, source, n_chars, skey
+    FROM keyed ORDER BY skey DESC, tb, doc_id LIMIT 50
+    """,
+    tags=("tier-c", "weighted_sample", "incr_agg", "sample_hash"),
+)
+def weighted_sample_merged_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL weighted sampling
+    (operators/sampling.merge_weighted_samples): the corpus arrives in
+    three batches, each contributing only its k-row A-ES top-k state
+    (zero data-row shuffles per batch), and the merge re-ranks the
+    <= 3k state rows — the mergeable-state property of
+    Efraimidis-Spirakis keys (a row's ln(u)/w never changes, and every
+    global winner wins its own batch). The oracle draws the sample
+    from-scratch over ALL documents: the hash match proves
+    batch-merged == global — the "keep a curation sample current under
+    continuous ingestion without re-scanning history" primitive."""
+    from sql4pandas_spark.operators.sampling import (
+        merge_weighted_samples,
+        weighted_sample_topk,
+    )
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    d = t["documents"]
+    states = [
+        weighted_sample_topk(d.filter(F.col("doc_id") % 3 == b), "n_chars", k=50)
+        for b in range(3)
+    ]
+    return merge_weighted_samples(states, k=50)
+
+
+@query(
     "weighted_sample_docs",
     oracle=f"""
     WITH keyed AS (

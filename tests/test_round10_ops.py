@@ -564,3 +564,40 @@ def test_cms_absent_item_reads_zero_when_cell_empty(spark):
     # width 256 with 2 distinct items: astronomically unlikely all 4 cells
     # collide — the empty-cell path must return 0, not NULL
     assert row["cms_n"] == 0
+
+
+# ------------------------------------- mergeable weighted sampling
+
+
+def test_merged_weighted_sample_equals_global(spark):
+    """A-ES keys are row-stable, so per-batch top-k states merge to
+    EXACTLY the global sample — including under adversarial batch skew
+    (one batch holding most of the winners)."""
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.sampling import (
+        merge_weighted_samples,
+        weighted_sample_topk,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        # heavy weights concentrated in one batch (id % 5 == 0)
+        F.when(F.col("id") % 5 == 0, F.col("id") * 100 + 1)
+        .otherwise(F.col("id") % 7 + 1)
+        .cast("double")
+        .alias("w"),
+    )
+    want = [tuple(r) for r in weighted_sample_topk(df, "w", k=20).collect()]
+    states = [
+        weighted_sample_topk(df.filter(F.col("doc_id") % 4 == b), "w", k=20)
+        for b in range(4)
+    ]
+    got = [tuple(r) for r in merge_weighted_samples(states, k=20).collect()]
+    assert got == want
+    # re-merging the same state is idempotent (sampling, unlike additive
+    # sketches, tolerates replay)
+    again = [
+        tuple(r) for r in merge_weighted_samples(states + [states[0]], k=20).collect()
+    ]
+    assert again == want
