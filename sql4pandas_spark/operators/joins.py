@@ -480,9 +480,12 @@ def fuzzy_key_pairs(
     # count is exempt from coalescing; spreading on band_key keeps the
     # join co-partitioned. (Measured at sf0.1: the coalesced plan ran the
     # verify single-task for ~15 min.)
-    n_spread = int(
-        left.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
+    try:
+        n_spread = int(
+            left.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    except ValueError:  # e.g. "auto" under some AQE configurations
+        n_spread = 32
     lb = lb.repartition(n_spread, "band_key")
     rb = rb.repartition(n_spread, "band_key")
     if salt_hot_bands:
