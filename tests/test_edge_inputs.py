@@ -197,3 +197,94 @@ def test_text_operators_handle_unicode_null_and_empty(spark):
     assert dedup.exact_dedup(docs).count() == 7  # all texts distinct (incl. NULL, "")
     sigs = dedup.simhash(docs)
     assert sigs.filter(F.col("simhash").isNotNull()).count() >= 5
+
+
+# ---------------------------------------------------------------------------
+# round-10 operators: empty / null / degenerate inputs
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_filter_jaccard_empty_and_null_text(spark):
+    from sql4pandas_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    empty = _df(spark, [], "doc_id long, text string")
+    assert prefix_filter_jaccard_pairs(empty).collect() == []
+    # NULL text contributes no shingles and can never pair
+    nulls = _df(spark, [(1, None), (2, "a b c d"), (3, "a b c d")],
+                "doc_id long, text string")
+    rows = prefix_filter_jaccard_pairs(nulls, threshold=0.5).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in rows] == [(2, 3, 1.0)]
+
+
+def test_fuzzy_salted_empty_sides(spark):
+    from sql4pandas_spark.operators.joins import fuzzy_key_pairs
+
+    left = _df(spark, [("abcdef",)], "k string")
+    empty = _df(spark, [], "k2 string")
+    assert fuzzy_key_pairs(
+        left, empty, "k", "k2", salt_hot_bands=4, hot_band_product=1
+    ).collect() == []
+    assert fuzzy_key_pairs(
+        empty.selectExpr("k2 AS k"), left.selectExpr("k AS k2"),
+        "k", "k2", salt_hot_bands=4, hot_band_product=1,
+    ).collect() == []
+
+
+def test_cms_empty_input_and_empty_state(spark):
+    from sql4pandas_spark.operators.sketches import (
+        cms_lookup,
+        count_min_state,
+        merge_cms_states,
+    )
+
+    empty = _df(spark, [], "item string")
+    state = count_min_state(empty, "item")
+    assert state.collect() == []
+    # NULL items are excluded (no hashable identity)
+    nulls = _df(spark, [(None,), ("a",)], "item string")
+    st2 = count_min_state(nulls, "item")
+    assert {r.n for r in st2.collect()} == {1}
+    # lookup against an EMPTY state reads 0 for everything
+    probe = _df(spark, [("a",), ("b",)], "item string")
+    got = {r.item: r.cms_n for r in cms_lookup(state, probe, "item").collect()}
+    assert got == {"a": 0, "b": 0}
+    # merging with an empty state is the identity
+    merged = merge_cms_states(state, st2)
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in st2.collect()
+    }
+
+
+def test_merge_weighted_samples_empty_states(spark):
+    import pytest as _pytest
+
+    from sql4pandas_spark.operators.sampling import (
+        merge_weighted_samples,
+        weighted_sample_topk,
+    )
+
+    empty = _df(spark, [], "doc_id long, w double")
+    s_empty = weighted_sample_topk(empty, "w", k=5)
+    assert merge_weighted_samples([s_empty, s_empty], k=5).collect() == []
+    with _pytest.raises(ValueError):
+        merge_weighted_samples([], k=5)
+    with _pytest.raises(ValueError):
+        merge_weighted_samples([s_empty], k=0)
+
+
+def test_psi_from_histograms_empty_states(spark):
+    from sql4pandas_spark.operators.profile import psi_from_histograms
+
+    empty = spark.createDataFrame([], "bin long, n long")
+    rows = psi_from_histograms(empty, empty, 4).collect()
+    # all-empty: every bin 0/0, smoothed shares equal, psi exactly 0
+    assert len(rows) == 4
+    assert all(r.n_old == 0 and r.n_new == 0 and r.psi == 0.0 for r in rows)
+
+
+def test_transpile_empty_and_no_op_statements(spark):
+    from sql4pandas_spark.functions.transpile import transpile_duckdb
+
+    assert transpile_duckdb("") == ""
+    s = "SELECT a, b FROM t WHERE a > 1 ORDER BY b"
+    assert transpile_duckdb(s) == s  # nothing to rename -> byte-identical
