@@ -201,6 +201,91 @@ def heavy_hitter_state(
     return counts.orderBy(F.desc("n"), F.asc("item")).limit(m)
 
 
+def minhash_set_signatures(
+    df: DataFrame, key_col: str, item_col: str, n_hashes: int = 64
+) -> DataFrame:
+    """Per-key MinHash signature of the key's DISTINCT item set —
+    ``(key, sig array<long>)`` with ``sig[i] = min over items of
+    perm_i(h60(item) mod M31)`` — the set-overlap member of the
+    mergeable-sketch family: signatures of disjoint batches combine by
+    ELEMENTWISE MIN (:func:`merge_set_signatures`), because min over a
+    union is the min of mins. P(sig_a[i] == sig_b[i]) = Jaccard(A, B),
+    so ``matches / n_hashes`` estimates set overlap between any two keys
+    from two n_hashes-long vectors — no pairwise set intersection, which
+    at 100 TB is the difference between joining two billion-row item
+    sets per key pair and comparing two 64-long arrays
+    (:func:`estimated_jaccard_pairs`). Standard error ~ sqrt(J(1-J)/n).
+
+    Deterministic end-to-end (portable_hash60 + the same affine-param
+    scheme as near-dedup, seed 17) so a DuckDB oracle replays every
+    signature component bit-for-bit. Scale shape: one map-combined
+    groupBy(key) carrying n_hashes longs — items never meet each other.
+    """
+    from sql4pandas_spark.operators.dedup import MERSENNE31, _affine_params
+    from sql4pandas_spark.operators.text import portable_hash60
+
+    hm = F.pmod(portable_hash60(F.col(item_col).cast("string")), F.lit(MERSENNE31))
+    mins = [
+        F.min(F.pmod(F.lit(a) * hm + F.lit(b), F.lit(MERSENNE31))).alias(f"_h{i}")
+        for i, (a, b) in enumerate(_affine_params(n_hashes, seed=17))
+    ]
+    return (
+        df.filter(F.col(item_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(*mins)
+        .select(
+            "key", F.array(*[F.col(f"_h{i}") for i in range(n_hashes)]).alias("sig")
+        )
+    )
+
+
+def merge_set_signatures(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two per-key signature states: elementwise min per key (keys
+    absent from one side pass through — min over an empty batch is the
+    identity). One groupBy over narrow (key, n_hashes·8B) rows."""
+    return (
+        a.unionByName(b)
+        .groupBy("key")
+        .agg(
+            F.reduce(
+                F.collect_list("sig"),
+                F.lit(None).cast("array<long>"),
+                lambda acc, s: F.when(acc.isNull(), s).otherwise(
+                    F.zip_with(acc, s, lambda x, y: F.least(x, y))
+                ),
+            ).alias("sig")
+        )
+    )
+
+
+def estimated_jaccard_pairs(sigs: DataFrame, n_hashes: int) -> DataFrame:
+    """All key-pair overlap estimates from a signature frame:
+    ``(key_a, key_b, est_matches, est_jaccard_e4)`` for key_a < key_b.
+    The pair join is |keys|² over n_hashes-long arrays — keys are
+    segments/cohorts (bounded), never items; the match count is one JVM
+    ``aggregate(zip_with(...))`` fold per pair, and the estimate is
+    integer-exact (matches and e4-quantized ratio)."""
+    a = sigs.select(F.col("key").alias("key_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("key").alias("key_b"), F.col("sig").alias("sig_b"))
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, F.col("key_a") < F.col("key_b"))
+        .withColumn("est_matches", matches)
+        .select(
+            "key_a",
+            "key_b",
+            "est_matches",
+            F.expr(f"CAST(est_matches * 10000 DIV {n_hashes} AS BIGINT)").alias(
+                "est_jaccard_e4"
+            ),
+        )
+    )
+
+
 def _cms_cols(item_col: str, depth: int, width: int):
     """The ``depth`` deterministic cell columns of a count-min sketch:
     ``col_r(x) = ((a_r·(h60(x) mod M31) + b_r) mod M31) mod width`` —

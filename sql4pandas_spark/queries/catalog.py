@@ -93,6 +93,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_drift_psi_events",
     "cms_token_counts",
     "weighted_sample_merged_docs",
+    "segment_overlap_events",
     # -- the 2 entries red in r9 (array-shape driver errs, now scalarized;
     #    still 0 committed greens) --
     "random_projection_embeddings",

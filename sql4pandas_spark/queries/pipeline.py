@@ -5583,3 +5583,110 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("item", F.col("exact_n").cast("long"), F.col("cms_n").cast("long"))
         .orderBy("item")
     )
+
+
+def _set_sig_oracle_sql(n_hashes: int = 64) -> str:
+    """DuckDB replay of the per-key MinHash set signatures (same
+    portable_hash60, same seed-17 affine rows) in relational form: a
+    perms VALUES table cross-joined under a (key, i) min — plus the
+    exact distinct-set Jaccard the estimate is judged against."""
+    from sql4pandas_spark.operators.dedup import MERSENNE31, _affine_params
+
+    h60 = text.DUCKDB_HASH60_SQL.format(expr="CAST(item AS VARCHAR)")
+    perms = ", ".join(
+        f"({i}, {a}::BIGINT, {b}::BIGINT)"
+        for i, (a, b) in enumerate(_affine_params(n_hashes, seed=17))
+    )
+    return f"""
+    WITH d AS (
+      SELECT DISTINCT event_type AS key, user_id AS item
+      FROM events WHERE user_id IS NOT NULL),
+    h AS (SELECT key, item, ({h60}) % {MERSENNE31} AS hm FROM d),
+    perms(i, a, b) AS (VALUES {perms}),
+    sc AS (
+      SELECT key, i, min((a * hm + b) % {MERSENNE31}) AS mn
+      FROM h CROSS JOIN perms GROUP BY 1, 2),
+    m AS (
+      SELECT x.key AS key_a, y.key AS key_b,
+             sum(CASE WHEN x.mn = y.mn THEN 1 ELSE 0 END) AS est_matches
+      FROM sc x JOIN sc y ON x.i = y.i AND x.key < y.key
+      GROUP BY 1, 2),
+    ca AS (SELECT key, count(*) AS c FROM d GROUP BY 1),
+    inter AS (
+      SELECT a.key AS key_a, b.key AS key_b, count(*) AS i
+      FROM d a JOIN d b ON a.item = b.item AND a.key < b.key
+      GROUP BY 1, 2)
+    SELECT m.key_a, m.key_b,
+           CAST(est_matches AS BIGINT) AS est_matches,
+           est_matches * 10000 // {n_hashes} AS est_jaccard_e4,
+           coalesce(i, 0) * 10000 // (x.c + y.c - coalesce(i, 0))
+             AS exact_jaccard_e4
+    FROM m JOIN ca x ON m.key_a = x.key
+           JOIN ca y ON m.key_b = y.key
+           LEFT JOIN inter ON m.key_a = inter.key_a AND m.key_b = inter.key_b
+    ORDER BY m.key_a, m.key_b
+    """
+
+
+@query(
+    "segment_overlap_events",
+    oracle=_set_sig_oracle_sql(),
+    tags=("tier-c", "set_sketch", "minhash", "sketch", "incr_agg"),
+)
+def segment_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation between segments without pairwise set
+    intersection (operators/sketches.minhash_set_signatures /
+    merge_set_signatures / estimated_jaccard_pairs): each event_type's
+    distinct-user set collapses to a 64-long MinHash signature
+    (mergeable by elementwise min — built here in two merged batches),
+    and every segment pair's Jaccard is estimated from two 64-long
+    arrays. At 100 TB this replaces |segments|² billion-row set
+    intersections with one map-combined groupBy(key) and an
+    O(|segments|²·n) compare. The entry reports the estimate NEXT TO the
+    exact distinct-set Jaccard (integer e4 both) — honest error
+    accounting; the oracle replays signatures (seed-17 affine rows over
+    portable_hash60, relational perms-table form) AND the exact
+    intersection, so the hash match proves the signature arithmetic,
+    the merge law, and the estimator wiring."""
+    from sql4pandas_spark.operators.sketches import (
+        estimated_jaccard_pairs,
+        merge_set_signatures,
+        minhash_set_signatures,
+    )
+
+    t = register_tables(spark, sf_dir, ("events",))
+    d = (
+        t["events"]
+        .filter(F.col("user_id").isNotNull())
+        .select(F.col("event_type").alias("key"), F.col("user_id").alias("item"))
+        .distinct()
+    )
+    s1 = minhash_set_signatures(d.filter(F.col("item") % 2 == 0), "key", "item")
+    s2 = minhash_set_signatures(d.filter(F.col("item") % 2 == 1), "key", "item")
+    sigs = merge_set_signatures(s1, s2)
+    est = estimated_jaccard_pairs(sigs, 64)
+
+    ca = d.groupBy("key").agg(F.count(F.lit(1)).alias("c"))
+    inter = (
+        d.select(F.col("key").alias("key_a"), "item")
+        .join(d.select(F.col("key").alias("key_b"), F.col("item").alias("i2")),
+              (F.col("item") == F.col("i2")) & (F.col("key_a") < F.col("key_b")))
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        est.join(ca.select(F.col("key").alias("key_a"), F.col("c").alias("c_a")), "key_a")
+        .join(ca.select(F.col("key").alias("key_b"), F.col("c").alias("c_b")), "key_b")
+        .join(inter, ["key_a", "key_b"], "left")
+        .fillna(0, ["i"])
+        .select(
+            "key_a",
+            "key_b",
+            "est_matches",
+            "est_jaccard_e4",
+            F.expr("CAST(i * 10000 DIV (c_a + c_b - i) AS BIGINT)").alias(
+                "exact_jaccard_e4"
+            ),
+        )
+        .orderBy("key_a", "key_b")
+    )

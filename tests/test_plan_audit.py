@@ -47,6 +47,10 @@ BNLJ_ALLOWED = {
     "classifier_calibrated_gate",  # 1-row p25 score threshold
     "gapfill_interpolate_15m",   # grid build: 5 event types x O(range) spine,
                                  # both tiny and data-volume-independent
+    "segment_overlap_events",    # |segments|² signature-pair compare over
+                                 # 64-long arrays — data-volume-independent
+                                 # by design (that's the whole point of the
+                                 # set sketch)
 }
 
 #: Row-at-a-time Python evaluation is allowed only in the declared UDTF

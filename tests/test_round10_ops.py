@@ -616,3 +616,62 @@ def test_merged_weighted_sample_equals_global(spark):
         tuple(r) for r in merge_weighted_samples(states + [states[0]], k=20).collect()
     ]
     assert again == want
+
+
+# ------------------------------------- MinHash set-overlap signatures
+
+
+def test_set_signatures_merge_and_estimate_overlap(spark):
+    """Per-key signatures merge by elementwise min to exactly the global
+    signature, and pair estimates track true Jaccard within the
+    sqrt(J(1-J)/n) band on constructed overlapping sets."""
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.sketches import (
+        estimated_jaccard_pairs,
+        merge_set_signatures,
+        minhash_set_signatures,
+    )
+
+    # A = [0, 600), B = [300, 900): true J = 300/900 = 1/3
+    # C = [0, 900): J(A,C) = 600/900 = 2/3, J(B,C) = 600/900 = 2/3
+    rows = (
+        [("A", i) for i in range(600)]
+        + [("B", i) for i in range(300, 900)]
+        + [("C", i) for i in range(900)]
+    )
+    df = spark.createDataFrame(rows, "key string, item long")
+    n = 128
+    sigs = minhash_set_signatures(df, "key", "item", n_hashes=n)
+    est = {
+        (r.key_a, r.key_b): r.est_jaccard_e4 / 10000.0
+        for r in estimated_jaccard_pairs(sigs, n).collect()
+    }
+    assert abs(est[("A", "B")] - 1 / 3) < 0.15
+    assert abs(est[("A", "C")] - 2 / 3) < 0.15
+    assert abs(est[("B", "C")] - 2 / 3) < 0.15
+    # merge law under a 3-way batch split
+    parts = [
+        minhash_set_signatures(
+            df.filter(F.col("item") % 3 == b), "key", "item", n_hashes=n
+        )
+        for b in range(3)
+    ]
+    merged = merge_set_signatures(merge_set_signatures(parts[0], parts[1]), parts[2])
+    assert {r.key: r.sig for r in merged.collect()} == {
+        r.key: r.sig for r in sigs.collect()
+    }
+
+
+def test_set_signatures_null_items_and_empty(spark):
+    from sql4pandas_spark.operators.sketches import minhash_set_signatures
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", 1), ("b", None)], "key string, item long"
+    )
+    out = {r.key: r.sig for r in minhash_set_signatures(df, "key", "item", 8).collect()}
+    # key with only NULL items vanishes (empty set has no signature);
+    # NULLs never contribute components
+    assert set(out) == {"a"} and len(out["a"]) == 8
+    empty = spark.createDataFrame([], "key string, item long")
+    assert minhash_set_signatures(empty, "key", "item", 8).collect() == []
