@@ -168,6 +168,38 @@ def run_heavy_hitter_stream(
     )
 
 
+def run_cms_stream(
+    stream: DataFrame,
+    store_root: str,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+    checkpoint: str | None = None,
+    timeout_sec: int = 120,
+) -> str:
+    """Maintain a streaming count-min sketch: each micro-batch contributes
+    its cell counts (operators/sketches.count_min_state), merged by
+    per-cell addition (merge_cms_states) — point-frequency estimates for
+    ANY item stay answerable in O(depth) from a ≤ depth·width-row state
+    (cms_lookup), with the never-undercount contract intact because
+    per-cell sums of batch counts equal the global cell counts. The
+    (depth, width, seed) grid is FIXED at stream start, like the
+    histogram grid."""
+    from sql4pandas_spark.operators.sketches import (
+        count_min_state,
+        merge_cms_states,
+    )
+
+    return run_sketch_stream(
+        stream,
+        store_root,
+        lambda df: count_min_state(df, item_col, depth, width),
+        merge_cms_states,
+        checkpoint=checkpoint,
+        timeout_sec=timeout_sec,
+    )
+
+
 def run_histogram_stream(
     stream: DataFrame,
     store_root: str,

@@ -675,3 +675,30 @@ def test_set_signatures_null_items_and_empty(spark):
     assert set(out) == {"a"} and len(out["a"]) == 8
     empty = spark.createDataFrame([], "key string, item long")
     assert minhash_set_signatures(empty, "key", "item", 8).collect() == []
+
+
+def test_cms_stream_matches_batch_build(spark, tmp_path):
+    """Streaming CMS: two resume-checkpoint drains fold to exactly the
+    global-build state (per-cell sums of batch counts == global cells)."""
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.sketches import count_min_state
+    from sql4pandas_spark.streaming import sketches as sk
+
+    store = str(tmp_path / "store")
+    land = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    full = spark.range(800).select((F.col("id") % 37).cast("string").alias("item"))
+    b1 = full.filter(F.length("item") == 1)
+    b2 = full.filter(F.length("item") > 1)
+    sk.empty_state(spark, "row int, col int, n long", store)
+    for i, b in enumerate((b1, b2)):
+        _land_one_file(b, land, f"batch_{i:02d}.parquet")
+        stream = spark.readStream.schema(b.schema).parquet(land)
+        sk.run_cms_stream(stream, store, "item", depth=3, width=32, checkpoint=ckpt)
+    got = {(r.row, r.col): r.n for r in sk.latest_state(spark, store).collect()}
+    want = {
+        (r.row, r.col): r.n
+        for r in count_min_state(full, "item", depth=3, width=32).collect()
+    }
+    assert got == want
