@@ -72,13 +72,15 @@ def transpile_duckdb(statement: str) -> str:
         return DUCKDB_TO_SPARK_FN.get(name.lower(), name)
 
     out = _TOKEN.sub(_sub, statement)
-    # Non-call-position rewrites, applied outside string literals only
-    # (split on literals, rewrite the even segments):
+    # Non-call-position rewrites, applied outside string literals AND
+    # quoted identifiers (split keeps both as odd segments):
     # - '//' is DuckDB integer division → ANSI DIV;
     # - bare VARCHAR (no length) is a valid DuckDB cast target but Spark
     #   demands a length — STRING is the shared-semantics spelling.
     #   VARCHAR(n) is valid in both and passes through untouched.
-    parts = re.split(r"('(?:[^']|'')*')", out)
+    # SQL comments are NOT masked: a rename inside a comment cannot
+    # change semantics, only comment text.
+    parts = re.split(r"""('(?:[^']|'')*'|"(?:[^"]|"")*")""", out)
     parts = [
         p
         if i % 2

@@ -369,6 +369,12 @@ def prefix_filter_jaccard_pairs(
     doc-level groupBy carrying the shingle set once, the prefix
     self-join, and the verify join on int pairs; the verify reads the
     full sets as JVM arrays (array_intersect), never re-exploding.
+    Lineage note: the doc-array frame feeds three consumers (prefix
+    explode + both verify sides); the two verify sides are
+    plan-identical so Catalyst serves them from one exchange, leaving
+    ~one extra tokenize+sort recompute for the prefix branch — at
+    warehouse scale, persist the doc-array frame to storage once and
+    reuse it (the near-dedup signature pattern, dedup.py:259).
     """
     t_e6 = round(threshold * 1_000_000)
     sh = df.select(

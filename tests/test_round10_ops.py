@@ -702,3 +702,16 @@ def test_cms_stream_matches_batch_build(spark, tmp_path):
         for r in count_min_state(full, "item", depth=3, width=32).collect()
     }
     assert got == want
+
+
+def test_transpile_protects_quoted_identifiers_in_second_pass():
+    """'//' and bare VARCHAR inside double-quoted identifiers must
+    survive (the rename pass already protected them; the operator/type
+    pass must too)."""
+    from sql4pandas_spark.functions.transpile import transpile_duckdb
+
+    out = transpile_duckdb(
+        'SELECT "a//b", "VARCHAR", x // 2 AS d, CAST(y AS VARCHAR) AS s FROM t'
+    )
+    assert '"a//b"' in out and '"VARCHAR"' in out
+    assert " DIV " in out and "AS STRING" in out and "x //" not in out
