@@ -5618,7 +5618,12 @@ def _set_sig_oracle_sql(n_hashes: int = 64) -> str:
       GROUP BY 1, 2)
     SELECT m.key_a, m.key_b,
            CAST(est_matches AS BIGINT) AS est_matches,
-           est_matches * 10000 // {n_hashes} AS est_jaccard_e4,
+           -- sum() promotes to HUGEINT in DuckDB, which pandas renders
+           -- float64 — the driver's canonicalizer stringifies '123.0'
+           -- vs Spark's '123' (the round-9 err class); cast the whole
+           -- derived expression back to BIGINT
+           CAST(est_matches * 10000 // {n_hashes} AS BIGINT)
+             AS est_jaccard_e4,
            coalesce(i, 0) * 10000 // (x.c + y.c - coalesce(i, 0))
              AS exact_jaccard_e4
     FROM m JOIN ca x ON m.key_a = x.key

@@ -61,3 +61,28 @@ def test_streaming_entries_schema_is_scalar_only(spark):
         if cols:
             bad[name] = cols
     assert bad == {}, f"driver-unhashable streaming result columns: {bad}"
+
+
+def test_no_oracle_column_renders_divergently_in_pandas(duck):
+    """Catalog-wide: no oracle may produce a HUGEINT/DECIMAL column —
+    pandas (the driver's canonicalizer) renders those as float64/Decimal
+    while fetchall (the rehearsal) yields Python ints, so values that
+    hash equal locally hash-mismatch at the driver ('123' vs '123.0').
+    DuckDB promotes sum() of BIGINT to HUGEINT silently; explicit CASTs
+    are the contract. DESCRIBE-only: nothing executes."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.rehearse_driver_gate import divergent_oracle_cols
+
+    from sql4pandas_spark.queries.catalog import load_catalog
+
+    bad = {}
+    for name, spec in load_catalog().items():
+        if spec.oracle is None:
+            continue
+        div = divergent_oracle_cols(duck, spec.oracle)
+        if div:
+            bad[name] = div
+    assert not bad, f"oracles with pandas-divergent column types: {bad}"

@@ -55,6 +55,30 @@ def nonscalar_cols(schema) -> list[str]:
     ]
 
 
+#: DuckDB types whose pandas rendering diverges from their fetchall
+#: rendering: HUGEINT (DuckDB silently promotes sum() of BIGINT) becomes
+#: float64 in the driver's pandas canonicalizer, so a value that
+#: stringifies '123' here stringifies '123.0' there — the same
+#: rehearsal/driver divergence class as the round-9 array crash, caught
+#: structurally instead of by luck. Fix the oracle with an explicit
+#: CAST(... AS BIGINT). DECIMAL is deliberately NOT flagged: it renders
+#: float64 too, which MATCHES a Spark double column's rendering (the
+#: incr_quantile est_value columns are DECIMAL(24,1) and have a
+#: committed driver green).
+PANDAS_DIVERGENT_DUCKDB_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+def divergent_oracle_cols(con, sql: str) -> list[tuple[str, str]]:
+    """(column, duckdb_type) pairs whose pandas rendering would diverge —
+    via DESCRIBE, so nothing is executed."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return [
+        (name, typ)
+        for name, typ, *_ in rows
+        if any(t in typ.upper() for t in PANDAS_DIVERGENT_DUCKDB_TYPES)
+    ]
+
+
 def main() -> int:
     sf = os.environ.get("S4PS_REHEARSE_SF_DIR", "/root/testdata/sf0.01")
     spark = get_spark(app_name="s4ps-rehearsal")
@@ -95,6 +119,13 @@ def main() -> int:
                 continue
             srows = [tuple(r) for r in sdf.collect()]
             if name in oracles:
+                div = divergent_oracle_cols(con, oracles[name])
+                if div:
+                    bad.append(
+                        (name, f"oracle columns {div} render differently in "
+                               "pandas (driver) than fetchall (here) — add CASTs")
+                    )
+                    continue
                 res = con.execute(oracles[name])
                 orows = res.fetchall()
                 ocols = [d[0] for d in res.description]
