@@ -543,6 +543,65 @@ def contamination_overlap(
     )
 
 
+def bloom_prefiltered_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_overlap: int = 5,
+    n_bits: int = 63 * 1024,
+    k: int = 7,
+) -> DataFrame:
+    """:func:`contamination_overlap` with a BLOOM prefilter on the big
+    side — result-identical (the Bloom filter has no false negatives, so
+    pre-dropping definite non-members before the exact join can never
+    lose a hit; false positives are removed by the join itself — the
+    same lossless-composition proof as the prefix-filter Jaccard join).
+
+    What it buys at 100 TB: the plain form broadcasts the benchmark's
+    distinct shingle STRINGS — fine for KB-scale eval suites, but a
+    multi-GB holdout corpus (dedup against the validation SPLIT, not
+    just eval questions) exceeds broadcast limits and would force the
+    corpus shingles through a shuffle join. Here the benchmark collapses
+    to a fixed n_bits/63-word bit array riding the plan as a literal
+    (8 KB at the default), the corpus-side membership test is pure JVM
+    expression, and only the surviving ~fp-rate fraction of shingles
+    enters the (now tiny) exact join. Corpus text still never shuffles.
+    """
+    from sql4pandas_spark.operators.sketches import bloom_build, bloom_contains
+
+    bench_sh = (
+        bench.select(F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"))
+        .distinct()
+    )
+    words = bloom_build(bench_sh, "shingle", n_bits=n_bits, k=k)
+    doc_sh = (
+        docs.select(
+            F.col(id_col),
+            F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"),
+        )
+        .distinct()
+        .filter(bloom_contains("shingle", words, n_bits=n_bits, k=k))
+    )
+    overlap = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        docs.select(id_col)
+        .join(overlap, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) >= min_overlap).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 def _read_digest_store(spark, store_dir: str) -> DataFrame | None:
     """Read the digest store, returning None ONLY when the path does not
     exist (genuine first batch). Any other failure — corrupt files,

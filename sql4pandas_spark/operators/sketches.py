@@ -201,6 +201,95 @@ def heavy_hitter_state(
     return counts.orderBy(F.desc("n"), F.asc("item")).limit(m)
 
 
+#: Bloom words hold 63 bits each — the sign bit is never used, so the
+#: membership test's bitwiseAND stays positive-arithmetic in BOTH engines
+#: (no signed-overflow spelling differences to reconcile).
+BLOOM_WORD_BITS = 63
+
+
+def bloom_build(
+    items: DataFrame, item_col: str, n_bits: int = 63 * 1024, k: int = 7
+) -> list[int]:
+    """Collect a Bloom filter over the DISTINCT values of ``item_col`` as
+    a bounded list of 63-bit words — the set-MEMBERSHIP member of the
+    sketch family: "is this item possibly in the set" in O(k) bit probes
+    from a FIXED-size state, with false positives (rate
+    ~(1 - e^{-kn/m})^k) but NEVER false negatives. That asymmetry is the
+    scale lever: a prefilter that can only over-keep composes LOSSLESSLY
+    with an exact verify (:func:`sql4pandas_spark.operators.dedup.`
+    ``bloom_prefiltered_contamination``), the same proof shape as the
+    prefix-filter Jaccard join.
+
+    The collect is bounded METADATA (n_bits/63 int64 words — 8 KB at the
+    default, never data-sized; the IVF-centroid justification class), so
+    the filter rides query plans as an array literal and the membership
+    test is pure JVM expression — zero shuffles, zero broadcast of the
+    underlying strings. Bits come from k affine permutations of
+    portable_hash60 (seed 43): fully deterministic and DuckDB-replayable.
+    Merge law: filters over the same (n_bits, k) grid OR together.
+    """
+    from sql4pandas_spark.operators.dedup import MERSENNE31, _affine_params
+    from sql4pandas_spark.operators.text import portable_hash60
+
+    if n_bits % BLOOM_WORD_BITS:
+        raise ValueError(f"n_bits must be a multiple of {BLOOM_WORD_BITS}")
+    hm = F.pmod(portable_hash60(F.col(item_col).cast("string")), F.lit(MERSENNE31))
+    pos = [
+        F.pmod(F.pmod(F.lit(a) * hm + F.lit(b), F.lit(MERSENNE31)), F.lit(n_bits))
+        for a, b in _affine_params(k, seed=43)
+    ]
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    (p / BLOOM_WORD_BITS).cast("int").alias("w"),
+                    F.pmod(p, F.lit(BLOOM_WORD_BITS)).cast("int").alias("b"),
+                )
+                for p in pos
+            ]
+        )
+    )
+    # 2^b via an array literal: shiftleft's bit count must be a Python
+    # int in the DataFrame API, and 63 positive longs cover every word bit
+    pow2 = F.array(*[F.lit(1 << i) for i in range(BLOOM_WORD_BITS)])
+    rows = (
+        items.filter(F.col(item_col).isNotNull())
+        .select(cells.alias("c"))
+        .groupBy(F.col("c.w").alias("w"))
+        .agg(F.bit_or(F.element_at(pow2, F.col("c.b") + 1)).alias("word"))
+        .collect()
+    )
+    words = [0] * (n_bits // BLOOM_WORD_BITS)
+    for r in rows:
+        words[r["w"]] = r["word"]
+    return words
+
+
+def bloom_contains(
+    item, words: list[int], n_bits: int = 63 * 1024, k: int = 7
+):
+    """JVM membership predicate against a :func:`bloom_build` word list:
+    TRUE iff all ``k`` probe bits are set (possibly-present; definitely
+    absent on FALSE). The word list rides the plan as an array literal —
+    whole-stage-codegen-friendly, no shuffle, no UDF."""
+    from sql4pandas_spark.operators.dedup import MERSENNE31, _affine_params
+    from sql4pandas_spark.operators.text import portable_hash60
+
+    item = F.col(item) if isinstance(item, str) else item
+    arr = F.array(*[F.lit(w) for w in words])
+    pow2 = F.array(*[F.lit(1 << i) for i in range(BLOOM_WORD_BITS)])
+    hm = F.pmod(portable_hash60(item.cast("string")), F.lit(MERSENNE31))
+    cond = F.lit(True)
+    for a, b in _affine_params(k, seed=43):
+        p = F.pmod(
+            F.pmod(F.lit(a) * hm + F.lit(b), F.lit(MERSENNE31)), F.lit(n_bits)
+        )
+        w = F.element_at(arr, (p / BLOOM_WORD_BITS).cast("int") + 1)
+        bit = F.element_at(pow2, F.pmod(p, F.lit(BLOOM_WORD_BITS)).cast("int") + 1)
+        cond = cond & (w.bitwiseAND(bit) != 0)
+    return cond
+
+
 def minhash_set_signatures(
     df: DataFrame, key_col: str, item_col: str, n_hashes: int = 64
 ) -> DataFrame:

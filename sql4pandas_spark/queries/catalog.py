@@ -94,6 +94,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "cms_token_counts",
     "weighted_sample_merged_docs",
     "segment_overlap_events",
+    "decontaminate_bloom_documents",
     # -- the 2 entries red in r9 (array-shape driver errs, now scalarized;
     #    still 0 committed greens) --
     "random_projection_embeddings",

@@ -5695,3 +5695,52 @@ def segment_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_a", "key_b")
     )
+
+
+@query(
+    "decontaminate_bloom_documents",
+    oracle="""
+    WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (SELECT doc_id,
+                   unnest(CASE WHEN len(w) >= 3
+                          THEN [array_to_string(list_slice(w, i, i+2), ' ') FOR i IN range(1, len(w)-1)]
+                          ELSE [array_to_string(w, ' ')] END) AS shingle
+            FROM toks)),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+    ov AS (SELECT s.doc_id, count(*) AS n_overlap
+           FROM sh s JOIN bench b ON s.shingle = b.shingle
+           WHERE s.doc_id >= 20 GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           COALESCE(ov.n_overlap, 0) >= 5 AS contaminated
+    FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+    WHERE d.doc_id >= 20 ORDER BY d.doc_id LIMIT 100
+    """,
+    tags=("tier-c", "decontamination", "bloom_filter", "sketch"),
+)
+def decontaminate_bloom_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered benchmark decontamination
+    (operators/dedup.bloom_prefiltered_contamination +
+    operators/sketches.bloom_build/bloom_contains): the benchmark
+    collapses to a fixed 8 KB bit-array LITERAL riding the plan — the
+    scale path for GB-sized holdout corpora whose distinct shingle
+    strings exceed broadcast limits — and the corpus-side membership
+    test is pure JVM expression; only possibly-present shingles enter
+    the exact verify join. The Bloom filter has no false negatives, so
+    the composition is LOSSLESS and the oracle is the SAME exact
+    all-shingles construction that checks decontaminate_documents; the
+    entry uses deliberately tight bits (63*256, k=5) so real false
+    positives flow through and must be eliminated by the verify."""
+    t = register_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    bench = docs.filter(F.col("doc_id") < 20)
+    cand = docs.filter(F.col("doc_id") >= 20)
+    return (
+        dedup.bloom_prefiltered_contamination(
+            cand, bench, n_bits=63 * 256, k=5
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )

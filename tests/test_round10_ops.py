@@ -715,3 +715,60 @@ def test_transpile_protects_quoted_identifiers_in_second_pass():
     )
     assert '"a//b"' in out and '"VARCHAR"' in out
     assert " DIV " in out and "AS STRING" in out and "x //" not in out
+
+
+# ------------------------------------- Bloom-prefiltered decontamination
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    """Every member passes (the lossless-composition precondition); the
+    false-positive rate at deliberately tight sizing stays within ~2x of
+    the theoretical (1 - e^{-kn/m})^k."""
+    import math
+
+    from sql4pandas_spark.operators.sketches import bloom_build, bloom_contains
+
+    n_bits, k, n = 63 * 64, 5, 500
+    items = spark.createDataFrame([(f"w{i}",) for i in range(n)], ["s"])
+    words = bloom_build(items, "s", n_bits=n_bits, k=k)
+    assert items.filter(bloom_contains("s", words, n_bits=n_bits, k=k)).count() == n
+    others = spark.createDataFrame([(f"x{i}",) for i in range(2000)], ["s"])
+    fps = others.filter(bloom_contains("s", words, n_bits=n_bits, k=k)).count()
+    theoretical = (1 - math.exp(-k * n / n_bits)) ** k
+    assert fps > 0  # tight sizing MUST produce fps or the test is vacuous
+    assert fps / 2000 < 2 * theoretical
+
+
+def test_bloom_filters_merge_by_or(spark):
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.sketches import bloom_build
+
+    items = spark.createDataFrame([(f"w{i}",) for i in range(300)], ["s"])
+    full = bloom_build(items, "s", n_bits=63 * 32, k=4)
+    h1 = bloom_build(items.filter(F.length("s") <= 2), "s", n_bits=63 * 32, k=4)
+    h2 = bloom_build(items.filter(F.length("s") > 2), "s", n_bits=63 * 32, k=4)
+    assert [a | b for a, b in zip(h1, h2)] == full
+
+
+def test_bloom_prefiltered_contamination_equals_exact(spark):
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.dedup import (
+        bloom_prefiltered_contamination,
+        contamination_overlap,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") < 20)
+    cand = docs.filter(F.col("doc_id") >= 20)
+    exact = {tuple(r) for r in contamination_overlap(cand, bench).collect()}
+    # deliberately TIGHT bits so false positives flow into the verify
+    # join and must be eliminated there
+    bloom = {
+        tuple(r)
+        for r in bloom_prefiltered_contamination(
+            cand, bench, n_bits=63 * 16, k=3
+        ).collect()
+    }
+    assert bloom == exact and exact
