@@ -68,22 +68,23 @@ def query(
 #: already have green CORRECTNESS_r01/r02 rows (or are next in line if the
 #: window is ever wider than 50). Future rounds rotate this list.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- ROUND-10 WINDOW ----
-    # CORRECTNESS_r09 went 48/50: the two array-result entries errored in
-    # the driver's canonicalizer (fixed in-round: scalarized to CSV-string
-    # columns) and so remain at ZERO greens; the 30 other round-9 additions
-    # are at exactly ONE green; everything else is settled (>= 2 saturated
-    # greens). Rotation recipe: round-10 NEW entries (0 greens) first, then
-    # the 2 fixed zero-green entries, then the 30 once-green r9 entries,
-    # then the remaining slots go to the settled entries with the STALEST
-    # last-green round (the 10 last green in r02, then the r04 cohort in
-    # registration order). tests/test_driver_window.py enforces the
-    # saturated least-evidence rule; tools/catalog_index.py prints the
-    # ledger.
+    # ---- ROUND-11 WINDOW ----
+    # CORRECTNESS_r10 went 50/50, so after round 10 exactly 13 entries sit
+    # at ONE committed green (the 11 round-10 additions + the 2 entries
+    # fixed after their r9 array-shape driver errors); the other 208 are
+    # settled (>= 2 saturated greens). Rotation recipe: round-11 NEW
+    # entries (0 greens) first, then the 13 once-green r10 entries, then
+    # the remaining slots go to the settled entries with the STALEST
+    # last-green round (3 last green in r02, then the r04 cohort in
+    # registration order). One clean r11 window closes the evidence
+    # ledger: every pre-r11 entry reaches >= 2 committed greens.
+    # tests/test_driver_window.py enforces the saturated least-evidence
+    # rule; tools/catalog_index.py prints the ledger.
     #
-    # -- round-10 NEW entries (0 greens) --
+    # -- round-11 NEW entries (0 greens) --
     # (added as they land; each new entry MUST enter the window or the
     # evidence rule goes red)
+    # -- the 13 entries green only in r10 --
     "sql_frontend_duckdb",
     "sql_frontend_events_json",
     "fuzzy_join_salted_parts",
@@ -95,55 +96,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "weighted_sample_merged_docs",
     "segment_overlap_events",
     "decontaminate_bloom_documents",
-    # -- the 2 entries red in r9 (array-shape driver errs, now scalarized;
-    #    still 0 committed greens) --
     "random_projection_embeddings",
     "lexicon_tags_documents",
-    # -- the 30 entries green only in r9 --
-    "incremental_pipeline_batches",
-    "fuzzy_join_parts",
-    "hybrid_rrf_top10",
-    "cluster_safe_split",
-    "key_skew_profile_events",
-    "anomaly_hours_events",
-    "chisq_lang_source",
-    "outlier_docs_by_lang",
-    "incr_agg_orders_state",
-    "fk_integrity_audit",
-    "lm_surprisal_documents",
-    "sessionize_events",
-    "winsorize_docs_by_lang",
-    "negative_samples_docs",
-    "source_cap_report",
-    "incr_quantile_orders",
-    "constraint_gate_orders",
-    "top_movers_events",
-    "ohlc_hourly_events",
-    "pct_rank_docs_by_lang",
-    "cdc_extract_documents",
-    "scd2_doc_versions",
-    "active_users_rolling7",
-    "join_fanout_orders_lineitem",
-    "k_anonymity_customers",
-    "rerank_stub_documents",
-    "dedup_cluster_stats",
-    "event_transitions_matrix",
-    "incr_heavy_hitters_tokens",
-    "pmi_pairs_documents",
-    # -- stalest settled fill: the 10 entries whose last green is r02, in
-    #    registration order (regexp_funcs_part and date_arith_orders went
-    #    green again in r9 and rejoin the settled pool) --
-    "math_funcs_extended",
-    "json_filter_events",
-    "array_explode_avg",
-    "array_hof_norm",
-    "struct_funcs_customer",
-    "dedup_exact_keepers",
-    "wordcount_documents",
+    # -- stalest settled fill: the 3 entries whose last green is r02 --
     "dedup_embedding_pairs",
     "multimodal_resize_stats",
     "scan_json_roundtrip",
-    # -- then the r04 cohort in registration order --
+    # -- then the r04-last-green cohort in registration order --
     "agg_collect_ordered",
     "lang_id_documents",
     "dedup_near_minhash",
@@ -152,7 +111,36 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "approx_quantiles_orders",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    # ---- driver window (50) ends here; round-10 NEW entries prepended
+    "left_join_missing_orders",
+    "right_join_orders_customers",
+    "full_outer_join_counts",
+    "semi_customers",
+    "anti_customers",
+    "theta_join_supplier_pairs",
+    "range_join_close_events",
+    "rollup_region_nation",
+    "cube_status_priority",
+    "grouping_sets_orders",
+    "setop_intersect",
+    "setop_except",
+    "setop_union_counts",
+    "subq_big_spenders",
+    "scalar_subq_above_avg",
+    "in_subq_customers",
+    "pivot_status_by_year",
+    "unpivot_part_metrics",
+    "corr_subq_cheapest_per_brand",
+    "cross_join_regions",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "stream_tumble_hourly",
+    "events_sliding_30m",
+    "events_session_windows",
+    "stream_stateful_user_counts",
+    "gapfill_hourly_counts",
+    "udf_pandas_net_price",
+    "udf_grouped_zscore",
+    # ---- driver window (50) ends here; round-11 NEW entries prepended
     # above push this tail out of the window automatically ----
 )
 
