@@ -29,11 +29,109 @@ from sql4pandas_spark.functions import SPARK_TO_DUCKDB_FN
 #: table the oracle harness reads, so the two directions can never drift.
 #: Reverse-only synonyms: DuckDB spellings with no distinct Spark partner
 #: (their Spark target is already claimed by another reverse pair).
+#: ``string_split`` is deliberately ABSENT from the rename table: DuckDB's
+#: separator is a literal string while Spark's is a Java regex, so it gets
+#: argument-aware handling in :func:`_rewrite_string_split` (a pure rename
+#: would silently change semantics for separators like '.' or '|').
 DUCKDB_TO_SPARK_FN: dict[str, str] = {
-    v: k for k, v in SPARK_TO_DUCKDB_FN.items()
+    v: k for k, v in SPARK_TO_DUCKDB_FN.items() if v != "string_split"
 } | {
     "regexp_split_to_array": "split",  # Spark split IS regex-based
 }
+
+_JAVA_REGEX_META = set("\\.[]{}()*+-?^$|")
+
+
+def _java_regex_quote(literal: str) -> str:
+    """Escape a literal string so Java's regex engine matches it verbatim."""
+    return "".join("\\" + c if c in _JAVA_REGEX_META else c for c in literal)
+
+
+def _spark_string_literal(value: str) -> str:
+    """Render a Python string as a Spark SQL single-quoted literal. Spark's
+    default parser treats backslash as an escape, so backslashes double;
+    quotes use the SQL-standard ``''`` doubling (Spark accepts both ``\\'``
+    and ``''``) so the emitted literal still tokenizes correctly under this
+    module's own ''-doubling scanner in the second pass."""
+    return "'" + value.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+_STRING_SPLIT_CALL = re.compile(r"\bstring_split\s*\(", re.IGNORECASE)
+
+
+def _rewrite_string_split(statement: str) -> str:
+    """Rewrite ``string_split(expr, 'sep')`` → ``split(expr, '<regex-quoted
+    sep>')``. DuckDB splits on the separator as a LITERAL; Spark's split
+    takes a Java regex, so the separator literal is regex-escaped. A
+    separator that is not a plain string literal (a column, a concat, …)
+    cannot be escaped at transpile time and is rejected loudly rather than
+    silently misbehaving. Inner string_split calls nested in the first
+    argument are handled by rewriting right-to-left."""
+    spans = [t.span() for t in _PROTECTED.finditer(statement)]
+
+    def in_protected(i: int) -> tuple[bool, int]:
+        for s, e in spans:
+            if s <= i < e:
+                return True, e
+        return False, i
+
+    edits: list[tuple[int, int, str]] = []  # (start, end, replacement)
+    for m in _STRING_SPLIT_CALL.finditer(statement):
+        hit, _ = in_protected(m.start())
+        if hit:
+            continue
+        # Parse balanced arguments from after the '(' (skipping protected
+        # regions so a ')' inside a literal doesn't close the call).
+        depth, i, arg_starts = 1, m.end(), [m.end()]
+        while i < len(statement) and depth:
+            hit, end = in_protected(i)
+            if hit:
+                i = end
+                continue
+            c = statement[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "," and depth == 1:
+                arg_starts.append(i + 1)
+            i += 1
+        if depth or len(arg_starts) != 2:
+            raise ValueError(
+                "transpile_duckdb: cannot rewrite string_split call "
+                "(unbalanced or not exactly 2 args) at: "
+                f"{statement[m.start():m.start() + 60]!r}"
+            )
+        first = statement[arg_starts[0] : arg_starts[1] - 1]
+        second = statement[arg_starts[1] : i - 1].strip()
+        lit = re.fullmatch(r"'((?:[^']|'')*)'", second)
+        if not lit:
+            raise ValueError(
+                "transpile_duckdb: string_split separator must be a plain "
+                f"string literal (got {second!r}) — DuckDB splits on a "
+                "literal but Spark split takes a regex, so a non-literal "
+                "separator cannot be made safe at transpile time"
+            )
+        sep = lit.group(1).replace("''", "'")  # undo SQL '' doubling
+        edits.append((
+            m.start(),
+            i,
+            f"split({first},"
+            f"{_spark_string_literal(_java_regex_quote(sep))})",
+        ))
+    # Apply right-to-left so earlier offsets stay valid; drop edits nested
+    # inside another edit's span (the outer rewrite already copied the
+    # inner text verbatim — recurse to rewrite it).
+    out = statement
+    applied_outer = False
+    for start, end, text in sorted(edits, reverse=True):
+        if any(s < start and end <= e for s, e, _ in edits if (s, e) != (start, end)):
+            continue
+        out = out[:start] + text + out[end:]
+        applied_outer = True
+    if applied_outer and _STRING_SPLIT_CALL.search(out):
+        out = _rewrite_string_split(out)
+    return out
 
 #: Dialect-isms that are not simple 1:1 function renames (kept tiny and
 #: explicit; anything not listed rides through to Catalyst unchanged).
@@ -41,14 +139,22 @@ DUCKDB_TO_SPARK_FN: dict[str, str] = {
 _INT_DIV = re.compile(r"//")
 _BARE_VARCHAR = re.compile(r"\bVARCHAR\b(?!\s*\()", re.IGNORECASE)
 
-# one scan, three token classes: single-quoted strings (with '' escapes),
-# double-quoted identifiers, and candidate function-call names. Strings and
-# quoted identifiers are matched FIRST so a function name inside a literal
-# ('size matters') is never rewritten.
+# one scan, four token classes: single-quoted strings (with '' escapes),
+# double-quoted identifiers, SQL comments, and candidate function-call
+# names. Protected classes are matched FIRST so a function name inside a
+# literal ('size matters') or a comment is never rewritten — and, just as
+# important, an apostrophe inside a comment (``-- it's a note``) cannot
+# desynchronize string-literal tracking for the code that follows.
+_PROTECTED_SRC = r"""
+    '(?:[^']|'')*'                     # 'string literal'
+  | "(?:[^"]|"")*"                     # "quoted identifier"
+  | --[^\n]*                           # -- line comment
+  | /\*(?:[^*]|\*(?!/))*\*/            # /* block comment */
+"""
+_PROTECTED = re.compile(_PROTECTED_SRC, re.VERBOSE)
 _TOKEN = re.compile(
-    r"""
-    (?P<str>'(?:[^']|'')*')            # 'string literal'
-  | (?P<ident>"(?:[^"]|"")*")          # "quoted identifier"
+    rf"""
+    (?P<protected>{_PROTECTED_SRC})
   | (?P<fn>\b[A-Za-z_][A-Za-z0-9_]*\b)(?=\s*\()   # name followed by (
     """,
     re.VERBOSE,
@@ -65,22 +171,23 @@ def transpile_duckdb(statement: str) -> str:
     becomes the ANSI ``DIV``. Everything else is left for Catalyst.
     """
 
+    statement = _rewrite_string_split(statement)
+
     def _sub(m: re.Match) -> str:
-        if m.group("str") is not None or m.group("ident") is not None:
+        if m.group("protected") is not None:
             return m.group(0)
         name = m.group("fn")
         return DUCKDB_TO_SPARK_FN.get(name.lower(), name)
 
     out = _TOKEN.sub(_sub, statement)
-    # Non-call-position rewrites, applied outside string literals AND
-    # quoted identifiers (split keeps both as odd segments):
+    # Non-call-position rewrites, applied outside string literals, quoted
+    # identifiers AND comments (split keeps all protected token classes as
+    # odd segments):
     # - '//' is DuckDB integer division → ANSI DIV;
     # - bare VARCHAR (no length) is a valid DuckDB cast target but Spark
     #   demands a length — STRING is the shared-semantics spelling.
     #   VARCHAR(n) is valid in both and passes through untouched.
-    # SQL comments are NOT masked: a rename inside a comment cannot
-    # change semantics, only comment text.
-    parts = re.split(r"""('(?:[^']|'')*'|"(?:[^"]|"")*")""", out)
+    parts = re.split(rf"({_PROTECTED_SRC})", out, flags=re.VERBOSE)
     parts = [
         p
         if i % 2

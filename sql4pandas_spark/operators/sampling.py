@@ -233,10 +233,23 @@ def merge_weighted_samples(
     # id-dedup before ranking: a replayed or overlapping batch state
     # contributes byte-identical rows (keys are pure functions of the
     # row), and orderBy+limit would otherwise keep the duplicates —
-    # this is what makes re-merging the same state idempotent
+    # this is what makes re-merging the same state idempotent.
+    # The survivor per id is chosen DETERMINISTICALLY (max skey, then the
+    # remaining columns as tie-break), not by dropDuplicates' arbitrary
+    # first-seen row: if the same id ever appears with different
+    # weight/skey across states (a weight changed between ingests), the
+    # merged sample must not depend on run/partitioning order. Note the
+    # A-ES containment proof itself still assumes stable (id, weight) —
+    # under a changed weight the max-skey row is a documented convention
+    # (it favors the higher-priority observation), not a from-scratch
+    # equivalence.
+    tiebreak = [F.col(c) for c in sorted(out.columns) if c not in (id_col, "skey")]
+    w = Window.partitionBy(id_col).orderBy(F.desc("skey"), *tiebreak)
     h = portable_hash60(F.col(id_col).cast("string"))
     return (
-        out.dropDuplicates([id_col])
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
         .orderBy(F.desc("skey"), h, F.col(id_col))
         .limit(k)
     )

@@ -1,0 +1,134 @@
+"""Round-11 operator tests: the three round-10 ADVICE fixes (string_split
+separator semantics, comment masking in the transpiler, deterministic
+weighted-sample merge) plus the round's new operators as they land."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from sql4pandas_spark.functions.transpile import transpile_duckdb
+
+# --------------------------------------------- ADVICE: string_split rewrite
+
+
+def test_string_split_regex_metachar_separator(spark):
+    """DuckDB string_split splits on a LITERAL separator; Spark split takes
+    a Java regex. A '.' or '|' separator must be regex-escaped or the
+    transpiled statement silently splits on everything."""
+    stmt = "SELECT string_split(s, '.') AS parts FROM (SELECT 'a.b.c' AS s)"
+    duck = duckdb.connect().execute(stmt).fetchone()[0]
+    got = spark.sql(transpile_duckdb(stmt)).collect()[0]["parts"]
+    assert list(got) == list(duck) == ["a", "b", "c"]
+
+    stmt2 = "SELECT string_split(s, '|') AS parts FROM (SELECT 'x|y' AS s)"
+    duck2 = duckdb.connect().execute(stmt2).fetchone()[0]
+    got2 = spark.sql(transpile_duckdb(stmt2)).collect()[0]["parts"]
+    assert list(got2) == list(duck2) == ["x", "y"]
+
+
+def test_string_split_quote_and_backslash_separators(spark):
+    """Separators containing the two escaping-scheme trouble chars (' and
+    backslash) round-trip: the emitted Spark literal uses '' doubling for
+    quotes (parseable by both Spark and this module's own tokenizer) and
+    doubled backslashes."""
+    stmt = (
+        "SELECT string_split(s, '''') AS parts, x // 2 AS d "
+        "FROM (SELECT 'a''b' AS s, 5 AS x)"
+    )
+    duck = duckdb.connect().execute(stmt).fetchone()[0]
+    out = transpile_duckdb(stmt)
+    assert " DIV " in out  # second pass stayed in sync after the literal
+    got = spark.sql(out).collect()[0]["parts"]
+    assert list(got) == list(duck) == ["a", "b"]
+
+    # data built via chr(92) because a backslash inside a plain literal
+    # parses differently in the two engines (Spark escape vs DuckDB raw)
+    stmt2 = (
+        r"SELECT string_split(s, '\') AS parts "
+        "FROM (SELECT concat('p', chr(92), 'q') AS s)"
+    )
+    duck2 = duckdb.connect().execute(stmt2).fetchone()[0]
+    got2 = spark.sql(transpile_duckdb(stmt2)).collect()[0]["parts"]
+    assert list(got2) == list(duck2) == ["p", "q"]
+
+
+def test_string_split_non_literal_separator_rejected():
+    with pytest.raises(ValueError, match="string_split separator"):
+        transpile_duckdb("SELECT string_split(s, sep_col) FROM t")
+    with pytest.raises(ValueError, match="string_split separator"):
+        transpile_duckdb("SELECT string_split(s, upper('.')) FROM t")
+
+
+def test_string_split_nested_and_protected_occurrences():
+    # nested in first arg: both calls rewritten, inner first
+    out = transpile_duckdb(
+        "SELECT string_split(array_to_string(string_split(s, '.'), '-'), '-') FROM t"
+    )
+    assert "string_split" not in out
+    assert out.count("split(") >= 2 and r"'\\.'" in out
+    # inside a comment / literal: untouched
+    out2 = transpile_duckdb(
+        "SELECT 'string_split(a, ''.'')' AS lit -- string_split(b, '.')\n FROM t"
+    )
+    assert "'string_split(a, ''.'')'" in out2
+    assert "-- string_split(b, '.')" in out2
+
+
+# --------------------------------------------- ADVICE: comment masking
+
+
+def test_transpile_comment_with_apostrophe_does_not_desync():
+    """An apostrophe inside a comment must not flip string-literal
+    tracking: renames and the second pass still apply after it, and real
+    literals after the comment stay protected."""
+    out = transpile_duckdb(
+        "SELECT len(xs) AS n -- it's a note\n"
+        ", power(x, 2) AS p, 'len(q)' AS lit, y // 3 AS d FROM t"
+    )
+    assert "size(xs)" in out and "pow(x, 2)" in out
+    assert "'len(q)'" in out and "DIV" in out and "// 3" not in out
+    assert "-- it's a note" in out  # comment text untouched
+
+
+def test_transpile_block_comment_masked():
+    out = transpile_duckdb(
+        "SELECT /* don't rename len(a) or a // b here */ len(b) AS n, "
+        "c // 2 AS d FROM t"
+    )
+    assert "/* don't rename len(a) or a // b here */" in out
+    assert "size(b)" in out and "DIV" in out and "// 2" not in out
+
+
+# ----------------------------------- ADVICE: deterministic weighted merge
+
+
+def test_merge_weighted_samples_conflicting_weight_deterministic(spark):
+    """Same id with DIFFERENT weight/skey across batch states: the merged
+    sample must keep the max-skey row regardless of state order (the old
+    dropDuplicates([id]) kept whichever state happened to come first)."""
+    from sql4pandas_spark.operators.sampling import (
+        merge_weighted_samples,
+        weighted_sample_topk,
+    )
+
+    rows_a = [(f"d{i}", float(i + 1)) for i in range(30)]
+    rows_b = [(f"d{i}", float(2 * (i + 1))) for i in range(30)]  # reweighted
+    a = weighted_sample_topk(
+        spark.createDataFrame(rows_a, "doc_id string, w double"),
+        k=10, weight_col="w",
+    )
+    b = weighted_sample_topk(
+        spark.createDataFrame(rows_b, "doc_id string, w double"),
+        k=10, weight_col="w",
+    )
+    ab = [tuple(r) for r in merge_weighted_samples([a, b], k=10).collect()]
+    ba = [tuple(r) for r in merge_weighted_samples([b, a], k=10).collect()]
+    assert ab == ba
+    # survivor per id is the max-skey observation
+    kept = {r[0]: r for r in ab}
+    a_rows = {r["doc_id"]: r for r in a.collect()}
+    b_rows = {r["doc_id"]: r for r in b.collect()}
+    for doc_id, row in kept.items():
+        cands = [x for x in (a_rows.get(doc_id), b_rows.get(doc_id)) if x]
+        assert row[-1] == max(c["skey"] for c in cands)
