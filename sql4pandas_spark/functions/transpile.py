@@ -4,15 +4,25 @@ round, reconstruction per SURVEY.md §3.1 — its dialect is the
 pandas/DuckDB-flavored ANSI surface our oracles are written in).
 
 The divergence between that dialect and Spark SQL is, for the query shapes
-the reference supports, almost entirely FUNCTION NAMES — the same
-data-driven rename table the test harness uses (SPARK_TO_DUCKDB_FN,
-functions/__init__.py), applied here in reverse. Everything structural
+the reference supports, almost entirely surface spelling — function names
+(the same data-driven rename table the test harness uses, applied in
+reverse), a handful of argument-shape differences handled by explicit
+call rewriters, and the two literal-escaping rules (DuckDB string literals
+are raw where Spark treats backslash as an escape; DuckDB double-quotes
+identifiers where Spark uses backticks). Everything structural
 (SELECT/JOIN/GROUP BY/window/CTE syntax, CASE, CAST, operators) is shared
 ANSI that Catalyst parses directly, so the transpiler deliberately does NOT
-parse SQL: it rewrites function-call tokens outside string literals and
-quoted identifiers, and leaves the rest to Spark's own parser. A construct
-neither engine shares (e.g. DuckDB ``list_transform`` lambdas) fails loudly
-in Catalyst's analyzer rather than silently misbehaving.
+parse SQL: it rewrites tokens outside string literals, quoted identifiers
+and comments, and leaves the rest to Spark's own parser. A construct
+neither engine shares (e.g. DuckDB list comprehensions) fails loudly in
+Catalyst's analyzer rather than silently misbehaving; call shapes that
+cannot be made safe (a non-literal string_split separator, a non-'g'
+regexp flag) raise here.
+
+Statement-level parity is proven at catalog width by
+tools/transpile_sweep.py: every sql-oracled entry's own DuckDB oracle text
+runs through this module on Spark and value-hash-matches DuckDB's result
+(tests/test_transpile_parity.py pins the count and the skip list).
 
 Scale note: transpilation is a driver-side string pass (microseconds,
 O(|statement|)); the resulting plan is whatever Catalyst makes of the
@@ -22,21 +32,32 @@ rewritten text — no UDFs, no wrapper nodes, zero runtime cost.
 from __future__ import annotations
 
 import re
+from collections.abc import Callable
 
 from sql4pandas_spark.functions import SPARK_TO_DUCKDB_FN
 
 #: DuckDB-name → Spark-name, derived (not hand-maintained) from the same
 #: table the oracle harness reads, so the two directions can never drift.
 #: Reverse-only synonyms: DuckDB spellings with no distinct Spark partner
-#: (their Spark target is already claimed by another reverse pair).
+#: (their Spark target is already claimed by another reverse pair) plus
+#: pure renames that only ever appear reference-side.
 #: ``string_split`` is deliberately ABSENT from the rename table: DuckDB's
 #: separator is a literal string while Spark's is a Java regex, so it gets
-#: argument-aware handling in :func:`_rewrite_string_split` (a pure rename
-#: would silently change semantics for separators like '.' or '|').
+#: argument-aware handling in :data:`_ARG_REWRITERS` (a pure rename would
+#: silently change semantics for separators like '.' or '|').
 DUCKDB_TO_SPARK_FN: dict[str, str] = {
     v: k for k, v in SPARK_TO_DUCKDB_FN.items() if v != "string_split"
 } | {
     "regexp_split_to_array": "split",  # Spark split IS regex-based
+    "epoch_us": "unix_micros",         # µs since epoch, BIGINT in both
+    "strpos": "instr",                 # 1-based find, same arg order
+    "generate_series": "sequence",     # both ends inclusive in both
+    "quantile_cont": "percentile",     # exact interpolated quantile
+    "json_keys": "json_object_keys",
+    "list": "collect_list",            # aggregate; DISTINCT rides through
+    "list_min": "array_min",
+    "list_max": "array_max",
+    "unicode": "ascii",                # both: codepoint of first char
 }
 
 _JAVA_REGEX_META = set("\\.[]{}()*+-?^$|")
@@ -47,101 +68,16 @@ def _java_regex_quote(literal: str) -> str:
     return "".join("\\" + c if c in _JAVA_REGEX_META else c for c in literal)
 
 
-def _spark_string_literal(value: str) -> str:
-    """Render a Python string as a Spark SQL single-quoted literal. Spark's
-    default parser treats backslash as an escape, so backslashes double;
-    quotes use the SQL-standard ``''`` doubling (Spark accepts both ``\\'``
-    and ``''``) so the emitted literal still tokenizes correctly under this
-    module's own ''-doubling scanner in the second pass."""
-    return "'" + value.replace("\\", "\\\\").replace("'", "''") + "'"
+def _sql_string_literal(value: str) -> str:
+    """Render a Python string as a DuckDB-spelling SQL literal ('' doubling,
+    raw backslashes) — the final literal-escaping pass converts every
+    literal, including emitted ones, to Spark spelling in one place."""
+    return "'" + value.replace("'", "''") + "'"
 
 
-_STRING_SPLIT_CALL = re.compile(r"\bstring_split\s*\(", re.IGNORECASE)
+# --------------------------------------------------------------- tokenizer
 
-
-def _rewrite_string_split(statement: str) -> str:
-    """Rewrite ``string_split(expr, 'sep')`` → ``split(expr, '<regex-quoted
-    sep>')``. DuckDB splits on the separator as a LITERAL; Spark's split
-    takes a Java regex, so the separator literal is regex-escaped. A
-    separator that is not a plain string literal (a column, a concat, …)
-    cannot be escaped at transpile time and is rejected loudly rather than
-    silently misbehaving. Inner string_split calls nested in the first
-    argument are handled by rewriting right-to-left."""
-    spans = [t.span() for t in _PROTECTED.finditer(statement)]
-
-    def in_protected(i: int) -> tuple[bool, int]:
-        for s, e in spans:
-            if s <= i < e:
-                return True, e
-        return False, i
-
-    edits: list[tuple[int, int, str]] = []  # (start, end, replacement)
-    for m in _STRING_SPLIT_CALL.finditer(statement):
-        hit, _ = in_protected(m.start())
-        if hit:
-            continue
-        # Parse balanced arguments from after the '(' (skipping protected
-        # regions so a ')' inside a literal doesn't close the call).
-        depth, i, arg_starts = 1, m.end(), [m.end()]
-        while i < len(statement) and depth:
-            hit, end = in_protected(i)
-            if hit:
-                i = end
-                continue
-            c = statement[i]
-            if c == "(":
-                depth += 1
-            elif c == ")":
-                depth -= 1
-            elif c == "," and depth == 1:
-                arg_starts.append(i + 1)
-            i += 1
-        if depth or len(arg_starts) != 2:
-            raise ValueError(
-                "transpile_duckdb: cannot rewrite string_split call "
-                "(unbalanced or not exactly 2 args) at: "
-                f"{statement[m.start():m.start() + 60]!r}"
-            )
-        first = statement[arg_starts[0] : arg_starts[1] - 1]
-        second = statement[arg_starts[1] : i - 1].strip()
-        lit = re.fullmatch(r"'((?:[^']|'')*)'", second)
-        if not lit:
-            raise ValueError(
-                "transpile_duckdb: string_split separator must be a plain "
-                f"string literal (got {second!r}) — DuckDB splits on a "
-                "literal but Spark split takes a regex, so a non-literal "
-                "separator cannot be made safe at transpile time"
-            )
-        sep = lit.group(1).replace("''", "'")  # undo SQL '' doubling
-        edits.append((
-            m.start(),
-            i,
-            f"split({first},"
-            f"{_spark_string_literal(_java_regex_quote(sep))})",
-        ))
-    # Apply right-to-left so earlier offsets stay valid; drop edits nested
-    # inside another edit's span (the outer rewrite already copied the
-    # inner text verbatim — recurse to rewrite it).
-    out = statement
-    applied_outer = False
-    for start, end, text in sorted(edits, reverse=True):
-        if any(s < start and end <= e for s, e, _ in edits if (s, e) != (start, end)):
-            continue
-        out = out[:start] + text + out[end:]
-        applied_outer = True
-    if applied_outer and _STRING_SPLIT_CALL.search(out):
-        out = _rewrite_string_split(out)
-    return out
-
-#: Dialect-isms that are not simple 1:1 function renames (kept tiny and
-#: explicit; anything not listed rides through to Catalyst unchanged).
-#: ``//`` is DuckDB integer division; Spark spells it the ANSI way.
-_INT_DIV = re.compile(r"//")
-_BARE_VARCHAR = re.compile(r"\bVARCHAR\b(?!\s*\()", re.IGNORECASE)
-
-# one scan, four token classes: single-quoted strings (with '' escapes),
-# double-quoted identifiers, SQL comments, and candidate function-call
-# names. Protected classes are matched FIRST so a function name inside a
+# Protected token classes, matched FIRST so a function name inside a
 # literal ('size matters') or a comment is never rewritten — and, just as
 # important, an apostrophe inside a comment (``-- it's a note``) cannot
 # desynchronize string-literal tracking for the code that follows.
@@ -160,18 +96,809 @@ _TOKEN = re.compile(
     re.VERBOSE,
 )
 
+# ------------------------------------------------- argument-aware rewrites
+
+
+def _rw_string_split(args: list[str]) -> str:
+    """DuckDB splits on a LITERAL separator; Spark split takes a Java
+    regex — the separator literal is regex-escaped. A separator that is
+    not a plain string literal (a column, a concat, …) cannot be escaped
+    at transpile time and is rejected loudly."""
+    if len(args) != 2:
+        raise ValueError(
+            f"transpile_duckdb: string_split expects 2 args, got {len(args)}"
+        )
+    lit = re.fullmatch(r"'((?:[^']|'')*)'", args[1].strip())
+    if not lit:
+        raise ValueError(
+            "transpile_duckdb: string_split separator must be a plain "
+            f"string literal (got {args[1].strip()!r}) — DuckDB splits on "
+            "a literal but Spark split takes a regex, so a non-literal "
+            "separator cannot be made safe at transpile time"
+        )
+    sep = lit.group(1).replace("''", "'")  # undo SQL '' doubling
+    return f"split({args[0]},{_sql_string_literal(_java_regex_quote(sep))})"
+
+
+def _rw_list_sum(args: list[str]) -> str:
+    """list_sum(xs) → aggregate with an init that inherits the element
+    type: ``0L * try_element_at(xs, 1)`` is BIGINT 0 for integer lists and
+    DOUBLE 0.0 for double lists, so integer sums keep 64-bit exactness
+    (a DOUBLE accumulator would corrupt >2^53 hash sums). NULL elements
+    poison the sum here but not in DuckDB — acceptable because the sweep
+    value-checks every oracle, and our oracles sum non-null lists."""
+    if len(args) != 1:
+        raise ValueError("transpile_duckdb: list_sum expects 1 arg")
+    x = args[0]
+    return f"aggregate({x}, 0L * try_element_at({x}, 1), (a, v) -> a + v)"
+
+
+def _rw_list_slice(args: list[str]) -> str:
+    """list_slice(x, a, b) is end-INCLUSIVE; Spark slice takes a length."""
+    if len(args) != 3:
+        raise ValueError("transpile_duckdb: list_slice expects 3 args")
+    x, a, b = args
+    return f"slice({x}, {a}, ({b}) - ({a}) + 1)"
+
+
+def _rw_range(args: list[str]) -> str:
+    """Scalar-position range(…) is end-EXCLUSIVE in DuckDB; Spark sequence
+    is inclusive. (FROM-position range is left alone — Spark's range TVF
+    is also end-exclusive.)"""
+    if len(args) == 1:
+        return f"sequence(0, ({args[0]}) - 1)"
+    if len(args) == 2:
+        return f"sequence({args[0]}, ({args[1]}) - 1)"
+    if len(args) == 3:
+        step = args[2].strip()
+        m = re.fullmatch(r"(-?)\s*\d+", step)
+        if m:
+            # positive step: range stops < b, sequence stops <= b-1 — the
+            # reachable sets are identical; mirrored for negative steps
+            sign = "-" if not m.group(1) else "+"
+            return (
+                f"sequence({args[0]}, ({args[1]}) {sign} 1, {step})"
+            )
+        raise ValueError(
+            "transpile_duckdb: stepped range(a, b, s) needs a literal "
+            "integer step to fix up the exclusive end (got "
+            f"{step!r}) — use generate_series for inclusive semantics"
+        )
+    raise ValueError("transpile_duckdb: range expects 1-3 args")
+
+
+def _rw_encode(args: list[str]) -> str:
+    """DuckDB encode(s) → UTF-8 blob; Spark's encode demands the charset."""
+    if len(args) == 1:
+        return f"encode({args[0]}, 'UTF-8')"
+    return f"encode({', '.join(a.strip() for a in args)})"
+
+
+def _rw_regexp_replace(args: list[str]) -> str:
+    """DuckDB's 4th arg is a flags string; Spark replaces globally by
+    default, so 'g' simply drops. Any other flag has no Spark spelling."""
+    if len(args) <= 3:
+        return f"regexp_replace({', '.join(a.strip() for a in args)})"
+    if len(args) == 4 and args[3].strip() in ("'g'", "'G'"):
+        return f"regexp_replace({', '.join(a.strip() for a in args[:3])})"
+    raise ValueError(
+        "transpile_duckdb: regexp_replace flags other than 'g' "
+        f"(got {args[3:] if len(args) > 3 else args}) have no Spark equivalent"
+    )
+
+
+def _rw_regexp_extract_all(args: list[str]) -> str:
+    """DuckDB's default group is 0 (whole match); Spark's default is 1 —
+    pin group 0 explicitly when the statement omitted it."""
+    if len(args) == 2:
+        return f"regexp_extract_all({args[0]}, {args[1]}, 0)"
+    return f"regexp_extract_all({', '.join(a.strip() for a in args)})"
+
+
+def _rw_struct_pack(args: list[str]) -> str:
+    """struct_pack(a := x, b := y) → named_struct('a', x, 'b', y)."""
+    fields = []
+    for a in args:
+        m = re.match(r"\s*([A-Za-z_]\w*)\s*:=", a)
+        if not m:
+            raise ValueError(
+                f"transpile_duckdb: struct_pack field without ':=' ({a!r})"
+            )
+        fields.append(f"'{m.group(1)}', {a[m.end():].strip()}")
+    return f"named_struct({', '.join(fields)})"
+
+
+def _rw_list_avg(args: list[str]) -> str:
+    """list_avg(xs) → sum/size with try_divide so the empty list yields
+    NULL (DuckDB's behavior) instead of an ANSI divide-by-zero."""
+    if len(args) != 1:
+        raise ValueError("transpile_duckdb: list_avg expects 1 arg")
+    x = args[0]
+    return (
+        f"try_divide(aggregate({x}, 0D, (a, v) -> a + v), size({x}))"
+    )
+
+
+def _rw_list_cosine(args: list[str]) -> str:
+    """list_cosine_similarity(a, b) → dot/(|a|·|b|) over zip_with/aggregate
+    (double math, matching DuckDB's double result)."""
+    if len(args) != 2:
+        raise ValueError(
+            "transpile_duckdb: list_cosine_similarity expects 2 args"
+        )
+    a, b = (x.strip() for x in args)
+    dot = f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (s, v) -> s + v)"
+    na = f"sqrt(aggregate(transform({a}, x -> x * x), 0D, (s, v) -> s + v))"
+    nb = f"sqrt(aggregate(transform({b}, x -> x * x), 0D, (s, v) -> s + v))"
+    return f"({dot} / ({na} * {nb}))"
+
+
+def _rw_xor(args: list[str]) -> str:
+    """DuckDB spells bitwise xor as a function; Spark as the ^ operator."""
+    if len(args) != 2:
+        raise ValueError("transpile_duckdb: xor expects 2 args")
+    return f"(({args[0]}) ^ ({args[1]}))"
+
+
+def _rw_date_diff(args: list[str]) -> str:
+    """DuckDB quotes the unit ('day'); Spark's date_diff wants it bare.
+    NOTE both engines count BOUNDARY CROSSINGS for date_diff? They do not:
+    DuckDB counts boundaries, Spark's 3-arg date_diff counts complete
+    units (timestampdiff semantics) — identical for DATE-typed arguments,
+    divergent for intra-day timestamps. The parity sweep value-checks
+    every use; a timestamp-granularity use must be skip-listed."""
+    if len(args) == 3:
+        unit = args[0].strip()
+        m = re.fullmatch(r"'(\w+)'", unit)
+        if m:
+            return (
+                f"date_diff({m.group(1).upper()}, "
+                f"{args[1].strip()}, {args[2].strip()})"
+            )
+    return f"date_diff({', '.join(a.strip() for a in args)})"
+
+
+def _rw_to_microseconds(args: list[str]) -> str:
+    """µs count → day-time interval (make_dt_interval stores µs exactly
+    for any magnitude a double represents losslessly, i.e. < 2^53 µs
+    ≈ 285 years — beyond every fixture horizon)."""
+    if len(args) != 1:
+        raise ValueError("transpile_duckdb: to_microseconds expects 1 arg")
+    return f"make_dt_interval(0, 0, 0, ({args[0]}) / 1000000.0)"
+
+
+#: name → rewriter(args) for calls whose ARGUMENT SHAPE differs between the
+#: dialects (a pure rename would change semantics). Applied before the
+#: rename pass; case-insensitive; occurrences inside literals/comments are
+#: untouched; nested registered calls are rewritten via fixpoint recursion.
+_ARG_REWRITERS: dict[str, Callable[[list[str]], str]] = {
+    "string_split": _rw_string_split,
+    "list_sum": _rw_list_sum,
+    "list_slice": _rw_list_slice,
+    "range": _rw_range,
+    "encode": _rw_encode,
+    "regexp_replace": _rw_regexp_replace,
+    "regexp_extract_all": _rw_regexp_extract_all,
+    "to_microseconds": _rw_to_microseconds,
+    "xor": _rw_xor,
+    "date_diff": _rw_date_diff,
+    "datediff": _rw_date_diff,
+    "struct_pack": _rw_struct_pack,
+    "list_avg": _rw_list_avg,
+    "list_cosine_similarity": _rw_list_cosine,
+}
+
+_ARG_CALL = re.compile(
+    r"\b(" + "|".join(_ARG_REWRITERS) + r")\s*\(", re.IGNORECASE
+)
+#: range/generate_series in FROM position are table functions; Spark's own
+#: range TVF matches DuckDB's end-exclusive semantics, so those stay.
+_FROM_TAIL = re.compile(r"\b(?:FROM|JOIN)\s*$", re.IGNORECASE)
+
+
+def _rewrite_calls(statement: str) -> str:
+    """Apply :data:`_ARG_REWRITERS` to every unprotected call site, parsing
+    balanced top-level argument lists (protected regions are opaque, so a
+    ')' or ',' inside a literal never splits args)."""
+    spans = [t.span() for t in _PROTECTED.finditer(statement)]
+
+    def in_protected(i: int) -> tuple[bool, int]:
+        for s, e in spans:
+            if s <= i < e:
+                return True, e
+        return False, i
+
+    edits: list[tuple[int, int, str]] = []  # (start, end, replacement)
+    for m in _ARG_CALL.finditer(statement):
+        hit, _ = in_protected(m.start())
+        if hit:
+            continue
+        name = m.group(1).lower()
+        if name == "range" and _FROM_TAIL.search(statement[: m.start()]):
+            continue  # table-function position: Spark range TVF matches
+        depth, i = 1, m.end()
+        arg_starts = [m.end()]
+        while i < len(statement) and depth:
+            hit, end = in_protected(i)
+            if hit:
+                i = end
+                continue
+            c = statement[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "," and depth == 1:
+                arg_starts.append(i + 1)
+            i += 1
+        if depth:
+            raise ValueError(
+                f"transpile_duckdb: unbalanced {name} call at: "
+                f"{statement[m.start():m.start() + 60]!r}"
+            )
+        bounds = arg_starts + [i]  # arg k spans bounds[k]..bounds[k+1]-1
+        args = [
+            statement[bounds[k] : bounds[k + 1] - 1]
+            for k in range(len(arg_starts))
+        ]
+        if args == [""]:
+            args = []
+        edits.append((m.start(), i, _ARG_REWRITERS[name](args)))
+    # Apply right-to-left so earlier offsets stay valid; drop edits nested
+    # inside another edit's span (the outer rewrite copied the inner text
+    # verbatim — the fixpoint loop in the caller rewrites it).
+    out = statement
+    for start, end, text in sorted(edits, reverse=True):
+        if any(s < start and end <= e for s, e, _ in edits if (s, e) != (start, end)):
+            continue
+        out = out[:start] + text + out[end:]
+    return out
+
+
+def _rewrite_calls_fixpoint(statement: str) -> str:
+    """Iterate :func:`_rewrite_calls` until the text stabilizes — needed
+    because an outer rewrite copies nested registered calls verbatim.
+    Pass-through rewriters (3-arg regexp_replace, 2-arg encode, …) leave
+    matching names in the output, so termination is on TEXT fixpoint, not
+    on match absence; the bound is belt-and-braces against a rewriter
+    that never stabilizes."""
+    for _ in range(50):
+        nxt = _rewrite_calls(statement)
+        if nxt == statement:
+            return nxt
+        statement = nxt
+    raise ValueError("transpile_duckdb: call rewriting did not stabilize")
+
+
+# ------------------------------------------------------- bracket rewrites
+#
+# DuckDB uses square brackets three ways Spark doesn't:
+#   CAST(x AS DOUBLE[])   array TYPE suffix      → ARRAY<DOUBLE>
+#   ['a', 'b']            list literal           → array('a', 'b')
+#   xs[i]                 1-based element access → try_element_at(xs, i)
+# try_element_at is exact for the access case: both are 1-based, both
+# support negative from-the-end indexes, and both return NULL out of
+# bounds (ansi-safe). DuckDB slice syntax xs[a:b] has no textual Spark
+# equivalent and raises.
+
+_IDENT_CHARS = set("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789_")
+
+#: words that can directly precede a LIST LITERAL — a bracket after one of
+#: these is never an element access on the keyword itself
+_KEYWORDS_BEFORE_LITERAL = {
+    "SELECT", "WHERE", "WHEN", "THEN", "ELSE", "END", "AND", "OR", "NOT",
+    "IN", "ON", "BY", "HAVING", "RETURN", "RETURNS", "UNION", "ALL",
+    "DISTINCT", "AS", "CASE", "BETWEEN", "LIMIT", "OFFSET",
+}
+
+
+def _rewrite_brackets(statement: str) -> str:
+    """Rewrite the first unprotected ``[`` and recurse until none remain."""
+    for _ in range(200):
+        nxt = _rewrite_brackets_once(statement)
+        if nxt is None:
+            return statement
+        statement = nxt
+    raise ValueError("transpile_duckdb: bracket rewriting did not stabilize")
+
+
+def _rewrite_brackets_once(statement: str) -> str | None:
+    spans = [t.span() for t in _PROTECTED.finditer(statement)]
+
+    def span_at(i: int) -> tuple[int, int] | None:
+        for s, e in spans:
+            if s <= i < e:
+                return (s, e)
+        return None
+
+    i = 0
+    while i < len(statement):
+        pr = span_at(i)
+        if pr:
+            i = pr[1]
+            continue
+        if statement[i] != "[":
+            i += 1
+            continue
+        # classify by previous non-space character (protected span counts
+        # as a token: string-literal or quoted-identifier base)
+        j = i - 1
+        while j >= 0 and statement[j].isspace():
+            j -= 1
+        prev_span = span_at(j) if j >= 0 else None
+        is_access = j >= 0 and (
+            prev_span is not None
+            or statement[j] in ")]"
+            or statement[j] in _IDENT_CHARS
+            or statement[j] == ">"  # ARRAY<...> from an earlier pass
+        )
+        if is_access and prev_span is None and statement[j] in _IDENT_CHARS:
+            w = j
+            while w >= 0 and statement[w] in _IDENT_CHARS:
+                w -= 1
+            if statement[w + 1 : j + 1].upper() in _KEYWORDS_BEFORE_LITERAL:
+                is_access = False
+        # find the matching ']' (balanced, protected-opaque)
+        depth, k, top_colon = 1, i + 1, False
+        while k < len(statement) and depth:
+            pr = span_at(k)
+            if pr:
+                k = pr[1]
+                continue
+            c = statement[k]
+            if c in "([":
+                depth += 1
+            elif c in ")]":
+                depth -= 1
+            elif c == ":" and depth == 1:
+                top_colon = True
+            k += 1
+        if depth:
+            raise ValueError(
+                "transpile_duckdb: unbalanced '[' at: "
+                f"{statement[i:i + 40]!r}"
+            )
+        inner = statement[i + 1 : k - 1]
+        if not is_access:
+            comp = _parse_comprehension(inner)
+            if comp is not None:
+                expr, var, src, cond = comp
+                if cond is not None:
+                    repl = (
+                        f"transform(filter({src}, {var} -> {cond}), "
+                        f"{var} -> {expr})"
+                    )
+                else:
+                    repl = f"transform({src}, {var} -> {expr})"
+                return statement[:i] + repl + statement[k:]
+            return statement[:i] + "array(" + inner + ")" + statement[k:]
+        if top_colon:
+            raise ValueError(
+                "transpile_duckdb: list slice syntax xs[a:b] has no Spark "
+                f"equivalent at: {statement[i - 10 if i >= 10 else 0:k]!r}"
+            )
+        base_start = _base_start(statement, j, spans)
+        base = statement[base_start : j + 1]
+        if inner.strip() == "":
+            # TYPE[] array-type suffix (an empty index is never valid SQL)
+            return (
+                statement[:base_start]
+                + "ARRAY<"
+                + base
+                + ">"
+                + statement[k:]
+            )
+        return (
+            statement[:base_start]
+            + f"try_element_at({base}, {inner})"
+            + statement[k:]
+        )
+    return None
+
+
+def _spans_of(statement: str) -> list[tuple[int, int]]:
+    return [t.span() for t in _PROTECTED.finditer(statement)]
+
+
+def _split_top(s: str, sep: str) -> list[str]:
+    """Split on depth-0 unprotected occurrences of the single char ``sep``."""
+    parts, depth, i, start = [], 0, 0, 0
+    while i < len(s):
+        m = _PROTECTED.match(s, i)
+        if m:
+            i = m.end()
+            continue
+        c = s[i]
+        if c in "([{":
+            depth += 1
+        elif c in ")]}":
+            depth -= 1
+        elif c == sep and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+        i += 1
+    parts.append(s[start:])
+    return parts
+
+
+def _rewrite_struct_literals(statement: str) -> str:
+    """DuckDB ``{'k': v, …}`` struct literals → named_struct('k', v, …);
+    a ``MAP {'k': v}`` prefix → map('k', v, …)."""
+    for _ in range(100):
+        nxt = _rewrite_struct_once(statement)
+        if nxt is None:
+            return statement
+        statement = nxt
+    raise ValueError("transpile_duckdb: struct rewriting did not stabilize")
+
+
+def _rewrite_struct_once(statement: str) -> str | None:
+    spans = _spans_of(statement)
+
+    def span_at(i: int) -> tuple[int, int] | None:
+        for s, e in spans:
+            if s <= i < e:
+                return (s, e)
+        return None
+
+    i = 0
+    while i < len(statement):
+        pr = span_at(i)
+        if pr:
+            i = pr[1]
+            continue
+        if statement[i] != "{":
+            i += 1
+            continue
+        depth, k = 1, i + 1
+        while k < len(statement) and depth:
+            pr = span_at(k)
+            if pr:
+                k = pr[1]
+                continue
+            if statement[k] in "([{":
+                depth += 1
+            elif statement[k] in ")]}":
+                depth -= 1
+            k += 1
+        if depth:
+            raise ValueError(
+                f"transpile_duckdb: unbalanced '{{' at: {statement[i:i+40]!r}"
+            )
+        inner = statement[i + 1 : k - 1]
+        fields: list[str] = []
+        for pair in _split_top(inner, ","):
+            kv = _split_top(pair, ":")
+            if len(kv) != 2 or not re.fullmatch(
+                r"'(?:[^']|'')*'", kv[0].strip()
+            ):
+                raise ValueError(
+                    "transpile_duckdb: struct literal field must be "
+                    f"'key': value (got {pair.strip()!r})"
+                )
+            fields.append(f"{kv[0].strip()}, {kv[1].strip()}")
+        # MAP {'k': v} prefix → a map, not a struct
+        j = i - 1
+        while j >= 0 and statement[j].isspace():
+            j -= 1
+        w = j
+        while w >= 0 and statement[w] in _IDENT_CHARS:
+            w -= 1
+        if statement[w + 1 : j + 1].upper() == "MAP":
+            return (
+                statement[: w + 1]
+                + f"map({', '.join(fields)})"
+                + statement[k:]
+            )
+        return (
+            statement[:i]
+            + f"named_struct({', '.join(fields)})"
+            + statement[k:]
+        )
+    return None
+
+
+def _rewrite_power(statement: str) -> str:
+    """DuckDB's ``**`` operator → power(l, r) (Spark's ``^`` is xor)."""
+    for _ in range(100):
+        spans = _spans_of(statement)
+
+        def span_at(i: int) -> tuple[int, int] | None:
+            for s, e in spans:
+                if s <= i < e:
+                    return (s, e)
+            return None
+
+        pos = None
+        i = 0
+        while i < len(statement) - 1:
+            pr = span_at(i)
+            if pr:
+                i = pr[1]
+                continue
+            if statement[i] == "*" and statement[i + 1] == "*":
+                pos = i
+                break
+            i += 1
+        if pos is None:
+            return statement
+        j = pos - 1
+        while j >= 0 and statement[j].isspace():
+            j -= 1
+        ls = _base_start(statement, j, spans)
+        r0 = pos + 2
+        while r0 < len(statement) and statement[r0].isspace():
+            r0 += 1
+        re_ = _forward_primary(statement, r0, spans)
+        left = statement[ls : j + 1]
+        right = statement[r0:re_]
+        statement = (
+            statement[:ls] + f"power({left}, {right})" + statement[re_:]
+        )
+    raise ValueError("transpile_duckdb: power rewriting did not stabilize")
+
+
+def _forward_primary(s: str, i: int, spans: list[tuple[int, int]]) -> int:
+    """End index of the primary expression starting at ``i``: an optional
+    sign, then a literal / identifier chain / call / parenthesized group,
+    with trailing ``(…)``, ``[…]`` and ``.field`` links."""
+
+    def span_at(k: int) -> tuple[int, int] | None:
+        for a, b in spans:
+            if a <= k < b:
+                return (a, b)
+        return None
+
+    if i < len(s) and s[i] in "+-":
+        i += 1
+        while i < len(s) and s[i].isspace():
+            i += 1
+    pr = span_at(i)
+    if pr:
+        i = pr[1]
+    elif i < len(s) and (s[i].isdigit() or s[i] == "."):
+        while i < len(s) and (s[i].isdigit() or s[i] == "."):
+            i += 1
+    elif i < len(s) and s[i] in _IDENT_CHARS:
+        while i < len(s) and s[i] in _IDENT_CHARS:
+            i += 1
+    elif i < len(s) and s[i] in "([":
+        pass  # handled by the trailing-link loop below
+    else:
+        raise ValueError(
+            f"transpile_duckdb: cannot parse '**' right operand at: {s[i:i+40]!r}"
+        )
+    while i < len(s):
+        if s[i] in "([":
+            opener, closer = s[i], ")" if s[i] == "(" else "]"
+            depth, i = 1, i + 1
+            while i < len(s) and depth:
+                pr = span_at(i)
+                if pr:
+                    i = pr[1]
+                    continue
+                if s[i] == opener:
+                    depth += 1
+                elif s[i] == closer:
+                    depth -= 1
+                i += 1
+        elif s[i] == "." and i + 1 < len(s) and s[i + 1] in _IDENT_CHARS:
+            i += 1
+            while i < len(s) and s[i] in _IDENT_CHARS:
+                i += 1
+        else:
+            break
+    return i
+
+
+def _rewrite_lateral_unnest(statement: str) -> str:
+    """``FROM t, unnest(arr) AS u(x)`` → ``FROM t LATERAL VIEW
+    explode(arr) u AS x`` (the comma-join lateral table function)."""
+    pat = re.compile(r",\s*unnest\s*\(", re.IGNORECASE)
+    while True:
+        spans = _spans_of(statement)
+
+        def span_at(i: int) -> tuple[int, int] | None:
+            for a, b in spans:
+                if a <= i < b:
+                    return (a, b)
+            return None
+
+        m = None
+        for cand in pat.finditer(statement):
+            if span_at(cand.start()) is None:
+                m = cand
+                break
+        if m is None:
+            return statement
+        depth, k = 1, m.end()
+        while k < len(statement) and depth:
+            pr = span_at(k)
+            if pr:
+                k = pr[1]
+                continue
+            if statement[k] == "(":
+                depth += 1
+            elif statement[k] == ")":
+                depth -= 1
+            k += 1
+        alias = re.match(
+            r"\s+AS\s+(\w+)\s*\(\s*(\w+)\s*\)", statement[k:], re.IGNORECASE
+        )
+        if depth or not alias:
+            return statement  # not the narrow shape — leave for Catalyst
+        args = statement[m.end() : k - 1]
+        statement = (
+            statement[: m.start()]
+            + f" LATERAL VIEW explode({args}) {alias.group(1)} "
+            + f"AS {alias.group(2)}"
+            + statement[k + alias.end() :]
+        )
+
+
+def _find_top_keyword(s: str, kw: str) -> tuple[int, int] | None:
+    """(start, end) of the first depth-0, unprotected, word-bounded ``kw``."""
+    pat = re.compile(rf"{kw}\b", re.IGNORECASE)
+    depth, i = 0, 0
+    while i < len(s):
+        m = _PROTECTED.match(s, i)
+        if m:
+            i = m.end()
+            continue
+        c = s[i]
+        if c in "([{":
+            depth += 1
+        elif c in ")]}":
+            depth -= 1
+        elif depth == 0 and (i == 0 or s[i - 1] not in _IDENT_CHARS):
+            mm = pat.match(s, i)
+            if mm:
+                return i, mm.end()
+        i += 1
+    return None
+
+
+def _parse_comprehension(inner: str) -> tuple[str, str, str, str | None] | None:
+    """DuckDB list comprehension ``[expr FOR var IN src [IF cond]]`` →
+    (expr, var, src, cond) — mapped to transform(+filter), which is its
+    exact semantics. Returns None when ``inner`` is a plain literal."""
+    f = _find_top_keyword(inner, "FOR")
+    if f is None:
+        return None
+    expr = inner[: f[0]].strip()
+    rest = inner[f[1] :]
+    n = _find_top_keyword(rest, "IN")
+    if n is None:
+        raise ValueError(
+            f"transpile_duckdb: comprehension without IN: {inner[:60]!r}"
+        )
+    var = rest[: n[0]].strip()
+    tail = rest[n[1] :]
+    if not re.fullmatch(r"[A-Za-z_]\w*", var):
+        raise ValueError(
+            f"transpile_duckdb: comprehension variable {var!r} is not a "
+            "plain identifier"
+        )
+    cnd = _find_top_keyword(tail, "IF")
+    if cnd is None:
+        return expr, var, tail.strip(), None
+    return expr, var, tail[: cnd[0]].strip(), tail[cnd[1] :].strip()
+
+
+def _base_start(statement: str, j: int, spans: list[tuple[int, int]]) -> int:
+    """Start index of the expression ending at ``j`` (inclusive): an
+    identifier chain (a.b.c), a call/paren group (f(x), (expr)), a prior
+    bracket access (xs[1]), a quoted identifier or string literal, an
+    ARRAY<...> type, or any dot-joined mix of these."""
+
+    def span_at(i: int) -> tuple[int, int] | None:
+        for s, e in spans:
+            if s <= i < e:
+                return (s, e)
+        return None
+
+    while True:
+        pr = span_at(j)
+        if pr:
+            j = pr[0] - 1
+        elif statement[j] in ")]":
+            close, opener = statement[j], "(" if statement[j] == ")" else "["
+            depth = 1
+            j -= 1
+            while j >= 0 and depth:
+                pr = span_at(j)
+                if pr:
+                    j = pr[0] - 1
+                    continue
+                if statement[j] == close:
+                    depth += 1
+                elif statement[j] == opener:
+                    depth -= 1
+                j -= 1
+            # a call: include the function name before '('
+            while j >= 0 and statement[j] in _IDENT_CHARS:
+                j -= 1
+        elif statement[j] == ">":
+            # ARRAY<...> type from an earlier bracket pass
+            depth = 1
+            j -= 1
+            while j >= 0 and depth:
+                if statement[j] == ">":
+                    depth += 1
+                elif statement[j] == "<":
+                    depth -= 1
+                j -= 1
+            while j >= 0 and statement[j] in _IDENT_CHARS:
+                j -= 1
+        elif statement[j] in _IDENT_CHARS:
+            while j >= 0 and statement[j] in _IDENT_CHARS:
+                j -= 1
+        else:
+            raise ValueError(
+                "transpile_duckdb: cannot find the base expression of a "
+                f"bracket access before: {statement[j:j + 40]!r}"
+            )
+        if j >= 0 and statement[j] == ".":
+            j -= 1
+            continue
+        return j + 1
+
+
+# ---------------------------------------------------- non-call rewrites
+
+#: Dialect-isms that are neither renames nor call rewrites (kept tiny and
+#: explicit; anything not listed rides through to Catalyst unchanged).
+#: ``//`` is DuckDB integer division; Spark spells it the ANSI way.
+_INT_DIV = re.compile(r"//")
+_BARE_VARCHAR = re.compile(r"\bVARCHAR\b(?!\s*\()", re.IGNORECASE)
+# DuckDB CTE materialization hints (WITH x AS [NOT] MATERIALIZED (...)) are
+# pure physical advice — Spark's parser has no spelling for them and the
+# semantics without the hint are identical, so they are dropped.
+_CTE_MATERIALIZED = re.compile(
+    r"\bAS\s+(?:NOT\s+)?MATERIALIZED\s*\(", re.IGNORECASE
+)
+# A bare decimal-point literal is DECIMAL in Spark but behaves as float in
+# DuckDB arithmetic (DuckDB's '/' always returns DOUBLE; Spark's decimal
+# division stays DECIMAL and *renders* with trailing zeros — '100.0000' vs
+# '100.0'). Suffixing 'D' makes the literal a Spark DOUBLE, reproducing
+# the reference dialect's float arithmetic. Not applied when the literal
+# is already part of a larger token (1.5e3, x1.0) — and literals inside
+# strings/comments are protected like everything else.
+_FLOAT_LITERAL = re.compile(
+    r"(?<![\w.])(\d+\.\d+)(?![\w.eE])"
+)
+
 
 def transpile_duckdb(statement: str) -> str:
     """Rewrite a DuckDB-dialect (reference-dialect) SQL string to Spark SQL.
 
-    Mechanics: function-call names found in :data:`DUCKDB_TO_SPARK_FN`
-    (case-insensitive, word-boundary, call-position only — ``len(x)``
-    rewrites, a column named ``len`` does not) are renamed; string
-    literals and quoted identifiers pass through byte-identical; ``//``
-    becomes the ANSI ``DIV``. Everything else is left for Catalyst.
-    """
+    Mechanics, in order:
 
-    statement = _rewrite_string_split(statement)
+    1. bracket rewrites — ``TYPE[]`` → ``ARRAY<TYPE>``, list literals →
+       ``array(…)``, 1-based element access → ``try_element_at`` (also
+       1-based, also NULL out of bounds);
+    2. argument-shape rewrites (:data:`_ARG_REWRITERS`) — string_split,
+       list_sum, scalar range, encode, regexp flags, xor, date_diff …;
+    3. function-call renames found in :data:`DUCKDB_TO_SPARK_FN`
+       (case-insensitive, word-boundary, call-position only — ``len(x)``
+       rewrites, a column named ``len`` does not);
+    4. ``extract('unit' FROM x)`` unquotes its unit (Spark wants it bare);
+    5. non-call spellings outside protected tokens: ``//`` → ``DIV``, bare
+       ``VARCHAR`` → ``STRING``, CTE ``MATERIALIZED`` hints dropped;
+    6. literal re-escaping: DuckDB string literals are RAW where Spark
+       treats backslash as an escape, so backslashes double; DuckDB
+       ``"quoted identifiers"`` become Spark backticks (Spark reads
+       double-quoted text as a string literal).
+
+    String literals, quoted identifiers and comments are protected token
+    classes throughout — a function name, ``//`` or apostrophe inside one
+    never affects the code around it.
+    """
+    statement = _rewrite_brackets(statement)
+    statement = _rewrite_struct_literals(statement)
+    statement = _rewrite_power(statement)
+    statement = _rewrite_lateral_unnest(statement)
+    statement = _rewrite_calls_fixpoint(statement)
 
     def _sub(m: re.Match) -> str:
         if m.group("protected") is not None:
@@ -180,20 +907,29 @@ def transpile_duckdb(statement: str) -> str:
         return DUCKDB_TO_SPARK_FN.get(name.lower(), name)
 
     out = _TOKEN.sub(_sub, statement)
-    # Non-call-position rewrites, applied outside string literals, quoted
-    # identifiers AND comments (split keeps all protected token classes as
-    # odd segments):
-    # - '//' is DuckDB integer division → ANSI DIV;
-    # - bare VARCHAR (no length) is a valid DuckDB cast target but Spark
-    #   demands a length — STRING is the shared-semantics spelling.
-    #   VARCHAR(n) is valid in both and passes through untouched.
     parts = re.split(rf"({_PROTECTED_SRC})", out, flags=re.VERBOSE)
-    parts = [
-        p
-        if i % 2
-        else _BARE_VARCHAR.sub("STRING", _INT_DIV.sub(" DIV ", p))
-        for i, p in enumerate(parts)
-    ]
+    # extract('minute' FROM ts) → extract(MINUTE FROM ts): the unit sits in
+    # a protected literal, so the rewrite matches the (code, literal, code)
+    # part triple around it.
+    for i in range(0, len(parts) - 2, 2):
+        if (
+            re.search(r"\bextract\s*\(\s*$", parts[i], re.IGNORECASE)
+            and parts[i + 1].startswith("'")
+            and re.match(r"\s*FROM\b", parts[i + 2], re.IGNORECASE)
+            and re.fullmatch(r"'(\w+)'", parts[i + 1])
+        ):
+            parts[i + 1] = parts[i + 1][1:-1].upper()
+    for i, p in enumerate(parts):
+        if i % 2 == 0:  # unprotected code
+            p = _CTE_MATERIALIZED.sub(
+                "AS (", _BARE_VARCHAR.sub("STRING", _INT_DIV.sub(" DIV ", p))
+            )
+            parts[i] = _FLOAT_LITERAL.sub(r"\1D", p)
+        elif p.startswith("'"):  # string literal: raw → backslash-escaped
+            parts[i] = p.replace("\\", "\\\\")
+        elif p.startswith('"'):  # quoted identifier → backticks
+            inner = p[1:-1].replace('""', '"')
+            parts[i] = "`" + inner.replace("`", "``") + "`"
     return "".join(parts)
 
 

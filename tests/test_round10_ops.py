@@ -202,7 +202,7 @@ def test_transpile_protects_literals_identifiers_and_bare_names():
     out = transpile_duckdb(
         """SELECT 'len(x)' AS lit, "len", len FROM t WHERE a // b > 2"""
     )
-    assert "'len(x)'" in out and '"len"' in out
+    assert "'len(x)'" in out and "`len`" in out  # ident → Spark backticks
     assert " size" not in out  # no call position, no rename
     assert " DIV " in out and "//" not in out
     # '//' inside a literal survives
@@ -713,7 +713,9 @@ def test_transpile_protects_quoted_identifiers_in_second_pass():
     out = transpile_duckdb(
         'SELECT "a//b", "VARCHAR", x // 2 AS d, CAST(y AS VARCHAR) AS s FROM t'
     )
-    assert '"a//b"' in out and '"VARCHAR"' in out
+    # identifiers convert to Spark backticks (Spark reads "..." as a
+    # string literal) with their contents byte-preserved
+    assert "`a//b`" in out and "`VARCHAR`" in out
     assert " DIV " in out and "AS STRING" in out and "x //" not in out
 
 

@@ -1,0 +1,65 @@
+"""Catalog-wide statement-level parity gate for the SQL front end.
+
+The reference's identity is "SQL strings in, frames out" (SURVEY.md §1.1):
+its user hands the engine a reference-dialect SQL string. This test proves
+that identity at catalog width — every sql-oracled entry's own DuckDB
+oracle statement is transpiled (functions/transpile.py), executed by
+Catalyst, and value-hash-compared against DuckDB's result with the
+driver-exact canonicalizer. The skip list (tools/transpile_sweep.py)
+enumerates the genuinely-unshared constructs and is kept honest in both
+directions: an unskipped entry that stops matching fails, and a skipped
+entry that silently starts passing fails (stale skip).
+
+Round-11 state: 200 of 221 oracled statements execute verbatim with
+matching hashes; the 21 skips are all LOUD failures (parser/analyzer/
+transpiler errors), zero silent value divergences.
+"""
+
+from __future__ import annotations
+
+from tools.transpile_sweep import SKIP_REASONS, run_sweep
+
+MIN_MATCHES = 195  # floor well above the VERDICT's N >= 100 bar
+
+
+def test_statement_parity_catalog_wide(spark, duck):
+    import tests.conftest as cf
+
+    results = run_sweep(spark, duck, cf.SF_SMALL)
+    assert len(results) >= 200, "sweep should cover every sql-oracled entry"
+
+    unexplained = {
+        name: detail
+        for name, (status, detail) in results.items()
+        if status != "MATCH" and name not in SKIP_REASONS
+    }
+    assert not unexplained, (
+        f"{len(unexplained)} oracle statements no longer run verbatim on "
+        f"Spark and are not skip-listed: {unexplained}"
+    )
+
+    stale = [
+        name
+        for name in SKIP_REASONS
+        if results.get(name, ("", ""))[0] == "MATCH"
+    ]
+    assert not stale, (
+        f"skip-listed entries now MATCH — remove from SKIP_REASONS: {stale}"
+    )
+
+    # every skip must fail LOUDLY (ERROR), never silently (MISMATCH):
+    # a silent divergence on a skip-listed entry would mean the transpiler
+    # produced wrong-but-executable SQL
+    silent = [
+        name
+        for name in SKIP_REASONS
+        if results.get(name, ("", ""))[0] == "MISMATCH"
+    ]
+    assert not silent, (
+        f"skip-listed entries diverge SILENTLY (executed but wrong): {silent}"
+    )
+
+    n_match = sum(1 for s, _ in results.values() if s == "MATCH")
+    assert n_match >= MIN_MATCHES, (
+        f"statement-parity coverage regressed: {n_match} < {MIN_MATCHES}"
+    )
