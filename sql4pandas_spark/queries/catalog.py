@@ -84,6 +84,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- round-11 NEW entries (0 greens) --
     # (added as they land; each new entry MUST enter the window or the
     # evidence rule goes red)
+    "sessionize_events_nulls",
+    "top_movers_events_nulls",
+    "event_transitions_nulls",
+    "value_histogram_nulls",
     # -- the 13 entries green only in r10 --
     "sql_frontend_duckdb",
     "sql_frontend_events_json",

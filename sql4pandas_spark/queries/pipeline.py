@@ -5744,3 +5744,177 @@ def decontaminate_bloom_documents(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy("doc_id")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# Round 11: load-bearing NULL/NaN contracts. The fixture tables carry no
+# NULLs in the NULL-sensitive columns, so until now the operators' NULL
+# drops (sessionize/top_movers/event_transitions) and the histogram's
+# ~isnan guard were pinned only textually (mirrored WHERE clauses) and in
+# pytest. These entries PLANT deterministic NULLs and NaNs with a shared
+# ANSI CTE that both engines execute verbatim, then run the same public
+# operators over the null-bearing frame — a green driver row now breaks if
+# any NULL filter or the NaN guard is removed on either side.
+
+#: deterministic NULL/NaN planting over events — shared ANSI text, used
+#: byte-identically as the Spark input frame and the oracle CTE
+_EVENTS_NULLS_SQL = """
+      SELECT event_id,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END
+               AS user_id,
+             CASE WHEN event_id % 11 = 3 THEN NULL ELSE ts END AS ts,
+             CASE WHEN event_id % 13 = 5 THEN NULL ELSE event_type END
+               AS event_type,
+             CASE WHEN event_id % 17 = 2 THEN CAST('NaN' AS DOUBLE)
+                  WHEN event_id % 19 = 4 THEN NULL
+                  ELSE value END AS value
+      FROM events
+"""
+
+
+def _events_with_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir, ("events",))
+    return spark.sql(_EVENTS_NULLS_SQL)
+
+
+@query(
+    "sessionize_events_nulls",
+    oracle=f"""
+    WITH ev AS ({_EVENTS_NULLS_SQL}),
+    l AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS ns
+      FROM ev WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (
+      SELECT user_id, ts,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM l)
+    SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+             AS duration_secs
+    FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx
+    """,
+    tags=("tier-c", "sessionize", "null_contract", "win_lag", "behavior"),
+)
+def sessionize_events_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sessionize over a null-bearing stream (operators/behavior
+    .sessionize on the planted frame): anonymous (NULL user_id) and
+    unstamped (NULL ts) events must be DROPPED, not sessionized — if the
+    operator's filter disappears, Spark emits NULL-user sessions and
+    reorders lag() around NULL timestamps while the oracle does not,
+    and the hash breaks. This makes the round-10 textual mirror of the
+    NULL contract load-bearing."""
+    from sql4pandas_spark.operators.behavior import sessionize
+
+    ev = _events_with_nulls(spark, sf_dir)
+    return sessionize(ev).orderBy("user_id", "session_idx")
+
+
+@query(
+    "top_movers_events_nulls",
+    oracle=f"""
+    WITH ev AS ({_EVENTS_NULLS_SQL}),
+    c AS (
+      SELECT event_type, CAST(date_trunc('week', ts) AS TIMESTAMP)
+               AS bucket_ts,
+             count(*) AS n_events
+      FROM ev WHERE ts IS NOT NULL GROUP BY 1, 2),
+    l AS (
+      SELECT event_type, bucket_ts, n_events,
+             CASE WHEN lag(bucket_ts) OVER w = bucket_ts - INTERVAL 1 WEEK
+                  THEN lag(n_events) OVER w END AS prev_events
+      FROM c WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts))
+    SELECT event_type, bucket_ts, n_events, prev_events,
+           CASE WHEN n_events >= prev_events THEN
+             (n_events - prev_events) * 1000000 // prev_events
+           ELSE
+             -((prev_events - n_events) * 1000000 // prev_events)
+           END AS growth_ppm
+    FROM l WHERE prev_events >= 1
+    ORDER BY event_type, bucket_ts
+    """,
+    tags=("tier-c", "trending", "null_contract", "win_lag", "behavior"),
+)
+def top_movers_events_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """top_movers over a null-bearing stream: unstamped events drop
+    (operator filter, mirrored above), while a NULL event_type is a
+    REAL GROUP that flows straight through the groupBy + lag window on
+    both engines — the entry pins that NULL group keys survive the
+    operator identically (Spark groupBy and DuckDB GROUP BY both keep
+    one NULL group), not just that NULLs get filtered."""
+    from sql4pandas_spark.operators.behavior import top_movers
+
+    ev = _events_with_nulls(spark, sf_dir)
+    return top_movers(ev, "event_type").orderBy("event_type", "bucket_ts")
+
+
+@query(
+    "event_transitions_nulls",
+    oracle=f"""
+    WITH ev AS ({_EVENTS_NULLS_SQL}),
+    p AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM ev
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL),
+    c AS (
+      SELECT from_type, to_type, count(*) AS n_transitions
+      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n_transitions,
+           CAST(n_transitions * 1000000
+                // sum(n_transitions) OVER (PARTITION BY from_type)
+                AS BIGINT) AS share_ppm
+    FROM c ORDER BY from_type, to_type
+    """,
+    tags=("tier-c", "behavior", "null_contract", "win_lag", "markov"),
+)
+def event_transitions_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """event_transitions over a null-bearing stream: NULL user/ts/type
+    rows must vanish BEFORE adjacency is computed — dropping them after
+    lead() (or not at all) splices B→C into B→NULL→C and shifts every
+    count; the planted frame makes that distinction observable, so the
+    operator's pre-window filter is now hash-pinned against the
+    oracle's identical WHERE."""
+    from sql4pandas_spark.operators.behavior import event_transitions
+
+    ev = _events_with_nulls(spark, sf_dir)
+    return event_transitions(ev).orderBy("from_type", "to_type")
+
+
+@query(
+    "value_histogram_nulls",
+    oracle=f"""
+    WITH ev AS ({_EVENTS_NULLS_SQL}),
+    b AS (
+      SELECT least(15, greatest(0, CAST(floor(
+               (value - 0.0) * 16.0 / 400.0) AS BIGINT))) AS bin
+      FROM ev WHERE value IS NOT NULL AND NOT isnan(value))
+    SELECT bin, count(*) AS n FROM b GROUP BY 1 ORDER BY bin
+    """,
+    tags=("tier-c", "histogram", "null_contract", "sketch", "agg_approx"),
+)
+def value_histogram_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """value_histogram over a value column with planted NULLs AND NaNs
+    (operators/sketches.value_histogram): NULL has no value to bin, and
+    NaN passes isNotNull while greatest/least order it above every
+    number — without the operator's ~isnan guard every planted NaN
+    lands silently in the TOP bin and reads back as a max-range
+    observation. The oracle drops both explicitly, so this green row is
+    exactly the guard's load-bearing test (previously pytest-only,
+    sketches.py:116)."""
+    from sql4pandas_spark.operators.sketches import value_histogram
+
+    ev = _events_with_nulls(spark, sf_dir)
+    return (
+        value_histogram(ev, "value", lo=0.0, hi=400.0, n_bins=16)
+        .select("bin", F.col("n").cast("long").alias("n"))
+        .orderBy("bin")
+    )

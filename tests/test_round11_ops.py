@@ -132,3 +132,79 @@ def test_merge_weighted_samples_conflicting_weight_deterministic(spark):
     for doc_id, row in kept.items():
         cands = [x for x in (a_rows.get(doc_id), b_rows.get(doc_id)) if x]
         assert row[-1] == max(c["skey"] for c in cands)
+
+
+# ------------------------------- round-11 NULL/NaN load-bearing contracts
+
+
+def _planted(spark):
+    from sql4pandas_spark.queries.pipeline import _events_with_nulls
+
+    return _events_with_nulls(spark, "/root/testdata/sf0.001")
+
+
+def test_planted_frame_actually_carries_nulls_and_nans(spark):
+    """The null-contract entries are only load-bearing if the planted
+    frame really feeds NULLs/NaNs through — pin the plant itself."""
+    from pyspark.sql import functions as F
+
+    ev = _planted(spark)
+    agg = ev.agg(
+        F.sum(F.col("user_id").isNull().cast("int")).alias("nu"),
+        F.sum(F.col("ts").isNull().cast("int")).alias("nt"),
+        F.sum(F.col("event_type").isNull().cast("int")).alias("ne"),
+        F.sum(F.isnan("value").cast("int")).alias("nn"),
+        F.sum(F.col("value").isNull().cast("int")).alias("nv"),
+    ).collect()[0]
+    assert min(agg) > 0, f"planting produced no NULL/NaN somewhere: {agg}"
+
+
+def test_value_histogram_nan_guard_is_load_bearing(spark):
+    """Without ~isnan, every planted NaN would land in the TOP bin:
+    the histogram total must equal the count of non-null non-NaN values,
+    strictly less than the count of non-null values."""
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.sketches import value_histogram
+
+    ev = _planted(spark)
+    hist_total = (
+        value_histogram(ev, "value", lo=0.0, hi=400.0, n_bins=16)
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    n_nonnull = ev.filter(F.col("value").isNotNull()).count()
+    n_clean = ev.filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    ).count()
+    assert hist_total == n_clean < n_nonnull
+
+
+def test_sessionize_null_drops_are_load_bearing(spark):
+    """Sessionized event mass must equal exactly the stamped+identified
+    subset — if the operator stopped dropping NULL user/ts rows, the
+    totals would include them and diverge."""
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.behavior import sessionize
+
+    ev = _planted(spark)
+    total = (
+        sessionize(ev).agg(F.sum("n_events")).collect()[0][0]
+    )
+    keepable = ev.filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).count()
+    assert total == keepable < ev.count()
+
+
+def test_top_movers_null_group_flows_through(spark):
+    """A NULL event_type is a real group: top_movers must emit rows for
+    it when its buckets are calendar-adjacent, same as any group."""
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.behavior import top_movers
+
+    ev = _planted(spark)
+    out = top_movers(ev, "event_type")
+    assert out.filter(F.col("event_type").isNull()).count() > 0
