@@ -243,11 +243,67 @@ class IVFIndex:
         self.centroids = centroids
         self.assigned = assigned
 
+    def release(self) -> None:
+        """Unpersist the assignment frame (idempotent; safe after the
+        session is gone). A dropped index must release executor storage
+        or a long-lived engine session leaks one persisted frame per
+        dataset it ever indexed."""
+        try:
+            self.assigned.unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+
 
 #: (session id, cache_key, n_cells) -> IVFIndex. Index build (centroid
 #: training + full assignment scan) must run once per dataset per session,
 #: not once per query — rounds 1-2 rebuilt it on every query build.
+#: LRU-bounded: entry #(max+1) evicts (and UNPERSISTS) the least recently
+#: used index, so a long-lived engine session cycling through datasets
+#: keeps executor storage flat instead of accreting one persisted
+#: assignment frame per dataset forever. Explicit eviction:
+#: :func:`drop_ivf_index`.
 _IVF_CACHE: dict[tuple[int, str, int], IVFIndex] = {}
+_IVF_CACHE_MAX = 8
+
+
+def _ivf_cache_get(key: tuple[int, str, int]) -> IVFIndex | None:
+    hit = _IVF_CACHE.pop(key, None)
+    if hit is not None:
+        _IVF_CACHE[key] = hit  # re-insert: most recently used
+    return hit
+
+
+def _ivf_cache_put(key: tuple[int, str, int], index: IVFIndex) -> None:
+    _IVF_CACHE.pop(key, None)
+    _IVF_CACHE[key] = index
+    while len(_IVF_CACHE) > _IVF_CACHE_MAX:
+        _IVF_CACHE.pop(next(iter(_IVF_CACHE))).release()
+
+
+def drop_ivf_index(
+    cache_key: str | None = None,
+    n_cells: int | None = None,
+    session=None,
+) -> int:
+    """Evict cached IVF indexes (and unpersist their assignment frames).
+
+    Filters compose: ``drop_ivf_index("docs_v1")`` drops every cell count
+    built for that key; ``drop_ivf_index()`` clears the whole cache (the
+    engine-shutdown path). Returns the number of indexes dropped. After a
+    drop, repeated build→drop cycles leave executor storage flat
+    (pinned in tests/test_round11_ops.py)."""
+    dropped = 0
+    for key in list(_IVF_CACHE):
+        sid, ck, nc = key
+        if cache_key is not None and ck != cache_key:
+            continue
+        if n_cells is not None and nc != n_cells:
+            continue
+        if session is not None and sid != id(session):
+            continue
+        _IVF_CACHE.pop(key).release()
+        dropped += 1
+    return dropped
 
 
 def _assign_to_cells(emb: DataFrame, id_col: str, cents: np.ndarray) -> DataFrame:
@@ -289,7 +345,7 @@ def build_ivf_index(
     distributed). Assignment is one NumPy matmul per Arrow batch, persisted.
     """
     if cache_key is not None:
-        hit = _IVF_CACHE.get((id(emb.sparkSession), cache_key, n_cells))
+        hit = _ivf_cache_get((id(emb.sparkSession), cache_key, n_cells))
         if hit is not None:
             return hit
     train_rows = (
@@ -308,7 +364,7 @@ def build_ivf_index(
     assigned = _assign_to_cells(emb, id_col, cents).persist()
     index = IVFIndex(emb, id_col, cents, assigned)
     if cache_key is not None:
-        _IVF_CACHE[(id(emb.sparkSession), cache_key, n_cells)] = index
+        _ivf_cache_put((id(emb.sparkSession), cache_key, n_cells), index)
     return index
 
 
