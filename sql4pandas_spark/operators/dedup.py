@@ -236,6 +236,33 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     return labels
 
 
+def label_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """First-class clustering API over an ARBITRARY pair graph: label every
+    node in ``nodes`` with its connected component's smallest member id —
+    (doc_id, cluster_id), singletons keeping their own id.
+
+    This is :func:`connected_components` (smallest-id label propagation,
+    O(diameter) rounds, lineage-checkpointed, non-convergence raises)
+    plus the singleton coalesce every caller needs: nodes that appear in
+    no pair never enter the propagation joins — the edge frame, not the
+    node frame, bounds per-round work — and re-join as their own
+    1-clusters at the end. near_dedup_minhash is exactly this operator
+    applied to verified MinHash pairs; exposing it separately lets any
+    pair source (fuzzy joins, embedding near-pairs, explicit entity
+    matches) reuse the labeler without re-deriving the pattern.
+    """
+    components = connected_components(pairs, max_iter=max_iter)
+    all_ids = nodes.select(F.col(id_col).alias("doc_id")).distinct()
+    return all_ids.join(components, "doc_id", "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", "doc_id")
+    )
+
+
 def near_dedup_minhash(
     df: DataFrame,
     text_col: str = "text",

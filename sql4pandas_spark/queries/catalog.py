@@ -88,6 +88,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "top_movers_events_nulls",
     "event_transitions_nulls",
     "value_histogram_nulls",
+    "dedup_components_documents",
     # -- the 13 entries green only in r10 --
     "sql_frontend_duckdb",
     "sql_frontend_events_json",

@@ -5918,3 +5918,64 @@ def value_histogram_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bin", F.col("n").cast("long").alias("n"))
         .orderBy("bin")
     )
+
+
+@query(
+    "dedup_components_documents",
+    oracle="""
+    WITH RECURSIVE r AS (
+      SELECT doc_id, lang, doc_id % 7 AS g,
+             row_number() OVER (PARTITION BY lang, doc_id % 7
+                                ORDER BY doc_id) AS rn
+      FROM documents),
+    e0 AS (
+      SELECT c.doc_id AS id_a, p.doc_id AS id_b
+      FROM r c JOIN r p ON c.lang = p.lang AND c.g = p.g
+                       AND p.rn = c.rn // 2
+      WHERE c.rn >= 2),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM e0
+              UNION SELECT id_b, id_a FROM e0),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r2.src, e.dst FROM reach r2 JOIN edges e ON r2.dst = e.src)
+    SELECT src AS doc_id, min(dst) AS cluster_id
+    FROM reach GROUP BY src ORDER BY doc_id
+    """,
+    tags=("tier-c", "dedup_near", "connected_components", "graph"),
+)
+def dedup_components_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The connected-components labeler as a standalone public operator
+    (operators/dedup.label_components): a deterministic binary-forest
+    pair graph — each doc links to the doc at rank rn DIV 2 within its
+    (lang, doc_id % 7) group — is labeled directly, with no dedup
+    pipeline in front. The forest's depth is log2 of the largest group,
+    so min-label propagation (O(diameter) rounds, lineage-checkpointed)
+    converges quickly at every scale factor while still exercising
+    multi-round merging; singletons (groups of one) must coalesce to
+    their own id. The oracle recomputes true components as a recursive
+    transitive closure over the identical edge set — a hash match proves
+    the iterative Spark labeler equals the declarative fixpoint,
+    independent of any upstream candidate generation (the labeler was
+    previously driver-proven only THROUGH near_dedup_minhash)."""
+    from pyspark.sql import Window
+
+    from sql4pandas_spark.operators.dedup import label_components
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    w = Window.partitionBy("lang", "g").orderBy("doc_id")
+    r = (
+        docs.select("doc_id", "lang", (F.col("doc_id") % 7).alias("g"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    child = r.filter(F.col("rn") >= 2).select(
+        F.col("doc_id").alias("id_a"), "lang", "g",
+        F.expr("rn DIV 2").alias("prn"),
+    )
+    parent = r.select(
+        F.col("doc_id").alias("id_b"), "lang", "g",
+        F.col("rn").alias("prn"),
+    )
+    pairs = child.join(parent, ["lang", "g", "prn"]).select("id_a", "id_b")
+    return label_components(docs, pairs).orderBy("doc_id")

@@ -267,3 +267,37 @@ def test_ivf_cache_is_lru_bounded(spark):
     assert survivor in now and cached_keys[1] not in now
     assert sim.drop_ivf_index() == sim._IVF_CACHE_MAX
     assert _storage_frames(spark) == base
+
+
+# ------------------------------- round-11 public components labeler
+
+
+def test_label_components_singletons_and_chains(spark):
+    """label_components: chain {1-2-3} merges to min id, pair {10-11}
+    likewise, and node 99 (no edges) keeps its own id — the singleton
+    coalesce that bare connected_components does not do."""
+    from sql4pandas_spark.operators.dedup import label_components
+
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in label_components(nodes, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_label_components_nonconvergence_raises(spark):
+    """A chain longer than max_iter must raise, never silently
+    under-merge."""
+    import pytest as _pytest
+
+    from sql4pandas_spark.operators.dedup import label_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        label_components(nodes, chain, max_iter=2)
