@@ -89,6 +89,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "event_transitions_nulls",
     "value_histogram_nulls",
     "dedup_components_documents",
+    "store_vacuum_retention",
     # -- the 13 entries green only in r10 --
     "sql_frontend_duckdb",
     "sql_frontend_events_json",

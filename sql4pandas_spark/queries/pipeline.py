@@ -5979,3 +5979,82 @@ def dedup_components_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = child.join(parent, ["lang", "g", "prn"]).select("id_a", "id_b")
     return label_components(docs, pairs).orderBy("doc_id")
+
+
+@query(
+    "store_vacuum_retention",
+    oracle="""
+    WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+    g1 AS (SELECT doc_id, lang,
+                  CASE WHEN doc_id % 10 = 3 THEN n_chars + 100
+                       ELSE n_chars END AS n_chars
+           FROM base),
+    g2 AS (SELECT * FROM g1 WHERE doc_id % 10 <> 6),
+    g3 AS (SELECT * FROM g2
+           UNION ALL
+           SELECT doc_id + 1000000, lang, n_chars + 1
+           FROM base WHERE doc_id % 100 = 1),
+    g4 AS (SELECT doc_id, lang,
+                  CASE WHEN doc_id % 100 = 9 THEN n_chars * 3
+                       ELSE n_chars END AS n_chars
+           FROM g3)
+    SELECT 'v2' AS version, doc_id, lang, n_chars FROM g2
+    UNION ALL
+    SELECT 'v4' AS version, doc_id, lang, n_chars FROM g4
+    ORDER BY version, doc_id
+    """,
+    tags=("tier-c", "merge_upsert", "vacuum", "retention", "incremental"),
+)
+def store_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM retention for the versioned exactly-once stores
+    (streaming/cdc.vacuum_versions + snapshot_at): seed v0, advance the
+    CDC chain through three batches (update / delete / insert) to v3,
+    vacuum to keep_last=2 — deleting v0 and v1 ON DISK — then prove the
+    storage side of the exactly-once story survives: (a) the chain still
+    ADVANCES after the sweep (batch 3 reads the retained v3 and commits
+    v4), and (b) time travel still answers exactly for every RETAINED
+    version (the v2 generation is read back via snapshot_at and compared
+    row-for-row). The oracle rebuilds generations 2 and 4 declaratively,
+    so the hash pins both the post-vacuum merge chain and the retained
+    time-travel read; reads of VACUUMED versions raising (not falling
+    back) is pinned in tests/test_round11_ops.py."""
+    from sql4pandas_spark.streaming import cdc
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    base = t["documents"].select("doc_id", "lang", "n_chars")
+    (root,) = _scratch_dirs("vacuum_snapshot")
+    cdc.seed_snapshot(base, root)
+
+    b0 = (
+        base.filter(F.col("doc_id") % 10 == 3)
+        .withColumn("n_chars", F.col("n_chars") + F.lit(100))
+        .withColumn("op", F.lit("update"))
+    )
+    b1 = base.filter(F.col("doc_id") % 10 == 6).withColumn("op", F.lit("delete"))
+    b2 = (
+        base.filter(F.col("doc_id") % 100 == 1)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+        .withColumn("n_chars", F.col("n_chars") + F.lit(1))
+        .withColumn("op", F.lit("insert"))
+    )
+    for bid, changes in enumerate((b0, b1, b2)):
+        cdc.cdc_apply_batch(changes, root, ["doc_id"], batch_id=bid)
+
+    removed = cdc.vacuum_versions(root, keep_last=2)
+    assert removed == [0, 1], f"vacuum removed {removed}, expected [0, 1]"
+
+    # the chain must still advance off the retained head
+    b3 = (
+        base.filter(F.col("doc_id") % 100 == 9)
+        .withColumn("n_chars", F.col("n_chars") * F.lit(3))
+        .withColumn("op", F.lit("update"))
+    )
+    cdc.cdc_apply_batch(b3, root, ["doc_id"], batch_id=3)
+
+    v2 = cdc.snapshot_at(spark, root, 2).withColumn("version", F.lit("v2"))
+    v4 = cdc.snapshot_at(spark, root, 4).withColumn("version", F.lit("v4"))
+    return (
+        v2.unionByName(v4)
+        .select("version", "doc_id", "lang", "n_chars")
+        .orderBy("version", "doc_id")
+    )

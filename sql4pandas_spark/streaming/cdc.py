@@ -67,6 +67,50 @@ def latest_snapshot(spark: SparkSession, snapshot_root: str) -> DataFrame:
     return spark.read.parquet(os.path.join(snapshot_root, f"v{vs[-1]}"))
 
 
+def snapshot_at(spark: SparkSession, snapshot_root: str, version: int) -> DataFrame:
+    """Time-travel read: the snapshot exactly as of committed version
+    ``version``. Raises (naming the retained versions) when the version
+    was never written or has been vacuumed — a silent fallback to a
+    neighboring version would be a wrong-answer bug for any audit diff."""
+    vs = _versions(snapshot_root)
+    if version not in vs:
+        raise FileNotFoundError(
+            f"version v{version} is not present under {snapshot_root} "
+            f"(retained: {[f'v{v}' for v in vs]}) — it was never committed "
+            "or was removed by vacuum_versions; raise keep_last if time "
+            "travel must reach further back"
+        )
+    return spark.read.parquet(os.path.join(snapshot_root, f"v{version}"))
+
+
+def vacuum_versions(store_root: str, keep_last: int = 2) -> list[int]:
+    """Retention sweep for a versioned store (CDC snapshot or sketch
+    state — same ``v{k}`` layout): delete every committed version except
+    the newest ``keep_last``; returns the version numbers removed.
+
+    This completes the exactly-once story's storage side: the version
+    chain is what makes replay idempotent, but without retention it
+    rewrites the full state forever. The chain's FORWARD guarantees
+    survive any ``keep_last >= 1`` — the next batch reads only
+    ``v{latest}``, and the misalignment guard keys off the latest
+    version, which a vacuum never touches. ``keep_last=2`` (the default)
+    additionally preserves CRASH-REPLAY of an in-flight batch: a batch
+    replayed after a crash rewrites ``v{latest}`` from ``v{latest-1}``,
+    so vacuum down to 1 version only between drains you know completed.
+    Time travel reaches exactly the retained versions
+    (:func:`snapshot_at` raises for vacuumed ones).
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the chain head must survive)")
+    import shutil
+
+    vs = _versions(store_root)
+    drop = vs[:-keep_last]
+    for v in drop:
+        shutil.rmtree(os.path.join(store_root, f"v{v}"))
+    return drop
+
+
 def cdc_apply_batch(
     changes: DataFrame,
     snapshot_root: str,
