@@ -90,6 +90,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "value_histogram_nulls",
     "dedup_components_documents",
     "store_vacuum_retention",
+    "stream_pipeline_chain",
     # -- the 13 entries green only in r10 --
     "sql_frontend_duckdb",
     "sql_frontend_events_json",

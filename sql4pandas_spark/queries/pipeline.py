@@ -6058,3 +6058,135 @@ def store_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("version", "doc_id", "lang", "n_chars")
         .orderBy("version", "doc_id")
     )
+
+
+@query(
+    "stream_pipeline_chain",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, count(*) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+      FROM events
+      WHERE user_id IS NOT NULL AND ts < TIMESTAMP '2024-01-11'
+      GROUP BY 1),
+    upd AS (
+      SELECT user_id, count(*) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+      FROM events
+      WHERE user_id IS NOT NULL
+        AND ts >= TIMESTAMP '2024-01-11' AND ts < TIMESTAMP '2024-01-21'
+      GROUP BY 1)
+    -- the drifted third window NEVER lands: its PSI gate fails
+    SELECT b.user_id, b.n_events, b.sum_cents FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.user_id = b.user_id)
+    UNION ALL
+    SELECT user_id, n_events, sum_cents FROM upd
+    ORDER BY user_id
+    """,
+    tags=(
+        "tier-c", "scan_stream", "foreach_batch", "drift_monitor",
+        "merge_upsert", "incremental", "pipeline",
+    ),
+)
+def stream_pipeline_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END streaming pipeline: stream → versioned sketch store →
+    PSI drift gate → CDC apply — the streaming mirror of
+    incremental_pipeline_batches, chaining the round-10/11 pieces into
+    the production ingest loop:
+
+    1. two availableNow drains fold the landed event windows into the
+       versioned histogram store (streaming/sketches.run_histogram_stream,
+       shared checkpoint — v1, v2);
+    2. each drain's OWN distribution is recovered as the per-bin DIFF of
+       adjacent retained store versions (cdc.snapshot_at — the sketch
+       store shares the v{k} layout), so the gate never re-scans raw
+       rows;
+    3. the PSI gate (psi_from_histograms vs the frozen days-1-to-10
+       reference) passes the clean days-11-to-20 window and REJECTS the
+       third window, whose values are planted +300 up the [0,600] grid —
+       a distribution shift that dominates sampling noise at every scale
+       factor, so the gate decision is deterministic across SFs (both
+       decisions are asserted in-builder, never silent);
+    4. only the passing window's per-user summary is CDC-applied
+       (cdc_apply_batch upsert) onto the profile snapshot seeded from
+       the reference window.
+
+    The final snapshot therefore contains base users overwritten by the
+    clean window and NO trace of the drifted one; the oracle rebuilds
+    exactly that from raw events, so the hash pins the store folding,
+    the version-diff read-back, the gate, and the quarantine in one row
+    set."""
+    from sql4pandas_spark.operators.profile import psi_from_histograms
+    from sql4pandas_spark.operators.sketches import value_histogram
+    from sql4pandas_spark.streaming import cdc
+    from sql4pandas_spark.streaming import sketches as sk
+
+    t = register_tables(spark, sf_dir, ("events",))
+    e = t["events"].select("event_id", "ts", "user_id", "value")
+    grid = dict(value_col="value", lo=0.0, hi=600.0, n_bins=20)
+    ref_hist = value_histogram(e.filter(F.col("ts") < "2024-01-11"), **grid)
+
+    def user_summary(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.col("user_id").isNotNull())
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+                .cast("long")
+                .alias("sum_cents"),
+            )
+        )
+
+    hist_root, snap_root, land, ckpt = _scratch_dirs(
+        "chain_hist", "chain_snap", "chain_landing", "chain_ckpt"
+    )
+    os.makedirs(land, exist_ok=True)
+    sk.empty_state(spark, "bin long, n long", hist_root)
+    cdc.seed_snapshot(
+        user_summary(e.filter(F.col("ts") < "2024-01-11")), snap_root
+    )
+
+    win_a = e.filter(
+        (F.col("ts") >= "2024-01-11") & (F.col("ts") < "2024-01-21")
+    )
+    win_b = e.filter(F.col("ts") >= "2024-01-21").withColumn(
+        "value", F.col("value") + F.lit(300.0)  # planted drift
+    )
+
+    applied = 0
+    decisions = []
+    for i, win in enumerate((win_a, win_b)):
+        _stage_changeset_file(win, land, f"window_{i:02d}.parquet")
+        stream = spark.readStream.schema(e.schema).parquet(land)
+        sk.run_histogram_stream(
+            stream, hist_root, "value", 0.0, 600.0, 20, checkpoint=ckpt
+        )
+        prev = cdc.snapshot_at(spark, hist_root, i).withColumnRenamed("n", "n_prev")
+        cur = cdc.snapshot_at(spark, hist_root, i + 1)
+        drain_hist = (
+            cur.join(prev, "bin", "left")
+            .select(
+                "bin",
+                (F.col("n") - F.coalesce("n_prev", F.lit(0))).alias("n"),
+            )
+            .filter(F.col("n") > 0)
+        )
+        psi_total = (
+            psi_from_histograms(ref_hist, drain_hist, 20)
+            .agg(F.sum("psi"))
+            .collect()[0][0]
+        )
+        passes = psi_total < 0.25
+        decisions.append(passes)
+        if passes:
+            changes = user_summary(win).withColumn("op", F.lit("update"))
+            cdc.cdc_apply_batch(changes, snap_root, ["user_id"], batch_id=applied)
+            applied += 1
+    assert decisions == [True, False], (
+        f"PSI gate decisions {decisions} flipped — the planted +300 shift "
+        "or the clean-window noise crossed the 0.25 threshold"
+    )
+    return cdc.latest_snapshot(spark, snap_root).orderBy("user_id")
