@@ -45,6 +45,13 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     catalog = load_catalog()
     bench_set = {n: s for n, s in catalog.items() if "bench" in s.tags}
+    # Tier-C heavy entries (tag "bench-heavy") run with the same
+    # interleaved methodology but report in a SEPARATE tier_c section:
+    # the headline suite_warm_total stays apples-to-apples with
+    # BASELINE.md's 7-query table, while the heavy operator (the class
+    # the round-10 band-join fix lives in) gets a per-round ratio row
+    # regression-guarding it in the BENCH artifact instead of prose.
+    heavy_set = {n: s for n, s in catalog.items() if "bench-heavy" in s.tags}
 
     spark = get_spark(app_name="s4ps-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -62,10 +69,10 @@ def main() -> None:
     except Exception:  # control is best-effort; never fail the bench line
         con = None
 
-    times: dict[str, float] = {}
-    duck_times: dict[str, float] = {}
-    ratio_stats: dict[str, dict[str, float]] = {}
-    for name, spec in sorted(bench_set.items()):
+    def measure(spec) -> tuple[float, float | None, dict[str, float] | None]:
+        """Median warm Spark sec, median warm DuckDB sec, ratio stats —
+        one warmup each, then ALTERNATIONS interleaved (spark, duck)
+        pairs so host drift moves both engines of a pair together."""
 
         def run_spark() -> float:
             t0 = time.perf_counter()
@@ -92,18 +99,34 @@ def main() -> None:
         pairs: list[tuple[float, float | None]] = []
         for _ in range(ALTERNATIONS):
             pairs.append((run_spark(), run_duck()))
-        s_runs = [s for s, _ in pairs]
+        s_med = round(statistics.median([s for s, _ in pairs]), 3)
         d_runs = [d for _, d in pairs if d is not None]
-        times[name] = round(statistics.median(s_runs), 3)
-        if d_runs:
-            duck_times[name] = round(statistics.median(d_runs), 3)
-            ratios = [s / d for s, d in pairs if d is not None]
-            mean = statistics.mean(ratios)
-            ratio_stats[name] = {
-                "mean": round(mean, 3),
-                # relative spread: (max-min)/mean — the per-run drift band
-                "spread": round((max(ratios) - min(ratios)) / mean, 3),
-            }
+        if not d_runs:
+            return s_med, None, None
+        ratios = [s / d for s, d in pairs if d is not None]
+        mean = statistics.mean(ratios)
+        return s_med, round(statistics.median(d_runs), 3), {
+            "mean": round(mean, 3),
+            # relative spread: (max-min)/mean — the per-run drift band
+            "spread": round((max(ratios) - min(ratios)) / mean, 3),
+        }
+
+    times: dict[str, float] = {}
+    duck_times: dict[str, float] = {}
+    ratio_stats: dict[str, dict[str, float]] = {}
+    for name, spec in sorted(bench_set.items()):
+        s_med, d_med, rstats = measure(spec)
+        times[name] = s_med
+        if d_med is not None:
+            duck_times[name] = d_med
+            ratio_stats[name] = rstats
+
+    tier_c: dict[str, dict] = {}
+    for name, spec in sorted(heavy_set.items()):
+        s_med, d_med, rstats = measure(spec)
+        tier_c[name] = {"spark_sec": s_med, "duckdb_sec": d_med}
+        if rstats is not None:
+            tier_c[name]["ratio"] = rstats
 
     if con is not None:
         con.close()
@@ -129,6 +152,7 @@ def main() -> None:
                 ),
                 "per_query_ratio": ratio_stats,
                 "ratio_skipped_queries": sorted(set(times) - set(duck_times)),
+                "tier_c": tier_c,
             }
         )
     )

@@ -388,7 +388,7 @@ _MINHASH_CLUSTER_ORACLE = _MINHASH_REACH_CTES + """
 """
 
 
-@query("dedup_near_minhash", oracle=_MINHASH_CLUSTER_ORACLE, tags=("tier-c", "dedup_near"))
+@query("dedup_near_minhash", oracle=_MINHASH_CLUSTER_ORACLE, tags=("tier-c", "dedup_near", "bench-heavy"))
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dedup clusters (word-3-gram shingles, 64 hashes,
     16 bands × 4 rows, verify-then-cluster at jaccard ≥ 0.7). The oracle is
