@@ -58,6 +58,10 @@ DUCKDB_TO_SPARK_FN: dict[str, str] = {
     "list_min": "array_min",
     "list_max": "array_max",
     "unicode": "ascii",                # both: codepoint of first char
+    # DuckDB epoch() is DOUBLE seconds, Spark unix_timestamp() BIGINT —
+    # identical values on whole-second timestamps, and any fractional
+    # use feeds ratio arithmetic where Spark promotes to DOUBLE anyway
+    "epoch": "unix_timestamp",
 }
 
 _JAVA_REGEX_META = set("\\.[]{}()*+-?^$|")
@@ -233,6 +237,25 @@ def _rw_list_cosine(args: list[str]) -> str:
     return f"({dot} / ({na} * {nb}))"
 
 
+_IGNORE_NULLS_TAIL = re.compile(r"\s+IGNORE\s+NULLS\s*$", re.IGNORECASE)
+
+
+def _make_rw_ignore_nulls(fn: str):
+    """DuckDB puts IGNORE NULLS INSIDE the window function's parens
+    (``last_value(x IGNORE NULLS)``); Spark wants it outside
+    (``last_value(x) IGNORE NULLS``)."""
+
+    def rw(args: list[str]) -> str:
+        if args and _IGNORE_NULLS_TAIL.search(args[-1]):
+            cleaned = args[:-1] + [_IGNORE_NULLS_TAIL.sub("", args[-1])]
+            return (
+                f"{fn}({', '.join(a.strip() for a in cleaned)}) IGNORE NULLS"
+            )
+        return f"{fn}({', '.join(a.strip() for a in args)})"
+
+    return rw
+
+
 def _rw_xor(args: list[str]) -> str:
     """DuckDB spells bitwise xor as a function; Spark as the ^ operator."""
     if len(args) != 2:
@@ -286,6 +309,11 @@ _ARG_REWRITERS: dict[str, Callable[[list[str]], str]] = {
     "struct_pack": _rw_struct_pack,
     "list_avg": _rw_list_avg,
     "list_cosine_similarity": _rw_list_cosine,
+    "first_value": _make_rw_ignore_nulls("first_value"),
+    "last_value": _make_rw_ignore_nulls("last_value"),
+    "nth_value": _make_rw_ignore_nulls("nth_value"),
+    "lag": _make_rw_ignore_nulls("lag"),
+    "lead": _make_rw_ignore_nulls("lead"),
 }
 
 _ARG_CALL = re.compile(
@@ -736,6 +764,107 @@ def _rewrite_lateral_unnest(statement: str) -> str:
         )
 
 
+_CAST_UNNEST = re.compile(r"\bCAST\s*\(\s*unnest\s*\(", re.IGNORECASE)
+_PARAM_INTERVAL = re.compile(r"\bINTERVAL\s*\(", re.IGNORECASE)
+#: make_dt_interval(days, hours, mins, secs) argument slot per unit
+_DT_INTERVAL_SLOT = {"DAY": 0, "HOUR": 1, "MINUTE": 2, "SECOND": 3}
+
+
+def _balanced_end(s: str, i: int, spans: list[tuple[int, int]]) -> int:
+    """Index just past the ')' matching the '(' that ``i`` points past."""
+    depth = 1
+    while i < len(s) and depth:
+        hit = False
+        for a, b in spans:
+            if a <= i < b:
+                i, hit = b, True
+                break
+        if hit:
+            continue
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        raise ValueError(f"transpile_duckdb: unbalanced '(' near: {s[i-40:i]!r}")
+    return i
+
+
+def _rewrite_cast_unnest(statement: str) -> str:
+    """``CAST(unnest(X) AS T)`` → ``unnest(transform(X, v -> CAST(v AS
+    T)))``: Spark generators must be top-level select items, so the
+    enclosing cast is pushed INSIDE the array instead — identical
+    semantics, and the later rename pass turns unnest into explode."""
+    while True:
+        spans = _spans_of(statement)
+        m = next(
+            (
+                c
+                for c in _CAST_UNNEST.finditer(statement)
+                if not any(a <= c.start() < b for a, b in spans)
+            ),
+            None,
+        )
+        if m is None:
+            return statement
+        inner_end = _balanced_end(statement, m.end(), spans)  # past unnest's ')'
+        tail = re.match(
+            r"\s*AS\s+(\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*\)",
+            statement[inner_end:],
+            re.IGNORECASE,
+        )
+        if not tail:
+            raise ValueError(
+                "transpile_duckdb: cannot parse CAST(unnest(...) AS T) at: "
+                f"{statement[m.start():m.start() + 60]!r}"
+            )
+        x = statement[m.end() : inner_end - 1]
+        t = tail.group(1)
+        statement = (
+            statement[: m.start()]
+            + f"unnest(transform({x}, __v -> CAST(__v AS {t})))"
+            + statement[inner_end + tail.end() :]
+        )
+
+
+def _rewrite_param_interval(statement: str) -> str:
+    """``INTERVAL (expr) UNIT`` (DuckDB's parameterized interval) →
+    ``make_dt_interval(...)`` with ``expr`` in the unit's slot — Spark
+    interval literals take constants only. Literal ``INTERVAL 15
+    MINUTE`` spellings (no parenthesis) are shared syntax and pass
+    through untouched."""
+    while True:
+        spans = _spans_of(statement)
+        m = next(
+            (
+                c
+                for c in _PARAM_INTERVAL.finditer(statement)
+                if not any(a <= c.start() < b for a, b in spans)
+            ),
+            None,
+        )
+        if m is None:
+            return statement
+        end = _balanced_end(statement, m.end(), spans)
+        unit = re.match(
+            r"\s*(DAY|HOUR|MINUTE|SECOND)S?\b", statement[end:], re.IGNORECASE
+        )
+        if not unit:
+            raise ValueError(
+                "transpile_duckdb: INTERVAL (expr) must be followed by "
+                f"DAY/HOUR/MINUTE/SECOND at: {statement[m.start():m.start()+60]!r}"
+            )
+        expr = statement[m.end() : end - 1]
+        args = ["0", "0", "0", "0"]
+        args[_DT_INTERVAL_SLOT[unit.group(1).upper()]] = f"({expr})"
+        statement = (
+            statement[: m.start()]
+            + f"make_dt_interval({', '.join(args)})"
+            + statement[end + unit.end() :]
+        )
+
+
 def _find_top_keyword(s: str, kw: str) -> tuple[int, int] | None:
     """(start, end) of the first depth-0, unprotected, word-bounded ``kw``."""
     pat = re.compile(rf"{kw}\b", re.IGNORECASE)
@@ -898,6 +1027,8 @@ def transpile_duckdb(statement: str) -> str:
     statement = _rewrite_struct_literals(statement)
     statement = _rewrite_power(statement)
     statement = _rewrite_lateral_unnest(statement)
+    statement = _rewrite_cast_unnest(statement)
+    statement = _rewrite_param_interval(statement)
     statement = _rewrite_calls_fixpoint(statement)
 
     def _sub(m: re.Match) -> str:

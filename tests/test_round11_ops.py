@@ -351,3 +351,28 @@ def test_vacuum_versions_lifecycle(spark, tmp_path):
     assert cdc.vacuum_versions(root, keep_last=1) == [2, 3]
     cdc.cdc_apply_batch(changes, root, ["k"], batch_id=4)
     assert cdc._versions(root) == [4, 5]
+
+
+def test_transpile_cast_unnest_param_interval_ignore_nulls(spark):
+    """The late-round dialect rewrites: cast pushed inside the array
+    (generators are top-level-only in Spark), parameterized intervals,
+    and in-parens IGNORE NULLS."""
+    out = transpile_duckdb("SELECT CAST(unnest(range(0, 3)) AS INT) AS b")
+    assert [r["b"] for r in spark.sql(out).collect()] == [0, 1, 2]
+
+    out2 = transpile_duckdb(
+        "SELECT TIMESTAMP '2024-01-01' + INTERVAL (7 % 4) MINUTE AS t"
+    )
+    assert "make_dt_interval(0, 0, (7 % 4), 0)" in out2
+    assert str(spark.sql(out2).collect()[0]["t"]) == "2024-01-01 00:03:00"
+    # literal intervals are shared syntax: untouched
+    assert "INTERVAL 15 MINUTE" in transpile_duckdb(
+        "SELECT ts + INTERVAL 15 MINUTE FROM t"
+    )
+
+    out3 = transpile_duckdb(
+        "SELECT last_value(x IGNORE NULLS) OVER (ORDER BY i) AS lv "
+        "FROM (SELECT 1 AS i, 10 AS x UNION ALL SELECT 2, NULL)"
+    )
+    assert "last_value(x) IGNORE NULLS" in out3
+    assert [r["lv"] for r in spark.sql(out3).collect()] == [10, 10]

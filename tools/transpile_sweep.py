@@ -46,17 +46,9 @@ _R_STRUCT_BRACKET = (
     "expression-keyed bracket access on a STRUCT (DuckDB s[pos]) — Spark "
     "structs have no runtime-keyed field access"
 )
-_R_NESTED_GENERATOR = (
-    "unnest(range(…)) nested inside an expression — Spark generators "
-    "(explode) must be top-level select items or LATERAL VIEWs"
-)
 _R_ASOF = (
     "ASOF JOIN syntax — no Spark spelling; the operator's Spark form is "
     "the window/merge as-of join (operators/joins.py)"
-)
-_R_PARAM_INTERVAL = (
-    "INTERVAL (expr) MINUTE parameterized interval — Spark intervals "
-    "take literals only (make_dt_interval is the Spark spelling)"
 )
 SKIP_REASONS: dict[str, str] = {
     "dedup_near_minhash": _R_RECURSIVE_UNION,
@@ -74,13 +66,10 @@ SKIP_REASONS: dict[str, str] = {
     "dedup_substring_spans": _R_STRUCT_BRACKET,
     "scrub_passages_documents": _R_STRUCT_BRACKET,
     "incremental_passage_scrub_batches": _R_STRUCT_BRACKET,
-    "drift_psi_documents": _R_NESTED_GENERATOR,
-    "drift_timeline_events": _R_NESTED_GENERATOR,
     "asof_join_purchase_click": _R_ASOF,
     "asof_join_tolerance": _R_ASOF,
     "asof_join_forward": _R_ASOF,
     "asof_join_nearest": _R_ASOF,
-    "gapfill_interpolate_15m": _R_PARAM_INTERVAL,
 }
 
 
