@@ -505,6 +505,13 @@ def _rewrite_brackets_once(statement: str) -> str | None:
                 "transpile_duckdb: list slice syntax xs[a:b] has no Spark "
                 f"equivalent at: {statement[i - 10 if i >= 10 else 0:k]!r}"
             )
+        if re.fullmatch(r"'(?:[^']|'')*'", inner.strip()):
+            # string-literal key: Spark's own bracket accessor handles
+            # BOTH structs (field access) and maps (NULL when missing,
+            # matching DuckDB) — pass through verbatim. try_element_at
+            # would reject structs.
+            i = k
+            continue
         base_start = _base_start(statement, j, spans)
         base = statement[base_start : j + 1]
         if inner.strip() == "":

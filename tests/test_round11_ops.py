@@ -376,3 +376,14 @@ def test_transpile_cast_unnest_param_interval_ignore_nulls(spark):
     )
     assert "last_value(x) IGNORE NULLS" in out3
     assert [r["lv"] for r in spark.sql(out3).collect()] == [10, 10]
+
+
+def test_transpile_string_literal_bracket_passthrough(spark):
+    """A string-literal key rides Spark's own bracket accessor — struct
+    field access AND map lookup (NULL on missing, like DuckDB); only
+    non-literal indexes become try_element_at."""
+    out = transpile_duckdb("SELECT ({'pos': 4, 'gram': 'g'})['pos'] AS p")
+    assert "try_element_at" not in out
+    assert spark.sql(out).collect()[0]["p"] == 4
+    out2 = transpile_duckdb("SELECT xs[i] FROM t")
+    assert "try_element_at(xs, i)" in out2

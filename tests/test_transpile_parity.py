@@ -10,8 +10,8 @@ enumerates the genuinely-unshared constructs and is kept honest in both
 directions: an unskipped entry that stops matching fails, and a skipped
 entry that silently starts passing fails (stale skip).
 
-Round-11 state: 209 of 228 oracled statements execute verbatim with
-matching hashes; the 19 skips are all LOUD failures (parser/analyzer/
+Round-11 state: 212 of 228 oracled statements execute verbatim with
+matching hashes; the 16 skips are all LOUD failures (parser/analyzer/
 transpiler errors), zero silent value divergences.
 """
 
@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from tools.transpile_sweep import SKIP_REASONS, run_sweep
 
-MIN_MATCHES = 205  # floor well above the VERDICT's N >= 100 bar
+MIN_MATCHES = 210  # floor well above the VERDICT's N >= 100 bar
 
 
 def test_statement_parity_catalog_wide(spark, duck):

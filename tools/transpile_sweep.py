@@ -42,10 +42,6 @@ _R_SUBQ_IN_HOF = (
     "rejects subquery expressions in HOFs; the operator's Spark form "
     "broadcasts the lookup instead (operators/similarity.py)"
 )
-_R_STRUCT_BRACKET = (
-    "expression-keyed bracket access on a STRUCT (DuckDB s[pos]) — Spark "
-    "structs have no runtime-keyed field access"
-)
 _R_ASOF = (
     "ASOF JOIN syntax — no Spark spelling; the operator's Spark form is "
     "the window/merge as-of join (operators/joins.py)"
@@ -63,9 +59,6 @@ SKIP_REASONS: dict[str, str] = {
     "sim_query_top10": _R_SUBQ_IN_HOF,
     "hybrid_rrf_top10": _R_SUBQ_IN_HOF,
     "ann_ivf_persistent_top10": _R_SUBQ_IN_HOF,
-    "dedup_substring_spans": _R_STRUCT_BRACKET,
-    "scrub_passages_documents": _R_STRUCT_BRACKET,
-    "incremental_passage_scrub_batches": _R_STRUCT_BRACKET,
     "asof_join_purchase_click": _R_ASOF,
     "asof_join_tolerance": _R_ASOF,
     "asof_join_forward": _R_ASOF,
