@@ -387,3 +387,27 @@ def test_transpile_string_literal_bracket_passthrough(spark):
     assert spark.sql(out).collect()[0]["p"] == 4
     out2 = transpile_duckdb("SELECT xs[i] FROM t")
     assert "try_element_at(xs, i)" in out2
+
+
+def test_transpiled_statement_plans_like_native_sql(spark):
+    """A transpiled reference-dialect statement must optimize like
+    hand-written Spark SQL: q6's filters reach the parquet scan
+    (PushedFilters) and the scan reads only the four referenced columns
+    — no wrapper nodes, no pushdown loss through the front end."""
+    from sql4pandas_spark.queries.catalog import load_catalog
+    from sql4pandas_spark.sources.parquet import register_tables
+
+    register_tables(spark, "/root/testdata/sf0.001")
+    oracle = load_catalog()["q6_forecast_revenue"].oracle
+    plan = (
+        spark.sql(transpile_duckdb(oracle))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan
+    # column pruning: exactly the four referenced lineitem columns
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"):
+        assert col in scan
+    assert "l_orderkey" not in scan and "l_comment" not in scan
