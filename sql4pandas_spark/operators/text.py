@@ -559,6 +559,113 @@ def unigram_surprisal(
     )
 
 
+def bigram_backoff_surprisal(
+    df: DataFrame,
+    ref: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Bigram language-model surprisal with Stupid Backoff (Brants et al.
+    2007, the web-scale scoring rule: no normalization, no held-out
+    tuning — S(w|p) = c(p,w)/c(p) when the bigram was seen in the
+    REFERENCE corpus, else α · p_uni(w) with the same add-one unigram
+    the corpus-LM filter uses). The context-sensitive upgrade of
+    :func:`unigram_surprisal`: "the the the" is cheap under unigrams but
+    expensive under bigrams, and fluent rare-word prose stops being
+    punished for vocabulary alone — the closer analogue of the
+    KenLM-perplexity filters real pretraining pipelines run.
+
+    Counts come from ``ref`` (a reference/train partition), scores apply
+    to ``df`` — scoring held-out docs is what makes the backoff path
+    REAL (a corpus scored against its own counts never backs off).
+    Output per doc: ``(id, n_bigrams, n_backoff, surprisal_sum_e6,
+    avg_surprisal_e6)``; docs with < 2 tokens score 0/0/0/NULL.
+
+    Quantization: per-distinct-bigram surprisal ln(c(p)/c(p,w)) — and
+    per-distinct backoff token ln((N+V)/(α·(c(w)+1))) — is rounded to an
+    e6 integer ONCE, then only integer sums/DIV (the PSI convention:
+    document totals are order-independent and bit-exact across engines).
+
+    Scale shape: (1) one exchange each for reference bigram and unigram
+    counts, map-side combined; (2) a 1-row (N, V) aggregate broadcast
+    onto the scoring join; (3) docs pre-reduced to (doc, prev, cur, k)
+    DISTINCT bigrams so the counts join carries each doc-distinct pair
+    once, not every position (the stopword-pair skew buster — "of the"
+    joins once per document); (4) one groupBy(doc) of integer products.
+    The bigram count frame is corpus-bigram-bounded, never positional.
+    """
+    bigrams = F.expr(
+        "transform(sequence(2, size(_w)), i -> "
+        "struct(element_at(_w, i - 1) AS prev, element_at(_w, i) AS cur))"
+    )
+
+    def _doc_bigrams(frame: DataFrame) -> DataFrame:
+        return (
+            frame.select(id_col, tokens(text_col).alias("_w"))
+            .filter(F.size("_w") >= 2)
+            .select(id_col, F.explode(bigrams).alias("_bg"))
+            .select(id_col, F.col("_bg.prev").alias("_p"), F.col("_bg.cur").alias("_c"))
+        )
+
+    ref_bg = _doc_bigrams(ref).groupBy("_p", "_c").agg(
+        F.count(F.lit(1)).alias("_cbg")
+    )
+    ref_toks = ref.select(tokens(text_col).alias("_w")).select(
+        F.explode("_w").alias("_t")
+    )
+    ref_u = ref_toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_cu"))
+    nv = ref_u.agg(F.sum("_cu").alias("_n"), F.count(F.lit(1)).alias("_v"))
+
+    per_db = _doc_bigrams(df).groupBy(id_col, "_p", "_c").agg(
+        F.count(F.lit(1)).alias("_k")
+    )
+    scored = (
+        per_db.join(ref_bg, ["_p", "_c"], "left")
+        .join(ref_u.select(F.col("_t").alias("_p"), F.col("_cu").alias("_cup")), "_p", "left")
+        .join(ref_u.select(F.col("_t").alias("_c"), F.col("_cu").alias("_cuc")), "_c", "left")
+        .crossJoin(F.broadcast(nv))
+        .select(
+            id_col,
+            "_k",
+            F.col("_cbg").isNull().cast("int").alias("_is_backoff"),
+            F.when(
+                F.col("_cbg").isNotNull(),
+                F.round(F.log(F.col("_cup") / F.col("_cbg")) * 1e6),
+            )
+            .otherwise(
+                F.round(
+                    F.log(
+                        (F.col("_n") + F.col("_v"))
+                        / (F.lit(float(alpha)) * (F.coalesce("_cuc", F.lit(0)) + F.lit(1.0)))
+                    )
+                    * 1e6
+                )
+            )
+            .cast("long")
+            .alias("_s_e6"),
+        )
+    )
+    perdoc = scored.groupBy(id_col).agg(
+        F.sum("_k").alias("_nb"),
+        F.sum(F.col("_k") * F.col("_is_backoff")).alias("_nbo"),
+        F.sum(F.col("_k") * F.col("_s_e6")).alias("_sum"),
+    )
+    return (
+        df.select(id_col)
+        .join(perdoc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_nb", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("_nbo", F.lit(0)).alias("n_backoff"),
+            F.coalesce("_sum", F.lit(0)).alias("surprisal_sum_e6"),
+            F.expr(
+                "CASE WHEN coalesce(_nb, 0) > 0 THEN _sum DIV _nb END"
+            ).alias("avg_surprisal_e6"),
+        )
+    )
+
+
 def percentile_rank_by_group(
     df: DataFrame,
     value_col: str,

@@ -6190,3 +6190,71 @@ def stream_pipeline_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "or the clean-window noise crossed the 0.25 threshold"
     )
     return cdc.latest_snapshot(spark, snap_root).orderBy("user_id")
+
+
+@query(
+    "bigram_surprisal_documents",
+    oracle=f"""
+    WITH toks AS ({_TOKS_CTE}),
+    ref AS (SELECT * FROM toks WHERE doc_id % 3 <> 0),
+    rbg_raw AS (
+      SELECT unnest([{{'p': w[i-1], 'c': w[i]}}
+                     FOR i IN range(2, len(w) + 1)]) AS bg
+      FROM ref WHERE len(w) >= 2),
+    rbg AS (SELECT bg['p'] AS p, bg['c'] AS c, count(*) AS cbg
+            FROM rbg_raw GROUP BY 1, 2),
+    ruc AS (SELECT t, count(*) AS cu
+            FROM (SELECT unnest(w) AS t FROM ref) GROUP BY 1),
+    nv AS (SELECT CAST(sum(cu) AS BIGINT) AS n, count(*) AS v FROM ruc),
+    db_raw AS (
+      SELECT doc_id, unnest([{{'p': w[i-1], 'c': w[i]}}
+                             FOR i IN range(2, len(w) + 1)]) AS bg
+      FROM toks WHERE len(w) >= 2),
+    db AS (SELECT doc_id, bg['p'] AS p, bg['c'] AS c, count(*) AS k
+           FROM db_raw GROUP BY 1, 2, 3),
+    sc AS (
+      SELECT doc_id, k,
+             CASE WHEN cbg IS NULL THEN 1 ELSE 0 END AS is_bo,
+             CAST(round(CASE WHEN cbg IS NOT NULL
+                  THEN ln(up.cu / cbg)
+                  ELSE ln((n + v) / (0.4 * (coalesce(uc.cu, 0) + 1.0)))
+                  END * 1000000.0) AS BIGINT) AS s_e6
+      FROM db LEFT JOIN rbg USING (p, c)
+           LEFT JOIN ruc up ON up.t = db.p
+           LEFT JOIN ruc uc ON uc.t = db.c
+           CROSS JOIN nv),
+    pd AS (SELECT doc_id, sum(k) AS nb, sum(k * is_bo) AS nbo,
+                  sum(k * s_e6) AS ssum
+           FROM sc GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(nbo, 0) AS BIGINT) AS n_backoff,
+           CAST(coalesce(ssum, 0) AS BIGINT) AS surprisal_sum_e6,
+           CASE WHEN coalesce(nb, 0) > 0
+                THEN CAST(ssum // nb AS BIGINT) END AS avg_surprisal_e6
+    FROM documents d LEFT JOIN pd USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    tags=("tier-c", "quality", "lm_surprisal", "text_analysis", "agg_group"),
+)
+def bigram_surprisal_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram Stupid-Backoff surprisal (operators/text
+    .bigram_backoff_surprisal — Brants et al. 2007): counts trained on
+    the doc_id %% 3 != 0 reference partition, scores applied to EVERY
+    document, so the held-out third genuinely exercises the backoff
+    path (a corpus scored on its own counts never backs off; n_backoff
+    is reported per doc). The context-sensitive upgrade of
+    lm_surprisal_documents: repeated-token degenerate text gets
+    expensive, fluent rare-vocabulary prose stops being punished —
+    the KenLM-style filter shape of real pretraining pipelines.
+    Per-distinct-bigram e6 quantization then pure integer sums/DIV;
+    doc-distinct (prev, cur, k) pre-reduction keeps hot stopword pairs
+    to one join row per document. The oracle replays counts, backoff
+    rule, and quantization bigram-for-bigram."""
+    from sql4pandas_spark.operators.text import bigram_backoff_surprisal
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    return bigram_backoff_surprisal(
+        docs, docs.filter(F.col("doc_id") % 3 != 0)
+    ).orderBy("doc_id")

@@ -411,3 +411,45 @@ def test_transpiled_statement_plans_like_native_sql(spark):
     for col in ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"):
         assert col in scan
     assert "l_orderkey" not in scan and "l_comment" not in scan
+
+
+def test_bigram_backoff_is_load_bearing(spark):
+    """Held-out docs must hit the backoff path (n_backoff > 0 somewhere),
+    reference docs scored on their own counts must not, and every
+    surprisal is non-negative (c(p,w) <= c(p) when seen)."""
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.text import bigram_backoff_surprisal
+    from sql4pandas_spark.sources.parquet import register_tables
+
+    t = register_tables(spark, "/root/testdata/sf0.001", ("documents",))
+    docs = t["documents"]
+    ref = docs.filter(F.col("doc_id") % 3 != 0)
+    out = bigram_backoff_surprisal(docs, ref)
+    held = out.filter(F.col("doc_id") % 3 == 0)
+    assert held.agg(F.sum("n_backoff")).collect()[0][0] > 0
+    in_ref = out.filter(F.col("doc_id") % 3 != 0)
+    assert in_ref.agg(F.sum("n_backoff")).collect()[0][0] == 0
+    assert out.filter(F.col("surprisal_sum_e6") < 0).count() == 0
+
+
+def test_bigram_backoff_degenerate_text_scores_high(spark):
+    """'the the the ...' is cheap under unigrams but must be expensive
+    under bigrams when the reference never repeats tokens."""
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.text import bigram_backoff_surprisal
+
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over lazy dogs") for i in range(5)],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [(100, "the quick brown fox"), (101, "the the the the")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bigram_backoff_surprisal(score, ref).collect()}
+    assert rows[100]["n_backoff"] == 0  # all bigrams seen, p(w|prev)=1
+    assert rows[100]["avg_surprisal_e6"] == 0
+    assert rows[101]["n_backoff"] == 3  # 'the the' never seen in ref
+    assert rows[101]["avg_surprisal_e6"] > 0
