@@ -239,7 +239,7 @@ class Engine:
         re-escaping — the same statement text that runs on the reference
         engine runs here unchanged, and plans like hand-written Spark
         SQL (pushdown/pruning plan-asserted). Proven at catalog width:
-        213 of the 229 oracle statements execute verbatim with matching
+        214 of the 230 oracle statements execute verbatim with matching
         value hashes (tools/transpile_sweep.py; the 16 skips are
         enumerated loud-failing unshared constructs). Default: Spark
         SQL.

@@ -838,3 +838,54 @@ def pmi_cooccurrence(
         F.col("df_b").cast("long").alias("df_b"),
         pmi.alias("pmi_e6"),
     )
+
+
+#: Ordered PII patterns: (column suffix, replacement token, regex). One
+#: Python source generates BOTH the Spark expressions and the DuckDB
+#: oracle text (queries/pipeline.pii_scrub_documents), so the two engines
+#: can never drift. The regex subset used (\\d, \\b, {m,n}, non-capturing
+#: groups, classes) behaves identically in Java regex and RE2. ORDER is
+#: semantics: each stage counts on the text AS ALREADY SCRUBBED by the
+#: previous stages, so an email's host can never double-count as an IP.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("emails", "<EMAIL>", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ips", "<IP>", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("ssns", "<SSN>", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("phones", "<PHONE>", r"\b\d{3}-\d{3}-\d{4}\b"),
+)
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII detection + scrubbing — the redaction station every shareable
+    training corpus passes through: emails, IPv4s, SSN-shaped and
+    phone-shaped numbers are replaced with typed sentinel tokens and
+    counted per document (the counts feed the k-anonymity/release
+    audits; the sentinels keep sequence structure intact for the LM
+    instead of leaving holes).
+
+    Stagewise semantics: stage k counts occurrences on the text as
+    scrubbed by stages 1..k-1, then replaces — overlap between classes
+    (an email whose host looks like an IP) is attributed to the FIRST
+    matching class only, deterministically. Pure row-local
+    `regexp_extract_all` + `regexp_replace` chains: zero shuffles, zero
+    UDFs, whole-stage-codegen at any scale; patterns live in
+    :data:`PII_PATTERNS` so the DuckDB oracle replays the identical
+    automata (Java-regex/RE2-shared subset only).
+    """
+    cur = F.col(text_col)
+    counts = []
+    for name, token, pat in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, token)
+    out = df.select(id_col, cur.alias(text_col), *counts)
+    total = None
+    for name, _, _ in PII_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return out.withColumn("n_pii", total.cast("long"))

@@ -92,6 +92,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "store_vacuum_retention",
     "stream_pipeline_chain",
     "bigram_surprisal_documents",
+    "pii_scrub_documents",
     # -- the 13 entries green only in r10 --
     "sql_frontend_duckdb",
     "sql_frontend_events_json",

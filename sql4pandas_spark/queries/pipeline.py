@@ -6258,3 +6258,74 @@ def bigram_surprisal_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_backoff_surprisal(
         docs, docs.filter(F.col("doc_id") % 3 != 0)
     ).orderBy("doc_id")
+
+
+#: deterministic PII planting over documents — shared ANSI text executed
+#: byte-identically by both engines (the fixtures carry no real PII, so
+#: without planting the scrub would be a no-op and prove nothing)
+_PII_PLANTED_SQL = """
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 5 = 0
+                     THEN ' contact user' || CAST(doc_id AS STRING)
+                          || '@example.com now' ELSE '' END
+                  || CASE WHEN doc_id % 7 = 0
+                     THEN ' from 10.0.' || CAST(doc_id % 256 AS STRING)
+                          || '.1' ELSE '' END
+                  || CASE WHEN doc_id % 11 = 0
+                     THEN ' ssn 123-45-6789' ELSE '' END
+                  || CASE WHEN doc_id % 13 = 0
+                     THEN ' call 555-123-4567' ELSE '' END
+               AS text
+      FROM documents
+"""
+
+
+def _pii_oracle() -> str:
+    """Generate the stagewise DuckDB replay from the SAME pattern table
+    the operator compiles (operators/text.PII_PATTERNS) — one source, two
+    engines, no drift."""
+    from sql4pandas_spark.operators.text import PII_PATTERNS
+
+    stages, cur = [], "text"
+    for i, (name, token, pat) in enumerate(PII_PATTERNS):
+        nxt = f"t{i}"
+        stages.append(
+            f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS BIGINT)"
+            f" AS n_{name},\n"
+            f"           regexp_replace({cur}, '{pat}', '{token}', 'g')"
+            f" AS {nxt}"
+        )
+        cur = nxt
+    inner = "SELECT doc_id,\n           " + ",\n           ".join(stages)
+    totals = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    names = ", ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    return f"""
+    WITH p AS ({_PII_PLANTED_SQL}),
+    s AS ({inner} FROM p)
+    SELECT doc_id, {cur} AS text, {names},
+           CAST({totals} AS BIGINT) AS n_pii
+    FROM s ORDER BY doc_id
+    """
+
+
+@query(
+    "pii_scrub_documents",
+    oracle=_pii_oracle(),
+    tags=("tier-c", "pii", "scrub", "quality", "compliance"),
+)
+def pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction station (operators/text.pii_scrub): emails, IPv4s,
+    SSN-shaped and phone-shaped numbers replaced with typed sentinels
+    and counted per document, stagewise (each class counts on the text
+    already scrubbed by earlier classes, so an email's host can never
+    double-count as an IP). The fixture corpus carries no real PII, so
+    deterministic PII is PLANTED via a shared ANSI expression both
+    engines execute — the scrub is load-bearing, not vacuously zero.
+    Pure row-local regexp chains, zero shuffles, zero UDFs; the oracle
+    is GENERATED from the operator's own pattern table, so the two
+    engines replay identical automata by construction."""
+    from sql4pandas_spark.operators.text import pii_scrub
+
+    register_tables(spark, sf_dir, ("documents",))
+    planted = spark.sql(_PII_PLANTED_SQL)
+    return pii_scrub(planted).orderBy("doc_id")

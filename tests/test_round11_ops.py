@@ -453,3 +453,29 @@ def test_bigram_backoff_degenerate_text_scores_high(spark):
     assert rows[100]["avg_surprisal_e6"] == 0
     assert rows[101]["n_backoff"] == 3  # 'the the' never seen in ref
     assert rows[101]["avg_surprisal_e6"] > 0
+
+
+def test_pii_scrub_stagewise_attribution(spark):
+    """Overlapping classes attribute to the FIRST stage: an email whose
+    host is an IP scrubs as one email, zero IPs; standalone instances of
+    each class count and scrub independently."""
+    from sql4pandas_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            # the IP-looking string sits INSIDE the email host: the email
+            # stage scrubs it first, so the IP stage must count zero
+            (1, "mail me at bob@10.0.0.1.example.com thanks"),
+            (2, "server 192.168.1.1 and ssn 123-45-6789 and 555-123-4567"),
+            (3, "clean text, nothing to see"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert rows[1]["n_emails"] == 1 and rows[1]["n_ips"] == 0
+    assert "<EMAIL>" in rows[1]["text"] and "10.0.0.1" not in rows[1]["text"]
+    r2 = rows[2]
+    assert (r2["n_ips"], r2["n_ssns"], r2["n_phones"]) == (1, 1, 1)
+    assert "<IP>" in r2["text"] and "<SSN>" in r2["text"] and "<PHONE>" in r2["text"]
+    assert r2["n_pii"] == 3
+    assert rows[3]["n_pii"] == 0 and rows[3]["text"] == "clean text, nothing to see"

@@ -10,7 +10,7 @@ enumerates the genuinely-unshared constructs and is kept honest in both
 directions: an unskipped entry that stops matching fails, and a skipped
 entry that silently starts passing fails (stale skip).
 
-Round-11 state: 213 of 229 oracled statements execute verbatim with
+Round-11 state: 214 of 230 oracled statements execute verbatim with
 matching hashes; the 16 skips are all LOUD failures (parser/analyzer/
 transpiler errors), zero silent value divergences.
 """
