@@ -964,6 +964,14 @@ def _base_start(statement: str, j: int, spans: list[tuple[int, int]]) -> int:
                 elif statement[j] == "<":
                     depth -= 1
                 j -= 1
+            if depth:
+                # a bare comparison like `x > [1]` reaches here: refuse
+                # loudly instead of returning a garbled base expression
+                raise ValueError(
+                    "transpile_duckdb: '>' before a bracket is not an "
+                    "ARRAY<...> type — cannot determine the access base at: "
+                    f"{statement[max(j, 0):max(j, 0) + 40]!r}"
+                )
             while j >= 0 and statement[j] in _IDENT_CHARS:
                 j -= 1
         elif statement[j] in _IDENT_CHARS:

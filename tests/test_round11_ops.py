@@ -479,3 +479,16 @@ def test_pii_scrub_stagewise_attribution(spark):
     assert "<IP>" in r2["text"] and "<SSN>" in r2["text"] and "<PHONE>" in r2["text"]
     assert r2["n_pii"] == 3
     assert rows[3]["n_pii"] == 0 and rows[3]["text"] == "clean text, nothing to see"
+
+
+def test_transpile_comparison_against_list_rejected_loudly():
+    """`x > [1]` cannot be classified (a '>' before a bracket is only an
+    access base when it closes an ARRAY<...> type) — must raise, never
+    emit a garbled base expression."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cannot determine the access base"):
+        transpile_duckdb("SELECT 1 FROM t WHERE x > [1, 2]")
+    # the legitimate '>' base still works: DOUBLE[][] nests fine
+    out = transpile_duckdb("SELECT CAST(e AS DOUBLE[][]) FROM t")
+    assert "ARRAY<ARRAY<DOUBLE>>" in out
