@@ -68,22 +68,22 @@ def query(
 #: already have green CORRECTNESS_r01/r02 rows (or are next in line if the
 #: window is ever wider than 50). Future rounds rotate this list.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- ROUND-11 WINDOW ----
-    # CORRECTNESS_r10 went 50/50, so after round 10 exactly 13 entries sit
-    # at ONE committed green (the 11 round-10 additions + the 2 entries
-    # fixed after their r9 array-shape driver errors); the other 208 are
-    # settled (>= 2 saturated greens). Rotation recipe: round-11 NEW
-    # entries (0 greens) first, then the 13 once-green r10 entries, then
-    # the remaining slots go to the settled entries with the STALEST
-    # last-green round (3 last green in r02, then the r04 cohort in
-    # registration order). One clean r11 window closes the evidence
-    # ledger: every pre-r11 entry reaches >= 2 committed greens.
+    # ---- ROUND-12 WINDOW ----
+    # CORRECTNESS_r11 went 50/50, so after round 11 exactly 9 entries sit
+    # at ONE committed green (the 9 round-11 additions); every other entry
+    # in the 230-entry catalog is settled (>= 2 saturated greens — ledger
+    # verified by the round-11 judge). Rotation recipe: round-12 NEW
+    # entries (0 greens) first as they land, then the 9 once-green r11
+    # entries, then stalest-settled fillers (the r04-last-green cohort,
+    # then the r06 cohort in registration order). A clean r12 window
+    # closes the >=2-greens evidence ledger for the FULL pre-r12 catalog.
     # tests/test_driver_window.py enforces the saturated least-evidence
     # rule; tools/catalog_index.py prints the ledger.
     #
-    # -- round-11 NEW entries (0 greens) --
+    # -- round-12 NEW entries (0 greens) --
     # (added as they land; each new entry MUST enter the window or the
     # evidence rule goes red)
+    # -- the 9 entries green only in r11 --
     "sessionize_events_nulls",
     "top_movers_events_nulls",
     "event_transitions_nulls",
@@ -93,50 +93,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_pipeline_chain",
     "bigram_surprisal_documents",
     "pii_scrub_documents",
-    # -- the 13 entries green only in r10 --
-    "sql_frontend_duckdb",
-    "sql_frontend_events_json",
-    "fuzzy_join_salted_parts",
-    "stream_heavy_hitters_tokens",
-    "stream_quantile_orders",
-    "jaccard_prefix_pairs",
-    "stream_drift_psi_events",
-    "cms_token_counts",
-    "weighted_sample_merged_docs",
-    "segment_overlap_events",
-    "decontaminate_bloom_documents",
-    "random_projection_embeddings",
-    "lexicon_tags_documents",
-    # -- stalest settled fill: the 3 entries whose last green is r02 --
-    "dedup_embedding_pairs",
-    "multimodal_resize_stats",
-    "scan_json_roundtrip",
-    # -- then the r04-last-green cohort in registration order --
-    "agg_collect_ordered",
-    "lang_id_documents",
-    "dedup_near_minhash",
-    "dedup_simhash_pairs",
-    "multimodal_decode_features",
-    "approx_quantiles_orders",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "left_join_missing_orders",
-    "right_join_orders_customers",
-    "full_outer_join_counts",
-    "semi_customers",
-    "anti_customers",
-    "theta_join_supplier_pairs",
-    "range_join_close_events",
-    "rollup_region_nation",
-    "cube_status_priority",
-    "grouping_sets_orders",
-    "setop_intersect",
-    "setop_except",
-    "setop_union_counts",
-    "subq_big_spenders",
-    "scalar_subq_above_avg",
-    "in_subq_customers",
-    "pivot_status_by_year",
+    # -- stalest settled fill: last green r04, registration order --
     "unpivot_part_metrics",
     "corr_subq_cheapest_per_brand",
     "cross_join_regions",
@@ -149,7 +106,37 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "gapfill_hourly_counts",
     "udf_pandas_net_price",
     "udf_grouped_zscore",
-    # ---- driver window (50) ends here; round-11 NEW entries prepended
+    "udaf_weighted_avg_price",
+    "udtf_word_rows",
+    "udf_python_rowwise",
+    "window_top3_orders_per_customer",
+    "window_order_gap_days",
+    "window_running_revenue",
+    "window_range_price_band",
+    "window_ntile_rank_kinds",
+    "window_first_last_order",
+    # -- then the r06-last-green cohort in registration order --
+    "doc_fingerprints",
+    "ann_ivf_query_top10",
+    "ivf_full_probe_top10",
+    "ann_lsh_top10",
+    "approx_distinct_events",
+    "scan_python_datasource",
+    "pipeline_end_to_end",
+    "scan_orc_roundtrip",
+    "compact_documents_files",
+    "quality_repetition_documents",
+    "decontaminate_documents",
+    "stratified_mix_hash",
+    "hll_sketch_users",
+    "asof_join_tolerance",
+    "range_join_nokey_buckets",
+    "hash_sample_orders",
+    "lateral_top_orders",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    # ---- driver window (50) ends here; round-12 NEW entries prepended
     # above push this tail out of the window automatically ----
 )
 
