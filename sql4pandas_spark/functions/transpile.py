@@ -51,17 +51,18 @@ DUCKDB_TO_SPARK_FN: dict[str, str] = {
     "regexp_split_to_array": "split",  # Spark split IS regex-based
     "epoch_us": "unix_micros",         # µs since epoch, BIGINT in both
     "strpos": "instr",                 # 1-based find, same arg order
-    "generate_series": "sequence",     # both ends inclusive in both
+    # generate_series is NOT a pure rename: both ends are inclusive in both
+    # dialects, but an empty series ([] in DuckDB) becomes a DESCENDING
+    # sequence in Spark — argument-aware handling in _ARG_REWRITERS
     "quantile_cont": "percentile",     # exact interpolated quantile
     "json_keys": "json_object_keys",
     "list": "collect_list",            # aggregate; DISTINCT rides through
     "list_min": "array_min",
     "list_max": "array_max",
     "unicode": "ascii",                # both: codepoint of first char
-    # DuckDB epoch() is DOUBLE seconds, Spark unix_timestamp() BIGINT —
-    # identical values on whole-second timestamps, and any fractional
-    # use feeds ratio arithmetic where Spark promotes to DOUBLE anyway
-    "epoch": "unix_timestamp",
+    # epoch is NOT a pure rename: DuckDB returns DOUBLE seconds (sub-second
+    # precision preserved) while unix_timestamp truncates to BIGINT —
+    # argument-aware handling in _ARG_REWRITERS emits unix_micros/1e6
 }
 
 _JAVA_REGEX_META = set("\\.[]{}()*+-?^$|")
@@ -145,23 +146,51 @@ def _rw_list_slice(args: list[str]) -> str:
     return f"slice({x}, {a}, ({b}) - ({a}) + 1)"
 
 
+def _bounded_sequence(a: str, b: str, step: str | None, var: str,
+                      inclusive: bool) -> str:
+    """Emit a Spark sequence over [a, b) / [a, b] that yields the EMPTY
+    array when the range is empty, exactly like DuckDB's range /
+    generate_series. A bare ``sequence(a, (b)-1)`` is a trap: when b <= a
+    Spark infers step -1 and produces a DESCENDING array (e.g.
+    range(0, 0) → sequence(0, -1) → [0, -1]) instead of []. Clamping the
+    stop to ``greatest(a, …)`` keeps sequence's direction non-negative and
+    the trailing lambda filter drops the clamp artifact, so the empty case
+    returns [] with the correct element type (no ``array()`` type hole).
+    ``var`` must be unique per caller: Spark rejects shadowed lambda
+    variable names when one emitted sequence nests inside another
+    higher-order function."""
+    cmp = "<=" if inclusive else "<"
+    stop = f"({b})" if inclusive else f"({b}) - 1"
+    tail = f", {step}" if step else ""
+    return (
+        f"filter(sequence({a}, greatest(({a}), {stop}){tail}), "
+        f"{var} -> {var} {cmp} ({b}))"
+    )
+
+
 def _rw_range(args: list[str]) -> str:
     """Scalar-position range(…) is end-EXCLUSIVE in DuckDB; Spark sequence
-    is inclusive. (FROM-position range is left alone — Spark's range TVF
-    is also end-exclusive.)"""
+    is inclusive — and an EMPTY DuckDB range must stay empty on Spark (see
+    :func:`_bounded_sequence`). (FROM-position range is left alone —
+    Spark's range TVF is also end-exclusive.)"""
     if len(args) == 1:
-        return f"sequence(0, ({args[0]}) - 1)"
+        return _bounded_sequence("0", args[0], None, "rg_i", inclusive=False)
     if len(args) == 2:
-        return f"sequence({args[0]}, ({args[1]}) - 1)"
+        return _bounded_sequence(args[0], args[1], None, "rg_i",
+                                 inclusive=False)
     if len(args) == 3:
         step = args[2].strip()
         m = re.fullmatch(r"(-?)\s*\d+", step)
         if m:
-            # positive step: range stops < b, sequence stops <= b-1 — the
-            # reachable sets are identical; mirrored for negative steps
-            sign = "-" if not m.group(1) else "+"
+            if not m.group(1):  # positive literal step
+                return _bounded_sequence(args[0], args[1], step, "rg_i",
+                                         inclusive=False)
+            # negative step: stops > b in DuckDB, >= b+1 in sequence;
+            # least-clamp + filter mirrors the empty-range guard
+            a, b = args[0], args[1]
             return (
-                f"sequence({args[0]}, ({args[1]}) {sign} 1, {step})"
+                f"filter(sequence({a}, least(({a}), ({b}) + 1), {step}), "
+                f"rg_i -> rg_i > ({b}))"
             )
         raise ValueError(
             "transpile_duckdb: stepped range(a, b, s) needs a literal "
@@ -169,6 +198,41 @@ def _rw_range(args: list[str]) -> str:
             f"{step!r}) — use generate_series for inclusive semantics"
         )
     raise ValueError("transpile_duckdb: range expects 1-3 args")
+
+
+_POSITIVE_INTERVAL = re.compile(r"INTERVAL\s+'?\d+'?\s+\w+", re.IGNORECASE)
+
+
+def _rw_generate_series(args: list[str]) -> str:
+    """generate_series is end-INCLUSIVE in both dialects, but DuckDB
+    returns [] when the stop precedes the start while Spark's sequence
+    infers step -1 and descends — same empty-range trap as range() (see
+    :func:`_bounded_sequence`). Positive literal steps (integers and the
+    oracle spines' ``INTERVAL 1 DAY`` forms) get the clamp+filter guard;
+    a non-literal step has unknowable direction and fails loudly."""
+    if len(args) == 1:
+        return _bounded_sequence("0", args[0], None, "gs_i", inclusive=True)
+    if len(args) == 2:
+        return _bounded_sequence(args[0], args[1], None, "gs_i",
+                                 inclusive=True)
+    if len(args) == 3:
+        step = args[2].strip()
+        m = re.fullmatch(r"(-?)\s*\d+", step)
+        if m and m.group(1):  # negative literal step: stops >= b
+            a, b = args[0], args[1]
+            return (
+                f"filter(sequence({a}, least(({a}), ({b})), {step}), "
+                f"gs_i -> gs_i >= ({b}))"
+            )
+        if m or _POSITIVE_INTERVAL.fullmatch(step):
+            return _bounded_sequence(args[0], args[1], step, "gs_i",
+                                     inclusive=True)
+        raise ValueError(
+            "transpile_duckdb: generate_series(a, b, s) needs a literal "
+            "integer or positive INTERVAL step so the empty-range "
+            f"direction is known at transpile time (got {step!r})"
+        )
+    raise ValueError("transpile_duckdb: generate_series expects 1-3 args")
 
 
 def _rw_encode(args: list[str]) -> str:
@@ -180,8 +244,14 @@ def _rw_encode(args: list[str]) -> str:
 
 def _rw_regexp_replace(args: list[str]) -> str:
     """DuckDB's 4th arg is a flags string; Spark replaces globally by
-    default, so 'g' simply drops. Any other flag has no Spark spelling."""
-    if len(args) <= 3:
+    default, so 'g' simply drops. The 3-arg (flagless) form is a TRAP —
+    DuckDB replaces only the FIRST occurrence while Spark replaces ALL —
+    but it must stay an identity PASS-THROUGH here because the 4-arg
+    rewrite EMITS a Spark-form 3-arg call that later fixpoint passes
+    re-scan; the loud rejection of source-level 3-arg calls lives in
+    :func:`_validate_regexp_replace`, which only ever sees the ORIGINAL
+    statement. Any other flag has no Spark spelling."""
+    if len(args) == 3:
         return f"regexp_replace({', '.join(a.strip() for a in args)})"
     if len(args) == 4 and args[3].strip() in ("'g'", "'G'"):
         return f"regexp_replace({', '.join(a.strip() for a in args[:3])})"
@@ -189,6 +259,48 @@ def _rw_regexp_replace(args: list[str]) -> str:
         "transpile_duckdb: regexp_replace flags other than 'g' "
         f"(got {args[3:] if len(args) > 3 else args}) have no Spark equivalent"
     )
+
+
+def _validate_regexp_replace(args: list[str]) -> None:
+    """Reject the 3-arg form in SOURCE statements: DuckDB without the 'g'
+    flag replaces only the FIRST occurrence (regexp_replace('aaa','a','X')
+    = 'Xaa') while Spark replaces ALL ('XXX') — silent value divergence,
+    so it fails loudly per the module contract."""
+    if len(args) == 3:
+        raise ValueError(
+            "transpile_duckdb: 3-arg regexp_replace is first-occurrence-"
+            "only in DuckDB but replace-ALL in Spark; add the 'g' flag if "
+            "you mean global replacement (no Spark spelling exists for "
+            "first-only)"
+        )
+
+
+#: name → validator(args) run over the ORIGINAL statement's call sites only
+#: (first fixpoint pass) — rejects argument shapes whose DuckDB semantics
+#: have no Spark spelling, without tripping on Spark-form text that the
+#: rewriters themselves emit.
+_SOURCE_SHAPE_VALIDATORS: dict[str, Callable[[list[str]], None]] = {
+    "regexp_replace": _validate_regexp_replace,
+}
+
+
+def _rw_regexp_extract(args: list[str]) -> str:
+    """DuckDB's default group is 0 (whole match); Spark's default is 1 —
+    pin group 0 explicitly when the statement omitted it (the same
+    divergence :func:`_rw_regexp_extract_all` already guards)."""
+    if len(args) == 2:
+        return f"regexp_extract({args[0]}, {args[1]}, 0)"
+    return f"regexp_extract({', '.join(a.strip() for a in args)})"
+
+
+def _rw_epoch(args: list[str]) -> str:
+    """DuckDB epoch(ts) is DOUBLE seconds with sub-second precision; Spark
+    unix_timestamp() is BIGINT and silently truncates fractional seconds.
+    unix_micros gives exact µs, so µs/1e6 reproduces DuckDB's double
+    exactly (µs counts < 2^53 are double-lossless — ~285 years)."""
+    if len(args) != 1:
+        raise ValueError("transpile_duckdb: epoch expects 1 arg")
+    return f"(unix_micros({args[0]}) / 1000000.0)"
 
 
 def _rw_regexp_extract_all(args: list[str]) -> str:
@@ -299,8 +411,11 @@ _ARG_REWRITERS: dict[str, Callable[[list[str]], str]] = {
     "list_sum": _rw_list_sum,
     "list_slice": _rw_list_slice,
     "range": _rw_range,
+    "generate_series": _rw_generate_series,
     "encode": _rw_encode,
+    "epoch": _rw_epoch,
     "regexp_replace": _rw_regexp_replace,
+    "regexp_extract": _rw_regexp_extract,
     "regexp_extract_all": _rw_regexp_extract_all,
     "to_microseconds": _rw_to_microseconds,
     "xor": _rw_xor,
@@ -324,10 +439,12 @@ _ARG_CALL = re.compile(
 _FROM_TAIL = re.compile(r"\b(?:FROM|JOIN)\s*$", re.IGNORECASE)
 
 
-def _rewrite_calls(statement: str) -> str:
+def _rewrite_calls(statement: str, validate: bool = False) -> str:
     """Apply :data:`_ARG_REWRITERS` to every unprotected call site, parsing
     balanced top-level argument lists (protected regions are opaque, so a
-    ')' or ',' inside a literal never splits args)."""
+    ')' or ',' inside a literal never splits args). ``validate`` runs the
+    :data:`_SOURCE_SHAPE_VALIDATORS` too — set only for the first fixpoint
+    pass, where every call site is still source text."""
     spans = [t.span() for t in _PROTECTED.finditer(statement)]
 
     def in_protected(i: int) -> tuple[bool, int]:
@@ -371,7 +488,16 @@ def _rewrite_calls(statement: str) -> str:
         ]
         if args == [""]:
             args = []
-        edits.append((m.start(), i, _ARG_REWRITERS[name](args)))
+        if validate and name in _SOURCE_SHAPE_VALIDATORS:
+            _SOURCE_SHAPE_VALIDATORS[name](args)
+        text = _ARG_REWRITERS[name](args)
+        # An identity rewrite (pass-through shape, e.g. last_value without
+        # IGNORE NULLS or an already-3-arg regexp_extract) must NOT become
+        # an edit: its span would shadow nested registered calls in the
+        # drop-nested step below on EVERY fixpoint pass, so an epoch(…)
+        # inside a pass-through last_value(…) would never be rewritten.
+        if text != statement[m.start():i]:
+            edits.append((m.start(), i, text))
     # Apply right-to-left so earlier offsets stay valid; drop edits nested
     # inside another edit's span (the outer rewrite copied the inner text
     # verbatim — the fixpoint loop in the caller rewrites it).
@@ -390,8 +516,8 @@ def _rewrite_calls_fixpoint(statement: str) -> str:
     matching names in the output, so termination is on TEXT fixpoint, not
     on match absence; the bound is belt-and-braces against a rewriter
     that never stabilizes."""
-    for _ in range(50):
-        nxt = _rewrite_calls(statement)
+    for it in range(50):
+        nxt = _rewrite_calls(statement, validate=(it == 0))
         if nxt == statement:
             return nxt
         statement = nxt

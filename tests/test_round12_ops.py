@@ -1,0 +1,144 @@
+"""Round-12 pins: the four round-11 ADVICE transpiler divergences (empty
+ranges, 3-arg regexp_replace, 2-arg regexp_extract, fractional epoch) and
+the fixpoint-shadowing fix that surfaced while closing them (an identity
+pass-through edit must not hide nested registered calls forever)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from sql4pandas_spark.functions.transpile import transpile_duckdb
+
+
+def _both(spark, stmt: str):
+    sp = [tuple(r) for r in spark.sql(transpile_duckdb(stmt)).collect()]
+    dk = duckdb.sql(stmt).fetchall()
+    return sp, dk
+
+
+# --------------------------------------------- empty-range trap (ADVICE #2)
+
+EMPTY_RANGE_CASES = [
+    "SELECT range(0, 0) AS r",                      # the literal trap
+    "SELECT range(5, 2) AS r",                      # descending span
+    "SELECT range(2, 5) AS r",                      # normal
+    "SELECT range(3) AS r",
+    "SELECT range(0) AS r",                         # 1-arg empty
+    "SELECT range(0, 10, 3) AS r",
+    "SELECT range(0, 2, 3) AS r",                   # step overshoots
+    "SELECT range(10, 2, -3) AS r",
+    "SELECT range(2, 10, -3) AS r",                 # negative-step empty
+    "SELECT generate_series(1, 0) AS r",            # inclusive empty
+    "SELECT generate_series(1, 5) AS r",
+    "SELECT generate_series(4) AS r",
+    "SELECT generate_series(0, 10, 4) AS r",
+    "SELECT generate_series(10, 0, -4) AS r",
+    "SELECT generate_series(0, 10, -4) AS r",       # negative-step empty
+]
+
+
+@pytest.mark.parametrize("stmt", EMPTY_RANGE_CASES)
+def test_range_empty_and_stepped_match_duckdb(spark, stmt):
+    sp, dk = _both(spark, stmt)
+    assert sp == dk, f"{stmt}: spark={sp} duckdb={dk}"
+
+
+def test_range_on_expression_bound_hits_empty_case(spark):
+    """The ADVICE repro shape: range(2, len(w)+1) over a 1-token list used
+    to emit sequence(2, 1) = [2, 1] instead of []."""
+    stmt = (
+        "SELECT w, range(2, len(string_split(w, ' ')) + 1) AS r "
+        "FROM (VALUES ('one'), ('two words here')) AS t(w) ORDER BY w"
+    )
+    sp, dk = _both(spark, stmt)
+    assert sp == dk
+    assert dk[0][1] == []  # the single-token row really is the empty case
+
+
+def test_generate_series_interval_empty_spine_matches(spark):
+    stmt = (
+        "SELECT generate_series(TIMESTAMP '2024-01-02 00:00:00', "
+        "TIMESTAMP '2024-01-01 00:00:00', INTERVAL 1 HOUR) AS r"
+    )
+    sp, dk = _both(spark, stmt)
+    assert sp == dk == [([],)]
+
+
+def test_generate_series_nonliteral_step_raises():
+    with pytest.raises(ValueError, match="generate_series"):
+        transpile_duckdb("SELECT generate_series(0, 9, n) AS r FROM t")
+
+
+# ------------------------------------- 3-arg regexp_replace (ADVICE #1)
+
+def test_regexp_replace_three_arg_raises_loudly():
+    with pytest.raises(ValueError, match="first-occurrence"):
+        transpile_duckdb("SELECT regexp_replace(s, 'a', 'X') AS x FROM t")
+
+
+def test_regexp_replace_three_arg_nested_still_raises():
+    with pytest.raises(ValueError, match="first-occurrence"):
+        transpile_duckdb(
+            "SELECT length(regexp_replace(s, 'a', 'X')) AS x FROM t"
+        )
+
+
+def test_regexp_replace_global_flag_still_rewrites(spark):
+    stmt = "SELECT regexp_replace('aaa', 'a', 'X', 'g') AS x"
+    assert "'g'" not in transpile_duckdb(stmt)
+    sp, dk = _both(spark, stmt)
+    assert sp == dk == [("XXX",)]
+
+
+# ---------------------------------------- 2-arg regexp_extract (ADVICE #3)
+
+def test_regexp_extract_two_arg_pins_group_zero(spark):
+    # DuckDB default group is 0 (whole match); Spark's is 1 — unpinned,
+    # this returned 'a' instead of 'ab'
+    stmt = "SELECT regexp_extract('xaby', 'a(b)') AS x"
+    sp, dk = _both(spark, stmt)
+    assert sp == dk == [("ab",)]
+
+
+def test_regexp_extract_explicit_group_untouched(spark):
+    stmt = "SELECT regexp_extract('xaby', 'a(b)', 1) AS x"
+    sp, dk = _both(spark, stmt)
+    assert sp == dk == [("b",)]
+
+
+# ------------------------------------------- fractional epoch (ADVICE #4)
+
+def test_epoch_preserves_subsecond_precision(spark):
+    stmt = "SELECT epoch(TIMESTAMP '2024-01-01 00:00:00.250') AS e"
+    sp, dk = _both(spark, stmt)
+    assert sp[0][0] == dk[0][0] == 1704067200.25
+
+
+def test_epoch_whole_second_unchanged(spark):
+    stmt = "SELECT epoch(TIMESTAMP '2024-06-15 12:30:00') AS e"
+    sp, dk = _both(spark, stmt)
+    assert float(sp[0][0]) == float(dk[0][0])
+
+
+# ------------------------------- fixpoint shadowing (found fixing #4)
+
+def test_nested_call_inside_passthrough_rewriter_is_rewritten(spark):
+    """epoch(…) nested in a pass-through-shaped registered call
+    (last_value without IGNORE NULLS) used to be shadowed by the outer
+    identity edit on every fixpoint pass and never rewritten."""
+    out = transpile_duckdb(
+        "SELECT last_value(epoch(ts)) OVER (ORDER BY ts) AS e FROM t"
+    )
+    assert "unix_micros" in out and "epoch(" not in out
+
+
+def test_nested_call_inside_ignore_nulls_struct_is_rewritten():
+    """The gapfill oracle shape that caught the bug in the parity sweep."""
+    out = transpile_duckdb(
+        "SELECT last_value(CASE WHEN v IS NOT NULL THEN "
+        "{'t': epoch(w), 'v': v} END IGNORE NULLS) OVER (ORDER BY w) AS x "
+        "FROM t"
+    )
+    assert "unix_micros" in out and "epoch(" not in out
+    assert out.count("IGNORE NULLS") == 1
