@@ -3918,7 +3918,7 @@ def incremental_pipeline_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE levenshtein(d.dirty_name, c.clean_name) <= 2
     ORDER BY dirty_key, clean_key
     """,
-    tags=("tier-c", "join_fuzzy", "entity_resolution", "lsh"),
+    tags=("tier-c", "join_fuzzy", "entity_resolution", "lsh", "bench-heavy"),
 )
 def fuzzy_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy-key / entity-resolution join (operators/joins.fuzzy_key_join):
