@@ -840,19 +840,72 @@ def pmi_cooccurrence(
     )
 
 
-#: Ordered PII patterns: (column suffix, replacement token, regex). One
-#: Python source generates BOTH the Spark expressions and the DuckDB
-#: oracle text (queries/pipeline.pii_scrub_documents), so the two engines
-#: can never drift. The regex subset used (\\d, \\b, {m,n}, non-capturing
-#: groups, classes) behaves identically in Java regex and RE2. ORDER is
-#: semantics: each stage counts on the text AS ALREADY SCRUBBED by the
-#: previous stages, so an email's host can never double-count as an IP.
-PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
-    ("emails", "<EMAIL>", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
-    ("ips", "<IP>", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
-    ("ssns", "<SSN>", r"\b\d{3}-\d{2}-\d{4}\b"),
-    ("phones", "<PHONE>", r"\b\d{3}-\d{3}-\d{4}\b"),
+#: Ordered PII patterns: (column suffix, replacement token, regex,
+#: validator). One Python source generates BOTH the Spark expressions and
+#: the DuckDB oracle text (queries/pipeline.pii_scrub_documents), so the
+#: two engines can never drift. The regex subset used (\\d, \\b, {m,n},
+#: non-capturing groups, classes, alternation) behaves identically in Java
+#: regex and RE2. ORDER is semantics: each stage counts on the text AS
+#: ALREADY SCRUBBED by the previous stages, so an email's host can never
+#: double-count as an IP, and a card number consumed by the ccs stage can
+#: never re-count as a 13+-digit secret. ``validator`` (None | "luhn")
+#: refines the COUNT only: redaction always replaces every shape-matched
+#: candidate (conservative scrub — a card-shaped number you can't verify
+#: still must not ship in a training corpus), while the count reports
+#: checksum-verified instances only, so n_ccs is a true card census.
+PII_PATTERNS: tuple[tuple[str, str, str, str | None], ...] = (
+    ("emails", "<EMAIL>",
+     r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", None),
+    ("ips", "<IP>", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", None),
+    ("ssns", "<SSN>", r"\b\d{3}-\d{2}-\d{4}\b", None),
+    ("phones", "<PHONE>", r"\b\d{3}-\d{3}-\d{4}\b", None),
+    # 13-19 digits with optional single space/dash separators; counts are
+    # Luhn-gated (the checksum every real PAN satisfies)
+    ("ccs", "<CC>", r"\b\d(?:[ -]?\d){12,18}\b", "luhn"),
+    # IBAN shape: country code + 2 check digits + 11-30 BBAN chars
+    ("ibans", "<IBAN>", r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b", None),
+    # secret/API-key shapes: prefixed keys (sk_/pk_/api-/key_/token_) and
+    # bare 32-64 char hex tokens (digests, session ids, hex-encoded keys)
+    ("secrets", "<SECRET>",
+     r"\b(?:sk|pk|api|key|token)[-_][A-Za-z0-9]{16,}\b"
+     r"|\b[A-Fa-f0-9]{32,64}\b", None),
 )
+
+#: digits-only normalization of one candidate match (lambda var pii_c)
+_PII_DIGITS = "regexp_replace(pii_c, '[^0-9]', '', 'g')"
+_PII_D = f"(ascii(substring(reverse({_PII_DIGITS}), pii_i, 1)) - 48)"
+#: Luhn-validity lambda over one candidate string, DuckDB dialect: sum
+#: digits right-to-left, doubling every second and folding >9 via
+#: 2d - 9*((2d)//10) (pure integer arithmetic — no per-digit CASE chain);
+#: valid iff sum % 10 == 0. Shared-subset SQL: the oracle embeds it
+#: verbatim and the operator runs it through transpile_duckdb, so the two
+#: engines execute the same checksum by construction.
+PII_LUHN_LAMBDA = (
+    f"pii_c -> list_sum(list_transform("
+    f"generate_series(1, length({_PII_DIGITS})), "
+    f"pii_i -> CASE WHEN pii_i % 2 = 0 "
+    f"THEN 2 * {_PII_D} - 9 * ((2 * {_PII_D}) // 10) "
+    f"ELSE {_PII_D} END)) % 10 = 0"
+)
+
+
+def pii_stage_sql(
+    cur: str, name: str, token: str, pat: str, validator: str | None
+) -> tuple[str, str]:
+    """DuckDB-dialect ``(count_expr, scrubbed_text_expr)`` for one PII
+    stage over the text expression/column ``cur`` — the single source both
+    engines consume (the oracle verbatim, the operator through
+    :func:`~sql4pandas_spark.functions.transpile.transpile_duckdb`)."""
+    cands = f"regexp_extract_all({cur}, '{pat}')"
+    if validator == "luhn":
+        count = (
+            f"CAST(len(list_filter({cands}, {PII_LUHN_LAMBDA})) AS BIGINT)"
+        )
+    elif validator is not None:
+        raise ValueError(f"unknown PII validator {validator!r} for {name}")
+    else:
+        count = f"CAST(len({cands}) AS BIGINT)"
+    return count, f"regexp_replace({cur}, '{pat}', '{token}', 'g')"
 
 
 def pii_scrub(
@@ -860,32 +913,39 @@ def pii_scrub(
 ) -> DataFrame:
     """PII detection + scrubbing — the redaction station every shareable
     training corpus passes through: emails, IPv4s, SSN-shaped and
-    phone-shaped numbers are replaced with typed sentinel tokens and
-    counted per document (the counts feed the k-anonymity/release
-    audits; the sentinels keep sequence structure intact for the LM
-    instead of leaving holes).
+    phone-shaped numbers, card-shaped numbers (counts Luhn-verified),
+    IBAN shapes, and secret/API-key shapes are replaced with typed
+    sentinel tokens and counted per document (the counts feed the
+    k-anonymity/release audits; the sentinels keep sequence structure
+    intact for the LM instead of leaving holes).
 
     Stagewise semantics: stage k counts occurrences on the text as
     scrubbed by stages 1..k-1, then replaces — overlap between classes
     (an email whose host looks like an IP) is attributed to the FIRST
     matching class only, deterministically. Pure row-local
-    `regexp_extract_all` + `regexp_replace` chains: zero shuffles, zero
-    UDFs, whole-stage-codegen at any scale; patterns live in
-    :data:`PII_PATTERNS` so the DuckDB oracle replays the identical
-    automata (Java-regex/RE2-shared subset only).
+    `regexp_extract_all` + `regexp_replace` chains (the Luhn gate is a
+    filter/transform higher-order expression over the matched
+    candidates): zero shuffles, zero UDFs, whole-stage-codegen at any
+    scale. Every stage expression is BUILT from the same DuckDB-dialect
+    source the oracle embeds (:func:`pii_stage_sql`, through
+    transpile_duckdb), so the two engines can never drift — automata,
+    checksum, and replacement order alike.
     """
-    cur = F.col(text_col)
+    from sql4pandas_spark.functions.transpile import transpile_duckdb
+
+    cur = text_col
     counts = []
-    for name, token, pat in PII_PATTERNS:
+    for name, token, pat, validator in PII_PATTERNS:
+        count_sql, next_sql = pii_stage_sql(cur, name, token, pat, validator)
         counts.append(
-            F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
-            .cast("long")
-            .alias(f"n_{name}")
+            F.expr(transpile_duckdb(count_sql)).alias(f"n_{name}")
         )
-        cur = F.regexp_replace(cur, pat, token)
-    out = df.select(id_col, cur.alias(text_col), *counts)
+        cur = next_sql
+    out = df.select(
+        id_col, F.expr(transpile_duckdb(cur)).alias(text_col), *counts
+    )
     total = None
-    for name, _, _ in PII_PATTERNS:
+    for name, _, _, _ in PII_PATTERNS:
         c = F.col(f"n_{name}")
         total = c if total is None else total + c
     return out.withColumn("n_pii", total.cast("long"))

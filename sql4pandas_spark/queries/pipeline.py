@@ -6275,30 +6275,38 @@ _PII_PLANTED_SQL = """
                      THEN ' ssn 123-45-6789' ELSE '' END
                   || CASE WHEN doc_id % 13 = 0
                      THEN ' call 555-123-4567' ELSE '' END
+                  || CASE WHEN doc_id % 17 = 0
+                     THEN ' pay 4532015112830366 or 4532015112830367 now'
+                     ELSE '' END
+                  || CASE WHEN doc_id % 19 = 0
+                     THEN ' iban DE89370400440532013000 ref' ELSE '' END
+                  || CASE WHEN doc_id % 23 = 0
+                     THEN ' key_A7fK2mQ9xP4wL8vB3n and digest '
+                          || 'c0ffee5ca1ab1efacade90d15ea5edeadbeef000'
+                     ELSE '' END
                AS text
       FROM documents
 """
 
 
 def _pii_oracle() -> str:
-    """Generate the stagewise DuckDB replay from the SAME pattern table
-    the operator compiles (operators/text.PII_PATTERNS) — one source, two
-    engines, no drift."""
-    from sql4pandas_spark.operators.text import PII_PATTERNS
+    """Generate the stagewise DuckDB replay from the SAME stage-expression
+    source the operator compiles (operators/text.pii_stage_sql over
+    PII_PATTERNS — counts, Luhn gate, and replacements alike) — one
+    source, two engines, no drift."""
+    from sql4pandas_spark.operators.text import PII_PATTERNS, pii_stage_sql
 
     stages, cur = [], "text"
-    for i, (name, token, pat) in enumerate(PII_PATTERNS):
+    for i, (name, token, pat, validator) in enumerate(PII_PATTERNS):
         nxt = f"t{i}"
+        count_sql, next_sql = pii_stage_sql(cur, name, token, pat, validator)
         stages.append(
-            f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS BIGINT)"
-            f" AS n_{name},\n"
-            f"           regexp_replace({cur}, '{pat}', '{token}', 'g')"
-            f" AS {nxt}"
+            f"{count_sql} AS n_{name},\n           {next_sql} AS {nxt}"
         )
         cur = nxt
     inner = "SELECT doc_id,\n           " + ",\n           ".join(stages)
-    totals = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
-    names = ", ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    totals = " + ".join(f"n_{name}" for name, _, _, _ in PII_PATTERNS)
+    names = ", ".join(f"n_{name}" for name, _, _, _ in PII_PATTERNS)
     return f"""
     WITH p AS ({_PII_PLANTED_SQL}),
     s AS ({inner} FROM p)
@@ -6315,15 +6323,19 @@ def _pii_oracle() -> str:
 )
 def pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction station (operators/text.pii_scrub): emails, IPv4s,
-    SSN-shaped and phone-shaped numbers replaced with typed sentinels
-    and counted per document, stagewise (each class counts on the text
-    already scrubbed by earlier classes, so an email's host can never
-    double-count as an IP). The fixture corpus carries no real PII, so
-    deterministic PII is PLANTED via a shared ANSI expression both
-    engines execute — the scrub is load-bearing, not vacuously zero.
-    Pure row-local regexp chains, zero shuffles, zero UDFs; the oracle
-    is GENERATED from the operator's own pattern table, so the two
-    engines replay identical automata by construction."""
+    SSN-shaped and phone-shaped numbers, card-shaped numbers
+    (Luhn-gated counts — a valid AND an invalid card are planted, so
+    the checksum is load-bearing), IBAN shapes, and secret/API-key
+    shapes replaced with typed sentinels and counted per document,
+    stagewise (each class counts on the text already scrubbed by
+    earlier classes, so an email's host can never double-count as an
+    IP). The fixture corpus carries no real PII, so deterministic PII
+    is PLANTED via a shared ANSI expression both engines execute — the
+    scrub is load-bearing, not vacuously zero. Pure row-local regexp
+    chains plus one higher-order Luhn filter, zero shuffles, zero UDFs;
+    oracle AND operator are GENERATED from the same stage-expression
+    source (pii_stage_sql), so the two engines replay identical
+    automata and checksums by construction."""
     from sql4pandas_spark.operators.text import pii_scrub
 
     register_tables(spark, sf_dir, ("documents",))

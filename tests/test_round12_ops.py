@@ -142,3 +142,61 @@ def test_nested_call_inside_ignore_nulls_struct_is_rewritten():
     )
     assert "unix_micros" in out and "epoch(" not in out
     assert out.count("IGNORE NULLS") == 1
+
+
+# --------------------------------------- extended PII classes (round 12)
+
+def test_pii_scrub_luhn_counts_but_redacts_all_card_shapes(spark):
+    """Counts are Luhn-gated; redaction is conservative (every card-shaped
+    candidate is replaced whether or not the checksum verifies)."""
+    from sql4pandas_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "pay 4532015112830366 today"),           # Luhn-valid
+            (2, "typo 4532015112830367 today"),          # Luhn-invalid
+            (3, "spaced 4111 1111 1111 1111 ok"),        # valid, separators
+            (4, "amex 3714 496353 98431 ok"),            # 15-digit valid
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert rows[1]["n_ccs"] == 1 and "<CC>" in rows[1]["text"]
+    assert rows[2]["n_ccs"] == 0 and "<CC>" in rows[2]["text"]  # redacted anyway
+    assert "4532015112830367" not in rows[2]["text"]
+    assert rows[3]["n_ccs"] == 1 and "1111" not in rows[3]["text"]
+    assert rows[4]["n_ccs"] == 1 and "<CC>" in rows[4]["text"]
+
+
+def test_pii_scrub_iban_and_secret_shapes(spark):
+    from sql4pandas_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "wire to DE89370400440532013000 please"),
+            (2, "token key_A7fK2mQ9xP4wL8vB3n leaked"),
+            (3, "hash c0ffee5ca1ab1efacade90d15ea5edeadbeef000 in log"),
+            (4, "short key_abc and tiny beef00 are fine"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert rows[1]["n_ibans"] == 1 and "<IBAN>" in rows[1]["text"]
+    assert rows[2]["n_secrets"] == 1 and "<SECRET>" in rows[2]["text"]
+    assert rows[3]["n_secrets"] == 1 and "c0ffee" not in rows[3]["text"]
+    assert rows[4]["n_pii"] == 0 and "key_abc" in rows[4]["text"]
+
+
+def test_pii_scrub_first_class_attribution_of_card_digits(spark):
+    """A card number consumed by the ccs stage must not re-count as an
+    IBAN/secret, and the IBAN's 18-digit tail must not pre-count as a
+    card (no word boundary after the country code)."""
+    from sql4pandas_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "acct DE89370400440532013000 card 4532015112830366")],
+        "doc_id long, text string",
+    )
+    r = pii_scrub(df).collect()[0]
+    assert (r["n_ccs"], r["n_ibans"], r["n_secrets"]) == (1, 1, 0)
+    assert "<CC>" in r["text"] and "<IBAN>" in r["text"]
