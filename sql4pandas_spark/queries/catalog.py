@@ -83,6 +83,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- round-12 NEW entries (0 greens) --
     # (added as they land; each new entry MUST enter the window or the
     # evidence rule goes red)
+    "engine_lifecycle_pandas",
     # -- the 9 entries green only in r11 --
     "sessionize_events_nulls",
     "top_movers_events_nulls",

@@ -6341,3 +6341,77 @@ def pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir, ("documents",))
     planted = spark.sql(_PII_PLANTED_SQL)
     return pii_scrub(planted).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# round 12: the reference's end-to-end identity in ONE hash-checked row
+# ---------------------------------------------------------------------------
+
+#: deterministic in-memory rows for the lifecycle entry — Python is the
+#: single source; the builder uploads them as a pandas frame, the oracle
+#: replays them as a VALUES list
+_LIFECYCLE_ROWS: list[tuple[str, int, int]] = [
+    (
+        "|".join(["apple", "bread", "milk", "eggs", "tea"][: k % 4 + 1]),
+        k % 5 + 1,
+        99 + 7 * k,
+    )
+    for k in range(30)
+]
+
+#: the reference-dialect statement text — executed VERBATIM by DuckDB (in
+#: the oracle) and by Engine.sql(dialect="duckdb") (in the builder), so the
+#: dialect front end is load-bearing: string_split with a regex-metachar
+#: separator, 1-based [1] access, len(), and // integer division all
+#: require rewriting before Spark will accept it
+_LIFECYCLE_STMT = """
+    SELECT CAST(len(string_split(basket, '|')) AS BIGINT) AS basket_size,
+           string_split(basket, '|')[1] AS first_item,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(qty * price_cents) // 100 AS BIGINT) AS rev_units
+    FROM purchases
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query(
+    "engine_lifecycle_pandas",
+    oracle="""
+    WITH purchases (basket, qty, price_cents) AS (VALUES {values})
+    {stmt}
+    """.format(
+        values=", ".join(
+            f"('{b}', {q}, {p})" for b, q, p in _LIFECYCLE_ROWS
+        ),
+        stmt=_LIFECYCLE_STMT,
+    ),
+    tags=("tier-a", "scan_pandas", "sink_pandas", "sql_frontend",
+          "engine_api", "transpile"),
+)
+def engine_lifecycle_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's EXACT identity — pandas in, reference-dialect SQL,
+    pandas out — proven end-to-end in a single hash-checked row instead
+    of the two pieces (scan_pandas_join + sql_frontend_*) that proved it
+    separately. The builder walks the full user path: ``Engine.register``
+    (Arrow upload of an in-memory pandas frame), ``Engine.sql(stmt,
+    dialect="duckdb")`` (the dialect front end rewrites string_split /
+    1-based access / len / ``//`` before Catalyst sees the text), then
+    ``Result.to_pandas()`` (Arrow download). The collected pandas frame
+    is re-uploaded only so the driver can hash a DataFrame — the oracle
+    replays the same rows as a VALUES CTE and runs the SAME statement
+    text natively on DuckDB, so any drift in upload, transpile, execution,
+    or download breaks the hash. Result size is group-bounded (4 rows);
+    the heavy lifting upstream of to_pandas stays distributed."""
+    import pandas as pd
+
+    from sql4pandas_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register(
+        "purchases",
+        pd.DataFrame(
+            _LIFECYCLE_ROWS, columns=["basket", "qty", "price_cents"]
+        ),
+    )
+    result_pdf = eng.sql(_LIFECYCLE_STMT, dialect="duckdb").to_pandas()
+    return spark.createDataFrame(result_pdf)
