@@ -84,6 +84,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (added as they land; each new entry MUST enter the window or the
     # evidence rule goes red)
     "engine_lifecycle_pandas",
+    "bigram_gate_per_lang",
     # -- the 9 entries green only in r11 --
     "sessionize_events_nulls",
     "top_movers_events_nulls",

@@ -6192,10 +6192,11 @@ def stream_pipeline_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc.latest_snapshot(spark, snap_root).orderBy("user_id")
 
 
-@query(
-    "bigram_surprisal_documents",
-    oracle=f"""
-    WITH toks AS ({_TOKS_CTE}),
+#: shared bigram Stupid-Backoff scoring CTEs (reference partition counts,
+#: e6 quantization, per-doc integer sums) — composed by BOTH the per-doc
+#: surprisal oracle and the per-language calibrated gate oracle, so the
+#: two entries replay the identical scoring pipeline
+_BIGRAM_SCORE_CTES = f"""toks AS ({_TOKS_CTE}),
     ref AS (SELECT * FROM toks WHERE doc_id % 3 <> 0),
     rbg_raw AS (
       SELECT unnest([{{'p': w[i-1], 'c': w[i]}}
@@ -6225,7 +6226,13 @@ def stream_pipeline_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
            CROSS JOIN nv),
     pd AS (SELECT doc_id, sum(k) AS nb, sum(k * is_bo) AS nbo,
                   sum(k * s_e6) AS ssum
-           FROM sc GROUP BY 1)
+           FROM sc GROUP BY 1)"""
+
+
+@query(
+    "bigram_surprisal_documents",
+    oracle=f"""
+    WITH {_BIGRAM_SCORE_CTES}
     SELECT d.doc_id,
            CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
            CAST(coalesce(nbo, 0) AS BIGINT) AS n_backoff,
@@ -6258,6 +6265,75 @@ def bigram_surprisal_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_backoff_surprisal(
         docs, docs.filter(F.col("doc_id") % 3 != 0)
     ).orderBy("doc_id")
+
+
+
+@query(
+    "bigram_gate_per_lang",
+    oracle=f"""
+    WITH {_BIGRAM_SCORE_CTES},
+    avgs AS (
+      SELECT d.doc_id, d.lang, CAST(ssum // nb AS BIGINT) AS avg_e6
+      FROM documents d JOIN pd USING (doc_id) WHERE nb > 0),
+    th AS (
+      -- integer-space p75 (the classifier_gate_per_lang trick mirrored):
+      -- avg_e6 is already an integer, so lo + 3*(hi-lo)/4 times 4 is an
+      -- exact BIGINT — no float rounding for a threshold to flip on
+      SELECT lang, CAST(quantile_cont(avg_e6, 0.75) * 4 AS BIGINT)
+               AS threshold_e6x4
+      FROM avgs GROUP BY lang)
+    SELECT a.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN avg_e6 * 4 <= threshold_e6x4
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           threshold_e6x4
+    FROM avgs a JOIN th USING (lang)
+    GROUP BY a.lang, threshold_e6x4 ORDER BY a.lang
+    """,
+    tags=("tier-c", "quality", "lm_surprisal", "classifier", "data_mix"),
+)
+def bigram_gate_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet-style deployment of bigram surprisal: a PER-LANGUAGE
+    calibrated keep-gate on avg Stupid-Backoff surprisal (keep the 75%
+    most-fluent docs of EACH language — a global threshold would
+    systematically drop whichever language's n-gram statistics sit
+    higher, an artifact of tokenization, not quality). Composes
+    operators/text.bigram_backoff_surprisal (reference-partition counts,
+    held-out docs genuinely back off) with the e6-integer p75 gate from
+    classifier_gate_per_lang: avg_e6 is an integer, so the interpolated
+    quantile x4 is an exact BIGINT — both engines compute the threshold
+    bit-identically. Scale shape: the scoring plan is the bigram entry's
+    (corpus-bigram-bounded counts, doc-distinct join pre-reduction); the
+    gate adds one per-language aggregate (|langs| rows, broadcast back)
+    — nothing new shuffles document text. The oracle replays counts,
+    backoff, quantization, threshold interpolation, and the keep rule."""
+    from sql4pandas_spark.operators.text import bigram_backoff_surprisal
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    scored = (
+        bigram_backoff_surprisal(docs, docs.filter(F.col("doc_id") % 3 != 0))
+        .filter(F.col("n_bigrams") > 0)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", F.col("avg_surprisal_e6").alias("avg_e6"))
+    )
+    th = scored.groupBy("lang").agg(
+        (F.percentile("avg_e6", F.lit(0.75)) * 4)
+        .cast("long")
+        .alias("threshold_e6x4")
+    )
+    return (
+        scored.join(F.broadcast(th), "lang")
+        .groupBy("lang", "threshold_e6x4")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("avg_e6") * 4 <= F.col("threshold_e6x4")).cast("long")
+            ).alias("n_kept"),
+        )
+        .select("lang", "n_docs", "n_kept", "threshold_e6x4")
+        .orderBy("lang")
+    )
 
 
 #: deterministic PII planting over documents — shared ANSI text executed

@@ -200,3 +200,20 @@ def test_pii_scrub_first_class_attribution_of_card_digits(spark):
     r = pii_scrub(df).collect()[0]
     assert (r["n_ccs"], r["n_ibans"], r["n_secrets"]) == (1, 1, 0)
     assert "<CC>" in r["text"] and "<IBAN>" in r["text"]
+
+
+# ------------------------------------ bigram calibrated gate (round 12)
+
+def test_bigram_gate_keeps_about_p75_per_language(spark):
+    """Each language keeps ~75% of its own scored docs by construction of
+    the per-language p75 threshold, and the thresholds genuinely differ
+    across languages (a global threshold would collapse them)."""
+    from sql4pandas_spark.queries.catalog import load_catalog
+
+    build = load_catalog()["bigram_gate_per_lang"].build
+    rows = build(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) >= 2  # multiple languages scored
+    for r in rows:
+        frac = r["n_kept"] / r["n_docs"]
+        assert 0.65 <= frac <= 0.85, f"{r['lang']}: kept {frac:.2f}"
+    assert len({r["threshold_e6x4"] for r in rows}) > 1
