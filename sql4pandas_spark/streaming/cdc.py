@@ -111,6 +111,26 @@ def vacuum_versions(store_root: str, keep_last: int = 2) -> list[int]:
     return drop
 
 
+def require_replay_source(store_root: str, batch_id: int, vs: list[int]) -> None:
+    """The vacuum/crash-replay interlock: a batch replayed after a crash
+    reads source version ``v{batch_id}`` — legal per the misalignment
+    guard (batch_id == latest - 1), but if ``vacuum_versions(keep_last=1)``
+    ran BETWEEN the crash and the replayed drain, that source is gone and
+    the replay must fail with the interlock named, not with a bare
+    path-not-found (and never by silently merging onto the wrong base).
+    ``keep_last >= 2`` makes this unreachable — the documented contract."""
+    if batch_id not in vs:
+        raise RuntimeError(
+            f"vacuum/replay interlock violated: crash-replay of batch "
+            f"{batch_id} needs source version v{batch_id} under "
+            f"{store_root}, but it was removed "
+            f"(retained: {[f'v{v}' for v in vs]}). vacuum_versions("
+            f"keep_last=1) ran between a crash and its replayed drain — "
+            f"vacuum down to 1 version only between drains known to have "
+            f"completed; keep_last>=2 always preserves crash-replay."
+        )
+
+
 def cdc_apply_batch(
     changes: DataFrame,
     snapshot_root: str,
@@ -148,6 +168,7 @@ def cdc_apply_batch(
             f"checkpoint restarts numbering at 0 — reuse the original "
             f"checkpoint directory, or reseed the snapshot root."
         )
+    require_replay_source(snapshot_root, batch_id, vs)
     src = os.path.join(snapshot_root, f"v{batch_id}")
     dst = os.path.join(snapshot_root, f"v{batch_id + 1}")
     snap = spark.read.parquet(src)

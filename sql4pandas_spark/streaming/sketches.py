@@ -40,7 +40,11 @@ from pyspark.sql import DataFrame, SparkSession
 # The version-directory mechanics are shared with the CDC store — one
 # implementation of "what is the latest committed v{k}" for both write-side
 # (snapshot) and read-side (sketch state) incremental maintenance.
-from sql4pandas_spark.streaming.cdc import _versions, latest_snapshot
+from sql4pandas_spark.streaming.cdc import (
+    _versions,
+    latest_snapshot,
+    require_replay_source,
+)
 
 #: read the highest committed state version (alias: the store layout is
 #: identical to the CDC snapshot store).
@@ -97,6 +101,7 @@ def sketch_apply_batch(
             f"states double-count under renumbered replay — reuse the "
             f"original checkpoint directory, or reseed the store root."
         )
+    require_replay_source(store_root, batch_id, vs)
     src = os.path.join(store_root, f"v{batch_id}")
     dst = os.path.join(store_root, f"v{batch_id + 1}")
     prev = spark.read.parquet(src)
