@@ -85,6 +85,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # evidence rule goes red)
     "engine_lifecycle_pandas",
     "bigram_gate_per_lang",
+    "entity_resolution_parts",
     # -- the 9 entries green only in r11 --
     "sessionize_events_nulls",
     "top_movers_events_nulls",

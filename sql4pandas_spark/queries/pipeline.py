@@ -6491,3 +6491,109 @@ def engine_lifecycle_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result_pdf = eng.sql(_LIFECYCLE_STMT, dialect="duckdb").to_pandas()
     return spark.createDataFrame(result_pdf)
+
+
+_ER_OFFSET = 10_000_000  # dirty-entity id space, disjoint from part keys
+
+
+@query(
+    "entity_resolution_parts",
+    oracle=f"""
+    WITH RECURSIVE clean AS MATERIALIZED (
+      SELECT p_partkey AS clean_key,
+             lower(trim(p_name || ' ' || p_brand || ' ' || p_type)) AS clean_name
+      FROM part),
+    dirty AS MATERIALIZED (
+      SELECT p_partkey + {_ER_OFFSET} AS dirty_key,
+             substr(nm, 1, pos - 1) || substr(nm, pos + 1) AS dirty_name
+      FROM (SELECT p_partkey, nm,
+                   CAST(p_partkey % length(nm) AS INT) + 1 AS pos
+            FROM (SELECT p_partkey,
+                         lower(trim(p_name || ' ' || p_brand || ' ' || p_type)) AS nm
+                  FROM part)
+            WHERE p_partkey % 20 = 3)),
+    m AS MATERIALIZED (
+      -- MATERIALIZED is load-bearing for runtime, not correctness: inside
+      -- a WITH RECURSIVE chain DuckDB otherwise inlines the all-pairs
+      -- levenshtein join into both edge directions and loses parallelism
+      -- (~18x slower at sf0.1)
+      SELECT d.dirty_key AS id_a, c.clean_key AS id_b
+      FROM dirty d JOIN clean c
+        ON abs(length(d.dirty_name) - length(c.clean_name)) <= 2
+      WHERE levenshtein(d.dirty_name, c.clean_name) <= 2),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM m
+              UNION SELECT id_b, id_a FROM m),
+    -- closure over MATCHED nodes only: the HAVING n_members > 1 output is
+    -- composed entirely of matched nodes, so singleton seeds would only
+    -- inflate the recursion
+    nodes AS (SELECT DISTINCT id_a AS id FROM m
+              UNION SELECT DISTINCT id_b FROM m),
+    reach(src, dst) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    lab AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src)
+    SELECT cluster_id AS canonical_key,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(CASE WHEN id >= {_ER_OFFSET} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dirty
+    FROM lab GROUP BY cluster_id HAVING count(*) > 1
+    ORDER BY canonical_key
+    """,
+    tags=("tier-c", "entity_resolution", "join_fuzzy", "connected_components",
+          "dedup_near", "graph"),
+)
+def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution END-TO-END: the fuzzy-join candidate+verify path
+    (operators/joins.fuzzy_key_join — LSH-banded, exact Levenshtein
+    verify) feeds its matched pairs straight into the public clustering
+    API (operators/dedup.label_components), and each multi-member
+    cluster reports its canonical representative — the smallest member
+    id, which is always a CLEAN part key because dirty entities live in
+    an offset id space. This is the production ER shape (match →
+    cluster → canonicalize) in one driver-checked row, composing two
+    already-proven operators with zero new shuffles beyond their own:
+    pairs are fuzzy-match-bounded, propagation is edge-frame-bounded
+    (O(diameter) rounds over star-shaped clusters here), the final
+    rollup is one groupBy. The oracle recomputes the exact all-pairs
+    fuzzy matches and the declarative transitive-closure components, so
+    a hash match proves candidate recall, clustering, and canonical
+    choice simultaneously."""
+    from sql4pandas_spark.operators.dedup import label_components
+
+    t = register_tables(spark, sf_dir, ("part",))
+    part = t["part"]
+    ent = F.lower(
+        F.trim(F.concat_ws(" ", F.col("p_name"), F.col("p_brand"), F.col("p_type")))
+    )
+    clean = part.select(
+        F.col("p_partkey").alias("clean_key"), ent.alias("clean_name")
+    )
+    pos = (F.col("p_partkey") % F.length(ent) + F.lit(1)).cast("int")
+    dirty = part.filter(F.col("p_partkey") % 20 == 3).select(
+        (F.col("p_partkey") + F.lit(_ER_OFFSET)).alias("dirty_key"),
+        F.concat(
+            ent.substr(F.lit(1), pos - 1),
+            ent.substr(pos + 1, F.length(ent)),
+        ).alias("dirty_name"),
+    )
+    pairs = joins.fuzzy_key_join(
+        dirty, clean, "dirty_name", "clean_name",
+        max_distance=2, n_hashes=48, n_bands=48,
+    ).select(F.col("dirty_key").alias("id_a"), F.col("clean_key").alias("id_b"))
+    nodes = clean.select(F.col("clean_key").alias("id")).unionByName(
+        dirty.select(F.col("dirty_key").alias("id"))
+    )
+    labeled = label_components(nodes, pairs, id_col="id")
+    return (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum((F.col("doc_id") >= _ER_OFFSET).cast("long")).alias("n_dirty"),
+        )
+        .filter(F.col("n_members") > 1)
+        .select(
+            F.col("cluster_id").alias("canonical_key"), "n_members", "n_dirty"
+        )
+        .orderBy("canonical_key")
+    )
