@@ -173,6 +173,21 @@ def asof_join(
     sort before left rows except in pure-forward mode (where they sort
     after, so the FOLLOWING frame sees them); in nearest mode a same-ts
     right row is the gap-0 backward candidate, which wins by the tie rule.
+
+    NULL contract (round 12): a NULL ts or a NULL key NEVER matches —
+    right rows with NULL ``right_ts`` or NULL ``on`` are excluded up
+    front, and a left row with NULL ``left_ts`` or NULL ``on`` keeps its
+    row with NULL value columns. This is SQL equi-join/comparison
+    semantics (``NULL = x`` and ``NULL >= x`` are unknown). It
+    deliberately DIVERGES from DuckDB's ASOF JOIN timestamp handling,
+    whose sort-merge implementation treats NULL as +infinity (a NULL-ts
+    probe matches the latest build row — an implementation artifact, not
+    a contract), and from pandas merge_asof, which refuses NaT keys
+    outright. Before this contract, NULL-ts right rows sorted FIRST in
+    the carry window and their values leaked through last(ignorenulls)
+    whenever a key had no real match, and NULL keys matched each other
+    through the window PARTITION BY (group semantics where join
+    semantics were promised) — both silent wrong answers.
     """
     from pyspark.sql import Window
 
@@ -189,6 +204,11 @@ def asof_join(
     if clash:
         raise ValueError(f"value_cols {clash} already exist on the left side")
     r_kind, l_kind = (1, 0) if direction == "forward" else (0, 1)
+    # NULL-ts / NULL-key right rows can never legally match (see docstring
+    # contract); unfiltered, NULL-ts rows sort first and leak values
+    # through the ignorenulls carry, and NULL-key rows pair up with
+    # NULL-key left rows inside their window partition
+    right = right.filter(F.col(right_ts).isNotNull() & F.col(on).isNotNull())
     r = right.select(
         F.col(on),
         F.col(right_ts).alias("_asof_ts"),
@@ -229,10 +249,13 @@ def asof_join(
         # NULL gap, and NULL comparisons fall through to the other branch
         use_b = gap_b.isNotNull() & (gap_f.isNull() | (gap_b <= gap_f))
         gap = F.when(use_b, gap_b).otherwise(gap_f)
+    # a NULL left_ts matches nothing (the forward/nearest frames would
+    # otherwise hand it a real value: NULL-ts left rows sort first, so the
+    # whole right side sits in their FOLLOWING frame)
     in_tolerance = (
-        F.lit(True)
+        lts.isNotNull()
         if tolerance_seconds is None
-        else gap <= tolerance_seconds * 1_000_000
+        else lts.isNotNull() & (gap <= tolerance_seconds * 1_000_000)
     )
 
     def chosen(c: str):

@@ -86,6 +86,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "engine_lifecycle_pandas",
     "bigram_gate_per_lang",
     "entity_resolution_parts",
+    "asof_join_nulls",
     # -- the 9 entries green only in r11 --
     "sessionize_events_nulls",
     "top_movers_events_nulls",

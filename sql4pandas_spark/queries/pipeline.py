@@ -6597,3 +6597,60 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_key")
     )
+
+
+@query(
+    "asof_join_nulls",
+    oracle=f"""
+    WITH ev AS ({_EVENTS_NULLS_SQL}),
+    p AS (SELECT event_id, user_id, ts FROM ev
+          WHERE event_type = 'purchase'),
+    -- the operator's NULL contract, spelled out: NULL-ts clicks never
+    -- match (DuckDB's bare ASOF would treat their NULL as +infinity —
+    -- a sort-merge artifact, not a contract)...
+    c AS (SELECT user_id, ts FROM ev
+          WHERE event_type = 'click' AND ts IS NOT NULL)
+    -- ...and a NULL-ts purchase keeps its row with a NULL match (bare
+    -- ASOF would hand it the latest click)
+    SELECT p.event_id, p.user_id,
+           CASE WHEN p.ts IS NOT NULL
+                 AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000::BIGINT
+                THEN c.ts END AS click_ts
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id LIMIT 300
+    """,
+    tags=("tier-c", "join_asof", "null_contract"),
+)
+def asof_join_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join under PLANTED NULL timestamps AND NULL keys (the shared
+    _EVENTS_NULLS_SQL CTE both engines execute): the round-12 NULL
+    contract on operators/joins.asof_join — a NULL ts or NULL key never
+    matches. Before this round, NULL-ts clicks sorted first in the carry
+    window and leaked values through last(ignorenulls) on keys with no
+    real match, and NULL-user purchases matched NULL-user clicks through
+    the window PARTITION BY (group semantics where equi-join semantics
+    were promised) — two silent wrong answers this entry caught while
+    being built. The oracle spells the ts contract out around DuckDB's
+    ASOF (whose own NULL-ts handling is +infinity, an implementation
+    artifact) and gets the key contract from the equi-join itself, so
+    the green is load-bearing: removing the right-side filter, the
+    left-ts gate, or the key filter from the operator breaks the hash.
+    Same one-shuffle union+window plan and exact-microsecond tolerance
+    as asof_join_tolerance."""
+    ev = _events_with_nulls(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        joins.asof_join(
+            purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+            value_cols=["click_ts"], tolerance_seconds=3600,
+        )
+        .select("event_id", "user_id", "click_ts")
+        .orderBy("event_id")
+        .limit(300)
+    )

@@ -302,3 +302,51 @@ def test_sketch_store_vacuum_replay_interlock(spark, tmp_path):
     assert vacuum_versions(root, keep_last=1) == [0]
     with _pytest.raises(RuntimeError, match="vacuum/replay interlock"):
         sketches.sketch_apply_batch(batch, root, merge, batch_id=0)
+
+
+# ------------------------------- asof NULL contract (round 12)
+
+def _asof_fixture(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "a", "2024-01-01 10:00:00"),
+            (2, "a", None),                      # NULL left ts
+            (3, None, "2024-01-01 10:00:00"),    # NULL left key
+            (4, "b", "2024-01-01 10:00:00"),     # key with only-NULL rights
+        ],
+        "id long, k string, ts string",
+    ).selectExpr("id", "k", "CAST(ts AS TIMESTAMP) AS ts")
+    right = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 09:00:00", 100),
+            ("a", None, 999),                    # NULL right ts
+            (None, "2024-01-01 09:00:00", 888),  # NULL right key
+            ("b", None, 777),
+        ],
+        "k string, ts string, v long",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts", "v")
+    return left, right
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_null_ts_and_null_key_never_match(spark, direction):
+    """SQL semantics in every direction: NULL ts / NULL key rows never
+    match on either side; left rows are all preserved. Pre-round-12, row 4
+    got v=777 (NULL-ts leak through the ignorenulls carry), rows 2/3
+    variously matched via the NULL window partition."""
+    from sql4pandas_spark.operators.joins import asof_join
+
+    left, right = _asof_fixture(spark)
+    rows = {
+        r["id"]: r["v"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            value_cols=["v"], direction=direction,
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4}, "every left row must be preserved"
+    expected_1 = 100 if direction in ("backward", "nearest") else None
+    assert rows[1] == expected_1
+    assert rows[2] is None  # NULL left ts
+    assert rows[3] is None  # NULL left key
+    assert rows[4] is None  # only NULL-ts rights on this key

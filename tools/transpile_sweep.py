@@ -64,6 +64,7 @@ SKIP_REASONS: dict[str, str] = {
     "asof_join_tolerance": _R_ASOF,
     "asof_join_forward": _R_ASOF,
     "asof_join_nearest": _R_ASOF,
+    "asof_join_nulls": _R_ASOF,
 }
 
 
