@@ -107,6 +107,14 @@ def main() -> int:
     if limit:
         queries = dict(list(queries.items())[:limit])
     bad: list[tuple[str, str]] = []
+    #: entry -> {"spark_s": …, "duckdb_s": …} — written as a committed
+    #: per-round artifact (ENTRY_TIMINGS_r{N}.json) when
+    #: S4PS_REHEARSE_TIMINGS_OUT is set, so per-OPERATOR wall-time drift
+    #: is visible round-over-round the way BENCH_r{N}.json makes the
+    #: 7-query suite drift visible. Spark time covers build+collect (plan
+    #: + execution, the user-visible cost); DuckDB time covers the oracle
+    #: execute+fetch on the same host, the per-entry noise control.
+    timings: dict[str, dict[str, float]] = {}
     n_sql = n_rows = 0
     t0 = time.time()
     for name, build in queries.items():
@@ -118,6 +126,7 @@ def main() -> int:
                 bad.append((name, f"non-scalar result columns {ns} (driver-unhashable)"))
                 continue
             srows = [tuple(r) for r in sdf.collect()]
+            timings[name] = {"spark_s": round(time.time() - tq, 3)}
             if name in oracles:
                 div = divergent_oracle_cols(con, oracles[name])
                 if div:
@@ -126,8 +135,10 @@ def main() -> int:
                                "pandas (driver) than fetchall (here) — add CASTs")
                     )
                     continue
+                td = time.time()
                 res = con.execute(oracles[name])
                 orows = res.fetchall()
+                timings[name]["duckdb_s"] = round(time.time() - td, 3)
                 ocols = [d[0] for d in res.description]
                 if len(srows) != len(orows):
                     bad.append((name, f"rowcount {len(srows)} vs {len(orows)}"))
@@ -145,6 +156,17 @@ def main() -> int:
             bad.append((name, f"ERROR {str(ex)[:120]}"))
         if os.environ.get("S4PS_REHEARSE_TIMES"):
             print(f"  {time.time() - tq:6.1f}s {name}", flush=True)
+
+    out_path = os.environ.get("S4PS_REHEARSE_TIMINGS_OUT", "")
+    if out_path:
+        import json
+
+        with open(out_path, "w") as f:
+            json.dump(
+                {"sf_dir": sf, "entries": dict(sorted(timings.items()))},
+                f, indent=1, sort_keys=True,
+            )
+        print(f"wrote {len(timings)} entry timings to {out_path}")
 
     n_entry = len(entrymod.entry(spark).collect())
     print(
