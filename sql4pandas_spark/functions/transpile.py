@@ -324,6 +324,25 @@ def _rw_struct_pack(args: list[str]) -> str:
     return f"named_struct({', '.join(fields)})"
 
 
+def _rw_list_reduce(args: list[str]) -> str:
+    """DuckDB list_reduce(xs, (acc, x) -> …) seeds the accumulator with
+    the FIRST element and folds the rest left-to-right; Spark's aggregate
+    wants an explicit init, so emit aggregate(rest, first, λ). Callers
+    wanting an explicit seed prepend it (``[0] || xs``) — the shared-
+    syntax idiom both engines parse. Empty-list divergence: DuckDB raises,
+    the Spark emission yields NULL (NULL init over an empty slice) — the
+    value-checked sweeps keep any such use honest."""
+    if len(args) != 2:
+        raise ValueError(
+            "transpile_duckdb: list_reduce expects 2 args (list, lambda)"
+        )
+    xs, lam = args[0].strip(), args[1].strip()
+    return (
+        f"aggregate(slice({xs}, 2, greatest(size({xs}) - 1, 0)), "
+        f"try_element_at({xs}, 1), {lam})"
+    )
+
+
 def _rw_list_avg(args: list[str]) -> str:
     """list_avg(xs) → sum/size with try_divide so the empty list yields
     NULL (DuckDB's behavior) instead of an ANSI divide-by-zero."""
@@ -422,6 +441,7 @@ _ARG_REWRITERS: dict[str, Callable[[list[str]], str]] = {
     "date_diff": _rw_date_diff,
     "datediff": _rw_date_diff,
     "struct_pack": _rw_struct_pack,
+    "list_reduce": _rw_list_reduce,
     "list_avg": _rw_list_avg,
     "list_cosine_similarity": _rw_list_cosine,
     "first_value": _make_rw_ignore_nulls("first_value"),

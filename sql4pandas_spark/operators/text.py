@@ -862,8 +862,10 @@ PII_PATTERNS: tuple[tuple[str, str, str, str | None], ...] = (
     # 13-19 digits with optional single space/dash separators; counts are
     # Luhn-gated (the checksum every real PAN satisfies)
     ("ccs", "<CC>", r"\b\d(?:[ -]?\d){12,18}\b", "luhn"),
-    # IBAN shape: country code + 2 check digits + 11-30 BBAN chars
-    ("ibans", "<IBAN>", r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b", None),
+    # IBAN shape: country code + 2 check digits + 11-30 BBAN chars;
+    # counts are mod-97-gated (ISO 7064, the checksum every real IBAN
+    # satisfies)
+    ("ibans", "<IBAN>", r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b", "iban97"),
     # secret/API-key shapes: prefixed keys (sk_/pk_/api-/key_/token_) and
     # bare 32-64 char hex tokens (digests, session ids, hex-encoded keys)
     ("secrets", "<SECRET>",
@@ -889,6 +891,32 @@ PII_LUHN_LAMBDA = (
 )
 
 
+#: IBAN rearrangement (first 4 chars moved to the end) of one candidate
+_PII_REARR = "(substring(pii_c, 5) || substring(pii_c, 1, 4))"
+_PII_CH = f"substring({_PII_REARR}, pii_i, 1)"
+#: ISO 7064 mod-97 validity lambda over one candidate string, DuckDB
+#: dialect: fold the rearranged string char-by-char — a digit contributes
+#: (acc*10 + d) % 97, a letter its two-digit A=10..Z=35 expansion via
+#: (acc*100 + v) % 97 — valid iff the fold ends at 1. acc stays < 97 so
+#: the arithmetic never leaves int32. ``[0] || positions`` seeds DuckDB's
+#: seedless list_reduce; the transpiler maps list_reduce onto Spark's
+#: aggregate, so this too is one source for both engines.
+PII_IBAN97_LAMBDA = (
+    f"pii_c -> list_reduce([0] || generate_series(1, length({_PII_REARR})), "
+    f"(acc, pii_i) -> CASE WHEN {_PII_CH} BETWEEN '0' AND '9' "
+    f"THEN (acc * 10 + (ascii({_PII_CH}) - 48)) % 97 "
+    f"ELSE (acc * 100 + (ascii({_PII_CH}) - 55)) % 97 END) = 1"
+)
+
+#: validator name -> candidate-filter lambda (DuckDB dialect). Counts are
+#: checksum-gated; redaction stays conservative (every shape match is
+#: replaced) — see the PII_PATTERNS docstring.
+_PII_VALIDATORS: dict[str, str] = {
+    "luhn": PII_LUHN_LAMBDA,
+    "iban97": PII_IBAN97_LAMBDA,
+}
+
+
 def pii_stage_sql(
     cur: str, name: str, token: str, pat: str, validator: str | None
 ) -> tuple[str, str]:
@@ -897,14 +925,15 @@ def pii_stage_sql(
     engines consume (the oracle verbatim, the operator through
     :func:`~sql4pandas_spark.functions.transpile.transpile_duckdb`)."""
     cands = f"regexp_extract_all({cur}, '{pat}')"
-    if validator == "luhn":
-        count = (
-            f"CAST(len(list_filter({cands}, {PII_LUHN_LAMBDA})) AS BIGINT)"
-        )
-    elif validator is not None:
-        raise ValueError(f"unknown PII validator {validator!r} for {name}")
-    else:
+    if validator is None:
         count = f"CAST(len({cands}) AS BIGINT)"
+    elif validator in _PII_VALIDATORS:
+        count = (
+            f"CAST(len(list_filter({cands}, {_PII_VALIDATORS[validator]}))"
+            f" AS BIGINT)"
+        )
+    else:
+        raise ValueError(f"unknown PII validator {validator!r} for {name}")
     return count, f"regexp_replace({cur}, '{pat}', '{token}', 'g')"
 
 

@@ -87,6 +87,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "bigram_gate_per_lang",
     "entity_resolution_parts",
     "asof_join_nulls",
+    "range_join_nulls",
     # -- the 9 entries green only in r11 --
     "sessionize_events_nulls",
     "top_movers_events_nulls",

@@ -6355,7 +6355,8 @@ _PII_PLANTED_SQL = """
                      THEN ' pay 4532015112830366 or 4532015112830367 now'
                      ELSE '' END
                   || CASE WHEN doc_id % 19 = 0
-                     THEN ' iban DE89370400440532013000 ref' ELSE '' END
+                     THEN ' iban DE89370400440532013000 not'
+                          || ' DE89370400440532013001 ref' ELSE '' END
                   || CASE WHEN doc_id % 23 = 0
                      THEN ' key_A7fK2mQ9xP4wL8vB3n and digest '
                           || 'c0ffee5ca1ab1efacade90d15ea5edeadbeef000'
@@ -6400,9 +6401,10 @@ def _pii_oracle() -> str:
 def pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction station (operators/text.pii_scrub): emails, IPv4s,
     SSN-shaped and phone-shaped numbers, card-shaped numbers
-    (Luhn-gated counts — a valid AND an invalid card are planted, so
-    the checksum is load-bearing), IBAN shapes, and secret/API-key
-    shapes replaced with typed sentinels and counted per document,
+    (Luhn-gated counts), IBAN shapes (ISO 7064 mod-97-gated counts),
+    and secret/API-key shapes replaced with typed sentinels and counted
+    per document — for both checksummed classes a valid AND an invalid
+    instance are planted, so the checksums are load-bearing —
     stagewise (each class counts on the text already scrubbed by
     earlier classes, so an email's host can never double-count as an
     IP). The fixture corpus carries no real PII, so deterministic PII
@@ -6653,4 +6655,42 @@ def asof_join_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "click_ts")
         .orderBy("event_id")
         .limit(300)
+    )
+
+
+@query(
+    "range_join_nulls",
+    oracle=f"""
+    WITH ev AS ({_EVENTS_NULLS_SQL})
+    SELECT a.user_id, count(*) AS n_close
+    FROM ev a
+    JOIN ev b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 MINUTE
+    GROUP BY a.user_id ORDER BY a.user_id
+    """,
+    tags=("tier-c", "join_range", "null_contract"),
+)
+def range_join_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interval self-join under PLANTED NULL keys and timestamps
+    (shared _EVENTS_NULLS_SQL CTE): inner-join comparison semantics must
+    drop every NULL-key and NULL-ts row on BOTH sides — `NULL = x` and
+    `NULL > x` are unknown — and the NULL user_id group must not appear
+    in the output at all (no NULL-key pairing through the hash join,
+    the same class of bug the asof window formulation had). Same
+    equi-key + residual-range plan as range_join_close_events; the
+    planted rows make the drop load-bearing rather than vacuous."""
+    ev = _events_with_nulls(spark, sf_dir)
+    a = ev.select(F.col("user_id"), F.col("ts").alias("ts_a"))
+    b = ev.select(F.col("user_id").alias("user_b"), F.col("ts").alias("ts_b"))
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("user_b"))
+            & (F.col("ts_b") > F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 1 MINUTE")),
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_close"))
+        .orderBy("user_id")
     )

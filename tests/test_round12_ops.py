@@ -169,6 +169,9 @@ def test_pii_scrub_luhn_counts_but_redacts_all_card_shapes(spark):
 
 
 def test_pii_scrub_iban_and_secret_shapes(spark):
+    """IBAN counts are ISO 7064 mod-97-gated (letters in the BBAN map to
+    their two-digit A=10..Z=35 expansion); redaction stays conservative
+    for invalid shapes. Secrets cover prefixed keys and bare hex."""
     from sql4pandas_spark.operators.text import pii_scrub
 
     df = spark.createDataFrame(
@@ -177,6 +180,8 @@ def test_pii_scrub_iban_and_secret_shapes(spark):
             (2, "token key_A7fK2mQ9xP4wL8vB3n leaked"),
             (3, "hash c0ffee5ca1ab1efacade90d15ea5edeadbeef000 in log"),
             (4, "short key_abc and tiny beef00 are fine"),
+            (5, "typo DE89370400440532013001 checksum fails"),
+            (6, "letters GB82WEST12345698765432 valid"),
         ],
         "doc_id long, text string",
     )
@@ -185,6 +190,8 @@ def test_pii_scrub_iban_and_secret_shapes(spark):
     assert rows[2]["n_secrets"] == 1 and "<SECRET>" in rows[2]["text"]
     assert rows[3]["n_secrets"] == 1 and "c0ffee" not in rows[3]["text"]
     assert rows[4]["n_pii"] == 0 and "key_abc" in rows[4]["text"]
+    assert rows[5]["n_ibans"] == 0 and "<IBAN>" in rows[5]["text"]  # redacted anyway
+    assert rows[6]["n_ibans"] == 1 and "GB82" not in rows[6]["text"]
 
 
 def test_pii_scrub_first_class_attribution_of_card_digits(spark):
@@ -350,3 +357,15 @@ def test_asof_null_ts_and_null_key_never_match(spark, direction):
     assert rows[2] is None  # NULL left ts
     assert rows[3] is None  # NULL left key
     assert rows[4] is None  # only NULL-ts rights on this key
+
+
+def test_list_reduce_transpiles_to_aggregate(spark):
+    """list_reduce (seedless fold) maps onto Spark aggregate with the
+    first element as init; the [seed] || xs prepend idiom gives an
+    explicit seed in shared syntax."""
+    stmt = (
+        "SELECT list_reduce([9, 1, 2, 3], (acc, x) -> acc * 10 + x) AS a, "
+        "list_reduce([0] || range(1, 5), (acc, x) -> acc * 10 + x) AS b"
+    )
+    sp, dk = _both(spark, stmt)
+    assert sp == dk == [(9123, 1234)]
