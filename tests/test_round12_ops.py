@@ -369,3 +369,29 @@ def test_list_reduce_transpiles_to_aggregate(spark):
     )
     sp, dk = _both(spark, stmt)
     assert sp == dk == [(9123, 1234)]
+
+
+def test_interval_overlap_join_drops_null_boundaries(spark):
+    """NULL interval boundaries never match — correct BY CONSTRUCTION in
+    the bucket-explosion formulation (sequence over a NULL epoch is NULL
+    and explode emits no bucket rows), matching SQL inner-join
+    comparison semantics. Pinned so a reformulation can't regress it."""
+    from sql4pandas_spark.operators.joins import interval_overlap_join
+
+    l = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "2024-01-01 10:30:00"),
+         (2, None, "2024-01-01 10:30:00"),
+         (3, "2024-01-01 10:00:00", None)],
+        "lid long, ls string, le string",
+    ).selectExpr("lid", "CAST(ls AS TIMESTAMP) AS ls",
+                 "CAST(le AS TIMESTAMP) AS le")
+    r = spark.createDataFrame(
+        [(10, "2024-01-01 10:15:00", "2024-01-01 10:45:00"),
+         (11, None, None)],
+        "rid long, rs string, re string",
+    ).selectExpr("rid", "CAST(rs AS TIMESTAMP) AS rs",
+                 "CAST(re AS TIMESTAMP) AS re")
+    out = interval_overlap_join(l, r, "ls", "le", "rs", "re", 3600)
+    assert sorted(
+        (x["lid"], x["rid"]) for x in out.select("lid", "rid").collect()
+    ) == [(1, 10)]
