@@ -44,6 +44,9 @@ BNLJ_ALLOWED = {
     "tfidf_top_terms_documents", # 1-row corpus size N
     "lm_surprisal_documents",    # 1-row (N, V) unigram-model normalizer
     "bigram_surprisal_documents",  # same 1-row (N, V) backoff normalizer
+    "bigram_gate_per_lang",      # same 1-row (N, V) normalizer via the
+                                 # composed bigram scorer; the gate's own
+                                 # threshold join is a broadcast equi-join
     "pmi_pairs_documents",       # 1-row corpus size N for the PMI log
     "classifier_calibrated_gate",  # 1-row p25 score threshold
     "gapfill_interpolate_15m",   # grid build: 5 event types x O(range) spine,
