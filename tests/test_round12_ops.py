@@ -1,7 +1,11 @@
 """Round-12 pins: the four round-11 ADVICE transpiler divergences (empty
-ranges, 3-arg regexp_replace, 2-arg regexp_extract, fractional epoch) and
-the fixpoint-shadowing fix that surfaced while closing them (an identity
-pass-through edit must not hide nested registered calls forever)."""
+ranges, 3-arg regexp_replace, 2-arg regexp_extract, fractional epoch), the
+fixpoint-shadowing fix that surfaced while closing them (an identity
+pass-through edit must not hide nested registered calls forever), the
+extended PII classes (Luhn-gated cards, mod-97-gated IBANs, secrets), the
+list_reduce→aggregate mapping, the per-language bigram surprisal gate, the
+vacuum/crash-replay interlock on both versioned stores, and the NULL
+contracts on the asof / range / interval joins."""
 
 from __future__ import annotations
 
