@@ -416,6 +416,29 @@ def canonical_url(col: Column) -> Column:
     )
 
 
+#: host part of a URL (scheme optional), stopping at path/query/port —
+#: Java-regex/RE2-shared subset so the DuckDB oracles replay it verbatim
+URL_HOST_RE = r"^(?:[A-Za-z][A-Za-z0-9+.\-]*://)?([^/?#:]+)"
+#: last two dot-labels of a host — the PSL-free registered-domain key
+REGISTERED_DOMAIN_RE = r"([^.]+\.[^.]+)$"
+
+
+def registered_domain(url: Column) -> Column:
+    """Registered domain of a URL (or bare host) — the blocklist /
+    source-mix key of web-corpus curation: lowercase host, port stripped,
+    then the LAST TWO dot-labels. This is the PSL-free simplification
+    (a real deployment swaps in the public-suffix list so `foo.co.uk`
+    keys as `foo.co.uk`, not `co.uk` — a data-file lookup, same plan
+    shape: one broadcast map join or an expression over a bundled
+    literal). NULL for inputs with no dotted host. Pure regexp
+    expressions, replayed verbatim by the DuckDB oracles."""
+    host = F.lower(
+        F.regexp_extract(F.trim(url), URL_HOST_RE, 1)
+    )
+    dom = F.regexp_extract(host, REGISTERED_DOMAIN_RE, 1)
+    return F.when(dom != "", dom)
+
+
 # ---------------------------------------------------------------------------
 # Hashed-feature logistic quality classifier (round 8)
 # ---------------------------------------------------------------------------

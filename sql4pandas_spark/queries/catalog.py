@@ -88,6 +88,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "entity_resolution_parts",
     "asof_join_nulls",
     "range_join_nulls",
+    "domain_blocklist_documents",
     # -- the 9 entries green only in r11 --
     "sessionize_events_nulls",
     "top_movers_events_nulls",

@@ -6694,3 +6694,81 @@ def range_join_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_close"))
         .orderBy("user_id")
     )
+
+
+#: deterministic per-doc URL planting for the domain entries — shared ANSI
+#: both engines execute; hosts exercise mixed case, ports, schemeless
+#: forms, paths, and queries
+_URL_PLANTED_SQL = """
+      SELECT doc_id,
+             CASE CAST(doc_id % 5 AS INT)
+               WHEN 0 THEN 'https://News.Site.com/articles/' || CAST(doc_id AS STRING)
+               WHEN 1 THEN 'http://spam.bad-ads.net:80/click?id=' || CAST(doc_id AS STRING)
+               WHEN 2 THEN 'blog.example.org/post'
+               WHEN 3 THEN 'https://tracker.bad-ads.net/px'
+               ELSE 'https://docs.example.org:443/ref'
+             END AS url
+      FROM documents
+"""
+
+#: the blocklist — Python is the single source; the builder uploads it as
+#: a broadcast frame, the oracle replays it as VALUES
+_DOMAIN_BLOCKLIST: tuple[str, ...] = ("bad-ads.net", "malware.example")
+
+
+@query(
+    "domain_blocklist_documents",
+    oracle="""
+    WITH u AS ({planted}),
+    d AS (
+      SELECT doc_id,
+             CASE WHEN regexp_extract(lower(regexp_extract(trim(url), '{host_re}', 1)),
+                                      '{dom_re}', 1) <> ''
+                  THEN regexp_extract(lower(regexp_extract(trim(url), '{host_re}', 1)),
+                                      '{dom_re}', 1) END AS domain
+      FROM u),
+    b (domain) AS (VALUES {blocked})
+    SELECT d.domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           (b.domain IS NOT NULL) AS blocked
+    FROM d LEFT JOIN b USING (domain)
+    GROUP BY d.domain, blocked ORDER BY d.domain
+    """.format(
+        planted=_URL_PLANTED_SQL,
+        host_re=text.URL_HOST_RE.replace("'", "''"),
+        dom_re=text.REGISTERED_DOMAIN_RE,
+        blocked=", ".join(f"('{b}')" for b in _DOMAIN_BLOCKLIST),
+    ),
+    tags=("tier-c", "domain_filter", "blocklist", "quality", "text_analysis"),
+)
+def domain_blocklist_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist station (operators/text.registered_domain): the
+    standard web-corpus source filter — extract each document's
+    registered domain (lowercased host, port stripped, last two labels;
+    the PSL-free simplification, swap-in point documented on the
+    operator) and flag it against a broadcast blocklist, reporting the
+    per-domain doc counts and blocked status that feed the source-mix
+    audit (the kept corpus is the blocked=false side). URLs are PLANTED
+    via a shared ANSI expression exercising mixed-case hosts, explicit
+    ports, schemeless forms, and query strings; the blocklist rides the
+    plan as one broadcast frame (the blocklist-sized dim of every
+    crawl pipeline — never a shuffle); extraction is two shared-subset
+    regexes replayed verbatim by the oracle. Output is
+    |domains|-bounded."""
+    from sql4pandas_spark.operators.text import registered_domain
+
+    register_tables(spark, sf_dir, ("documents",))
+    u = spark.sql(_URL_PLANTED_SQL)
+    d = u.select("doc_id", registered_domain(F.col("url")).alias("domain"))
+    bl = F.broadcast(
+        spark.createDataFrame(
+            [(b,) for b in _DOMAIN_BLOCKLIST], "domain string"
+        ).withColumn("_blocked", F.lit(True))
+    )
+    return (
+        d.join(bl, "domain", "left")
+        .groupBy("domain", F.coalesce("_blocked", F.lit(False)).alias("blocked"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select("domain", "n_docs", "blocked")
+        .orderBy("domain")
+    )

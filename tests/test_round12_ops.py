@@ -399,3 +399,33 @@ def test_interval_overlap_join_drops_null_boundaries(spark):
     assert sorted(
         (x["lid"], x["rid"]) for x in out.select("lid", "rid").collect()
     ) == [(1, 10)]
+
+
+# ----------------------------- domain blocklist station (round 12)
+
+def test_registered_domain_edge_cases(spark):
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.text import registered_domain
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://News.Site.com/articles/9?id=2"),
+            (2, "http://spam.bad-ads.net:8080/click"),
+            (3, "blog.example.org/post"),          # schemeless
+            (4, "localhost/admin"),                 # no dot -> NULL
+            (5, "ftp://a.b.c.d.example.net/x"),    # deep subdomain
+            (6, None),
+        ],
+        "id long, url string",
+    )
+    rows = {
+        r["id"]: r["d"]
+        for r in df.select("id", registered_domain(F.col("url")).alias("d")).collect()
+    }
+    assert rows[1] == "site.com"
+    assert rows[2] == "bad-ads.net"
+    assert rows[3] == "example.org"
+    assert rows[4] is None
+    assert rows[5] == "example.net"
+    assert rows[6] is None
