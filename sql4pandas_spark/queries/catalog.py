@@ -89,6 +89,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "asof_join_nulls",
     "range_join_nulls",
     "domain_blocklist_documents",
+    "semantic_dedup_clusters",
     # -- the 9 entries green only in r11 --
     "sessionize_events_nulls",
     "top_movers_events_nulls",

@@ -6772,3 +6772,62 @@ def domain_blocklist_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("domain", "n_docs", "blocked")
         .orderBy("domain")
     )
+
+
+@query(
+    "semantic_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    m AS MATERIALIZED (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE round(CAST(list_cosine_similarity(a.emb, b.emb) AS DOUBLE), 4)
+              >= 0.45),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM m
+              UNION SELECT id_b, id_a FROM m),
+    nodes AS (SELECT DISTINCT id_a AS id FROM m
+              UNION SELECT DISTINCT id_b FROM m),
+    reach(src, dst) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.src, x.dst FROM reach r JOIN edges x ON r.dst = x.src),
+    lab AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src)
+    SELECT cluster_id AS canonical_vec,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM lab GROUP BY cluster_id HAVING count(*) > 1
+    ORDER BY canonical_vec
+    """,
+    tags=("tier-c", "dedup_near", "embedding", "connected_components",
+          "sim_search"),
+)
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup end-to-end — the embedding-space mirror of
+    entity_resolution_parts: cosine near-pairs (broadcast-matmul scorer,
+    operators/similarity.cosine_near_pairs — candidates never all-pairs
+    materialized on the Spark side at scale) feed the public clustering
+    API (operators/dedup.label_components), and each multi-member
+    cluster reports its canonical member (smallest vec_id) and size —
+    the keep-one-per-cluster decision of embedding-based near-dedup
+    (SemDeDup's deployment shape). The oracle recomputes exact cosine
+    pairs and the recursive-closure components, so one hash proves
+    scoring threshold, clustering, and canonical choice together.
+    Fixture cosine ceiling is ~0.51, so the 0.45 cut is a real
+    discriminator, not keep-everything."""
+    from sql4pandas_spark.operators.dedup import label_components
+
+    t = register_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    pairs = similarity.cosine_near_pairs(emb, threshold=0.45).select(
+        "id_a", "id_b"
+    )
+    labeled = label_components(
+        emb.select(F.col("vec_id").alias("id")), pairs, id_col="id"
+    )
+    return (
+        labeled.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > 1)
+        .select(F.col("cluster_id").alias("canonical_vec"), "n_members")
+        .orderBy("canonical_vec")
+    )

@@ -56,6 +56,7 @@ SKIP_REASONS: dict[str, str] = {
     "dedup_cluster_stats": _R_RECURSIVE_UNION,
     "dedup_components_documents": _R_RECURSIVE_UNION,
     "entity_resolution_parts": _R_RECURSIVE_UNION,
+    "semantic_dedup_clusters": _R_RECURSIVE_UNION,
     "ivf_full_probe_top10": _R_SUBQ_IN_HOF,
     "sim_query_top10": _R_SUBQ_IN_HOF,
     "hybrid_rrf_top10": _R_SUBQ_IN_HOF,
