@@ -1,0 +1,97 @@
+"""Property differential for the PII scrub: texts COMPOSED from planted
+PII fragments (valid/invalid cards and IBANs, emails, IPs, SSN/phone
+shapes, secrets, digit-heavy noise) run through the Spark operator and
+through an INDEPENDENT pure-Python reference (re module + Python Luhn /
+mod-97) — a third implementation, so a Java-regex/RE2-subset divergence or
+a checksum slip cannot hide behind the shared-source oracle design.
+Derandomized like the other property files."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from sql4pandas_spark.operators.text import PII_PATTERNS
+
+_SETTINGS = dict(
+    deadline=None,
+    derandomize=True,
+    max_examples=25,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_FRAGMENTS = [
+    "plain words here",
+    "mail bob.smith+x@Example.org now",
+    "host 10.0.200.1 up",
+    "ssn 123-45-6789",
+    "call 555-123-4567",
+    "pay 4532015112830366",            # Luhn-valid
+    "typo 4532015112830367",           # Luhn-invalid (still redacts)
+    "spaced 4111 1111 1111 1111",      # valid with separators
+    "iban DE89370400440532013000",     # mod-97-valid
+    "bad DE89370400440532013001",      # mod-97-invalid (still redacts)
+    "gb GB82WEST12345698765432",       # valid, letters in BBAN
+    "key_A7fK2mQ9xP4wL8vB3n leak",
+    "hash c0ffee5ca1ab1efacade90d15ea5edeadbeef000",
+    "digits 1234567890 and 12-34",     # shapes too short to match
+    "deep a.b.c@x.y.zz",
+]
+
+
+def _luhn_ok(cand: str) -> bool:
+    digits = [int(c) for c in re.sub(r"[^0-9]", "", cand)][::-1]
+    total = 0
+    for i, d in enumerate(digits, start=1):
+        total += d if i % 2 else (2 * d - 9 * ((2 * d) // 10))
+    return total % 10 == 0
+
+
+def _iban97_ok(cand: str) -> bool:
+    rearranged = cand[4:] + cand[:4]
+    acc = 0
+    for ch in rearranged:
+        if ch.isdigit():
+            acc = (acc * 10 + (ord(ch) - 48)) % 97
+        else:
+            acc = (acc * 100 + (ord(ch) - 55)) % 97
+    return acc == 1
+
+
+_VALIDATORS = {"luhn": _luhn_ok, "iban97": _iban97_ok, None: lambda c: True}
+
+
+def _reference_scrub(text: str) -> tuple[str, dict[str, int]]:
+    """Stagewise scrub in pure Python — counts checksum-gated, redaction
+    conservative, exactly the operator's documented contract."""
+    counts: dict[str, int] = {}
+    cur = text
+    for name, token, pat, validator in PII_PATTERNS:
+        cands = re.findall(pat, cur)
+        counts[f"n_{name}"] = sum(
+            1 for c in cands if _VALIDATORS[validator](c)
+        )
+        cur = re.sub(pat, token.replace("\\", "\\\\"), cur)
+    return cur, counts
+
+
+@given(
+    st.lists(st.sampled_from(_FRAGMENTS), min_size=1, max_size=6),
+    st.sampled_from([" ", "  ", " . ", " and "]),
+)
+@settings(**_SETTINGS)
+def test_pii_scrub_matches_pure_python_reference(spark, frags, sep):
+    from sql4pandas_spark.operators.text import pii_scrub
+
+    text = sep.join(frags)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = pii_scrub(df).collect()[0]
+    ref_text, ref_counts = _reference_scrub(text)
+    assert row["text"] == ref_text, f"text={text!r}"
+    for name, _, _, _ in PII_PATTERNS:
+        assert row[f"n_{name}"] == ref_counts[f"n_{name}"], (
+            f"{name} diverged on text={text!r}"
+        )
+    assert row["n_pii"] == sum(ref_counts.values())
