@@ -416,6 +416,57 @@ def canonical_url(col: Column) -> Column:
     )
 
 
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Shannon entropy of the per-document token distribution — the
+    continuous randomness signal completing the quality family (length /
+    punctuation / stopword ratios, Gopher repetition fractions, the
+    classifier, unigram+bigram LM surprisal): near-zero entropy flags
+    degenerate repetition, abnormally HIGH entropy (every token unique,
+    approaching ln(n)) flags gibberish/random strings — the two tails the
+    discrete dup_word_frac can't separate from normal prose.
+
+    e6-integer convention (the PSI/surprisal discipline): each distinct
+    token's term c·ln(n/c) is quantized to an e6 integer ONCE, then only
+    integer sums and floor division — bit-exact across engines, no float
+    accumulation order to disagree on. Row-local higher-order expressions
+    (two chained transforms over the let_col-bound token array — counts
+    first, then terms, so the count filter runs once per distinct token),
+    O(distinct²) per doc like repetition_stats, zero shuffles/UDFs.
+    entropy_e6 is NULL for token-less docs.
+    """
+
+    def per_tokens(w):
+        n = F.size(w)
+        counts = F.transform(
+            F.array_distinct(w),
+            lambda d: F.size(F.filter(w, lambda x: x == d)),
+        )
+        terms = F.transform(
+            counts,
+            lambda c: F.round(
+                c.cast("double")
+                * F.log(n.cast("double") / c.cast("double"))
+                * F.lit(1000000.0)
+            ).cast("long"),
+        )
+        total = F.aggregate(terms, F.lit(0).cast("long"), lambda a, v: a + v)
+        # floor(double-div) is exact here: |s| < 2^53 and s/n sits at
+        # least 1/n away from any integer it isn't, far beyond one ulp
+        return F.struct(
+            n.cast("long").alias("n_tokens"),
+            F.when(n > 0, F.floor(total / n).cast("long")).alias(
+                "entropy_e6"
+            ),
+        )
+
+    stats = let_col(tokens(text_col), per_tokens)
+    return df.select(id_col, stats.alias("_e")).select(
+        id_col, "_e.n_tokens", "_e.entropy_e6"
+    )
+
+
 #: host part of a URL (scheme optional), stopping at path/query/port —
 #: Java-regex/RE2-shared subset so the DuckDB oracles replay it verbatim
 URL_HOST_RE = r"^(?:[A-Za-z][A-Za-z0-9+.\-]*://)?([^/?#:]+)"

@@ -90,6 +90,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "range_join_nulls",
     "domain_blocklist_documents",
     "semantic_dedup_clusters",
+    "stream_pii_scrub_counts",
+    "token_entropy_documents",
     # -- the 9 entries green only in r11 --
     "sessionize_events_nulls",
     "top_movers_events_nulls",

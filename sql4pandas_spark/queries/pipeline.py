@@ -6339,9 +6339,11 @@ def bigram_gate_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: deterministic PII planting over documents — shared ANSI text executed
 #: byte-identically by both engines (the fixtures carry no real PII, so
 #: without planting the scrub would be a no-op and prove nothing)
-_PII_PLANTED_SQL = """
-      SELECT doc_id,
-             text || CASE WHEN doc_id % 5 = 0
+#: the planting as a bare shared-ANSI COLUMN EXPRESSION over (doc_id,
+#: text) — the batch oracle wraps it in a SELECT over `documents`, the
+#: streaming entry applies it per micro-batch via F.expr, so batch and
+#: stream plant byte-identical PII
+_PII_PLANTED_EXPR = """text || CASE WHEN doc_id % 5 = 0
                      THEN ' contact user' || CAST(doc_id AS STRING)
                           || '@example.com now' ELSE '' END
                   || CASE WHEN doc_id % 7 = 0
@@ -6360,7 +6362,11 @@ _PII_PLANTED_SQL = """
                   || CASE WHEN doc_id % 23 = 0
                      THEN ' key_A7fK2mQ9xP4wL8vB3n and digest '
                           || 'c0ffee5ca1ab1efacade90d15ea5edeadbeef000'
-                     ELSE '' END
+                     ELSE '' END"""
+
+_PII_PLANTED_SQL = f"""
+      SELECT doc_id,
+             {_PII_PLANTED_EXPR}
                AS text
       FROM documents
 """
@@ -6831,3 +6837,119 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("cluster_id").alias("canonical_vec"), "n_members")
         .orderBy("canonical_vec")
     )
+
+
+def _pii_totals_oracle() -> str:
+    """Corpus-total replay of the stagewise scrub — the streaming entry's
+    oracle: sum each class's Luhn/mod-97-gated counts over the planted
+    corpus. Same stage-expression source as the per-doc oracle."""
+    from sql4pandas_spark.operators.text import PII_PATTERNS
+
+    names = ",\n           ".join(
+        f"CAST(sum(n_{name}) AS BIGINT) AS n_{name}"
+        for name, _, _, _ in PII_PATTERNS
+    )
+    return f"""
+    WITH per_doc AS ({_pii_oracle()})
+    SELECT {names},
+           CAST(sum(n_pii) AS BIGINT) AS n_pii,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM per_doc
+    """
+
+
+@query(
+    "stream_pii_scrub_counts",
+    oracle=_pii_totals_oracle(),
+    tags=("tier-c", "pii", "scrub", "scan_stream", "foreach_batch",
+          "incr_agg", "compliance"),
+)
+def stream_pii_scrub_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PII redaction station IN THE STREAM — the deployment shape
+    where scrubbing happens on ingestion, not in a batch sweep: the
+    planted corpus lands in three files, a file stream drains them with
+    foreachBatch, each micro-batch runs the SAME row-local pii_scrub
+    (the planting expression applied per batch via the shared ANSI
+    column expression, so batch and stream plant byte-identically) and
+    folds its per-class count deltas into a versioned additive state
+    store (streaming/sketches.sketch_apply_batch — crash-replay
+    idempotent, the vacuum interlock applies). The declared result is
+    the final corpus-total census read off the store — hash-equal to
+    the batch oracle's totals, proving the stream saw every document
+    exactly once and scrubbed it identically. Per-batch work is
+    row-local scrub + a 1-row aggregate; state is ONE row per version."""
+    from sql4pandas_spark.operators.text import PII_PATTERNS, pii_scrub
+    from sql4pandas_spark.streaming import cdc, sketches
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].select("doc_id", "text")
+    land, root, ckpt = _scratch_dirs(
+        "pii_stream_land", "pii_stream_store", "pii_stream_ckpt"
+    )
+    for i in range(3):
+        _stage_changeset_file(
+            docs.filter(F.col("doc_id") % 3 == i), land, f"docs_{i:02d}.parquet"
+        )
+    count_cols = [f"n_{name}" for name, _, _, _ in PII_PATTERNS] + [
+        "n_pii", "n_docs",
+    ]
+    zero = spark.createDataFrame(
+        [tuple(0 for _ in count_cols)],
+        ", ".join(f"{c} long" for c in count_cols),
+    )
+    sketches.seed_state(zero, root)
+
+    def batch_counts(batch: DataFrame) -> DataFrame:
+        planted = batch.select(
+            "doc_id", F.expr(_PII_PLANTED_EXPR).alias("text")
+        )
+        scrubbed = pii_scrub(planted)
+        aggs = [
+            F.sum(c).cast("long").alias(c) for c in count_cols[:-1]
+        ] + [F.count(F.lit(1)).cast("long").alias("n_docs")]
+        return scrubbed.agg(*aggs)
+
+    def merge(prev: DataFrame, cur: DataFrame) -> DataFrame:
+        both = prev.unionByName(cur)
+        return both.agg(
+            *[F.sum(c).cast("long").alias(c) for c in count_cols]
+        )
+
+    stream = spark.readStream.schema(docs.schema).parquet(land)
+    sketches.run_sketch_stream(stream, root, batch_counts, merge,
+                               checkpoint=ckpt)
+    return cdc.latest_snapshot(spark, root).select(*count_cols)
+
+
+@query(
+    "token_entropy_documents",
+    oracle=f"""
+    WITH toks AS ({_TOKS_CTE}),
+    t AS (SELECT doc_id, w, len(w) AS n FROM toks)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN n > 0 THEN
+             list_sum(list_transform(
+               list_transform(list_distinct(w),
+                              d -> len(list_filter(w, x -> x = d))),
+               c -> CAST(round(c * ln(CAST(n AS DOUBLE) / c) * 1000000.0)
+                         AS BIGINT)
+             )) // n
+           END AS BIGINT) AS entropy_e6
+    FROM t ORDER BY doc_id
+    """,
+    tags=("tier-c", "quality", "entropy", "text_analysis"),
+)
+def token_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution Shannon entropy
+    (operators/text.token_entropy) — the continuous randomness signal of
+    the quality family: near-zero flags degenerate repetition, near-ln(n)
+    flags gibberish. Per-distinct-token e6 quantization of c·ln(n/c)
+    then integer sum and floor division (the surprisal/PSI convention —
+    no float accumulation order for engines to disagree on); the oracle
+    replays tokenizer, counts, quantization, and the division
+    term-for-term. Row-local HOFs only: one scan, zero shuffles."""
+    from sql4pandas_spark.operators.text import token_entropy
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    return token_entropy(t["documents"]).orderBy("doc_id")

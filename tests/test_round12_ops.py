@@ -429,3 +429,48 @@ def test_registered_domain_edge_cases(spark):
     assert rows[4] is None
     assert rows[5] == "example.net"
     assert rows[6] is None
+
+
+# -------------------------------- token entropy + stream scrub (round 12)
+
+def test_token_entropy_known_values(spark):
+    """Uniform repetition → 0; all-unique n tokens → ln(n); empty → NULL."""
+    import math
+
+    from sql4pandas_spark.operators.text import token_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            (2, "one two three four"),
+            (3, ""),
+            (4, "a a b b"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in token_entropy(df).collect()}
+    assert rows[1]["entropy_e6"] == 0
+    assert rows[2]["entropy_e6"] == int(round(math.log(4) * 1e6) * 4) // 4
+    assert rows[3]["n_tokens"] == 0 and rows[3]["entropy_e6"] is None
+    assert rows[4]["entropy_e6"] == int(round(2 * math.log(2) * 1e6) * 2) // 4
+
+
+def test_stream_pii_totals_equal_batch_totals(spark):
+    """The streaming scrub's store totals must equal the batch operator's
+    aggregated counts — exactly-once over the 3-file drain."""
+    from sql4pandas_spark.queries.catalog import load_catalog
+
+    cat = load_catalog()
+    stream_row = cat["stream_pii_scrub_counts"].build(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    batch = cat["pii_scrub_documents"].build(
+        spark, "/root/testdata/sf0.001"
+    )
+    from pyspark.sql import functions as F
+
+    batch_row = batch.agg(
+        *[F.sum(c).cast("long").alias(c) for c in stream_row.asDict() if c != "n_docs"],
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    ).collect()[0]
+    assert stream_row.asDict() == batch_row.asDict()
