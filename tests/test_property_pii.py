@@ -95,3 +95,88 @@ def test_pii_scrub_matches_pure_python_reference(spark, frags, sep):
             f"{name} diverged on text={text!r}"
         )
     assert row["n_pii"] == sum(ref_counts.values())
+
+
+# ---------------- third-implementation differentials for the round-12
+# text signals (same rationale as the scrub property above)
+
+_DOMAIN_URLS = [
+    "https://News.Site.com/articles/9?id=2",
+    "http://spam.bad-ads.net:8080/click",
+    "blog.example.org/post",
+    "localhost/admin",
+    "ftp://a.b.c.d.example.net/x",
+    "https://UPPER.CASE.ORG",
+    "site.com",
+    "no spaces.but/odd",
+    "x://weird-scheme.example/",
+    "host.name:443/path?q=1#frag",
+]
+
+
+def _py_registered_domain(url: str) -> str | None:
+    m = re.match(r"^(?:[A-Za-z][A-Za-z0-9+.\-]*://)?([^/?#:]+)", url.strip())
+    host = (m.group(1) if m else "").lower()
+    d = re.search(r"([^.]+\.[^.]+)$", host)
+    return d.group(1) if d else None
+
+
+@given(st.lists(st.sampled_from(_DOMAIN_URLS), min_size=1, max_size=6))
+@settings(**_SETTINGS)
+def test_registered_domain_matches_python_reference(spark, urls):
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.text import registered_domain
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "id long, url string"
+    )
+    got = {
+        r["id"]: r["d"]
+        for r in df.select(
+            "id", registered_domain(F.col("url")).alias("d")
+        ).collect()
+    }
+    for i, u in enumerate(urls):
+        assert got[i] == _py_registered_domain(u), f"url={u!r}"
+
+
+_ENTROPY_TEXTS = [
+    "spam spam spam spam",
+    "one two three four five",
+    "a a b b c",
+    "",
+    "  ",
+    "The THE the tHe",          # casefold collapses
+    "x",
+    "lorem ipsum dolor sit amet lorem ipsum",
+]
+
+
+def _py_token_entropy(text: str) -> tuple[int, int | None]:
+    import math
+    from collections import Counter
+
+    toks = [t for t in text.lower().split() if t]
+    n = len(toks)
+    if n == 0:
+        return 0, None
+    total = sum(
+        int(round(c * math.log(n / c) * 1e6)) for c in Counter(toks).values()
+    )
+    return n, total // n
+
+
+@given(st.lists(st.sampled_from(_ENTROPY_TEXTS), min_size=1, max_size=4))
+@settings(**_SETTINGS)
+def test_token_entropy_matches_python_reference(spark, texts):
+    from sql4pandas_spark.operators.text import token_entropy
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in token_entropy(df).collect()}
+    for i, t in enumerate(texts):
+        n, e = _py_token_entropy(t)
+        assert rows[i]["n_tokens"] == n, f"text={t!r}"
+        assert rows[i]["entropy_e6"] == e, f"text={t!r}"
