@@ -68,6 +68,23 @@ def _param_interval_epoch(draw):
 
 
 @st.composite
+def _list_reduce_fold(draw):
+    """list_reduce over a seeded fold — the round-12 aggregate mapping,
+    with the [seed] || xs prepend idiom and an arbitrary affine step."""
+    xs = draw(st.lists(st.integers(min_value=0, max_value=9),
+                       min_size=1, max_size=5))
+    k = draw(st.integers(min_value=1, max_value=4))
+    lit = "[" + ", ".join(str(x) for x in xs) + "]"
+    acc = 0
+    for x in xs:
+        acc = acc * k + x
+    return (
+        f"list_reduce([0] || {lit}, (acc, x) -> acc * {k} + x)",
+        acc,
+    )
+
+
+@st.composite
 def _frac_epoch(draw):
     ms = draw(st.integers(min_value=0, max_value=999))
     return (
@@ -84,6 +101,7 @@ def _statement(draw):
             st.one_of(
                 _empty_range_len(), _stepped_range_sum(),
                 _param_interval_epoch(), _frac_epoch(),
+                _list_reduce_fold(),
             )
         )
         exprs.append(e)
