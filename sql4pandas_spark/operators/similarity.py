@@ -208,6 +208,138 @@ def cosine_near_pairs(
     return pairs.orderBy(F.col("sim").desc(), "id_a", "id_b")
 
 
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) — compressed-vector scoring (round 12)
+# ---------------------------------------------------------------------------
+
+
+def sq8_scales(emb: DataFrame, vec_col: str = "embedding") -> list[float]:
+    """Per-dimension max-abs scales for symmetric int8 quantization —
+    the training pass of a FAISS-style SQ8 index. Computed distributed
+    (posexplode + map-side-combined max per position — only (pos, max)
+    partials shuffle) and collected as DIM-sized bounded metadata, the
+    same driver-side footprint as the IVF centroids. max(abs) over
+    float32 inputs is exact in double, so every engine derives the
+    identical scale vector from the same parquet."""
+    rows = (
+        emb.select(
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                "pos", "v"
+            )
+        )
+        .groupBy("pos")
+        .agg(F.max(F.abs(F.col("v"))).alias("s"))
+        .orderBy("pos")
+        .collect()
+    )
+    return [float(r["s"]) for r in rows]
+
+
+def sq8_code_col(vec_col, scales: list[float]):
+    """int8 codes for one vector column: round(v·127/s) per dimension,
+    half-away-from-zero (Spark round == DuckDB round), zero where the
+    dimension's scale is 0 (a constant-zero dimension carries no signal
+    and would otherwise divide by zero). array<tinyint> — 1 byte/dim vs
+    4 (fp32) or 8 (fp64): the 4–8× memory/scan lever that lets a
+    100 TB embedding store fit hot storage tiers."""
+    sc = F.array(*[F.lit(float(s)) for s in scales])
+    return F.zip_with(
+        vec_col.cast("array<double>"),
+        sc,
+        lambda v, s: F.when(s > 0, F.round(v * 127.0 / s))
+        .otherwise(F.lit(0.0))
+        .cast("tinyint"),
+    )
+
+
+def _sq8_quantize_py(vec: list[float], scales: list[float]) -> list[float]:
+    """Driver-side quantize→dequantize of one vector with the SAME
+    half-away-from-zero rule as the engines (Python round() is
+    half-even — deliberately not used)."""
+    import math
+
+    out = []
+    for v, s in zip(vec, scales):
+        if s > 0:
+            x = v * 127.0 / s
+            c = math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+            out.append(c * s / 127.0)
+        else:
+            out.append(0.0)
+    return out
+
+
+def sq8_query_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scales: list[float] | None = None,
+) -> DataFrame:
+    """Top-k by SQ8-quantized cosine, with the exact cosine alongside —
+    the compressed-domain scoring path: vectors quantize to int8 codes
+    (see :func:`sq8_code_col`), both sides dequantize through the shared
+    scale vector, and cosine is computed over the reconstructions. Unlike
+    PQ's k-means codebooks the quantizer is fully deterministic, so the
+    whole path (scales → codes → reconstruction → score → top-k) is
+    value-replayable by a DuckDB oracle — the hash-checked variant of the
+    ANN family. Row-local JVM higher-order expressions; top-k compiles to
+    TakeOrderedAndProject. sim_exact rides along so quantization error is
+    visible in the result, not hidden behind it."""
+    from sql4pandas_spark.operators.text import let_col
+
+    if scales is None:
+        scales = sq8_scales(emb, vec_col)
+    qdq = _sq8_quantize_py([float(x) for x in query_vec], scales)
+    qnorm = 0.0
+    for x in qdq:
+        qnorm += x * x
+    qnorm **= 0.5
+    sc = F.array(*[F.lit(float(s)) for s in scales])
+    qlit = F.array(*[F.lit(float(x)) for x in qdq])
+
+    def per_recon(da):
+        num = F.aggregate(
+            F.zip_with(da, qlit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        den = F.sqrt(
+            F.aggregate(
+                F.transform(da, lambda a: a * a),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ) * F.lit(qnorm)
+        return F.round(num / den, 4)
+
+    recon = F.zip_with(
+        sq8_code_col(F.col(vec_col), scales),
+        sc,
+        lambda c, s: c.cast("double") * s / 127.0,
+    )
+    exact_num = _dot_expr(F.col(vec_col), query_vec)
+    exact_den = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.col(vec_col), lambda v: v.cast("double") * v.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    ) * F.lit(sum(float(x) * float(x) for x in query_vec) ** 0.5)
+    return (
+        emb.select(
+            F.col(id_col),
+            let_col(recon, per_recon).alias("sim_q8"),
+            F.round(exact_num / exact_den, 4).alias("sim_exact"),
+        )
+        .orderBy(F.col("sim_q8").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def _train_centroids(sample: np.ndarray, n_cells: int, iters: int = 8) -> np.ndarray:
     """Spherical k-means (Lloyd) on a driver-side sample — how real IVF
     indexes are trained (faiss trains the coarse quantizer on a bounded

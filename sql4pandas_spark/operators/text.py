@@ -490,6 +490,82 @@ def registered_domain(url: Column) -> Column:
     return F.when(dom != "", dom)
 
 
+def strip_boilerplate(
+    df: DataFrame,
+    domain_col: str = "domain",
+    text_col: str = "text",
+    min_pct: int = 50,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-domain boilerplate-line removal — the RefinedWeb/CCNet crawl
+    station that strips nav bars, cookie banners, and copyright footers:
+    a line is boilerplate WITHIN a domain when it appears in at least
+    ``min_pct`` percent of that domain's documents (integer-percent
+    threshold — ``count*100 >= n_docs*min_pct`` keeps the cut exact on
+    every engine, no float ratio to disagree on) and the domain has at
+    least ``min_docs`` documents. Returns ``df`` plus ``clean_text``
+    (surviving lines re-joined with ``\\n``) and ``n_lines_removed``.
+
+    Scale shape: document text never shuffles. Counting explodes 8-byte
+    ``xxhash64`` line hashes (hashed INSIDE the row before explode, and
+    per-doc ``array_distinct`` first so a line repeated within one doc
+    votes once), map-side combines on ``(domain, hash)``, and the
+    decision frame collapses to ONE row per domain carrying its frequent
+    -line hash array — domain-count bounded, broadcast back so the
+    corpus side never moves. Removal is then a row-local higher-order
+    filter re-hashing each line against the broadcast array. At extreme
+    domain cardinality swap the broadcast for a domain-bucketed join —
+    same frames, one co-partitioned shuffle of the hash arrays.
+    Duplicate copies of a boilerplate line inside one doc are ALL
+    removed; NULL-domain documents pass through untouched (they join
+    nothing). Zero UDFs."""
+    dom = F.col(domain_col)
+    votes = df.filter(dom.isNotNull()).select(
+        dom.alias("_bp_dom"),
+        F.explode(
+            F.transform(
+                F.array_distinct(F.split(F.col(text_col), "\n")),
+                lambda line: F.xxhash64(line),
+            )
+        ).alias("_bp_lh"),
+    )
+    line_counts = votes.groupBy("_bp_dom", "_bp_lh").agg(
+        F.count(F.lit(1)).alias("_bp_n")
+    )
+    dom_counts = (
+        df.filter(dom.isNotNull())
+        .groupBy(dom.alias("_bp_dom"))
+        .agg(F.count(F.lit(1)).alias("_bp_nd"))
+    )
+    frequent = (
+        line_counts.join(dom_counts, "_bp_dom")
+        .filter(
+            (F.col("_bp_nd") >= min_docs)
+            & (F.col("_bp_n") * 100 >= F.col("_bp_nd") * min_pct)
+        )
+        .groupBy("_bp_dom")
+        .agg(F.collect_set("_bp_lh").alias("_bp_bl"))
+    )
+    joined = df.join(
+        F.broadcast(frequent), dom == F.col("_bp_dom"), "left"
+    ).drop("_bp_dom")
+    blcol = F.coalesce(F.col("_bp_bl"), F.array().cast("array<bigint>"))
+
+    def per_lines(arr):
+        kept = F.filter(
+            arr, lambda line: ~F.array_contains(blcol, F.xxhash64(line))
+        )
+        return F.struct(
+            F.array_join(kept, "\n").alias("clean_text"),
+            (F.size(arr) - F.size(kept)).cast("int").alias("n_lines_removed"),
+        )
+
+    out = let_col(F.split(F.col(text_col), "\n"), per_lines)
+    return joined.withColumn("_bp_out", out).drop("_bp_bl").select(
+        *df.columns, "_bp_out.clean_text", "_bp_out.n_lines_removed"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Hashed-feature logistic quality classifier (round 8)
 # ---------------------------------------------------------------------------

@@ -6953,3 +6953,151 @@ def token_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = register_tables(spark, sf_dir, ("documents",))
     return token_entropy(t["documents"]).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Round 12 (cont.): per-domain boilerplate-line removal — the RefinedWeb /
+# CCNet crawl station between domain filtering and dedup.
+
+#: deterministic multi-line page planting for the boilerplate entry —
+#: shared ANSI both engines execute verbatim. Per domain: a nav line in
+#: 100% of docs and a copyright footer in 100% (stripped at min_pct=30),
+#: a newsletter line in ~50% (stripped), a store line in ~20% (KEPT — the
+#: threshold is a real discriminator), plus a content prefix and a
+#: guaranteed-unique line (kept).
+_BOILERPLATE_PLANTED_SQL = """
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 'news.site.com'
+               WHEN 1 THEN 'blog.example.org'
+               ELSE 'docs.example.org'
+             END AS domain,
+             'Home | About | Contact' || chr(10)
+               || CASE WHEN doc_id % 2 = 0
+                       THEN 'Subscribe to our newsletter' || chr(10)
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN 'Visit our store' || chr(10)
+                       ELSE '' END
+               || substr(text, 1, 40 + CAST(doc_id % 7 AS INT)) || chr(10)
+               || 'unique-' || CAST(doc_id AS STRING) || chr(10)
+               || 'Copyright ' ||
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 'news.site.com'
+               WHEN 1 THEN 'blog.example.org'
+               ELSE 'docs.example.org'
+             END AS text
+      FROM documents
+"""
+
+
+@query(
+    "boilerplate_strip_documents",
+    oracle=f"""
+    WITH p AS ({_BOILERPLATE_PLANTED_SQL}),
+    l AS (SELECT domain,
+                 unnest(list_distinct(string_split(text, chr(10)))) AS line
+          FROM p),
+    lc AS (SELECT domain, line, count(*) AS n FROM l GROUP BY 1, 2),
+    dd AS (SELECT domain, count(*) AS nd FROM p GROUP BY 1),
+    bl AS (SELECT lc.domain, list(lc.line) AS bll
+           FROM lc JOIN dd USING (domain)
+           WHERE dd.nd >= 2 AND lc.n * 100 >= dd.nd * 30
+           GROUP BY 1)
+    SELECT p.doc_id,
+           array_to_string(
+             list_filter(string_split(p.text, chr(10)),
+                         x -> NOT coalesce(list_contains(b.bll, x), false)),
+             chr(10)) AS clean_text,
+           CAST(len(string_split(p.text, chr(10)))
+                - len(list_filter(string_split(p.text, chr(10)),
+                      x -> NOT coalesce(list_contains(b.bll, x), false)))
+                AS INT) AS n_lines_removed
+    FROM p LEFT JOIN bl b USING (domain)
+    ORDER BY p.doc_id LIMIT 300
+    """,
+    tags=("tier-c", "boilerplate", "quality", "text_analysis",
+          "domain_filter"),
+)
+def boilerplate_strip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain boilerplate-line removal
+    (operators/text.strip_boilerplate) — the crawl-cleaning station
+    between the domain blocklist and dedup: lines appearing in >= 30% of
+    a domain's documents (nav bars, cookie banners, copyright footers)
+    are stripped from every document of that domain; rarer lines and
+    unique content survive. Pages are PLANTED via a shared ANSI
+    expression so every frequency band is load-bearing: two 100% lines
+    and a ~50% line must go, a ~20% line and the per-doc unique line
+    must stay — removing the threshold, the per-doc distinct vote, or
+    the domain scoping on either side breaks the hash. Counting shuffles
+    only (domain, xxhash64(line)) pairs with map-side combine; the
+    decision frame is ONE frequent-line hash array per domain broadcast
+    back; removal is a row-local higher-order re-hash filter — document
+    text never shuffles, zero UDFs. The oracle replays votes, the exact
+    integer-percent threshold, and the rebuild line-for-line on the raw
+    line strings (hash-free — so a Spark-side hash collision would fail
+    the entry rather than hide in it)."""
+    from sql4pandas_spark.operators.text import strip_boilerplate
+
+    register_tables(spark, sf_dir, ("documents",))
+    p = spark.sql(_BOILERPLATE_PLANTED_SQL)
+    return (
+        strip_boilerplate(p, min_pct=30, min_docs=2)
+        .select("doc_id", "clean_text", "n_lines_removed")
+        .orderBy("doc_id")
+        .limit(300)
+    )
+
+
+@query(
+    "ann_sq8_top10",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    idx AS (SELECT unnest(range(1, (SELECT max(len(emb)) FROM e) + 1)) AS i),
+    sc AS (SELECT i, max(abs(emb[i])) AS s FROM e, idx GROUP BY i),
+    sl AS (SELECT list(s ORDER BY i) AS sl FROM sc),
+    q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+    rq AS (SELECT qe,
+                  [CASE WHEN sl[i] > 0
+                        THEN round(qe[i] * 127.0 / sl[i]) * sl[i] / 127.0
+                        ELSE 0.0 END FOR i IN range(1, len(qe) + 1)] AS qdq
+           FROM q, sl),
+    v AS (SELECT vec_id, emb,
+                 [CASE WHEN sl[i] > 0
+                       THEN round(emb[i] * 127.0 / sl[i]) * sl[i] / 127.0
+                       ELSE 0.0 END FOR i IN range(1, len(emb) + 1)] AS da
+          FROM e, sl WHERE vec_id <> 0)
+    SELECT vec_id,
+           round(CAST(list_cosine_similarity(da, qdq) AS DOUBLE), 4)
+             AS sim_q8,
+           round(CAST(list_cosine_similarity(emb, qe) AS DOUBLE), 4)
+             AS sim_exact
+    FROM v, rq
+    ORDER BY sim_q8 DESC, vec_id LIMIT 10
+    """,
+    tags=("tier-c", "sim_search_ann", "quantization"),
+)
+def ann_sq8_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) top-10 — the compressed-vector scoring tier
+    of the ANN family (operators/similarity.sq8_query_topk): per-dimension
+    max-abs scales train on the WHOLE corpus (dim-sized bounded metadata,
+    the IVF-centroid footprint), every vector quantizes to int8 codes
+    (1 byte/dim — the 4-8x memory/scan lever that keeps a 100 TB embedding
+    store in hot storage), and cosine is scored over the shared-scale
+    reconstructions with the exact cosine reported alongside so the
+    quantization error is visible in the result. Unlike PQ's k-means
+    codebooks the quantizer is fully deterministic, so the oracle replays
+    scales, codes, reconstruction, scoring, and the top-k VALUE-EXACTLY —
+    the hash-checked member of the ANN family (IVF at n_probe=4 gets the
+    statistical-recall contract instead). Row-local JVM expressions;
+    top-k is TakeOrderedAndProject."""
+    t = register_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    scales = similarity.sq8_scales(emb)
+    return similarity.sq8_query_topk(
+        emb.filter(F.col("vec_id") != 0),
+        _query_vector(sf_dir),
+        k=10,
+        scales=scales,
+    )

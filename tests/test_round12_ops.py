@@ -474,3 +474,80 @@ def test_stream_pii_totals_equal_batch_totals(spark):
         F.count(F.lit(1)).cast("long").alias("n_docs"),
     ).collect()[0]
     assert stream_row.asDict() == batch_row.asDict()
+
+
+# ------------------------------------------- per-domain boilerplate strip
+
+
+def _bp_frame(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, domain string, text string")
+
+
+def test_strip_boilerplate_frequency_threshold(spark):
+    """A line in 100% of a domain's docs goes; a line in 1/3 stays at
+    min_pct=50; domains are scoped independently."""
+    from sql4pandas_spark.operators.text import strip_boilerplate
+
+    rows = [
+        (1, "a.com", "NAV\nrare\nbody one"),
+        (2, "a.com", "NAV\nbody two"),
+        (3, "a.com", "NAV\nbody three"),
+        # same NAV text on b.org appears in only 1 of 3 docs (33% < 50,
+        # the threshold is >=) -> kept there; 'other' is 3/3 -> stripped
+        (4, "b.org", "NAV\nother"),
+        (5, "b.org", "footer\nother"),
+        (6, "b.org", "header\nother"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in strip_boilerplate(
+            _bp_frame(spark, rows), min_pct=50, min_docs=2
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "rare\nbody one"
+    assert out[1]["n_lines_removed"] == 1
+    assert out[4]["clean_text"] == "NAV"
+    assert out[4]["n_lines_removed"] == 1
+    assert out[5]["clean_text"] == "footer"
+    assert out[6]["clean_text"] == "header"
+
+
+def test_strip_boilerplate_within_doc_duplicates_all_removed(spark):
+    """Per-doc distinct voting: a line repeated 3x in one doc votes once
+    for the count, but once boilerplate, ALL copies are removed."""
+    from sql4pandas_spark.operators.text import strip_boilerplate
+
+    rows = [
+        (1, "a.com", "AD\nx\nAD\ny\nAD"),
+        (2, "a.com", "AD\nz"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in strip_boilerplate(
+            _bp_frame(spark, rows), min_pct=100, min_docs=2
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "x\ny"
+    assert out[1]["n_lines_removed"] == 3
+    assert out[2]["clean_text"] == "z"
+
+
+def test_strip_boilerplate_min_docs_and_null_domain(spark):
+    """A domain below min_docs is never stripped, and NULL-domain docs
+    pass through untouched (they join no decision row)."""
+    from sql4pandas_spark.operators.text import strip_boilerplate
+
+    rows = [
+        (1, "solo.net", "NAV\nbody"),
+        (2, None, "NAV\nbody"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in strip_boilerplate(
+            _bp_frame(spark, rows), min_pct=10, min_docs=2
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "NAV\nbody"
+    assert out[1]["n_lines_removed"] == 0
+    assert out[2]["clean_text"] == "NAV\nbody"
+    assert out[2]["n_lines_removed"] == 0

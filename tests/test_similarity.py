@@ -340,3 +340,61 @@ def test_ivf_add_composes_with_foreach_batch_stream(spark, emb, brute, tmp_path)
         key=lambda p: (-p[1], p[0]),
     )[:10]
     assert got == want
+
+
+# ----------------------------------------------------- SQ8 scalar quantization
+
+
+def test_sq8_codes_bounded_and_deterministic(spark):
+    """Codes live in [-127, 127]; max-abs dimensions hit exactly ±127;
+    a zero-scale dimension codes to 0 instead of dividing by zero."""
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.similarity import sq8_code_col, sq8_scales
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.0]), (2, [0.5, 0.25, 0.0]), (3, [-1.0, 0.5, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    scales = sq8_scales(df)
+    assert scales == [1.0, 0.5, 0.0]
+    codes = {
+        r["vec_id"]: list(r["c"])
+        for r in df.select(
+            "vec_id", sq8_code_col(F.col("embedding"), scales).alias("c")
+        ).collect()
+    }
+    assert codes[1] == [127, -127, 0]
+    assert codes[3] == [-127, 127, 0]
+    assert codes[2] == [64, 64, 0]  # 63.5 rounds half-away-from-zero to 64
+
+
+def test_sq8_topk_close_to_exact(spark):
+    """Quantized cosine sits within SQ8's error envelope of exact cosine
+    for every returned row, and the quantized top-10 overlaps the exact
+    top-10 (recall >= 0.8 on the fixture)."""
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators import similarity
+    from sql4pandas_spark.queries.pipeline import (
+        _query_vector,
+        register_tables,
+    )
+
+    t = register_tables(spark, SF_SMALL, ("embeddings",))
+    emb = t["embeddings"]
+    scales = similarity.sq8_scales(emb)
+    out = similarity.sq8_query_topk(
+        emb.filter(F.col("vec_id") != 0), _query_vector(SF_SMALL), k=10,
+        scales=scales,
+    ).collect()
+    assert len(out) == 10
+    for r in out:
+        assert abs(r["sim_q8"] - r["sim_exact"]) < 0.02
+    exact = {
+        r["vec_id"]
+        for r in similarity.cosine_query_topk(
+            emb.filter(F.col("vec_id") != 0), _query_vector(SF_SMALL), k=10
+        ).collect()
+    }
+    assert len({r["vec_id"] for r in out} & exact) >= 8
