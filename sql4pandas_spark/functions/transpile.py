@@ -113,15 +113,24 @@ def _rw_string_split(args: list[str]) -> str:
         raise ValueError(
             f"transpile_duckdb: string_split expects 2 args, got {len(args)}"
         )
-    lit = re.fullmatch(r"'((?:[^']|'')*)'", args[1].strip())
-    if not lit:
+    arg = args[1].strip()
+    lit = re.fullmatch(r"'((?:[^']|'')*)'", arg)
+    chr_call = re.fullmatch(r"(?i)chr\s*\(\s*(\d+)\s*\)", arg)
+    if lit:
+        sep = lit.group(1).replace("''", "'")  # undo SQL '' doubling
+    elif chr_call:
+        # chr(N) with an integer literal is a compile-time constant —
+        # fold it to the character and escape like any literal (the
+        # oracles' portable newline spelling, since a raw newline can't
+        # sit inside a one-line SQL string)
+        sep = chr(int(chr_call.group(1)))
+    else:
         raise ValueError(
             "transpile_duckdb: string_split separator must be a plain "
-            f"string literal (got {args[1].strip()!r}) — DuckDB splits on "
-            "a literal but Spark split takes a regex, so a non-literal "
+            f"string literal or chr(<int>) (got {arg!r}) — DuckDB splits "
+            "on a literal but Spark split takes a regex, so a non-constant "
             "separator cannot be made safe at transpile time"
         )
-    sep = lit.group(1).replace("''", "'")  # undo SQL '' doubling
     return f"split({args[0]},{_sql_string_literal(_java_regex_quote(sep))})"
 
 

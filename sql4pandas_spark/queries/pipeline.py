@@ -7054,9 +7054,11 @@ def boilerplate_strip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                FROM embeddings),
-    idx AS (SELECT unnest(range(1, (SELECT max(len(emb)) FROM e) + 1)) AS i),
+    one AS (SELECT max(len(emb)) AS dim FROM e),
+    idx AS (SELECT unnest(range(1, dim + 1)) AS i FROM one),
     sc AS (SELECT i, max(abs(emb[i])) AS s FROM e, idx GROUP BY i),
-    sl AS (SELECT list(s ORDER BY i) AS sl FROM sc),
+    sl AS (SELECT list_transform(list_sort(list([CAST(i AS DOUBLE), s])),
+                                 p -> p[2]) AS sl FROM sc),
     q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
     rq AS (SELECT qe,
                   [CASE WHEN sl[i] > 0

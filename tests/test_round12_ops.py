@@ -551,3 +551,30 @@ def test_strip_boilerplate_min_docs_and_null_domain(spark):
     assert out[1]["n_lines_removed"] == 0
     assert out[2]["clean_text"] == "NAV\nbody"
     assert out[2]["n_lines_removed"] == 0
+
+
+# ------------------------------- string_split chr(N) constant separators
+
+
+def test_string_split_chr_separator_folds(spark):
+    """chr(N) with an integer literal is a compile-time constant — the
+    newline spelling every multi-line oracle needs (a raw newline can't
+    sit inside a one-line SQL string). Regex metachar codepoints must be
+    escaped like any literal separator."""
+    cases = [
+        "SELECT string_split('a' || chr(10) || 'b', chr(10)) AS r",
+        "SELECT string_split('a.b.c', chr(46)) AS r",   # '.' must be quoted
+        "SELECT string_split('x|y', chr(124)) AS r",    # '|' must be quoted
+    ]
+    for stmt in cases:
+        sp, dk = _both(spark, stmt)
+        assert sp == dk, f"{stmt}: spark={sp} duckdb={dk}"
+
+
+def test_string_split_non_constant_separator_still_loud(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="string_split separator"):
+        transpile_duckdb("SELECT string_split(a, b) FROM t")
+    with _pytest.raises(ValueError, match="string_split separator"):
+        transpile_duckdb("SELECT string_split(a, chr(n)) FROM t")
