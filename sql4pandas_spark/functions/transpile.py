@@ -60,6 +60,8 @@ DUCKDB_TO_SPARK_FN: dict[str, str] = {
     "list_min": "array_min",
     "list_max": "array_max",
     "unicode": "ascii",                # both: codepoint of first char
+    "starts_with": "startswith",       # same 2-arg prefix test
+    "ends_with": "endswith",           # same 2-arg suffix test
     # epoch is NOT a pure rename: DuckDB returns DOUBLE seconds (sub-second
     # precision preserved) while unix_timestamp truncates to BIGINT —
     # argument-aware handling in _ARG_REWRITERS emits unix_micros/1e6

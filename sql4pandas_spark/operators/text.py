@@ -566,6 +566,85 @@ def strip_boilerplate(
     )
 
 
+#: the stopword set the Gopher rules require (≥ 2 distinct present) — the
+#: published list; lowercase-matched
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The Gopher quality-rule gate (Rae et al. 2021 §A1.1 — the published
+    heuristic filter every English pretraining pipeline starts from):
+    word-count bounds, mean word length in [3, 10], >80% of words contain
+    an alphabetic character, <90% of lines start with a bullet, <30% of
+    lines end with an ellipsis, and at least 2 of the required stopwords
+    present. Returns one boolean per rule plus the conjunction ``keep`` —
+    keeping per-rule attribution visible (a real pipeline tunes rules
+    individually, and a drop you can't attribute is a drop you can't
+    debug).
+
+    Every threshold is an exact integer cross-multiplication
+    (``sum_len >= 3·n`` for the mean bound, ``5·n_alpha > 4·n`` for the
+    fraction, …) — no float ratio for engines to disagree on, so the
+    whole gate is value-replayable bit-exactly. Row-local higher-order
+    expressions over the let_col-bound token and line arrays; one scan,
+    zero shuffles, zero UDFs."""
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+
+    def per_doc(w):
+        def per_lines(lines):
+            n = F.size(w)
+            sum_len = F.aggregate(
+                F.transform(w, lambda t: F.length(t)),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+            n_alpha = F.size(F.filter(w, lambda t: t.rlike("[A-Za-z]")))
+            n_lines = F.size(lines)
+            n_bullet = F.size(
+                F.filter(lines, lambda line: line.startswith("- "))
+            )
+            n_ell = F.size(F.filter(lines, lambda line: line.endswith("...")))
+            lw = F.transform(w, lambda t: F.lower(t))
+            n_stop = F.size(
+                F.filter(stop_arr, lambda s: F.array_contains(lw, s))
+            )
+            return F.struct(
+                n.cast("long").alias("n_words"),
+                ((n >= min_words) & (n <= max_words)).alias("r_word_count"),
+                ((sum_len >= 3 * n) & (sum_len <= 10 * n)).alias(
+                    "r_mean_word_len"
+                ),
+                (5 * n_alpha > 4 * n).alias("r_alpha_words"),
+                (10 * n_bullet < 9 * n_lines).alias("r_bullet_lines"),
+                (10 * n_ell < 3 * n_lines).alias("r_ellipsis_lines"),
+                (n_stop >= 2).alias("r_stopwords"),
+            )
+
+        return let_col(F.split(F.col(text_col), "\n"), per_lines)
+
+    raw = F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != "")
+    g = let_col(raw, per_doc)
+    rules = [
+        "r_word_count", "r_mean_word_len", "r_alpha_words",
+        "r_bullet_lines", "r_ellipsis_lines", "r_stopwords",
+    ]
+    out = df.select(id_col, g.alias("_g")).select(
+        id_col, "_g.n_words", *[f"_g.{r}" for r in rules]
+    )
+    keep_col = F.col(rules[0])
+    for r in rules[1:]:
+        keep_col = keep_col & F.col(r)
+    return out.withColumn("keep", keep_col)
+
+
 # ---------------------------------------------------------------------------
 # Hashed-feature logistic quality classifier (round 8)
 # ---------------------------------------------------------------------------

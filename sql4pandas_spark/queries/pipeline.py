@@ -7103,3 +7103,102 @@ def ann_sq8_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         scales=scales,
     )
+
+
+#: deterministic planting for the Gopher gate — shared ANSI both engines
+#: execute. Bands are arranged so every rule fires both ways AND the final
+#: keep is a real mix: %11=0 docs shrink to 3 words (word-count floor),
+#: %7=2 docs become a 40-word stopword-free salad that passes every OTHER
+#: rule (r_stopwords fails alone — attribution visible), %4=0 docs get 10
+#: bullet lines (10/11 lines >= 90%), odd %6=1 docs get 3 ellipsis lines
+#: of 4+ (>= 30%; disjoint from the even bullet band); every other doc
+#: gets a stopword-bearing English preamble in front of the fixture word
+#: salad so the stopword rule passes independently of the planted bands.
+_GOPHER_PLANTED_SQL = """
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN 'aa bb cc'
+                  ELSE CASE WHEN doc_id % 7 = 2
+                            THEN 'alpha bravo charlie delta echo foxtrot'
+                              || ' golf hotel india juliet kilo lima mike'
+                              || ' november oscar papa quebec romeo sierra'
+                              || ' tango uniform victor whiskey xray yankee'
+                              || ' zulu apple banana cherry durian elder'
+                              || ' fig grape honey iris jasmine kiwi lemon'
+                              || ' mango nectar'
+                            ELSE 'the notes that follow describe the data '
+                              || text END
+                    || CASE WHEN doc_id % 4 = 0
+                            THEN chr(10) || '- one' || chr(10) || '- two'
+                              || chr(10) || '- three' || chr(10) || '- four'
+                              || chr(10) || '- five' || chr(10) || '- six'
+                              || chr(10) || '- seven' || chr(10) || '- eight'
+                              || chr(10) || '- nine' || chr(10) || '- ten'
+                            ELSE '' END
+                    || CASE WHEN doc_id % 6 = 1
+                            THEN chr(10) || 'nx continued...'
+                              || chr(10) || 'more soon...'
+                              || chr(10) || 'yet more...'
+                            ELSE '' END
+             END AS text
+      FROM documents
+"""
+
+
+@query(
+    "gopher_quality_gate",
+    oracle=f"""
+    WITH p AS ({_GOPHER_PLANTED_SQL}),
+    t AS (SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x <> '') AS w,
+                 string_split(text, chr(10)) AS lines
+          FROM p),
+    m AS (SELECT doc_id,
+                 len(w) AS n,
+                 list_sum(list_transform(w, x -> length(x)))::BIGINT
+                   AS sum_len,
+                 len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                   AS n_alpha,
+                 len(lines) AS n_lines,
+                 len(list_filter(lines, l -> starts_with(l, '- ')))
+                   AS n_bullet,
+                 len(list_filter(lines, l -> l LIKE '%...')) AS n_ell,
+                 len(list_filter(['the', 'be', 'to', 'of', 'and', 'that',
+                                  'have', 'with'],
+                                 s -> list_contains(
+                                        list_transform(w, x -> lower(x)), s)))
+                   AS n_stop
+          FROM t)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_words,
+           (n >= 30 AND n <= 100000) AS r_word_count,
+           (sum_len >= 3 * n AND sum_len <= 10 * n) AS r_mean_word_len,
+           (5 * n_alpha > 4 * n) AS r_alpha_words,
+           (10 * n_bullet < 9 * n_lines) AS r_bullet_lines,
+           (10 * n_ell < 3 * n_lines) AS r_ellipsis_lines,
+           (n_stop >= 2) AS r_stopwords,
+           ((n >= 30 AND n <= 100000) AND (sum_len >= 3 * n AND
+             sum_len <= 10 * n) AND (5 * n_alpha > 4 * n) AND
+            (10 * n_bullet < 9 * n_lines) AND (10 * n_ell < 3 * n_lines)
+            AND (n_stop >= 2)) AS keep
+    FROM m ORDER BY doc_id
+    """,
+    tags=("tier-c", "quality", "gopher_rules", "text_analysis"),
+)
+def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher heuristic quality gate (operators/text.gopher_rules;
+    Rae et al. 2021 §A1.1) — the published rule set every English
+    pretraining pipeline starts from, with PER-RULE attribution columns
+    so a drop is debuggable, not just counted: word-count bounds
+    (floor 30 here — the fixture's word-salad docs straddle it), mean
+    word length in [3, 10], >80% alphabetic words, <90% bullet lines,
+    <30% ellipsis lines, >= 2 required stopwords. The planted corpus
+    makes every rule load-bearing in BOTH directions (bands in
+    _GOPHER_PLANTED_SQL). Every threshold is an exact integer
+    cross-multiplication, so the oracle replays the gate bit-exactly —
+    no float ratios anywhere. One scan, row-local HOFs, zero UDFs."""
+    from sql4pandas_spark.operators.text import gopher_rules
+
+    register_tables(spark, sf_dir, ("documents",))
+    p = spark.sql(_GOPHER_PLANTED_SQL)
+    return gopher_rules(p, min_words=30).orderBy("doc_id")

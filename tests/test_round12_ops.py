@@ -578,3 +578,60 @@ def test_string_split_non_constant_separator_still_loud(spark):
         transpile_duckdb("SELECT string_split(a, b) FROM t")
     with _pytest.raises(ValueError, match="string_split separator"):
         transpile_duckdb("SELECT string_split(a, chr(n)) FROM t")
+
+
+# ------------------------------------------------ Gopher quality-rule gate
+
+
+def test_gopher_rules_known_values(spark):
+    """Hand-built docs hit each rule exactly: degenerate short text,
+    bullet-dominated, ellipsis-dominated, stopword-free, and one clean
+    passing doc."""
+    from sql4pandas_spark.operators.text import gopher_rules
+
+    clean = (
+        "the quick brown fox jumps over that lazy dog and then runs "
+        "to be with all of them again today because every good line "
+        "needs enough plain words to clear the floor easily in the end"
+    )
+    no_stop = " ".join(f"word{i:02d}" for i in range(40))
+    bullets = clean + "".join(f"\n- item {i}" for i in range(30))
+    ellipsis = clean + "\nwait...\nmore...\nsoon...\nlater...\nnever..."
+    df = spark.createDataFrame(
+        [
+            (1, clean),
+            (2, "aa bb"),
+            (3, no_stop),
+            (4, bullets),
+            (5, ellipsis),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_rules(df, min_words=30).collect()}
+    assert out[1]["keep"]
+    assert not out[2]["r_word_count"] and not out[2]["keep"]
+    assert not out[3]["r_stopwords"]
+    assert out[3]["r_word_count"] and out[3]["r_mean_word_len"]
+    assert out[3]["r_alpha_words"]          # digits allowed, alpha present
+    assert not out[4]["r_bullet_lines"] and out[4]["r_ellipsis_lines"]
+    assert not out[5]["r_ellipsis_lines"] and out[5]["r_bullet_lines"]
+
+
+def test_gopher_rules_integer_threshold_edges(spark):
+    """The exact cross-multiplied boundaries: mean word length exactly 3
+    and exactly 10 pass (inclusive); alpha fraction exactly 0.8 fails
+    (strict >)."""
+    from sql4pandas_spark.operators.text import gopher_rules
+
+    mean3 = " ".join(["abc"] * 40)           # mean exactly 3
+    mean10 = " ".join(["abcdefghij"] * 40)   # mean exactly 10
+    mean11 = " ".join(["abcdefghijk"] * 40)  # mean 11 -> fail
+    alpha45 = " ".join(["word"] * 32 + ["1234"] * 8)  # 32/40 = 0.8 exactly
+    df = spark.createDataFrame(
+        [(1, mean3), (2, mean10), (3, mean11), (4, alpha45)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_rules(df, min_words=30).collect()}
+    assert out[1]["r_mean_word_len"] and out[2]["r_mean_word_len"]
+    assert not out[3]["r_mean_word_len"]
+    assert not out[4]["r_alpha_words"]  # exactly 80% is not > 80%
