@@ -1,0 +1,206 @@
+"""Pure-Python third-implementation property differentials for the
+round-12 session-2 operators: the Gopher rule gate, the per-domain
+boilerplate strip, and SQ8 quantized scoring. Same rationale as the PII
+scrub property file — an independent reference implementation, so a
+divergence in the shared Spark/DuckDB expression design cannot hide
+behind the oracle. Derandomized like the other property files."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from sql4pandas_spark.operators.text import GOPHER_STOPWORDS
+
+_SETTINGS = dict(
+    deadline=None,
+    derandomize=True,
+    max_examples=20,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# ------------------------------------------------------------- gopher gate
+
+_GOPHER_LINES = [
+    "the quick brown fox jumps over that lazy dog and runs to them",
+    "- bullet item",
+    "- another bullet",
+    "trailing thought...",
+    "word00 word01 word02 word03 word04 word05 word06 word07",
+    "x y z",
+    "supercalifragilisticexpialidocious antidisestablishmentarianism",
+    "1234 5678 90",
+    "",
+]
+
+
+def _ref_gopher(text: str, min_words: int, max_words: int) -> dict:
+    w = [t for t in re.split(r"\s+", text) if t]
+    lines = text.split("\n")
+    n = len(w)
+    sum_len = sum(len(t) for t in w)
+    n_alpha = sum(1 for t in w if re.search("[A-Za-z]", t))
+    n_bullet = sum(1 for line in lines if line.startswith("- "))
+    n_ell = sum(1 for line in lines if line.endswith("..."))
+    lw = [t.lower() for t in w]
+    n_stop = sum(1 for s in GOPHER_STOPWORDS if s in lw)
+    r = {
+        "n_words": n,
+        "r_word_count": min_words <= n <= max_words,
+        "r_mean_word_len": sum_len >= 3 * n and sum_len <= 10 * n,
+        "r_alpha_words": 5 * n_alpha > 4 * n,
+        "r_bullet_lines": 10 * n_bullet < 9 * len(lines),
+        "r_ellipsis_lines": 10 * n_ell < 3 * len(lines),
+        "r_stopwords": n_stop >= 2,
+    }
+    r["keep"] = all(v for k, v in r.items() if k.startswith("r_"))
+    return r
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_GOPHER_LINES), min_size=1, max_size=6),
+        min_size=1,
+        max_size=5,
+    ),
+    st.sampled_from([5, 10, 30]),
+)
+@settings(**_SETTINGS)
+def test_gopher_rules_match_python_reference(spark, docs, min_words):
+    from sql4pandas_spark.operators.text import gopher_rules
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_rules(df, min_words=min_words).collect()
+    }
+    for i, text in rows:
+        ref = _ref_gopher(text, min_words, 100_000)
+        actual = {k: got[i][k] for k in ref}
+        assert actual == ref, f"doc={text!r}: {actual} != {ref}"
+
+
+# ------------------------------------------------------- boilerplate strip
+
+_BP_LINES = ["NAV", "footer", "body one", "body two", "x", ""]
+
+
+def _ref_strip(rows, min_pct: int, min_docs: int) -> dict:
+    dom_docs = Counter(d for _, d, _ in rows if d is not None)
+    votes: dict = defaultdict(Counter)
+    for _, d, t in rows:
+        if d is None:
+            continue
+        for line in set(t.split("\n")):
+            votes[d][line] += 1
+    bl = {
+        d: {
+            line
+            for line, c in cnt.items()
+            if dom_docs[d] >= min_docs and c * 100 >= dom_docs[d] * min_pct
+        }
+        for d, cnt in votes.items()
+    }
+    out = {}
+    for i, d, t in rows:
+        lines = t.split("\n")
+        kept = [
+            line for line in lines if d is None or line not in bl.get(d, set())
+        ]
+        out[i] = ("\n".join(kept), len(lines) - len(kept))
+    return out
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a.com", "b.org", None]),
+            st.lists(st.sampled_from(_BP_LINES), min_size=1, max_size=5),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.sampled_from([30, 50, 100]),
+)
+@settings(**_SETTINGS)
+def test_strip_boilerplate_matches_python_reference(spark, docs, min_pct):
+    from sql4pandas_spark.operators.text import strip_boilerplate
+
+    rows = [(i, d, "\n".join(lines)) for i, (d, lines) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_lines_removed"])
+        for r in strip_boilerplate(df, min_pct=min_pct, min_docs=2).collect()
+    }
+    ref = _ref_strip(rows, min_pct, 2)
+    assert got == ref
+
+
+# ------------------------------------------------------------ SQ8 scoring
+
+_GRID = st.integers(min_value=-20, max_value=20).map(lambda i: i / 8)
+
+
+def _ref_sq8_sims(vecs: dict, qvec: list[float]) -> dict:
+    dim = len(qvec)
+    all_vecs = list(vecs.values()) + [qvec]
+    scales = [max(abs(v[i]) for v in all_vecs) for i in range(dim)]
+
+    def dq(v):
+        out = []
+        for x, s in zip(v, scales):
+            if s > 0:
+                r = x * 127.0 / s
+                c = math.floor(r + 0.5) if r >= 0 else math.ceil(r - 0.5)
+                out.append(c * s / 127.0)
+            else:
+                out.append(0.0)
+        return out
+
+    qdq = dq(qvec)
+    qn = math.sqrt(sum(x * x for x in qdq))
+    sims = {}
+    for vid, v in vecs.items():
+        da = dq(v)
+        nn = math.sqrt(sum(x * x for x in da))
+        sims[vid] = (
+            sum(a * b for a, b in zip(da, qdq)) / (nn * qn)
+            if nn > 0 and qn > 0
+            else None
+        )
+    return sims, scales
+
+
+@given(
+    st.integers(min_value=2, max_value=6),
+    st.data(),
+)
+@settings(**_SETTINGS)
+def test_sq8_sims_match_python_reference(spark, dim, data):
+    from sql4pandas_spark.operators.similarity import sq8_query_topk
+
+    n = data.draw(st.integers(min_value=2, max_value=8))
+    draw_vec = st.lists(_GRID, min_size=dim, max_size=dim).filter(
+        lambda v: any(x != 0 for x in v)
+    )
+    vecs = {i: data.draw(draw_vec) for i in range(1, n + 1)}
+    qvec = data.draw(draw_vec)
+    ref, scales = _ref_sq8_sims(vecs, qvec)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["sim_q8"]
+        for r in sq8_query_topk(df, qvec, k=n, scales=scales).collect()
+    }
+    assert set(got) == set(ref)
+    for vid, sim in ref.items():
+        assert abs(got[vid] - round(sim, 4)) <= 1e-4 + 1e-9, (
+            f"vec {vid}: spark={got[vid]} py={sim}"
+        )
