@@ -566,6 +566,52 @@ def strip_boilerplate(
     )
 
 
+#: HTML-strip stages, applied IN ORDER — each a (pattern, replacement)
+#: regexp over the Java/RE2 shared subset (lazy quantifiers and inline
+#: flags, NO backreferences — RE2 has none, so script/style/head get one
+#: pattern each instead of a back-referenced pair). Blocks whose CONTENT
+#: must vanish (script/style/head) strip before the generic tag strip,
+#: which would otherwise leave their payload behind as fake prose.
+HTML_STRIP_STAGES: tuple[tuple[str, str], ...] = (
+    (r"(?is)<script[^>]*>.*?</script>", " "),
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?is)<head[^>]*>.*?</head>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"<[^>]+>", " "),
+)
+
+#: entity decode table, applied AFTER tag stripping and in order — '&amp;'
+#: is deliberately LAST so '&amp;lt;' decodes to '&lt;' (one level), not
+#: to '<' (double-decode, the classic entity bug)
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def html_to_text(col: Column) -> Column:
+    """HTML → visible text — the WET-file extraction step in front of
+    every crawl-curation pipeline (quality gates and dedup score PROSE,
+    not markup): script/style/head payloads removed, comments and tags
+    stripped, the common entities decoded one level, whitespace
+    collapsed and trimmed. Pure chained ``regexp_replace``/``replace``
+    JVM expressions over the Java/RE2 shared subset (module-constant
+    stage tables both engines read) — row-local, zero UDFs, replayed
+    pattern-for-pattern by the DuckDB oracles. A real deployment swaps
+    in a DOM extractor (trafilatura-class) behind the same column
+    contract; this is the regex tier used for bulk WET generation."""
+    out = col
+    for pat, repl in HTML_STRIP_STAGES:
+        out = F.regexp_replace(out, pat, repl)
+    for ent, ch in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
 #: the stopword set the Gopher rules require (≥ 2 distinct present) — the
 #: published list; lowercase-matched
 GOPHER_STOPWORDS: tuple[str, ...] = (

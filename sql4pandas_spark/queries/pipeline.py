@@ -7202,3 +7202,84 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir, ("documents",))
     p = spark.sql(_GOPHER_PLANTED_SQL)
     return gopher_rules(p, min_words=30).orderBy("doc_id")
+
+
+#: deterministic HTML wrapping for the extraction entry — shared ANSI both
+#: engines execute: head/style payloads that must vanish, a script band
+#: (whose body contains a bare '<' that would poison a naive tag-strip),
+#: a comment band, and an entity paragraph exercising one-level decode
+#: (incl. the '&amp;lt;' double-decode trap)
+_HTML_PLANTED_SQL = """
+      SELECT doc_id,
+             '<html><head><title>t</title><style>p '
+               || CASE WHEN doc_id >= 0 THEN '{' ELSE '' END
+               || 'color:red}</style></head><body>'
+               || '<h1>Doc ' || CAST(doc_id AS STRING) || '</h1>'
+               || CASE WHEN doc_id % 3 = 0
+                       THEN '<script>var x = 1 < 2;</script>' ELSE '' END
+               || '<p>' || text || '</p>'
+               || CASE WHEN doc_id % 4 = 1
+                       THEN '<!-- hidden comment -->' ELSE '' END
+               || '<p>5 &amp; 6 &amp;lt;keep&amp;gt; &lt;i&gt;lit&lt;/i&gt;'
+               || ' &quot;q&quot; &#39;s&#39; x&nbsp;y</p>'
+               || '</body></html>' AS html
+      FROM documents
+"""
+
+
+def _html_oracle_expr(col: str) -> str:
+    """DuckDB replay of operators/text.html_to_text, generated from the
+    SAME stage tables the operator reads — pattern-for-pattern."""
+    from sql4pandas_spark.operators.text import (
+        HTML_ENTITIES,
+        HTML_STRIP_STAGES,
+    )
+
+    out = col
+    for pat, repl in HTML_STRIP_STAGES:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        lit = ch.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{lit}')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+@query(
+    "html_extract_documents",
+    oracle=f"""
+    WITH p AS ({_HTML_PLANTED_SQL}),
+    c AS (SELECT doc_id, {_html_oracle_expr("html")} AS clean_text FROM p)
+    SELECT doc_id, clean_text,
+           CAST(length(clean_text) AS BIGINT) AS n_chars_clean
+    FROM c ORDER BY doc_id LIMIT 300
+    """,
+    tags=("tier-c", "html_extract", "text_analysis", "scrub"),
+)
+def html_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → visible-text extraction (operators/text.html_to_text) — the
+    WET-generation step in front of every crawl-curation pipeline, so the
+    quality gates and dedup downstream score prose, not markup. Pages are
+    PLANTED via a shared ANSI wrapper making every stage load-bearing:
+    head/style payloads must vanish entirely (a naive tag-strip leaves
+    'color:red' behind as fake prose), the script band's body contains a
+    bare '<' that poisons tag-stripping if script removal is skipped or
+    ordered late, a comment band, and an entity paragraph where
+    '&amp;lt;' must decode ONE level (to '&lt;') while real '&lt;i&gt;'
+    decodes to a visible literal tag — the double-decode trap. The
+    operator is chained row-local JVM regexp/replace stages over
+    module-constant tables; the oracle is GENERATED from those same
+    tables, and both engines execute the identical pattern list. Zero
+    UDFs, zero shuffles."""
+    from sql4pandas_spark.operators.text import html_to_text
+
+    register_tables(spark, sf_dir, ("documents",))
+    p = spark.sql(_HTML_PLANTED_SQL)
+    return (
+        p.select(
+            "doc_id",
+            html_to_text(F.col("html")).alias("clean_text"),
+        )
+        .withColumn("n_chars_clean", F.length("clean_text").cast("long"))
+        .orderBy("doc_id")
+        .limit(300)
+    )

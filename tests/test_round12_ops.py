@@ -635,3 +635,36 @@ def test_gopher_rules_integer_threshold_edges(spark):
     assert out[1]["r_mean_word_len"] and out[2]["r_mean_word_len"]
     assert not out[3]["r_mean_word_len"]
     assert not out[4]["r_alpha_words"]  # exactly 80% is not > 80%
+
+
+# ---------------------------------------------------- HTML text extraction
+
+
+def test_html_to_text_known_values(spark):
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.text import html_to_text
+
+    cases = [
+        (1, "<p>hello <b>world</b></p>", "hello world"),
+        # script body with a bare '<' must vanish entirely, not poison
+        # the tag strip
+        (2, "a<script>if (1 < 2) x();</script>b", "a b"),
+        (3, "<style>p {color:red}</style>text", "text"),
+        (4, "<head><title>t</title></head><body>x</body>", "x"),
+        (5, "one<!-- note -->two", "one two"),
+        # one-level entity decode: &amp;lt; -> &lt;  but &lt; -> <
+        (6, "&amp;lt;keep&amp;gt; &lt;i&gt;", "&lt;keep&gt; <i>"),
+        (7, "a&nbsp;b &quot;q&quot; &#39;s&#39;", "a b \"q\" 's'"),
+        (8, "  spaced\n\n\tout  ", "spaced out"),
+        (9, "<SCRIPT>x</SCRIPT><STYLE>y</STYLE>z", "z"),  # case-insensitive
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, h, _ in cases], "id long, html string"
+    )
+    got = {
+        r["id"]: r["t"]
+        for r in df.select("id", html_to_text(F.col("html")).alias("t")).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
