@@ -577,7 +577,21 @@ HTML_STRIP_STAGES: tuple[tuple[str, str], ...] = (
     (r"(?is)<style[^>]*>.*?</style>", " "),
     (r"(?is)<head[^>]*>.*?</head>", " "),
     (r"(?s)<!--.*?-->", " "),
+    # block-level closers become NEWLINES before the generic strip — the
+    # WET convention that preserves document line structure, which the
+    # line-based stations downstream (boilerplate strip) depend on
+    (r"(?i)</(?:p|h1|h2|h3|li|div|tr)>|<br[^>]*>", "\n"),
     (r"<[^>]+>", " "),
+)
+
+#: whitespace normalization, applied LAST and in order: newline runs
+#: (with any surrounding space) collapse to one newline, horizontal runs
+#: to one space, then leading/trailing whitespace drops — all regexes so
+#: the oracle generator replays them from this table
+HTML_WS_STAGES: tuple[tuple[str, str], ...] = (
+    (r"\s*\n\s*", "\n"),
+    (r"[ \t\r]+", " "),
+    (r"^\s+|\s+$", ""),
 )
 
 #: entity decode table, applied AFTER tag stripping and in order — '&amp;'
@@ -603,13 +617,20 @@ def html_to_text(col: Column) -> Column:
     stage tables both engines read) — row-local, zero UDFs, replayed
     pattern-for-pattern by the DuckDB oracles. A real deployment swaps
     in a DOM extractor (trafilatura-class) behind the same column
-    contract; this is the regex tier used for bulk WET generation."""
+    contract; this is the regex tier used for bulk WET generation.
+
+    Block-level closers (``</p>``, headings, ``<br>``, …) become
+    NEWLINES, so the output keeps the page's line structure — the WET
+    convention the line-based stations downstream (per-domain
+    boilerplate strip) depend on."""
     out = col
     for pat, repl in HTML_STRIP_STAGES:
         out = F.regexp_replace(out, pat, repl)
     for ent, ch in HTML_ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(ch))
-    return F.trim(F.regexp_replace(out, r"\s+", " "))
+    for pat, repl in HTML_WS_STAGES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
 
 
 #: the stopword set the Gopher rules require (≥ 2 distinct present) — the

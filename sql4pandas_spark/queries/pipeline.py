@@ -7233,6 +7233,7 @@ def _html_oracle_expr(col: str) -> str:
     from sql4pandas_spark.operators.text import (
         HTML_ENTITIES,
         HTML_STRIP_STAGES,
+        HTML_WS_STAGES,
     )
 
     out = col
@@ -7241,7 +7242,9 @@ def _html_oracle_expr(col: str) -> str:
     for ent, ch in HTML_ENTITIES:
         lit = ch.replace("'", "''")
         out = f"replace({out}, '{ent}', '{lit}')"
-    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+    for pat, repl in HTML_WS_STAGES:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out
 
 
 @query(
@@ -7282,4 +7285,143 @@ def html_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_chars_clean", F.length("clean_text").cast("long"))
         .orderBy("doc_id")
         .limit(300)
+    )
+
+
+#: the crawl-curation chain's planted pages — shared ANSI: per-domain nav
+#: and copyright boilerplate (100% of the domain → stripped), a content
+#: paragraph with a stopword-bearing preamble (normal docs), a 3-word
+#: %11 band (fails the gopher word floor), a 40-word stopword-free %7=2
+#: band (fails ONLY r_stopwords), and a per-doc unique line (kept)
+_CRAWL_PLANTED_SQL = """
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 'news.site.com'
+               WHEN 1 THEN 'blog.example.org'
+               ELSE 'docs.example.org'
+             END AS domain,
+             '<html><head><title>x</title></head><body>'
+               || '<p>Home | About | Contact</p>'
+               || '<p>'
+               || CASE WHEN doc_id % 11 = 0 THEN 'aa bb cc'
+                       WHEN doc_id % 7 = 2
+                       THEN 'alpha bravo charlie delta echo foxtrot golf'
+                         || ' hotel india juliet kilo lima mike november'
+                         || ' oscar papa quebec romeo sierra tango uniform'
+                         || ' victor whiskey xray yankee zulu apple banana'
+                         || ' cherry durian elder fig grape honey iris'
+                         || ' jasmine kiwi lemon mango nectar'
+                       ELSE 'the notes that follow describe the data '
+                         || text END
+               || '</p>'
+               || '<p>unique-' || CAST(doc_id AS STRING) || '</p>'
+               || '<p>Copyright '
+               || CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN 'news.site.com'
+                    WHEN 1 THEN 'blog.example.org'
+                    ELSE 'docs.example.org'
+                  END
+               || '</p></body></html>' AS html
+      FROM documents
+"""
+
+
+def _crawl_chain_oracle() -> str:
+    """The chain's DuckDB replay, composed from the SAME sources the
+    operators read: html stages (generated), the boilerplate vote /
+    threshold / rebuild, and the gopher integer rules."""
+    strip = (
+        "list_filter(string_split({t}, chr(10)),"
+        " x -> NOT coalesce(list_contains(b.bll, x), false))"
+    )
+    return f"""
+    WITH p AS ({_CRAWL_PLANTED_SQL}),
+    x AS (SELECT doc_id, domain, {_html_oracle_expr("html")} AS text FROM p),
+    l AS (SELECT domain,
+                 unnest(list_distinct(string_split(text, chr(10)))) AS line
+          FROM x),
+    lc AS (SELECT domain, line, count(*) AS n FROM l GROUP BY 1, 2),
+    dd AS (SELECT domain, count(*) AS nd FROM x GROUP BY 1),
+    bl AS (SELECT lc.domain, list(lc.line) AS bll
+           FROM lc JOIN dd USING (domain)
+           WHERE dd.nd >= 2 AND lc.n * 100 >= dd.nd * 60
+           GROUP BY 1),
+    s AS (SELECT x.doc_id, x.domain,
+                 array_to_string({strip.format(t="x.text")}, chr(10))
+                   AS clean_text,
+                 CAST(len(string_split(x.text, chr(10)))
+                      - len({strip.format(t="x.text")}) AS INT)
+                   AS n_lines_removed
+          FROM x LEFT JOIN bl b USING (domain)),
+    t AS (SELECT doc_id, domain, n_lines_removed,
+                 list_filter(regexp_split_to_array(clean_text, '\\s+'),
+                             w -> w <> '') AS w,
+                 string_split(clean_text, chr(10)) AS lines
+          FROM s),
+    m AS (SELECT doc_id, domain, n_lines_removed,
+                 len(w) AS n,
+                 list_sum(list_transform(w, x -> length(x)))::BIGINT
+                   AS sum_len,
+                 len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                   AS n_alpha,
+                 len(lines) AS n_lines,
+                 len(list_filter(lines, q -> starts_with(q, '- ')))
+                   AS n_bullet,
+                 len(list_filter(lines, q -> q LIKE '%...')) AS n_ell,
+                 len(list_filter(['the', 'be', 'to', 'of', 'and', 'that',
+                                  'have', 'with'],
+                                 s2 -> list_contains(
+                                         list_transform(w, x -> lower(x)),
+                                         s2))) AS n_stop
+          FROM t)
+    SELECT doc_id, domain, n_lines_removed,
+           CAST(n AS BIGINT) AS n_words,
+           ((n >= 30 AND n <= 100000) AND (sum_len >= 3 * n AND
+             sum_len <= 10 * n) AND (5 * n_alpha > 4 * n) AND
+            (10 * n_bullet < 9 * n_lines) AND (10 * n_ell < 3 * n_lines)
+            AND (n_stop >= 2)) AS keep
+    FROM m ORDER BY doc_id
+    """
+
+
+@query(
+    "crawl_curation_chain",
+    oracle=_crawl_chain_oracle(),
+    tags=("tier-c", "html_extract", "boilerplate", "gopher_rules",
+          "pipeline", "quality"),
+)
+def crawl_curation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-curation front end END-TO-END in one hash-checked row
+    per document — the composition every web-corpus pipeline runs before
+    dedup: html_to_text (block closers become line breaks, so the line
+    structure survives) → strip_boilerplate per registered domain (nav +
+    copyright lines planted in 100% of each domain's pages must go) →
+    gopher_rules on the CLEANED text (the word floor and stopword rule
+    judge prose, not markup or boilerplate). One chain hash proves the
+    three stations compose: extraction feeding lines the stripper can
+    vote on, stripping feeding prose the gate can score. Every stage is
+    row-local except the boilerplate vote (8-byte (domain, line-hash)
+    partials + a per-domain broadcast array — document text never
+    shuffles); the oracle is composed from the operators' OWN stage
+    tables and shared integer thresholds."""
+    from sql4pandas_spark.operators.text import (
+        gopher_rules,
+        html_to_text,
+        strip_boilerplate,
+    )
+
+    register_tables(spark, sf_dir, ("documents",))
+    p = spark.sql(_CRAWL_PLANTED_SQL)
+    extracted = p.select(
+        "doc_id", "domain", html_to_text(F.col("html")).alias("text")
+    )
+    stripped = strip_boilerplate(extracted, min_pct=60, min_docs=2)
+    gated = gopher_rules(
+        stripped.select("doc_id", F.col("clean_text").alias("text")),
+        min_words=30,
+    )
+    return (
+        stripped.select("doc_id", "domain", "n_lines_removed")
+        .join(gated.select("doc_id", "n_words", "keep"), "doc_id")
+        .orderBy("doc_id")
     )

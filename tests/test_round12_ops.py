@@ -656,8 +656,13 @@ def test_html_to_text_known_values(spark):
         # one-level entity decode: &amp;lt; -> &lt;  but &lt; -> <
         (6, "&amp;lt;keep&amp;gt; &lt;i&gt;", "&lt;keep&gt; <i>"),
         (7, "a&nbsp;b &quot;q&quot; &#39;s&#39;", "a b \"q\" 's'"),
-        (8, "  spaced\n\n\tout  ", "spaced out"),
+        # newline runs collapse to ONE newline (line structure preserved),
+        # horizontal runs to one space
+        (8, "  spaced\n\n\tout  ", "spaced\nout"),
         (9, "<SCRIPT>x</SCRIPT><STYLE>y</STYLE>z", "z"),  # case-insensitive
+        # block closers become line breaks — the structure the line-based
+        # boilerplate strip downstream depends on
+        (10, "<p>a</p><p>b</p><ul><li>c</li></ul>d<br>e", "a\nb\nc\nd\ne"),
     ]
     df = spark.createDataFrame(
         [(i, h) for i, h, _ in cases], "id long, html string"
