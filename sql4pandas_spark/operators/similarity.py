@@ -239,14 +239,22 @@ def sq8_code_col(vec_col, scales: list[float]):
     """int8 codes for one vector column: round(v·127/s) per dimension,
     half-away-from-zero (Spark round == DuckDB round), zero where the
     dimension's scale is 0 (a constant-zero dimension carries no signal
-    and would otherwise divide by zero). array<tinyint> — 1 byte/dim vs
-    4 (fp32) or 8 (fp64): the 4–8× memory/scan lever that lets a
-    100 TB embedding store fit hot storage tiers."""
+    and would otherwise divide by zero), CLAMPED to [-127, 127] so a
+    vector outside the trained range (a frozen-scale ``add`` batch —
+    faiss semantics) saturates instead of overflowing the byte.
+    array<tinyint> — 1 byte/dim vs 4 (fp32) or 8 (fp64): the 4–8×
+    memory/scan lever that lets a 100 TB embedding store fit hot
+    storage tiers."""
     sc = F.array(*[F.lit(float(s)) for s in scales])
     return F.zip_with(
         vec_col.cast("array<double>"),
         sc,
-        lambda v, s: F.when(s > 0, F.round(v * 127.0 / s))
+        lambda v, s: F.when(
+            s > 0,
+            F.greatest(
+                F.lit(-127.0), F.least(F.lit(127.0), F.round(v * 127.0 / s))
+            ),
+        )
         .otherwise(F.lit(0.0))
         .cast("tinyint"),
     )
@@ -263,6 +271,7 @@ def _sq8_quantize_py(vec: list[float], scales: list[float]) -> list[float]:
         if s > 0:
             x = v * 127.0 / s
             c = math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+            c = max(-127.0, min(127.0, c))
             out.append(c * s / 127.0)
         else:
             out.append(0.0)
@@ -338,6 +347,120 @@ def sq8_query_topk(
         .orderBy(F.col("sim_q8").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def sq8_recon_topk(
+    codes: DataFrame,
+    scales: list[float],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by quantized cosine scored from STORED int8 codes — the
+    read path of a persisted SQ8 index: no raw vectors touched, the scan
+    is 1 byte/dim. Same reconstruction arithmetic as
+    :func:`sq8_query_topk` (which quantizes inline from raw vectors), so
+    direct and persisted paths rank identically."""
+    from sql4pandas_spark.operators.text import let_col
+
+    qdq = _sq8_quantize_py([float(x) for x in query_vec], scales)
+    qnorm = 0.0
+    for x in qdq:
+        qnorm += x * x
+    qnorm **= 0.5
+    sc = F.array(*[F.lit(float(s)) for s in scales])
+    qlit = F.array(*[F.lit(float(x)) for x in qdq])
+
+    def per_recon(da):
+        num = F.aggregate(
+            F.zip_with(da, qlit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        den = F.sqrt(
+            F.aggregate(
+                F.transform(da, lambda a: a * a),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ) * F.lit(qnorm)
+        return F.round(num / den, 4)
+
+    recon = F.zip_with(
+        F.col("codes"), sc, lambda c, s: c.cast("double") * s / 127.0
+    )
+    return (
+        codes.select(
+            F.col(id_col), let_col(recon, per_recon).alias("sim_q8")
+        )
+        .orderBy(F.col("sim_q8").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def save_sq8_index(
+    emb: DataFrame,
+    index_root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scales: list[float] | None = None,
+) -> list[float]:
+    """Persist an SQ8 index: int8 codes as parquet under
+    ``codes/batch=0`` plus a dim-sized ``scales.json`` sidecar — the
+    faiss-style train-once layout. Codes are 1 byte/dim on disk (4-8×
+    smaller than the raw vectors), and the scan that serves queries
+    never touches the originals. Returns the trained scales."""
+    import json
+    import os
+
+    if scales is None:
+        scales = sq8_scales(emb, vec_col)
+    os.makedirs(index_root, exist_ok=True)
+    with open(os.path.join(index_root, "scales.json"), "w") as f:
+        json.dump(scales, f)
+    emb.select(
+        id_col, sq8_code_col(F.col(vec_col), scales).alias("codes")
+    ).write.mode("overwrite").parquet(
+        os.path.join(index_root, "codes", "batch=0")
+    )
+    return scales
+
+
+def add_to_sq8_index(
+    emb_new: DataFrame,
+    index_root: str,
+    batch_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a batch with FROZEN scales (faiss ``add()`` semantics: the
+    quantizer never retrains on add — re-quantizing history on every
+    batch would be a full rewrite). A replayed batch overwrites its own
+    ``batch=N`` directory, so ingestion stays exactly-once."""
+    import json
+    import os
+
+    with open(os.path.join(index_root, "scales.json")) as f:
+        scales = json.load(f)
+    emb_new.select(
+        id_col, sq8_code_col(F.col(vec_col), scales).alias("codes")
+    ).write.mode("overwrite").parquet(
+        os.path.join(index_root, "codes", f"batch={batch_id}")
+    )
+
+
+def load_sq8_index(spark, index_root: str):
+    """(codes frame, scales) from a persisted SQ8 index — the codes scan
+    reads every batch directory."""
+    import glob
+    import json
+    import os
+
+    with open(os.path.join(index_root, "scales.json")) as f:
+        scales = json.load(f)
+    parts = sorted(glob.glob(os.path.join(index_root, "codes", "batch=*")))
+    codes = spark.read.parquet(*parts)
+    return codes, scales
 
 
 def _train_centroids(sample: np.ndarray, n_cells: int, iters: int = 8) -> np.ndarray:

@@ -7049,9 +7049,21 @@ def boilerplate_strip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sq8_dq_expr(vec: str) -> str:
+    """DuckDB quantize→clamp→dequantize of one vector through the shared
+    scale list `sl` — the oracle snippet both SQ8 entries compose. Clamp
+    mirrors operators/similarity.sq8_code_col (frozen-scale add batches
+    saturate at ±127 instead of overflowing the byte)."""
+    return (
+        "[CASE WHEN sl[i] > 0 THEN greatest(-127.0, least(127.0, "
+        f"round({vec}[i] * 127.0 / sl[i]))) * sl[i] / 127.0 "
+        f"ELSE 0.0 END FOR i IN range(1, len({vec}) + 1)]"
+    )
+
+
 @query(
     "ann_sq8_top10",
-    oracle="""
+    oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                FROM embeddings),
     one AS (SELECT max(len(emb)) AS dim FROM e),
@@ -7060,15 +7072,8 @@ def boilerplate_strip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     sl AS (SELECT list_transform(list_sort(list([CAST(i AS DOUBLE), s])),
                                  p -> p[2]) AS sl FROM sc),
     q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
-    rq AS (SELECT qe,
-                  [CASE WHEN sl[i] > 0
-                        THEN round(qe[i] * 127.0 / sl[i]) * sl[i] / 127.0
-                        ELSE 0.0 END FOR i IN range(1, len(qe) + 1)] AS qdq
-           FROM q, sl),
-    v AS (SELECT vec_id, emb,
-                 [CASE WHEN sl[i] > 0
-                       THEN round(emb[i] * 127.0 / sl[i]) * sl[i] / 127.0
-                       ELSE 0.0 END FOR i IN range(1, len(emb) + 1)] AS da
+    rq AS (SELECT qe, {_sq8_dq_expr("qe")} AS qdq FROM q, sl),
+    v AS (SELECT vec_id, emb, {_sq8_dq_expr("emb")} AS da
           FROM e, sl WHERE vec_id <> 0)
     SELECT vec_id,
            round(CAST(list_cosine_similarity(da, qdq) AS DOUBLE), 4)
@@ -7424,4 +7429,55 @@ def crawl_curation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         stripped.select("doc_id", "domain", "n_lines_removed")
         .join(gated.select("doc_id", "n_words", "keep"), "doc_id")
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "ann_sq8_persistent_top10",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    one AS (SELECT max(len(emb)) AS dim FROM e),
+    idx AS (SELECT unnest(range(1, dim + 1)) AS i FROM one),
+    sc AS (SELECT i, max(abs(emb[i])) AS s FROM e, idx
+           WHERE vec_id < 250 GROUP BY i),
+    sl AS (SELECT list_transform(list_sort(list([CAST(i AS DOUBLE), s])),
+                                 p -> p[2]) AS sl FROM sc),
+    q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+    rq AS (SELECT {_sq8_dq_expr("qe")} AS qdq FROM q, sl),
+    v AS (SELECT vec_id, {_sq8_dq_expr("emb")} AS da
+          FROM e, sl WHERE vec_id <> 0)
+    SELECT vec_id,
+           round(CAST(list_cosine_similarity(da, qdq) AS DOUBLE), 4)
+             AS sim_q8
+    FROM v, rq
+    ORDER BY sim_q8 DESC, vec_id LIMIT 10
+    """,
+    tags=("tier-c", "sim_search_ann", "quantization", "index_lifecycle"),
+)
+def ann_sq8_persistent_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQ8 index LIFECYCLE end-to-end (the faiss deployment shape,
+    mirroring ann_ivf_persistent_top10): train scales on the first 250
+    vectors and save (int8 codes parquet + dim-sized scales sidecar,
+    operators/similarity.save_sq8_index) → add the rest with FROZEN
+    scales (add_to_sq8_index — the quantizer never retrains on add;
+    out-of-range values saturate at ±127, and the oracle computing its
+    scale CTE over vec_id < 250 only makes BOTH contracts load-bearing
+    in the hash) → load → serve the query from STORED CODES alone
+    (sq8_recon_topk — 1 byte/dim scans, raw vectors never touched on
+    the read path). Batch directories are overwrite-idempotent, so
+    ingestion replay is exactly-once."""
+    t = register_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    (root,) = _scratch_dirs("sq8_index")
+    similarity.save_sq8_index(emb.filter(F.col("vec_id") < 250), root)
+    similarity.add_to_sq8_index(
+        emb.filter(F.col("vec_id") >= 250), root, batch_id=1
+    )
+    codes, scales = similarity.load_sq8_index(spark, root)
+    return similarity.sq8_recon_topk(
+        codes.filter(F.col("vec_id") != 0),
+        scales,
+        _query_vector(sf_dir),
+        k=10,
     )

@@ -157,6 +157,7 @@ def _ref_sq8_sims(vecs: dict, qvec: list[float]) -> dict:
             if s > 0:
                 r = x * 127.0 / s
                 c = math.floor(r + 0.5) if r >= 0 else math.ceil(r - 0.5)
+                c = max(-127.0, min(127.0, c))
                 out.append(c * s / 127.0)
             else:
                 out.append(0.0)
@@ -204,3 +205,55 @@ def test_sq8_sims_match_python_reference(spark, dim, data):
         assert abs(got[vid] - round(sim, 4)) <= 1e-4 + 1e-9, (
             f"vec {vid}: spark={got[vid]} py={sim}"
         )
+
+
+# ------------------------------------------------------- html extraction
+
+_HTML_FRAGS = [
+    "<p>hello <b>world</b></p>",
+    "<script>if (1 < 2) x();</script>",
+    "<style>p {color:red}</style>",
+    "<head><title>t</title></head>",
+    "<!-- note -->",
+    "&amp;lt;keep&amp;gt;",
+    "&lt;i&gt;lit&lt;/i&gt;",
+    "plain words",
+    "<br>",
+    "<li>item</li>",
+    "  \t ",
+    "&quot;q&quot; &#39;s&#39; x&nbsp;y",
+    "<DIV>block</DIV>",
+]
+
+
+def _ref_html_to_text(html: str) -> str:
+    from sql4pandas_spark.operators.text import (
+        HTML_ENTITIES,
+        HTML_STRIP_STAGES,
+        HTML_WS_STAGES,
+    )
+
+    out = html
+    for pat, repl in HTML_STRIP_STAGES:
+        out = re.sub(pat, repl.replace("\\", "\\\\"), out)
+    for ent, ch in HTML_ENTITIES:
+        out = out.replace(ent, ch)
+    for pat, repl in HTML_WS_STAGES:
+        out = re.sub(pat, repl.replace("\\", "\\\\"), out)
+    return out
+
+
+@given(
+    st.lists(st.sampled_from(_HTML_FRAGS), min_size=1, max_size=8),
+    st.sampled_from(["", " ", "\n"]),
+)
+@settings(**_SETTINGS)
+def test_html_to_text_matches_python_reference(spark, frags, sep):
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.text import html_to_text
+
+    html = sep.join(frags)
+    df = spark.createDataFrame([(1, html)], "id long, html string")
+    got = df.select(html_to_text(F.col("html")).alias("t")).collect()[0]["t"]
+    assert got == _ref_html_to_text(html), f"html={html!r}"

@@ -4,8 +4,10 @@ fixpoint-shadowing fix that surfaced while closing them (an identity
 pass-through edit must not hide nested registered calls forever), the
 extended PII classes (Luhn-gated cards, mod-97-gated IBANs, secrets), the
 list_reduce→aggregate mapping, the per-language bigram surprisal gate, the
-vacuum/crash-replay interlock on both versioned stores, and the NULL
-contracts on the asof / range / interval joins."""
+vacuum/crash-replay interlock on both versioned stores, the NULL
+contracts on the asof / range / interval joins, and the session-2 crawl
+stations: per-domain boilerplate strip, chr(N) string_split separators,
+the Gopher quality-rule gate, and line-preserving HTML extraction."""
 
 from __future__ import annotations
 

@@ -398,3 +398,40 @@ def test_sq8_topk_close_to_exact(spark):
         ).collect()
     }
     assert len({r["vec_id"] for r in out} & exact) >= 8
+
+
+def test_sq8_persistent_lifecycle_roundtrip(spark, tmp_path):
+    """save -> frozen-scale add -> load -> codes-path query: codes are
+    tinyint on disk, a replayed add batch is idempotent (overwrite of its
+    own batch dir), out-of-range add vectors saturate at ±127, and the
+    codes-path ranking equals the direct raw-vector ranking when both
+    use the same scales."""
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators import similarity
+
+    base = spark.createDataFrame(
+        [(1, [1.0, 0.2]), (2, [0.5, -0.4]), (3, [-0.25, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    extra = spark.createDataFrame(
+        [(4, [2.0, 0.1]), (5, [0.1, 0.05])],  # 2.0 exceeds trained scale
+        "vec_id long, embedding array<double>",
+    )
+    root = str(tmp_path / "sq8")
+    scales = similarity.save_sq8_index(base, root)
+    assert scales == [1.0, 0.4]
+    similarity.add_to_sq8_index(extra, root, batch_id=1)
+    similarity.add_to_sq8_index(extra, root, batch_id=1)  # replay
+    codes, loaded = similarity.load_sq8_index(spark, root)
+    assert loaded == scales
+    assert codes.count() == 5  # replay did not duplicate
+    rows = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    assert rows[4][0] == 127  # saturated, not overflowed
+    assert codes.schema["codes"].dataType.simpleString() == "array<tinyint>"
+    got = similarity.sq8_recon_topk(codes, scales, [0.9, 0.1], k=5).collect()
+    direct = similarity.sq8_query_topk(
+        base.unionByName(extra), [0.9, 0.1], k=5, scales=scales
+    ).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in direct]
+    assert [r["sim_q8"] for r in got] == [r["sim_q8"] for r in direct]
