@@ -1,0 +1,89 @@
+"""Graph operators over edge frames (SURVEY.md §2.9).
+
+Iterative algorithms follow the `dedup.label_components` discipline:
+per-round work bounded by the edge frame, lineage truncated with
+localCheckpoint so 10 rounds don't build a 10-deep plan, and NO
+driver-side data structures beyond scalar metadata (node count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: e9 fixed-point scale for PageRank mass — integer arithmetic end-to-end
+#: (the PSI/surprisal convention), so every engine and every partitioning
+#: computes the identical ranks bit-exactly.
+PAGERANK_SCALE = 10**9
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping_pct: int = 85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Integer-quantized PageRank power iteration — the domain-authority
+    signal crawl curation weights sources by (CommonCrawl publishes the
+    same idea as harmonic centrality over the domain link graph).
+
+    Fixed-point e9 integer arithmetic with floor division at every step:
+    ``contrib = rank_e9 DIV outdeg`` per edge, ``new = base +
+    (damping_pct · Σcontrib) DIV 100``, ``base = (SCALE·(100−damping))
+    DIV 100 DIV N`` — no float accumulation order for engines to
+    disagree on, so a DuckDB oracle replays all ``iterations`` rounds
+    value-exactly (mass lost to floors is deterministic and identical
+    on both sides). Dangling nodes (no out-edges) keep receiving the
+    teleport base but redistribute nothing — their mass drains, the
+    documented simplification (the standard fix re-spreads dangling
+    mass uniformly; one extra 1-row aggregate per round if needed).
+
+    Scale shape: each round is one (src-keyed join + dst-keyed
+    aggregate) over the EDGE frame — rank state is |nodes| rows of
+    (node, int64), shuffles are 8-byte keys, per-round lineage is
+    truncated with localCheckpoint. The node count is the only
+    driver-side scalar. Returns (node, rank_e9) — order by rank for a
+    source-authority report."""
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_e9", F.lit(0).cast("long"))
+    base = (PAGERANK_SCALE * (100 - damping_pct) // 100) // n
+    outdeg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_outdeg"))
+    ranks = nodes.withColumn(
+        "rank_e9", F.lit(PAGERANK_SCALE // n).cast("long")
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        contrib = (
+            e.join(outdeg, "_src")
+            .join(ranks, e["_src"] == ranks["node"])
+            .select(
+                F.col("_dst").alias("node"),
+                F.expr("rank_e9 DIV _outdeg").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"CAST({damping_pct} AS BIGINT)"
+                        " * coalesce(_s, CAST(0 AS BIGINT)) DIV 100"
+                    )
+                )
+                .cast("long")
+                .alias("rank_e9"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -7481,3 +7481,85 @@ def ann_sq8_persistent_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         _query_vector(sf_dir),
         k=10,
     )
+
+
+#: the domain link graph for the PageRank entry — shared ANSI: 20 domain
+#: nodes, two deterministic edge families (a squaring map with SKEWED
+#: in-degrees — some nodes collect many citations, some none — plus a
+#: +7 rotation keeping the graph connected), self-loops excluded,
+#: multi-edges deduped
+_LINKGRAPH_SQL = """
+      SELECT DISTINCT
+             'd' || CAST(doc_id % 20 AS STRING) AS src,
+             'd' || CAST((doc_id * doc_id + 1) % 20 AS STRING) AS dst
+      FROM documents
+      WHERE doc_id % 20 <> (doc_id * doc_id + 1) % 20
+      UNION
+      SELECT DISTINCT
+             'd' || CAST(doc_id % 20 AS STRING),
+             'd' || CAST((doc_id + 7) % 20 AS STRING)
+      FROM documents
+      WHERE doc_id % 20 <> (doc_id + 7) % 20
+"""
+
+
+def _pagerank_oracle(iters: int, damping_pct: int = 85) -> str:
+    """DuckDB replay of operators/graph.pagerank with the iteration loop
+    UNROLLED into generated CTEs — plain aggregate joins, no recursion,
+    so the whole statement stays inside the verbatim transpile sweep.
+    base/contrib/update use the operator's exact integer floor-division
+    forms."""
+    ctes = [
+        f"e AS ({_LINKGRAPH_SQL})",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1)",
+        "params AS (SELECT count(*) AS n,"
+        f" (CAST(1000000000 AS BIGINT) * (100 - {damping_pct}) // 100)"
+        " // count(*) AS base FROM nodes)",
+        "pr0 AS (SELECT node, CAST(1000000000 // (SELECT n FROM params)"
+        " AS BIGINT) AS rank_e9 FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""pr{k} AS (
+      SELECT n.node,
+             CAST((SELECT base FROM params)
+                  + {damping_pct} * COALESCE(c.s, 0) // 100
+                  AS BIGINT) AS rank_e9
+      FROM nodes n
+      LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank_e9 // d.outdeg) AS s
+        FROM pr{k - 1} r
+        JOIN e ON e.src = r.node
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst) c ON c.node = n.node)"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT node, rank_e9 FROM pr{iters} ORDER BY node"
+    )
+
+
+@query(
+    "domain_pagerank",
+    oracle=_pagerank_oracle(10),
+    tags=("tier-c", "graph", "pagerank", "quality", "iterative"),
+)
+def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over a domain link graph (operators/graph.pagerank) —
+    the source-authority signal crawl pipelines weight domains by
+    (the harmonic-centrality idea CommonCrawl publishes, as the classic
+    power iteration). Integer e9 fixed-point with floor division at
+    every step, so all 10 rounds replay bit-exactly: the oracle UNROLLS
+    the loop into generated CTEs (one aggregate join per round, no
+    recursion — it even runs verbatim through the dialect front end).
+    The planted graph's squaring edge family gives genuinely skewed
+    in-degrees, so ranks separate instead of staying uniform. Per-round
+    work is one edge-frame join + one dst aggregate; rank state is
+    |nodes| rows; lineage localCheckpoint-truncated — label_components'
+    scale discipline."""
+    from sql4pandas_spark.operators.graph import pagerank
+
+    register_tables(spark, sf_dir, ("documents",))
+    edges = spark.sql(_LINKGRAPH_SQL)
+    return pagerank(edges, iterations=10).orderBy("node")

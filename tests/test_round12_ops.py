@@ -675,3 +675,43 @@ def test_html_to_text_known_values(spark):
     }
     for i, _, want in cases:
         assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+
+# ----------------------------------------------------- integer PageRank
+
+
+def test_pagerank_hand_computed_round(spark):
+    """One round over a 3-node graph, every floor division checked by
+    hand: N=3, init 333,333,333, base 50,000,000; b collects both other
+    nodes' full contributions."""
+    from sql4pandas_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("c", "b"), ("b", "a")], "src string, dst string"
+    )
+    got = {r["node"]: r["rank_e9"] for r in pagerank(edges, iterations=1).collect()}
+    assert got == {
+        "a": 50_000_000 + 85 * 333_333_333 // 100,
+        "b": 50_000_000 + 85 * (333_333_333 + 333_333_333) // 100,
+        "c": 50_000_000,
+    }
+
+
+def test_pagerank_two_node_cycle_is_fixed_point(spark):
+    """A symmetric 2-cycle sits exactly at the update's fixed point
+    (5e8 = 75e6 + 85·5e8//100), so any number of iterations returns the
+    uniform rank unchanged — pins that no mass leaks on the happy path."""
+    from sql4pandas_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    got = {r["node"]: r["rank_e9"] for r in pagerank(edges, iterations=4).collect()}
+    assert got == {"a": 500_000_000, "b": 500_000_000}
+
+
+def test_pagerank_empty_graph(spark):
+    from sql4pandas_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(edges, iterations=3).count() == 0
