@@ -633,6 +633,87 @@ def html_to_text(col: Column) -> Column:
     return out
 
 
+#: tokens the BPE trainer accepts — lowercase alphanumeric only, so a
+#: learned pair can be spliced into a regex pattern with zero escaping on
+#: BOTH engines (the shared-subset discipline applied to generated
+#: patterns instead of literal ones)
+BPE_ALNUM_RE = "^[a-z0-9]+$"
+
+
+def bpe_merge_tokens(w, left: str, right: str):
+    """Apply ONE learned merge (left, right) → left+right to a token
+    array with greedy left-to-right non-overlapping semantics — the BPE
+    application rule — as a single row-local regexp pass.
+
+    The double-space framing trick: tokens joined with TWO spaces and
+    one space at each edge make every boundary donate one space to each
+    neighbor, so the global pattern `' left  right '` consumes exactly
+    one boundary space per side and adjacent occurrences
+    (`a b a b` under merge (a,b)) still both match — global
+    `regexp_replace` IS greedy left-to-right non-overlapping, which is
+    exactly BPE's rule. Re-splitting on space runs restores the array.
+    Tokens are restricted to :data:`BPE_ALNUM_RE`, so the spliced
+    pattern needs no escaping."""
+    s = F.concat(F.lit(" "), F.array_join(w, "  "), F.lit(" "))
+    merged = F.regexp_replace(
+        s, f" {left}  {right} ", f" {left}{right} "
+    )
+    return F.filter(F.split(F.trim(merged), " +"), lambda t: t != "")
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 3,
+) -> list[tuple[str, str, int]]:
+    """Learn the top-``n_merges`` BPE merges over a corpus — the
+    TRAINING side of the tokenizer pipeline (token_count_bpe is the
+    counting side): each round counts every adjacent token pair
+    corpus-wide, takes the most frequent (ties broken lexicographically
+    — deterministic across engines and partitionings), merges it
+    everywhere, and repeats on the merged corpus, exactly the
+    Sennrich et al. 2016 procedure at word granularity.
+
+    Scale shape: the pair counting is a distributed explode +
+    map-combined groupBy per round; only the 1-row argmax is collected
+    (bounded metadata, the IVF-centroid/PSI-gate class); the merge
+    application is the row-local regexp pass of
+    :func:`bpe_merge_tokens`. Tokens not matching
+    :data:`BPE_ALNUM_RE` are dropped up front (the alphabet contract
+    that keeps generated patterns escape-free). Returns
+    ``[(left, right, count), ...]`` in merge order."""
+    w0 = F.filter(
+        tokens(text_col), lambda t: t.rlike(BPE_ALNUM_RE)
+    )
+    docs = df.select(w0.alias("w")).localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = docs.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("w"), 1, F.greatest(F.size("w") - 1, F.lit(0))),
+                    F.slice(F.col("w"), 2, F.greatest(F.size("w") - 1, F.lit(0))),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("pair")
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["n"] < 1:
+            break
+        left, right = best[0]["pair"].split(" ")
+        merges.append((left, right, int(best[0]["n"])))
+        docs = docs.select(
+            bpe_merge_tokens(F.col("w"), left, right).alias("w")
+        ).localCheckpoint(eager=True)
+    return merges
+
+
 #: the stopword set the Gopher rules require (≥ 2 distinct present) — the
 #: published list; lowercase-matched
 GOPHER_STOPWORDS: tuple[str, ...] = (

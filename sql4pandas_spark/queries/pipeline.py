@@ -7563,3 +7563,83 @@ def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir, ("documents",))
     edges = spark.sql(_LINKGRAPH_SQL)
     return pagerank(edges, iterations=10).orderBy("node")
+
+
+def _bpe_oracle(n_merges: int = 3) -> str:
+    """DuckDB replay of operators/text.bpe_learn_merges, rounds UNROLLED:
+    per round a pair-count CTE, a deterministic argmax CTE, and the
+    SAME double-space regexp merge application (greedy left-to-right —
+    global replace semantics shared by both engines)."""
+    ctes = [
+        "t0 AS (SELECT list_filter("
+        "regexp_split_to_array(lower(text), '\\s+'),"
+        " t -> regexp_matches(t, '^[a-z0-9]+$')) AS w FROM documents)"
+    ]
+    for k in range(1, n_merges + 1):
+        prev = f"t{k - 1}"
+        ctes.append(
+            f"""p{k} AS (
+      SELECT unnest([w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))])
+               AS pair
+      FROM {prev})"""
+        )
+        ctes.append(
+            f"b{k} AS (SELECT pair, count(*) AS n FROM p{k}"
+            " GROUP BY pair ORDER BY n DESC, pair LIMIT 1)"
+        )
+        if k < n_merges:
+            ctes.append(
+                f"""s{k} AS (
+      SELECT trim(regexp_replace(' ' || array_to_string(w, '  ') || ' ',
+                  (SELECT ' ' || replace(pair, ' ', '  ') || ' '
+                   FROM b{k}),
+                  (SELECT ' ' || replace(pair, ' ', '') || ' '
+                   FROM b{k}), 'g')) AS s
+      FROM {prev})"""
+            )
+            ctes.append(
+                f"t{k} AS (SELECT list_filter(regexp_split_to_array(s,"
+                f" ' +'), t -> t <> '') AS w FROM s{k})"
+            )
+    rows = "\n    UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, (SELECT pair FROM b{k}) AS pair,"
+        f" (SELECT CAST(n AS BIGINT) FROM b{k}) AS pair_count"
+        for k in range(1, n_merges + 1)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    " + rows
+        + "\n    ORDER BY merge_rank"
+    )
+
+
+@query(
+    "bpe_merges_documents",
+    oracle=_bpe_oracle(3),
+    tags=("tier-c", "tokenizer", "bpe_train", "text_analysis",
+          "iterative"),
+)
+def bpe_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge TRAINING over the corpus (operators/text.
+    bpe_learn_merges; Sennrich et al. 2016 at word granularity) — the
+    tokenizer-pipeline station token_count_bpe only consumes: three
+    rounds of count-every-adjacent-pair corpus-wide → deterministic
+    argmax (count desc, pair asc) → merge everywhere → recount on the
+    MERGED corpus (round 2's winner can contain round 1's merge — the
+    oracle proves the iteration, not three independent counts). Pair
+    counting is a distributed explode + map-combined groupBy; only the
+    1-row argmax collects per round; application is the row-local
+    double-space regexp pass whose global-replace semantics ARE BPE's
+    greedy left-to-right rule on both engines. The oracle unrolls the
+    three rounds into generated CTEs and replays counts, tie-breaks,
+    and application value-exactly."""
+    from sql4pandas_spark.operators.text import bpe_learn_merges
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    merges = bpe_learn_merges(t["documents"], n_merges=3)
+    return spark.createDataFrame(
+        [
+            (k + 1, f"{left} {right}", int(n))
+            for k, (left, right, n) in enumerate(merges)
+        ],
+        "merge_rank int, pair string, pair_count long",
+    )

@@ -715,3 +715,61 @@ def test_pagerank_empty_graph(spark):
 
     edges = spark.createDataFrame([], "src string, dst string")
     assert pagerank(edges, iterations=3).count() == 0
+
+
+# ----------------------------------------------------- BPE merge training
+
+
+def test_bpe_learn_merges_iterates_on_merged_corpus(spark):
+    """Round 2 must count the MERGED corpus: after (a,b)→ab, the pair
+    (ab, c) exists only post-merge, and round 3's winner contains two
+    prior merges."""
+    from sql4pandas_spark.operators.text import bpe_learn_merges
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x"), (3, "ab c ab c")],
+        "doc_id long, text string",
+    )
+    assert bpe_learn_merges(df, n_merges=3) == [
+        ("a", "b", 3),
+        ("ab", "c", 3),
+        ("ab", "abc", 1),
+    ]
+
+
+def test_bpe_merge_tokens_is_greedy_left_to_right(spark):
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.text import bpe_merge_tokens
+
+    df = spark.createDataFrame(
+        [(1, ["a", "a", "a"]), (2, ["a", "a", "a", "a"]), (3, ["b"])],
+        "id long, w array<string>",
+    )
+    got = {
+        r["id"]: list(r["m"])
+        for r in df.select(
+            "id", bpe_merge_tokens(F.col("w"), "a", "a").alias("m")
+        ).collect()
+    }
+    assert got[1] == ["aa", "a"]
+    assert got[2] == ["aa", "aa"]
+    assert got[3] == ["b"]
+
+
+def test_bpe_tie_break_and_alphabet_filter(spark):
+    """Equal-count pairs resolve lexicographically, and tokens outside
+    the lowercase-alnum alphabet never enter the training corpus."""
+    from sql4pandas_spark.operators.text import bpe_learn_merges
+
+    df = spark.createDataFrame(
+        [(1, "z y"), (2, "b a"), (3, "<tag> b a !!")],
+        "doc_id long, text string",
+    )
+    # 'b a' appears twice (doc 2 and doc 3 with markup dropped), 'z y' once
+    assert bpe_learn_merges(df, n_merges=1) == [("b", "a", 2)]
+    df2 = spark.createDataFrame(
+        [(1, "z y"), (2, "b a")], "doc_id long, text string"
+    )
+    # one count each -> lexicographically smaller pair 'b a' wins
+    assert bpe_learn_merges(df2, n_merges=1)[0][:2] == ("b", "a")
