@@ -257,3 +257,111 @@ def test_html_to_text_matches_python_reference(spark, frags, sep):
     df = spark.createDataFrame([(1, html)], "id long, html string")
     got = df.select(html_to_text(F.col("html")).alias("t")).collect()[0]["t"]
     assert got == _ref_html_to_text(html), f"html={html!r}"
+
+
+# ---------------------------------------------------- integer PageRank
+
+_NODE_IDS = list(range(6))
+
+
+def _ref_pagerank(edges, iterations=5, damping=85):
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    if n == 0:
+        return {}
+    base = (10**9 * (100 - damping) // 100) // n
+    outdeg = Counter(a for a, _ in edges)
+    rank = {v: 10**9 // n for v in nodes}
+    for _ in range(iterations):
+        s = dict.fromkeys(nodes, 0)
+        for a, b in edges:
+            s[b] += rank[a] // outdeg[a]
+        rank = {v: base + damping * s[v] // 100 for v in nodes}
+    return rank
+
+
+@given(
+    st.sets(
+        st.tuples(st.sampled_from(_NODE_IDS), st.sampled_from(_NODE_IDS))
+        .filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=14,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(**_SETTINGS)
+def test_pagerank_matches_python_reference(spark, edges, iterations):
+    from sql4pandas_spark.operators.graph import pagerank
+
+    edf = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in edges], "src string, dst string"
+    )
+    got = {
+        r["node"]: r["rank_e9"]
+        for r in pagerank(edf, iterations=iterations).collect()
+    }
+    ref = {
+        f"n{v}": r
+        for v, r in _ref_pagerank(sorted(edges), iterations).items()
+    }
+    assert got == ref, f"edges={sorted(edges)}"
+
+
+# --------------------------------------------------- BPE merge training
+
+_BPE_WORDS = ["a", "b", "c", "ab", "x1"]
+
+
+def _ref_bpe(texts, n_merges):
+    docs = [
+        [t for t in re.split(r"\s+", txt.lower()) if re.fullmatch("[a-z0-9]+", t)]
+        for txt in texts
+    ]
+    merges = []
+    for _ in range(n_merges):
+        counts = Counter()
+        for w in docs:
+            for i in range(len(w) - 1):
+                counts[(w[i], w[i + 1])] += 1
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], f"{p[0]} {p[1]}"))
+        merges.append((best[0], best[1], counts[best]))
+        out_docs = []
+        for w in docs:
+            out, i = [], 0
+            while i < len(w):
+                if (
+                    i + 1 < len(w)
+                    and w[i] == best[0]
+                    and w[i + 1] == best[1]
+                ):
+                    out.append(w[i] + w[i + 1])
+                    i += 2
+                else:
+                    out.append(w[i])
+                    i += 1
+            out_docs.append(out)
+        docs = out_docs
+    return merges
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_BPE_WORDS), min_size=0, max_size=6).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+@settings(**_SETTINGS)
+def test_bpe_learn_merges_matches_python_reference(spark, texts, n_merges):
+    from sql4pandas_spark.operators.text import bpe_learn_merges
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = bpe_learn_merges(df, n_merges=n_merges)
+    assert got == _ref_bpe(texts, n_merges), f"texts={texts!r}"
