@@ -546,8 +546,17 @@ def strip_boilerplate(
         .groupBy("_bp_dom")
         .agg(F.collect_set("_bp_lh").alias("_bp_bl"))
     )
+    return _apply_boilerplate(df, frequent, domain_col, text_col)
+
+
+def _apply_boilerplate(
+    df: DataFrame, frequent: DataFrame, domain_col: str, text_col: str
+) -> DataFrame:
+    """Apply a per-domain frequent-line-hash decision frame
+    (``_bp_dom``, ``_bp_bl`` array<bigint>) to ``df`` — the shared
+    row-local removal step of the batch and incremental strips."""
     joined = df.join(
-        F.broadcast(frequent), dom == F.col("_bp_dom"), "left"
+        F.broadcast(frequent), F.col(domain_col) == F.col("_bp_dom"), "left"
     ).drop("_bp_dom")
     blcol = F.coalesce(F.col("_bp_bl"), F.array().cast("array<bigint>"))
 
@@ -564,6 +573,88 @@ def strip_boilerplate(
     return joined.withColumn("_bp_out", out).drop("_bp_bl").select(
         *df.columns, "_bp_out.clean_text", "_bp_out.n_lines_removed"
     )
+
+
+#: DDL schema of the incremental boilerplate vote state — line rows carry
+#: a non-NULL hash, the per-domain document counter rides as the NULL-hash
+#: row of its domain (one state frame, one additive merge)
+BOILERPLATE_STATE_SCHEMA = "domain string, line_hash bigint, n bigint"
+
+
+def boilerplate_votes(
+    batch: DataFrame, domain_col: str = "domain", text_col: str = "text"
+) -> DataFrame:
+    """One batch's additive vote state: per-(domain, line-hash) distinct
+    document counts plus the NULL-hash per-domain doc counter —
+    mergeable by plain sum, so it folds into the versioned exactly-once
+    store like every other additive state."""
+    dom = F.col(domain_col)
+    lines = (
+        batch.filter(dom.isNotNull())
+        .select(
+            dom.alias("domain"),
+            F.explode(
+                F.transform(
+                    F.array_distinct(F.split(F.col(text_col), "\n")),
+                    lambda line: F.xxhash64(line),
+                )
+            ).alias("line_hash"),
+        )
+        .groupBy("domain", "line_hash")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    docs = (
+        batch.filter(dom.isNotNull())
+        .groupBy(dom.alias("domain"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select("domain", F.lit(None).cast("bigint").alias("line_hash"), "n")
+    )
+    return lines.unionByName(docs)
+
+
+def merge_boilerplate_votes(prev: DataFrame, cur: DataFrame) -> DataFrame:
+    """Additive merge of two vote states (NULL-hash doc counters group
+    like any other key)."""
+    return (
+        prev.unionByName(cur)
+        .groupBy("domain", "line_hash")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
+def strip_boilerplate_with_state(
+    batch: DataFrame,
+    state: DataFrame,
+    domain_col: str = "domain",
+    text_col: str = "text",
+    min_pct: int = 50,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Strip a batch using the CUMULATIVE vote state (the incremental
+    deployment: votes accumulate across ingestion batches, so a nav bar
+    that only becomes frequent in batch 3 starts being stripped from
+    batch 3's documents on — CCNet's periodic-recompute shape). Same
+    integer-percent threshold and row-local removal as
+    :func:`strip_boilerplate`."""
+    dd = state.filter(F.col("line_hash").isNull()).select(
+        F.col("domain").alias("_bp_dom"), F.col("n").alias("_bp_nd")
+    )
+    frequent = (
+        state.filter(F.col("line_hash").isNotNull())
+        .select(
+            F.col("domain").alias("_bp_dom"),
+            F.col("line_hash").alias("_bp_lh"),
+            F.col("n").alias("_bp_n"),
+        )
+        .join(dd, "_bp_dom")
+        .filter(
+            (F.col("_bp_nd") >= min_docs)
+            & (F.col("_bp_n") * 100 >= F.col("_bp_nd") * min_pct)
+        )
+        .groupBy("_bp_dom")
+        .agg(F.collect_set("_bp_lh").alias("_bp_bl"))
+    )
+    return _apply_boilerplate(batch, frequent, domain_col, text_col)
 
 
 #: HTML-strip stages, applied IN ORDER — each a (pattern, replacement)

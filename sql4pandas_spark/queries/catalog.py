@@ -83,6 +83,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- round-12 NEW entries (0 greens) --
     # (added as they land; each new entry MUST enter the window or the
     # evidence rule goes red)
+    "incremental_boilerplate_batches",
     "bpe_merges_documents",
     "domain_pagerank",
     "ann_sq8_persistent_top10",

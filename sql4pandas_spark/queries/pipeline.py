@@ -7643,3 +7643,120 @@ def bpe_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "merge_rank int, pair string, pair_count long",
     )
+
+
+#: the incremental entry's corpus: the batch pages PLUS a banner line
+#: that is rare in the even batch (~10% — below the 30% threshold, so
+#: batch 1 KEEPS it) but common in the odd batch (~71%), so the
+#: CUMULATIVE frequency crosses the threshold and batch 2 STRIPS it —
+#: the decision genuinely flips between versions, which is the entire
+#: point of incremental voting
+_BOILERPLATE_INCR_SQL = f"""
+      SELECT doc_id, domain,
+             text || CASE WHEN (doc_id % 2 = 1 AND doc_id % 7 < 5)
+                            OR doc_id % 20 = 0
+                          THEN chr(10) || 'Flash sale banner'
+                          ELSE '' END AS text
+      FROM ({_BOILERPLATE_PLANTED_SQL})
+"""
+
+
+@query(
+    "incremental_boilerplate_batches",
+    oracle=f"""
+    WITH p AS ({_BOILERPLATE_INCR_SQL}),
+    b1 AS (SELECT * FROM p WHERE doc_id % 2 = 0),
+    b2 AS (SELECT * FROM p WHERE doc_id % 2 = 1),
+    l1 AS (SELECT domain, line, count(*) AS n
+           FROM (SELECT domain,
+                        unnest(list_distinct(string_split(text, chr(10))))
+                          AS line FROM b1)
+           GROUP BY 1, 2),
+    d1 AS (SELECT domain, count(*) AS nd FROM b1 GROUP BY 1),
+    bl1 AS (SELECT l1.domain, list(l1.line) AS bll
+            FROM l1 JOIN d1 USING (domain)
+            WHERE d1.nd >= 2 AND l1.n * 100 >= d1.nd * 30 GROUP BY 1),
+    r1 AS (SELECT count(*) AS n_docs,
+                  CAST(sum(len(string_split(b.text, chr(10)))
+                       - len(list_filter(string_split(b.text, chr(10)),
+                             x -> NOT coalesce(list_contains(c.bll, x),
+                                               false)))) AS BIGINT)
+                    AS lines_removed
+           FROM b1 b LEFT JOIN bl1 c USING (domain)),
+    l12 AS (SELECT domain, line, count(*) AS n
+            FROM (SELECT domain,
+                         unnest(list_distinct(string_split(text, chr(10))))
+                           AS line FROM p)
+            GROUP BY 1, 2),
+    d12 AS (SELECT domain, count(*) AS nd FROM p GROUP BY 1),
+    bl12 AS (SELECT l12.domain, list(l12.line) AS bll
+             FROM l12 JOIN d12 USING (domain)
+             WHERE d12.nd >= 2 AND l12.n * 100 >= d12.nd * 30 GROUP BY 1),
+    r2 AS (SELECT count(*) AS n_docs,
+                  CAST(sum(len(string_split(b.text, chr(10)))
+                       - len(list_filter(string_split(b.text, chr(10)),
+                             x -> NOT coalesce(list_contains(c.bll, x),
+                                               false)))) AS BIGINT)
+                    AS lines_removed
+           FROM b2 b LEFT JOIN bl12 c USING (domain)),
+    s1 AS (SELECT count(*) AS store_line_rows FROM l1),
+    s2 AS (SELECT count(*) AS store_line_rows FROM l12)
+    SELECT 1 AS batch_id, (SELECT n_docs FROM r1) AS n_docs,
+           (SELECT lines_removed FROM r1) AS lines_removed,
+           (SELECT CAST(store_line_rows AS BIGINT) FROM s1)
+             AS store_line_rows
+    UNION ALL
+    SELECT 2, (SELECT n_docs FROM r2),
+           (SELECT lines_removed FROM r2),
+           (SELECT CAST(store_line_rows AS BIGINT) FROM s2)
+    ORDER BY batch_id
+    """,
+    tags=("tier-c", "boilerplate", "incr_agg", "incremental", "scrub"),
+)
+def incremental_boilerplate_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate stripping under CONTINUOUS ingestion
+    (operators/text.boilerplate_votes / merge_boilerplate_votes /
+    strip_boilerplate_with_state): per-(domain, line-hash) vote counts
+    and per-domain doc counters fold into the versioned exactly-once
+    additive store batch by batch, and each batch is scrubbed with the
+    decision computed from the CUMULATIVE state — a nav bar that only
+    crosses the frequency threshold once enough of its domain has
+    arrived starts being stripped from that batch on (CCNet's
+    periodic-recompute shape; batch 1 here strips with half the
+    corpus's votes, batch 2 with all of them — the oracle replays both
+    decision points). Votes shuffle as 8-byte hashes; state is
+    |distinct (domain, line)| rows; replay misalignment raises via the
+    store's interlock. store_line_rows pins that the state dedups."""
+    from sql4pandas_spark.operators.text import (
+        BOILERPLATE_STATE_SCHEMA,
+        boilerplate_votes,
+        merge_boilerplate_votes,
+        strip_boilerplate_with_state,
+    )
+    from sql4pandas_spark.streaming import sketches
+
+    register_tables(spark, sf_dir, ("documents",))
+    p = spark.sql(_BOILERPLATE_INCR_SQL)
+    (root,) = _scratch_dirs("bp_votes")
+    sketches.empty_state(spark, BOILERPLATE_STATE_SCHEMA, root)
+    rows = []
+    for k, batch in enumerate(
+        (p.filter(F.col("doc_id") % 2 == 0), p.filter(F.col("doc_id") % 2 == 1))
+    ):
+        sketches.sketch_apply_batch(
+            boilerplate_votes(batch), root, merge_boilerplate_votes, k
+        )
+        state = spark.read.parquet(f"{root}/v{k + 1}")
+        stripped = strip_boilerplate_with_state(
+            batch, state, min_pct=30, min_docs=2
+        )
+        agg = stripped.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_lines_removed").cast("long").alias("lines_removed"),
+        ).collect()[0]
+        n_lines = state.filter(F.col("line_hash").isNotNull()).count()
+        rows.append((k + 1, agg["n_docs"], agg["lines_removed"], n_lines))
+    return spark.createDataFrame(
+        rows,
+        "batch_id int, n_docs long, lines_removed long, store_line_rows long",
+    )

@@ -773,3 +773,54 @@ def test_bpe_tie_break_and_alphabet_filter(spark):
     )
     # one count each -> lexicographically smaller pair 'b a' wins
     assert bpe_learn_merges(df2, n_merges=1)[0][:2] == ("b", "a")
+
+
+def test_incremental_boilerplate_threshold_flip(spark):
+    """The cumulative vote state must FLIP a decision between batches: a
+    banner rare in batch 1 (kept there) crosses the frequency threshold
+    once batch 2's votes land, so batch 2's copies are stripped while
+    batch 1's documents keep theirs — frequencies, not fixed lists."""
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.text import (
+        BOILERPLATE_STATE_SCHEMA,
+        boilerplate_votes,
+        merge_boilerplate_votes,
+        strip_boilerplate_with_state,
+    )
+    from sql4pandas_spark.streaming import sketches
+
+    rows = (
+        # batch 1 (ids 0-9): banner only in doc 0 -> 10% < 50%
+        [(0, "a.com", "BANNER\nbody-0")]
+        + [(i, "a.com", f"body-{i}") for i in range(1, 10)]
+        # batch 2 (ids 10-19): banner in 9 of 10 -> cumulative 50% >= 50%
+        + [(i, "a.com", f"BANNER\nbody-{i}") for i in range(10, 19)]
+        + [(19, "a.com", "body-19")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, domain string, text string")
+    b1 = df.filter(F.col("doc_id") < 10)
+    b2 = df.filter(F.col("doc_id") >= 10)
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="bp_flip_")
+    sketches.empty_state(spark, BOILERPLATE_STATE_SCHEMA, root)
+    sketches.sketch_apply_batch(
+        boilerplate_votes(b1), root, merge_boilerplate_votes, 0
+    )
+    s1 = spark.read.parquet(f"{root}/v1")
+    out1 = {
+        r["doc_id"]: r["clean_text"]
+        for r in strip_boilerplate_with_state(b1, s1, min_pct=50).collect()
+    }
+    assert out1[0] == "BANNER\nbody-0"  # 10% — kept in batch 1
+    sketches.sketch_apply_batch(
+        boilerplate_votes(b2), root, merge_boilerplate_votes, 1
+    )
+    s2 = spark.read.parquet(f"{root}/v2")
+    out2 = {
+        r["doc_id"]: r["clean_text"]
+        for r in strip_boilerplate_with_state(b2, s2, min_pct=50).collect()
+    }
+    assert out2[10] == "body-10"  # cumulative 50% — stripped in batch 2
+    assert out2[19] == "body-19"
