@@ -365,3 +365,94 @@ def test_bpe_learn_merges_matches_python_reference(spark, texts, n_merges):
     )
     got = bpe_learn_merges(df, n_merges=n_merges)
     assert got == _ref_bpe(texts, n_merges), f"texts={texts!r}"
+
+
+# --------------------------------------- composed crawl-curation chain
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a.com", "b.org"]),
+            st.lists(st.sampled_from(_HTML_FRAGS), min_size=1, max_size=5),
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_crawl_chain_matches_composed_python_references(spark, pages):
+    """The chain must equal the composition of the three independent
+    Python references: extract, then per-domain frequent-line strip on
+    the EXTRACTED lines, then the gopher rules on the CLEANED text —
+    ordering and data flow are part of the contract."""
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.text import (
+        gopher_rules,
+        html_to_text,
+        strip_boilerplate,
+    )
+
+    rows = [(i, d, "".join(frags)) for i, (d, frags) in enumerate(pages)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, html string")
+    extracted = df.select(
+        "doc_id", "domain", html_to_text(F.col("html")).alias("text")
+    )
+    stripped = strip_boilerplate(extracted, min_pct=60, min_docs=2)
+    gated = gopher_rules(
+        stripped.select("doc_id", F.col("clean_text").alias("text")),
+        min_words=5,
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["keep"]) for r in gated.collect()
+    }
+    ref_extracted = [
+        (i, d, _ref_html_to_text(h)) for i, d, h in rows
+    ]
+    ref_stripped = _ref_strip(ref_extracted, 60, 2)
+    for i, _, _ in rows:
+        clean, _ = ref_stripped[i]
+        ref = _ref_gopher(clean, 5, 100_000)
+        assert got[i] == (ref["n_words"], ref["keep"]), (
+            f"doc {i}: clean={clean!r}"
+        )
+
+
+# ------------------------------------ vote-store replay idempotence
+
+
+def test_boilerplate_vote_store_replay_is_idempotent(spark, tmp_path):
+    """Replaying the last uncommitted vote batch (crash recovery)
+    overwrites its own version and yields the identical state — the
+    additive store's exactly-once contract applied to the boilerplate
+    votes."""
+    from sql4pandas_spark.operators.text import (
+        BOILERPLATE_STATE_SCHEMA,
+        boilerplate_votes,
+        merge_boilerplate_votes,
+    )
+    from sql4pandas_spark.streaming import sketches
+
+    df = spark.createDataFrame(
+        [(1, "a.com", "NAV\nx"), (2, "a.com", "NAV\ny")],
+        "doc_id long, domain string, text string",
+    )
+    root = str(tmp_path / "votes")
+    sketches.empty_state(spark, BOILERPLATE_STATE_SCHEMA, root)
+    v = boilerplate_votes(df)
+    sketches.sketch_apply_batch(v, root, merge_boilerplate_votes, 0)
+    def read_state():
+        return sorted(
+            (tuple(r) for r in spark.read.parquet(f"{root}/v1").collect()),
+            key=lambda t: (t[0], t[1] is not None, t[1] or 0),
+        )
+
+    first = read_state()
+    sketches.sketch_apply_batch(v, root, merge_boilerplate_votes, 0)  # replay
+    second = read_state()
+    assert first == second
+    # NAV voted once per doc -> count 2; doc counter row n=2
+    nav_rows = [r for r in first if r[1] is not None]
+    assert {r[2] for r in nav_rows} <= {1, 2}
+    assert ("a.com", None, 2) in first
