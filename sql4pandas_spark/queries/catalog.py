@@ -68,21 +68,23 @@ def query(
 #: already have green CORRECTNESS_r01/r02 rows (or are next in line if the
 #: window is ever wider than 50). Future rounds rotate this list.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- ROUND-12 WINDOW ----
-    # CORRECTNESS_r11 went 50/50, so after round 11 exactly 9 entries sit
-    # at ONE committed green (the 9 round-11 additions); every other entry
-    # in the 230-entry catalog is settled (>= 2 saturated greens — ledger
-    # verified by the round-11 judge). Rotation recipe: round-12 NEW
-    # entries (0 greens) first as they land, then the 9 once-green r11
-    # entries, then stalest-settled fillers (the r04-last-green cohort,
-    # then the r06 cohort in registration order). A clean r12 window
-    # closes the >=2-greens evidence ledger for the FULL pre-r12 catalog.
+    # ---- ROUND-13 WINDOW ----
+    # CORRECTNESS_r12 went 50/50, so after round 12 exactly 18 entries sit
+    # at ONE committed green (the 18 round-12 additions); every other entry
+    # in the 248-entry catalog is settled (>= 2 saturated greens — ledger
+    # verified by the round-12 judge). Rotation recipe: round-13 NEW
+    # entries (0 greens) first as they land, then the 18 once-green r12
+    # entries, then stalest-settled fillers (the r06-last-green cohort in
+    # registration order, then the r07 cohort). A clean r13 window closes
+    # the >=2-greens evidence ledger for the FULL pre-r13 catalog — the
+    # terminal state three rounds of rotation have been building toward.
     # tests/test_driver_window.py enforces the saturated least-evidence
     # rule; tools/catalog_index.py prints the ledger.
     #
-    # -- round-12 NEW entries (0 greens) --
+    # -- round-13 NEW entries (0 greens) --
     # (added as they land; each new entry MUST enter the window or the
     # evidence rule goes red)
+    # -- the 18 entries green only in r12 --
     "incremental_boilerplate_batches",
     "bpe_merges_documents",
     "domain_pagerank",
@@ -101,41 +103,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "semantic_dedup_clusters",
     "stream_pii_scrub_counts",
     "token_entropy_documents",
-    # -- the 9 entries green only in r11 --
-    "sessionize_events_nulls",
-    "top_movers_events_nulls",
-    "event_transitions_nulls",
-    "value_histogram_nulls",
-    "dedup_components_documents",
-    "store_vacuum_retention",
-    "stream_pipeline_chain",
-    "bigram_surprisal_documents",
-    "pii_scrub_documents",
-    # -- stalest settled fill: last green r04, registration order --
-    "unpivot_part_metrics",
-    "corr_subq_cheapest_per_brand",
-    "cross_join_regions",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "stream_tumble_hourly",
-    "events_sliding_30m",
-    "events_session_windows",
-    "stream_stateful_user_counts",
-    "gapfill_hourly_counts",
-    "udf_pandas_net_price",
-    "udf_grouped_zscore",
-    "udaf_weighted_avg_price",
-    "udtf_word_rows",
-    "udf_python_rowwise",
-    "window_top3_orders_per_customer",
-    "window_order_gap_days",
-    "window_running_revenue",
-    "window_range_price_band",
-    "window_ntile_rank_kinds",
-    "window_first_last_order",
-    # -- then the r06-last-green cohort in registration order --
-    "doc_fingerprints",
-    "ann_ivf_query_top10",
+    # -- stalest settled fill: last green r06, registration order --
     "ivf_full_probe_top10",
     "ann_lsh_top10",
     "approx_distinct_events",
@@ -154,7 +122,22 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q7_nation_volume",
     "q8_market_share",
     "q9_product_profit",
-    # ---- driver window (50) ends here; round-12 NEW entries prepended
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q18_large_volume_customers",
+    "q21_waiting_supplier",
+    "q22_idle_customers",
+    "events_hourly",
+    "stream_watermark_hourly",
+    "stream_dedup_events",
+    "stream_stream_join",
+    "stream_foreach_batch_sink",
+    # -- then the r07-last-green cohort in registration order --
+    "variant_props_stats",
+    "stratified_sample_mix",
+    "heavy_hitters_events",
+    "multimodal_frame_sample",
+    # ---- driver window (50) ends here; round-13 NEW entries prepended
     # above push this tail out of the window automatically ----
 )
 
