@@ -125,7 +125,14 @@ def _rw_string_split(args: list[str]) -> str:
         # fold it to the character and escape like any literal (the
         # oracles' portable newline spelling, since a raw newline can't
         # sit inside a one-line SQL string)
-        sep = chr(int(chr_call.group(1)))
+        code_point = int(chr_call.group(1))
+        if not 0 <= code_point <= 0x10FFFF:
+            raise ValueError(
+                "transpile_duckdb: string_split separator "
+                f"chr({code_point}) is outside the Unicode code-point "
+                "range [0, 0x10FFFF] and cannot be folded to a character"
+            )
+        sep = chr(code_point)
     else:
         raise ValueError(
             "transpile_duckdb: string_split separator must be a plain "

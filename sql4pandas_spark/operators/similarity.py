@@ -263,14 +263,19 @@ def sq8_code_col(vec_col, scales: list[float]):
 def _sq8_quantize_py(vec: list[float], scales: list[float]) -> list[float]:
     """Driver-side quantize→dequantize of one vector with the SAME
     half-away-from-zero rule as the engines (Python round() is
-    half-even — deliberately not used)."""
-    import math
+    half-even — deliberately not used). Decimal HALF_UP is sign-aware
+    away-from-zero on the EXACT binary value of the double, matching
+    Spark round (BigDecimal HALF_UP) and DuckDB round where a
+    floor(x+0.5) formulation diverges at FP edge cases: for
+    x=0.49999999999999994 the sum x+0.5 ties-rounds UP to 1.0 so
+    floor gives 1, while both engines (and Decimal) give 0."""
+    from decimal import ROUND_HALF_UP, Decimal
 
     out = []
     for v, s in zip(vec, scales):
         if s > 0:
             x = v * 127.0 / s
-            c = math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+            c = float(Decimal(x).to_integral_value(rounding=ROUND_HALF_UP))
             c = max(-127.0, min(127.0, c))
             out.append(c * s / 127.0)
         else:

@@ -25,6 +25,17 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 #: the classic pre-tokenization split used before byte-pair merging.
 BPE_TOKEN_RE = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"
 
+#: SUPPORTED INPUT ALPHABET for the ``\s``-splitting tokenizer paths
+#: (:func:`tokens`, :data:`BPE_TOKEN_RE`, the gopher word split): U+000B
+#: (vertical tab) is EXCLUDED. Java regex ``\s`` includes \x0B while
+#: DuckDB's RE2 ``\s`` does not, so a document containing \x0B would
+#: tokenize differently in engine vs oracle. The pattern is replicated
+#: verbatim in ~30 oracle SQL strings, so rather than rewriting ``\s`` as
+#: an explicit class on BOTH sides everywhere, \x0B is declared outside
+#: the alphabet (testdata verified \x0B-free at all SFs; a real crawl
+#: front end strips it in html_to_text's HTML_WS_STAGES, which DO use
+#: explicit engine-shared classes).
+
 
 def tokens(text: Column | str) -> Column:
     """Whitespace tokens, lowercased, empties removed."""
@@ -679,10 +690,16 @@ HTML_STRIP_STAGES: tuple[tuple[str, str], ...] = (
 #: (with any surrounding space) collapse to one newline, horizontal runs
 #: to one space, then leading/trailing whitespace drops — all regexes so
 #: the oracle generator replays them from this table
+#: NOTE the explicit character classes instead of ``\s``: Java regex
+#: ``\s`` is ``[ \t\n\x0B\f\r]`` while DuckDB's RE2 ``\s`` is
+#: ``[ \t\n\f\r]`` (no vertical tab), so a bare ``\s`` in a shared stage
+#: table would collapse whitespace differently in engine vs oracle on a
+#: document containing U+000B. Spelling the Java set out keeps the engine
+#: byte-identical and makes the oracle replay exact on ANY input.
 HTML_WS_STAGES: tuple[tuple[str, str], ...] = (
-    (r"\s*\n\s*", "\n"),
-    (r"[ \t\r]+", " "),
-    (r"^\s+|\s+$", ""),
+    (r"[ \t\x0B\f\r]*\n[ \t\n\x0B\f\r]*", "\n"),
+    (r"[ \t\x0B\f\r]+", " "),
+    (r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""),
 )
 
 #: entity decode table, applied AFTER tag stripping and in order — '&amp;'
@@ -795,8 +812,19 @@ def bpe_learn_merges(
             .limit(1)
             .collect()
         )
-        if not best or best[0]["n"] < 1:
-            break
+        if not best:
+            # Corpus exhausted its adjacent pairs before n_merges rounds.
+            # The generated oracles unroll a FIXED n_merges rounds, so a
+            # short result would fail the differential confusingly — make
+            # the contract violation loud at the source instead. (The
+            # catalog entry's corpus keeps thousands of pairs alive at
+            # n_merges=3; this guards ad-hoc callers.)
+            raise ValueError(
+                f"bpe_learn_merges: corpus exhausted adjacent pairs after "
+                f"{len(merges)} merges (< n_merges={n_merges}); the "
+                f"fixed-round unrolled oracles require a corpus that "
+                f"survives all rounds"
+            )
         left, right = best[0]["pair"].split(" ")
         merges.append((left, right, int(best[0]["n"])))
         docs = docs.select(

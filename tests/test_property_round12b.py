@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import math
 import re
+
+import pytest
 from collections import Counter, defaultdict
 
 from hypothesis import HealthCheck, given, settings
@@ -363,8 +365,16 @@ def test_bpe_learn_merges_matches_python_reference(spark, texts, n_merges):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
-    got = bpe_learn_merges(df, n_merges=n_merges)
-    assert got == _ref_bpe(texts, n_merges), f"texts={texts!r}"
+    want = _ref_bpe(texts, n_merges)
+    if len(want) < n_merges:
+        # corpus exhausts its pairs early — the round-13 contract is a
+        # LOUD failure (fixed-round unrolled oracles can't replay a
+        # short result), so the engine must raise, not truncate
+        with pytest.raises(ValueError, match="exhausted adjacent pairs"):
+            bpe_learn_merges(df, n_merges=n_merges)
+    else:
+        got = bpe_learn_merges(df, n_merges=n_merges)
+        assert got == want, f"texts={texts!r}"
 
 
 # --------------------------------------- composed crawl-curation chain

@@ -1,0 +1,140 @@
+"""Round-13 pins: the four round-12 ADVICE findings, fixed and frozen.
+
+1. ``_sq8_quantize_py`` half-away-from-zero must match Spark round
+   (BigDecimal HALF_UP) and DuckDB round at FP edge cases — the old
+   ``floor(x+0.5)`` formulation ties-rounded 0.49999999999999994 UP.
+2. ``bpe_learn_merges`` on a corpus that exhausts adjacent pairs before
+   ``n_merges`` rounds must fail LOUDLY (the generated oracles unroll a
+   fixed round count, so a silently-short result would fail the
+   differential confusingly).
+3. The transpiler's ``chr(N)`` separator fold must reject out-of-range
+   code points with the module's descriptive error, not a bare
+   ``chr()`` ValueError.
+4. ``HTML_WS_STAGES`` must use explicit engine-shared character classes:
+   Java regex ``\\s`` includes U+000B while DuckDB's RE2 ``\\s`` does
+   not, so a bare ``\\s`` in the shared stage tables broke the
+   pattern-for-pattern oracle replay on vertical-tab inputs.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+
+# ------------------------------------------------- 1. SQ8 rounding edge
+
+
+def test_sq8_quantize_py_half_up_matches_engines_at_fp_edge():
+    from sql4pandas_spark.operators.similarity import _sq8_quantize_py
+
+    # x + 0.5 ties-rounds to 1.0 in FP, so floor(x+0.5) gives 1; Spark
+    # round, DuckDB round, and Decimal HALF_UP all give 0.
+    x = 0.49999999999999994
+    assert _sq8_quantize_py([x], [127.0]) == [0.0]
+    assert _sq8_quantize_py([-x], [127.0]) == [-0.0]
+    assert duckdb.sql(f"SELECT round({x!r}::DOUBLE)").fetchone()[0] == 0.0
+    # ordinary halves still round away from zero (the documented rule):
+    # scale=127.0 makes code = round(v) and reconstruction = code
+    assert _sq8_quantize_py([0.5], [127.0]) == [1.0]
+    assert _sq8_quantize_py([-0.5], [127.0])[0] == -1.0
+    assert _sq8_quantize_py([2.5], [127.0]) == [3.0]
+
+
+def test_sq8_quantize_py_half_up_sign_aware(spark):
+    """The engine (Spark round) and the Python quantizer agree on a grid
+    of exact-half and near-half codes, both signs."""
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.similarity import _sq8_quantize_py
+
+    vals = [0.5, -0.5, 1.5, -1.5, 2.5, -2.5,
+            0.49999999999999994, -0.49999999999999994]
+    # scale=127.0 makes code = round(v); reconstruction = code * 1.0
+    py = [_sq8_quantize_py([v], [127.0])[0] for v in vals]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    jvm = [
+        r["c"]
+        for r in df.select(
+            (F.round(F.col("v") * 127.0 / 127.0) * 127.0 / 127.0).alias("c")
+        ).collect()
+    ]
+    assert py == jvm
+
+
+# ------------------------------------------- 2. BPE exhaustion is loud
+
+
+def test_bpe_learn_merges_exhausted_corpus_raises(spark):
+    from sql4pandas_spark.operators.text import bpe_learn_merges
+
+    # one 2-token doc: round 1 merges the only pair, round 2 finds none
+    df = spark.createDataFrame([("ab cd",)], "text string")
+    with pytest.raises(ValueError, match="exhausted adjacent pairs"):
+        bpe_learn_merges(df, n_merges=2)
+
+
+def test_bpe_learn_merges_exact_round_count_ok(spark):
+    from sql4pandas_spark.operators.text import bpe_learn_merges
+
+    df = spark.createDataFrame([("ab cd",)], "text string")
+    merges = bpe_learn_merges(df, n_merges=1)
+    assert merges == [("ab", "cd", 1)]
+
+
+# --------------------------------------- 3. chr() fold range validation
+
+
+def test_string_split_chr_out_of_range_is_descriptive():
+    from sql4pandas_spark.functions.transpile import transpile_duckdb
+
+    with pytest.raises(ValueError, match="outside the Unicode code-point"):
+        transpile_duckdb("SELECT string_split(x, chr(1114112)) FROM t")
+    with pytest.raises(ValueError, match="outside the Unicode code-point"):
+        transpile_duckdb("SELECT string_split(x, chr(99999999)) FROM t")
+    # boundary values still fold
+    assert "split" in transpile_duckdb("SELECT string_split(x, chr(1114111)) FROM t")
+    assert "split" in transpile_duckdb("SELECT string_split(x, chr(0)) FROM t")
+
+
+# --------------------- 4. HTML whitespace stages: \x0B oracle parity
+
+
+def test_html_ws_stages_have_no_bare_backslash_s():
+    from sql4pandas_spark.operators.text import HTML_WS_STAGES
+
+    for pat, _ in HTML_WS_STAGES:
+        assert r"\s" not in pat, (
+            f"stage pattern {pat!r} uses \\s, which differs between Java "
+            "regex (includes \\x0B) and DuckDB RE2 (does not)"
+        )
+
+
+def test_html_to_text_vertical_tab_matches_duckdb_replay(spark):
+    """A document containing U+000B must extract identically in the
+    engine and in the generated DuckDB oracle — the divergence the old
+    ``\\s``-based stages had."""
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.text import html_to_text
+    from sql4pandas_spark.queries.pipeline import _html_oracle_expr
+
+    cases = [
+        "<p>a\x0bb</p>",            # lone vertical tab mid-line
+        "<p>a \x0b\nb</p>",         # vertical tab inside a newline run
+        "\x0b<p>x</p>\x0b",         # leading/trailing
+        "a\x0b\x0c b",              # with form feed
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(cases)], "id long, html string"
+    )
+    got = {
+        r["id"]: r["t"]
+        for r in df.select("id", html_to_text(F.col("html")).alias("t")).collect()
+    }
+    con = duckdb.connect()
+    for i, h in enumerate(cases):
+        want = con.execute(
+            f"SELECT {_html_oracle_expr('?')}", [h]
+        ).fetchone()[0]
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
