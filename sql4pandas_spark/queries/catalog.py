@@ -84,6 +84,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- round-13 NEW entries (0 greens) --
     # (added as they land; each new entry MUST enter the window or the
     # evidence rule goes red)
+    "domain_blocklist_psl",
     # -- the 18 entries green only in r12 --
     "incremental_boilerplate_batches",
     "bpe_merges_documents",

