@@ -23,6 +23,7 @@ def pagerank(
     damping_pct: int = 85,
     src: str = "src",
     dst: str = "dst",
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Integer-quantized PageRank power iteration — the domain-authority
     signal crawl curation weights sources by (CommonCrawl publishes the
@@ -30,14 +31,21 @@ def pagerank(
 
     Fixed-point e9 integer arithmetic with floor division at every step:
     ``contrib = rank_e9 DIV outdeg`` per edge, ``new = base +
-    (damping_pct · Σcontrib) DIV 100``, ``base = (SCALE·(100−damping))
-    DIV 100 DIV N`` — no float accumulation order for engines to
-    disagree on, so a DuckDB oracle replays all ``iterations`` rounds
-    value-exactly (mass lost to floors is deterministic and identical
-    on both sides). Dangling nodes (no out-edges) keep receiving the
-    teleport base but redistribute nothing — their mass drains, the
-    documented simplification (the standard fix re-spreads dangling
-    mass uniformly; one extra 1-row aggregate per round if needed).
+    (damping_pct · (Σcontrib + dangling_share)) DIV 100``, ``base =
+    (SCALE·(100−damping)) DIV 100 DIV N`` — no float accumulation order
+    for engines to disagree on, so a DuckDB oracle replays all
+    ``iterations`` rounds value-exactly (mass lost to floors is
+    deterministic and identical on both sides).
+
+    ``redistribute_dangling=True`` is the standard dangling-mass fix:
+    each round one 1-row aggregate sums the rank held by nodes with no
+    out-edges and every node receives ``dangling_mass DIV N`` inside
+    the damped term, so total mass stays SCALE up to floor-rounding
+    (pytest-pinned) and cross-corpus rank sums compare. The scalar
+    rides the plan as a ``crossJoin(broadcast(1-row))`` — the
+    allowlisted bounded-metadata shape, no driver collect. The
+    ``False`` default preserves the round-12 drain-the-sinks contract
+    (its oracle replays that form bit-exactly).
 
     Scale shape: each round is one (src-keyed join + dst-keyed
     aggregate) over the EDGE frame — rank state is |nodes| rows of
@@ -54,8 +62,19 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank_e9", F.lit(0).cast("long"))
+    # nodes/outdeg/dangling are loop-invariant and referenced every
+    # round — checkpoint once (|nodes|- and |src|-sized frames) so the
+    # distinct-union and degree aggregation don't recompute per round
+    nodes = nodes.localCheckpoint(eager=True)
     base = (PAGERANK_SCALE * (100 - damping_pct) // 100) // n
-    outdeg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_outdeg"))
+    outdeg = e.groupBy("_src").agg(
+        F.count(F.lit(1)).alias("_outdeg")
+    ).localCheckpoint(eager=True)
+    dangling = nodes.join(
+        outdeg, nodes["node"] == outdeg["_src"], "left_anti"
+    )
+    if redistribute_dangling:
+        dangling = dangling.localCheckpoint(eager=True)
     ranks = nodes.withColumn(
         "rank_e9", F.lit(PAGERANK_SCALE // n).cast("long")
     ).localCheckpoint(eager=True)
@@ -70,19 +89,31 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("_c").alias("_s"))
         )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"CAST({damping_pct} AS BIGINT)"
-                        " * coalesce(_s, CAST(0 AS BIGINT)) DIV 100"
-                    )
+        updated = nodes.join(contrib, "node", "left")
+        if redistribute_dangling:
+            share = (
+                ranks.join(dangling, "node", "left_semi")
+                .agg(
+                    F.expr(
+                        "coalesce(sum(rank_e9), CAST(0 AS BIGINT))"
+                        f" DIV CAST({n} AS BIGINT)"
+                    ).alias("_dshare")
                 )
-                .cast("long")
-                .alias("rank_e9"),
+            )
+            updated = updated.crossJoin(F.broadcast(share))
+            damped = (
+                f"CAST({damping_pct} AS BIGINT)"
+                " * (coalesce(_s, CAST(0 AS BIGINT)) + _dshare) DIV 100"
+            )
+        else:
+            damped = (
+                f"CAST({damping_pct} AS BIGINT)"
+                " * coalesce(_s, CAST(0 AS BIGINT)) DIV 100"
+            )
+        ranks = (
+            updated.select(
+                "node",
+                (F.lit(base) + F.expr(damped)).cast("long").alias("rank_e9"),
             )
             .localCheckpoint(eager=True)
         )

@@ -85,6 +85,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (added as they land; each new entry MUST enter the window or the
     # evidence rule goes red)
     "domain_blocklist_psl",
+    "domain_pagerank_sinks",
     # -- the 18 entries green only in r12 --
     "incremental_boilerplate_batches",
     "bpe_merges_documents",

@@ -7606,25 +7606,86 @@ _LINKGRAPH_SQL = """
 """
 
 
-def _pagerank_oracle(iters: int, damping_pct: int = 85) -> str:
+def _pagerank_oracle(
+    iters: int,
+    damping_pct: int = 85,
+    edges_sql: str | None = None,
+    dangling: bool = False,
+) -> str:
     """DuckDB replay of operators/graph.pagerank with the iteration loop
     UNROLLED into generated CTEs — plain aggregate joins, no recursion,
     so the whole statement stays inside the verbatim transpile sweep.
     base/contrib/update use the operator's exact integer floor-division
-    forms."""
+    forms; ``dangling=True`` adds the per-round 1-row dangling-mass
+    CTE and the uniform ``DIV n`` share inside the damped term, the
+    redistribute_dangling form."""
     ctes = [
-        f"e AS ({_LINKGRAPH_SQL})",
-        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
-        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1)",
+        # MATERIALIZED: the unrolled rounds reference e/deg/nodes dozens
+        # of times; without it DuckDB inlines the CTE and re-opens the
+        # parquet per reference (EMFILE at 10 rounds with the sink arms).
+        # The transpiler drops the hint for the Spark replay.
+        f"e AS MATERIALIZED ({edges_sql if edges_sql is not None else _LINKGRAPH_SQL})",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY 1)",
         "params AS (SELECT count(*) AS n,"
         f" (CAST(1000000000 AS BIGINT) * (100 - {damping_pct}) // 100)"
         " // count(*) AS base FROM nodes)",
         "pr0 AS (SELECT node, CAST(1000000000 // (SELECT n FROM params)"
         " AS BIGINT) AS rank_e9 FROM nodes)",
     ]
+    if dangling:
+        ctes.insert(
+            3,
+            "dang AS (SELECT node FROM nodes"
+            " WHERE node NOT IN (SELECT src FROM deg))",
+        )
     for k in range(1, iters + 1):
-        ctes.append(
-            f"""pr{k} AS (
+        # the dangling path references pr{k-1} TWICE (contrib join +
+        # mass sum): pr{k} is MATERIALIZED so DuckDB computes each
+        # round once instead of inlining the whole chain per reference
+        # (2^iters recomputes); Spark keeps multi-referenced CTEs as
+        # CTERelationRef and reuses them, so the dropped hint is safe
+        # ONE reference to pr{k-1} per round — mandatory: BOTH engines
+        # inline multiply-referenced CTEs here (Spark's InlineCTE
+        # re-expands refs under the unrolled chain), so a second ref
+        # makes the plan 2^iters. The dangling path folds the held mass
+        # into the SAME aggregate pass: state LEFT JOINs its out-edges,
+        # a dangling row (no match) groups under ITS OWN node via
+        # COALESCE(e.dst, r.node) carrying dmass instead of a
+        # contribution, and the uniform share is an unpartitioned
+        # window sum over the |nodes|-sized joined frame (an
+        # ORACLE-side construct — the operator broadcasts the 1-row
+        # aggregate instead).
+        if dangling:
+            ctes.append(
+                f"""c{k} AS (
+      SELECT COALESCE(e.dst, r.node) AS node,
+             sum(CASE WHEN e.dst IS NOT NULL
+                      THEN r.rank_e9 // d.outdeg
+                      ELSE CAST(0 AS BIGINT) END) AS s,
+             sum(CASE WHEN e.dst IS NULL THEN r.rank_e9
+                      ELSE CAST(0 AS BIGINT) END) AS dmass
+      FROM pr{k - 1} r
+      LEFT JOIN e ON e.src = r.node
+      LEFT JOIN deg d ON d.src = r.node
+      GROUP BY COALESCE(e.dst, r.node))"""
+            )
+            ctes.append(
+                f"""pr{k} AS (
+      SELECT node,
+             CAST((SELECT base FROM params)
+                  + {damping_pct} * (s + share) // 100
+                  AS BIGINT) AS rank_e9
+      FROM (
+        SELECT n.node, COALESCE(c.s, CAST(0 AS BIGINT)) AS s,
+               sum(COALESCE(c.dmass, CAST(0 AS BIGINT))) OVER ()
+                 // (SELECT n FROM params) AS share
+        FROM nodes n
+        LEFT JOIN c{k} c ON c.node = n.node) j)"""
+            )
+        else:
+            ctes.append(
+                f"""pr{k} AS (
       SELECT n.node,
              CAST((SELECT base FROM params)
                   + {damping_pct} * COALESCE(c.s, 0) // 100
@@ -7636,7 +7697,7 @@ def _pagerank_oracle(iters: int, damping_pct: int = 85) -> str:
         JOIN e ON e.src = r.node
         JOIN deg d ON d.src = e.src
         GROUP BY e.dst) c ON c.node = n.node)"""
-        )
+            )
     return (
         "WITH " + ",\n    ".join(ctes)
         + f"\n    SELECT node, rank_e9 FROM pr{iters} ORDER BY node"
@@ -7666,6 +7727,51 @@ def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir, ("documents",))
     edges = spark.sql(_LINKGRAPH_SQL)
     return pagerank(edges, iterations=10).orderBy("node")
+
+
+#: the link graph with PLANTED SINKS: two pure-sink nodes that several
+#: residue-class domains link to but which link nowhere ('sinkA' drawing
+#: from 5 residues, 'sinkB' from 4) on top of the strongly-connected
+#: residue graph — without redistribution their mass drains every round
+_LINKGRAPH_SINKS_SQL = (
+    _LINKGRAPH_SQL
+    + """
+      UNION
+      SELECT DISTINCT 'd' || CAST(doc_id % 20 AS STRING), 'sinkA'
+      FROM documents WHERE doc_id % 4 = 0
+      UNION
+      SELECT DISTINCT 'd' || CAST(doc_id % 20 AS STRING), 'sinkB'
+      FROM documents WHERE doc_id % 5 = 1
+"""
+)
+
+
+@query(
+    "domain_pagerank_sinks",
+    oracle=_pagerank_oracle(10, edges_sql=_LINKGRAPH_SINKS_SQL, dangling=True),
+    tags=("tier-c", "graph", "pagerank", "dangling_mass", "iterative"),
+)
+def domain_pagerank_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with the dangling-mass fix, LOAD-BEARING
+    (operators/graph.pagerank redistribute_dangling=True): the planted
+    graph adds two pure-SINK nodes the residue domains link into, so
+    without redistribution total mass drains toward the teleport floor
+    — here each round one 1-row aggregate sums the sink-held rank and
+    every node receives ``dangling_mass DIV N`` inside the damped term
+    (the standard uniform re-spread, kept in e9 integer floor
+    discipline so the unrolled-CTE oracle replays all 10 rounds
+    bit-exactly and sweeps verbatim through the dialect front end;
+    total mass stays SCALE up to floor-rounding, pytest-pinned against
+    a pure-Python replay). The scalar rides the plan as a broadcast
+    1-row crossJoin — per-round work stays edge-frame bounded, no
+    driver collect."""
+    from sql4pandas_spark.operators.graph import pagerank
+
+    register_tables(spark, sf_dir, ("documents",))
+    edges = spark.sql(_LINKGRAPH_SINKS_SQL)
+    return pagerank(
+        edges, iterations=10, redistribute_dangling=True
+    ).orderBy("node")
 
 
 def _bpe_oracle(n_merges: int = 3) -> str:

@@ -180,6 +180,92 @@ def test_public_suffix_snapshot_shape():
         assert all(lbl and lbl.replace("-", "").isalnum() for lbl in s.split("."))
 
 
+# ------------------------------- PageRank dangling-mass redistribution
+
+
+def _py_pagerank(edges, iterations, damping_pct=85, redistribute=False):
+    """Pure-Python integer replay of operators/graph.pagerank — floor
+    division at every step, dangling share = sum(dangling ranks) // n."""
+    scale = 10**9
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    outdeg: dict = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    dangling = [v for v in nodes if v not in outdeg]
+    base = (scale * (100 - damping_pct) // 100) // n
+    rank = {v: scale // n for v in nodes}
+    for _ in range(iterations):
+        contrib = {v: 0 for v in nodes}
+        for s, d in edges:
+            contrib[d] += rank[s] // outdeg[s]
+        share = sum(rank[v] for v in dangling) // n if redistribute else 0
+        rank = {
+            v: base + damping_pct * (contrib[v] + share) // 100
+            for v in nodes
+        }
+    return rank
+
+
+_SINK_EDGES = [
+    ("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+    ("a", "sink"), ("b", "sink"), ("c", "sink2"),
+]
+
+
+def test_pagerank_redistribution_matches_python_replay(spark):
+    from sql4pandas_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(_SINK_EDGES, "src string, dst string")
+    got = {
+        r["node"]: r["rank_e9"]
+        for r in pagerank(df, iterations=7, redistribute_dangling=True).collect()
+    }
+    assert got == _py_pagerank(_SINK_EDGES, 7, redistribute=True)
+
+
+def test_pagerank_mass_conserved_with_sinks(spark):
+    """With redistribution, total mass stays SCALE up to floor-rounding
+    losses; without it, the planted sinks drain mass far below that
+    bound — the contract the round-12 verdict asked to close."""
+    from sql4pandas_spark.operators.graph import PAGERANK_SCALE, pagerank
+
+    df = spark.createDataFrame(_SINK_EDGES, "src string, dst string")
+    nodes, edges, iters = 5, len(_SINK_EDGES), 10
+    # each round loses < 1 per floor: per-edge contrib, per-node DIV 100,
+    # the share DIV n, and the base floors (loose, conservative bound)
+    floor_bound = iters * (edges + 3 * nodes + 10)
+    with_fix = sum(
+        r["rank_e9"]
+        for r in pagerank(df, iterations=iters, redistribute_dangling=True).collect()
+    )
+    assert PAGERANK_SCALE - floor_bound <= with_fix <= PAGERANK_SCALE
+    without = sum(
+        r["rank_e9"]
+        for r in pagerank(df, iterations=iters).collect()
+    )
+    # the two sinks hold ~2/5 of the graph's mass per round; draining it
+    # leaves the total well below the floor-rounding band
+    assert without < PAGERANK_SCALE - floor_bound - 10**8
+
+
+def test_pagerank_no_dangling_redistribution_is_identity(spark):
+    """On a graph with NO dangling nodes the redistribute flag must not
+    change a single rank (share is exactly 0 every round)."""
+    from sql4pandas_spark.operators.graph import pagerank
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    plain = {
+        r["node"]: r["rank_e9"] for r in pagerank(df, iterations=5).collect()
+    }
+    fixed = {
+        r["node"]: r["rank_e9"]
+        for r in pagerank(df, iterations=5, redistribute_dangling=True).collect()
+    }
+    assert plain == fixed
+
+
 # --------------------- 4. HTML whitespace stages: \x0B oracle parity
 
 
