@@ -949,6 +949,77 @@ def bpe_learn_merges(
     return merges
 
 
+def bpe_learn_merges_chars(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 3,
+) -> list[tuple[str, str, int]]:
+    """Character-level BPE merge training over a (word, count) frequency
+    frame — the PRODUCTION tokenizer-training shape (Sennrich et al.
+    2016's actual algorithm): the corpus reduces ONCE to distinct words
+    with counts (one shuffle), each word becomes its character symbol
+    array, and every round counts adjacent SYMBOL pairs weighted by
+    word count (multiplicity within a word counts, as published), takes
+    the deterministic argmax (count desc, pair asc), and merges within
+    words only. Per-round work is |vocab|-bounded instead of
+    corpus-bounded — the property that makes 30k-merge training
+    plausible where :func:`bpe_learn_merges`'s per-merge full-corpus
+    rewrite does not extrapolate.
+
+    Same alphabet contract (words restricted to :data:`BPE_ALNUM_RE`,
+    so spliced merge patterns need no escaping), same double-space
+    greedy-non-overlap merge application (:func:`bpe_merge_tokens` on
+    the symbol array), same loud exhaustion error, same 1-row argmax as
+    the only driver collect. Divergence from the published form: no
+    ``</w>`` end-of-word sentinel (it is outside the alnum alphabet),
+    so merges do not distinguish word-final position — documented, and
+    mirrored by the oracle and the pure-Python reference. Returns
+    ``[(left, right, weighted_count), ...]`` in merge order."""
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.col("word").rlike(BPE_ALNUM_RE))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.filter(F.split("word", ""), lambda c: c != "").alias("w"),
+            "cnt",
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        best = (
+            vocab.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("w"), 1, F.greatest(F.size("w") - 1, F.lit(0))),
+                        F.slice(F.col("w"), 2, F.greatest(F.size("w") - 1, F.lit(0))),
+                        lambda a, b: F.concat_ws(" ", a, b),
+                    )
+                ).alias("pair"),
+                "cnt",
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            raise ValueError(
+                f"bpe_learn_merges_chars: vocabulary exhausted adjacent "
+                f"symbol pairs after {len(merges)} merges "
+                f"(< n_merges={n_merges}); the fixed-round unrolled "
+                f"oracles require a corpus that survives all rounds"
+            )
+        left, right = best[0]["pair"].split(" ")
+        merges.append((left, right, int(best[0]["n"])))
+        vocab = vocab.select(
+            bpe_merge_tokens(F.col("w"), left, right).alias("w"), "cnt"
+        ).localCheckpoint(eager=True)
+    return merges
+
+
 #: the stopword set the Gopher rules require (≥ 2 distinct present) — the
 #: published list; lowercase-matched
 GOPHER_STOPWORDS: tuple[str, ...] = (

@@ -86,6 +86,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # evidence rule goes red)
     "domain_blocklist_psl",
     "domain_pagerank_sinks",
+    "bpe_char_merges_documents",
     # -- the 18 entries green only in r12 --
     "incremental_boilerplate_batches",
     "bpe_merges_documents",

@@ -7854,6 +7854,97 @@ def bpe_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_chars_oracle(n_merges: int = 3) -> str:
+    """DuckDB replay of operators/text.bpe_learn_merges_chars, rounds
+    UNROLLED: the corpus reduces once to a (word, count) vocab, words
+    split to character symbol arrays, then per round a COUNT-WEIGHTED
+    pair aggregate, the deterministic argmax, and the same double-space
+    regexp merge — applied to the VOCAB, so each round's CTEs are
+    |vocab|-sized. c{{k-1}} is referenced twice per round (pair count +
+    merge application, the shape the word-level oracle also has) —
+    tolerable only because n_merges stays small (2^n inlining); the
+    production path is the operator, not this replay."""
+    ctes = [
+        "v0 AS (SELECT word, count(*) AS cnt FROM ("
+        "SELECT unnest(list_filter("
+        "regexp_split_to_array(lower(text), '\\s+'),"
+        " t -> regexp_matches(t, '^[a-z0-9]+$'))) AS word"
+        " FROM documents) GROUP BY word)",
+        "c0 AS (SELECT list_filter(regexp_split_to_array(word, ''),"
+        " t -> t <> '') AS w, cnt FROM v0)",
+    ]
+    for k in range(1, n_merges + 1):
+        prev = f"c{k - 1}"
+        ctes.append(
+            f"""p{k} AS (
+      SELECT unnest([w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))])
+               AS pair, cnt
+      FROM {prev})"""
+        )
+        ctes.append(
+            f"b{k} AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS n"
+            f" FROM p{k} GROUP BY pair ORDER BY n DESC, pair LIMIT 1)"
+        )
+        if k < n_merges:
+            ctes.append(
+                f"""s{k} AS (
+      SELECT trim(regexp_replace(' ' || array_to_string(w, '  ') || ' ',
+                  (SELECT ' ' || replace(pair, ' ', '  ') || ' '
+                   FROM b{k}),
+                  (SELECT ' ' || replace(pair, ' ', '') || ' '
+                   FROM b{k}), 'g')) AS s, cnt
+      FROM {prev})"""
+            )
+            ctes.append(
+                f"c{k} AS (SELECT list_filter(regexp_split_to_array(s,"
+                f" ' +'), t -> t <> '') AS w, cnt FROM s{k})"
+            )
+    rows = "\n    UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, (SELECT pair FROM b{k}) AS pair,"
+        f" (SELECT n FROM b{k}) AS pair_count"
+        for k in range(1, n_merges + 1)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    " + rows
+        + "\n    ORDER BY merge_rank"
+    )
+
+
+@query(
+    "bpe_char_merges_documents",
+    oracle=_bpe_chars_oracle(3),
+    tags=("tier-c", "tokenizer", "bpe_train", "text_analysis",
+          "iterative", "vocab_bounded"),
+)
+def bpe_char_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHARACTER-level BPE training on the (word, count) frequency frame
+    (operators/text.bpe_learn_merges_chars) — the production
+    tokenizer-training shape the round-12 verdict asked for: the corpus
+    reduces ONCE to distinct words with counts, then every round's pair
+    count, argmax, and merge run over the |vocab|-sized symbol frame
+    with pair counts WEIGHTED by word frequency (within-word
+    multiplicity counts, per Sennrich et al. 2016) — per-round work no
+    longer touches the corpus, which is what makes 30k-merge training
+    plausible at 100 TB. Deterministic argmax (count desc, pair asc),
+    double-space greedy merge application, 1-row collect per round; no
+    ``</w>`` sentinel (outside the alnum alphabet contract — documented
+    divergence shared by oracle and the pure-Python Sennrich reference
+    in the pytest differential). The oracle unrolls all three
+    char-level rounds and replays weighted counts, tie-breaks, and
+    application value-exactly."""
+    from sql4pandas_spark.operators.text import bpe_learn_merges_chars
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    merges = bpe_learn_merges_chars(t["documents"], n_merges=3)
+    return spark.createDataFrame(
+        [
+            (k + 1, f"{left} {right}", int(n))
+            for k, (left, right, n) in enumerate(merges)
+        ],
+        "merge_rank int, pair string, pair_count long",
+    )
+
+
 #: the incremental entry's corpus: the batch pages PLUS a banner line
 #: that is rare in the even batch (~10% — below the 30% threshold, so
 #: batch 1 KEEPS it) but common in the odd batch (~71%), so the

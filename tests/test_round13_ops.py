@@ -180,6 +180,92 @@ def test_public_suffix_snapshot_shape():
         assert all(lbl and lbl.replace("-", "").isalnum() for lbl in s.split("."))
 
 
+# ------------------------------ character-level BPE on (word, count)
+
+
+def _py_sennrich_bpe(texts, n_merges):
+    """Pure-Python Sennrich et al. 2016 learn_bpe over a (word, count)
+    vocab — character symbols, pair counts weighted by word frequency
+    with within-word multiplicity, argmax (count desc, pair asc),
+    greedy left-to-right merge within words. No </w> sentinel (the
+    engine's documented divergence, mirrored here)."""
+    import re
+    from collections import Counter
+
+    vocab = Counter(
+        w
+        for t in texts
+        for w in re.split(r"\s+", t.lower())
+        if re.fullmatch("[a-z0-9]+", w)
+    )
+    symbols = {w: tuple(w) for w in vocab}
+    merges = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, cnt in vocab.items():
+            s = symbols[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += cnt
+        if not pairs:
+            return merges
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), n = best
+        merges.append((left, right, n))
+        for w, s in symbols.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            symbols[w] = tuple(out)
+    return merges
+
+
+def test_bpe_chars_matches_sennrich_reference(spark):
+    from sql4pandas_spark.operators.text import bpe_learn_merges_chars
+
+    corpora = [
+        ["the theme there", "the other theme", "a b the"],
+        # within-word multiplicity: 'aaaa' holds three 'a a' pairs
+        ["aaaa aaaa bb", "aaab"],
+        # merged symbols must merge further (multi-char pairs)
+        ["lower lower lowest low", "newer newest new"],
+        # weighted counts: one frequent short word vs many rare long ones
+        ["of of of of of", "offer office official"],
+    ]
+    for texts in corpora:
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = bpe_learn_merges_chars(df, n_merges=3)
+        want = _py_sennrich_bpe(texts, 3)
+        assert got == want, f"texts={texts!r}: {got} != {want}"
+
+
+def test_bpe_chars_exhaustion_is_loud(spark):
+    from sql4pandas_spark.operators.text import bpe_learn_merges_chars
+
+    # single 2-char word: one merge possible, round 2 finds no pairs
+    df = spark.createDataFrame([("ab ab",)], "text string")
+    assert bpe_learn_merges_chars(df, n_merges=1) == [("a", "b", 2)]
+    with pytest.raises(ValueError, match="exhausted adjacent symbol pairs"):
+        bpe_learn_merges_chars(df, n_merges=2)
+
+
+def test_bpe_chars_vocab_weighting_differs_from_word_level(spark):
+    """The char trainer counts pairs weighted by word FREQUENCY over a
+    reduced vocab — pin that a repeated word contributes its full count
+    (i.e. the vocab reduction keeps counts, does not dedup them away)."""
+    from sql4pandas_spark.operators.text import bpe_learn_merges_chars
+
+    df = spark.createDataFrame(
+        [("zz zz zz",), ("xy",)], "text string"
+    )
+    # 'z z' appears once per zz occurrence = 3; 'x y' = 1
+    assert bpe_learn_merges_chars(df, n_merges=1) == [("z", "z", 3)]
+
+
 # ------------------------------- PageRank dangling-mass redistribution
 
 
