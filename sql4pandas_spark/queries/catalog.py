@@ -87,6 +87,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "domain_blocklist_psl",
     "domain_pagerank_sinks",
     "bpe_char_merges_documents",
+    "crawl_curation_ranked",
     # -- the 18 entries green only in r12 --
     "incremental_boilerplate_batches",
     "bpe_merges_documents",

@@ -352,6 +352,31 @@ def test_pagerank_no_dangling_redistribution_is_identity(spark):
     assert plain == fixed
 
 
+# ---------------------------------- rank-weighted crawl curation
+
+
+def test_crawl_curation_ranked_gate_is_load_bearing(spark):
+    """The authority gate must (a) equal keep AND decile<=8 row-for-row,
+    (b) actually FLIP documents (quality-pass docs in the bottom two
+    authority deciles exist and are dropped), and (c) key deciles off
+    the pagerank ordering (decile 1 holds the max rank)."""
+    from sql4pandas_spark.queries.catalog import load_catalog
+
+    cat = load_catalog()
+    rows = cat["crawl_curation_ranked"].build(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "empty result"
+    for r in rows:
+        assert r["keep_ranked"] == (r["keep"] and r["rank_decile"] <= 8)
+    flips = [r for r in rows if r["keep"] and not r["keep_ranked"]]
+    assert flips, "authority gate never fired — planting is vacuous"
+    top = max(rows, key=lambda r: (r["rank_e9"], r["doc_id"]))
+    assert top["rank_decile"] == 1
+    low = min(rows, key=lambda r: (r["rank_e9"], r["doc_id"]))
+    assert low["rank_decile"] == 10
+
+
 # --------------------- 4. HTML whitespace stages: \x0B oracle parity
 
 
