@@ -88,6 +88,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "domain_pagerank_sinks",
     "bpe_char_merges_documents",
     "crawl_curation_ranked",
+    "url_dedup_curation",
     # -- the 18 entries green only in r12 --
     "incremental_boilerplate_batches",
     "bpe_merges_documents",

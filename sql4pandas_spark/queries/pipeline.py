@@ -7442,15 +7442,20 @@ def _crawl_chain_oracle() -> str:
     return f"\n    WITH {ctes}\n    {final}\n    ORDER BY doc_id\n    "
 
 
-def _crawl_chain_parts() -> tuple[str, str]:
+def _crawl_chain_parts(p_sql: str | None = None) -> tuple[str, str]:
     """(cte_block, final_select) of the curation-chain replay — exposed
-    separately so the rank-weighted composition can splice the chain
-    in front of the unrolled PageRank rounds in one WITH clause."""
+    separately so composed oracles (rank-weighted curation, URL-dedup
+    front end) can splice the chain into a larger WITH clause.
+    ``p_sql`` overrides the planted source; it must yield
+    (doc_id, domain, html) and may reference CTEs the caller emits
+    BEFORE this block."""
     strip = (
         "list_filter(string_split({t}, chr(10)),"
         " x -> NOT coalesce(list_contains(b.bll, x), false))"
     )
-    ctes = f"""p AS ({_CRAWL_PLANTED_SQL}),
+    if p_sql is None:
+        p_sql = _CRAWL_PLANTED_SQL
+    ctes = f"""p AS ({p_sql}),
     x AS (SELECT doc_id, domain, {_html_oracle_expr("html")} AS text FROM p),
     l AS (SELECT domain,
                  unnest(list_distinct(string_split(text, chr(10)))) AS line
@@ -7522,10 +7527,13 @@ def crawl_curation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _crawl_chain_df(spark, sf_dir).orderBy("doc_id")
 
 
-def _crawl_chain_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _crawl_chain_df(
+    spark: SparkSession, sf_dir: str, planted: DataFrame | None = None
+) -> DataFrame:
     """The extract → strip → gate chain frame (doc_id, domain,
-    n_lines_removed, n_words, keep) — shared by the plain and the
-    rank-weighted entries."""
+    n_lines_removed, n_words, keep) — shared by the plain, the
+    rank-weighted, and the URL-dedup-fronted entries. ``planted``
+    overrides the (doc_id, domain, html) source frame."""
     from sql4pandas_spark.operators.text import (
         gopher_rules,
         html_to_text,
@@ -7533,7 +7541,7 @@ def _crawl_chain_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     register_tables(spark, sf_dir, ("documents",))
-    p = spark.sql(_CRAWL_PLANTED_SQL)
+    p = planted if planted is not None else spark.sql(_CRAWL_PLANTED_SQL)
     extracted = p.select(
         "doc_id", "domain", html_to_text(F.col("html")).alias("text")
     )
@@ -7816,6 +7824,145 @@ def _crawl_ranked_oracle() -> str:
       ON dec.node = 'd' || CAST(g.doc_id % 20 AS STRING)
     ORDER BY g.doc_id
     """
+
+
+#: URL variants for the dedup-fronted entry — every group of four
+#: doc_ids is the SAME page arriving four ways (tracking params,
+#: param order, default port, fragment, scheme/host case, trailing
+#: slash), so each canonicalization rule is load-bearing: dropping any
+#: one leaves some variant un-collapsed and the group count wrong
+_URL_VARIANTS_SQL = """
+      SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 'https://News.Site.com/article/' || CAST(g AS STRING)
+                           || '?utm_source=feed&id=' || CAST(g % 7 AS STRING)
+                           || '&z=2'
+               WHEN 1 THEN 'https://news.site.com:443/article/' || CAST(g AS STRING)
+                           || '?z=2&id=' || CAST(g % 7 AS STRING)
+                           || '&utm_campaign=x'
+               WHEN 2 THEN 'https://news.site.com/article/' || CAST(g AS STRING)
+                           || '?id=' || CAST(g % 7 AS STRING)
+                           || '&z=2#sec'
+               ELSE 'HTTPS://NEWS.SITE.COM/article/' || CAST(g AS STRING)
+                    || '/?z=2&id=' || CAST(g % 7 AS STRING)
+             END AS url
+      FROM (SELECT doc_id, CAST(floor(doc_id / 4) AS BIGINT) AS g
+            FROM documents)
+"""
+
+
+def _canonical_url_ctes(url_src: str) -> str:
+    """DuckDB replay of operators/text.canonical_url as a CTE pipeline
+    over ``url_src`` (doc_id, url) — fragment drop, scheme/host
+    lowercase, default-port strip, tracking-param drop + param SORT,
+    one-trailing-slash strip — ending in ``canon`` (doc_id, curl)."""
+    return """
+    c1 AS (SELECT doc_id, regexp_replace(trim(url), '#.*$', '', 'g') AS u
+           FROM {src}),
+    c2 AS (SELECT doc_id, u,
+                  lower(regexp_extract(u,
+                    '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+                  regexp_replace(u,
+                    '^[A-Za-z][A-Za-z0-9+.\\-]*://', '', 'g') AS rest
+           FROM c1),
+    c3 AS (SELECT doc_id, scheme, rest,
+                  lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport
+           FROM c2),
+    c4 AS (SELECT doc_id, scheme,
+                  CASE WHEN scheme = 'https'
+                         THEN regexp_replace(hostport, ':443$', '', 'g')
+                       WHEN scheme = 'http'
+                         THEN regexp_replace(hostport, ':80$', '', 'g')
+                       ELSE hostport END AS host,
+                  substr(rest, length(hostport) + 1) AS pathq
+           FROM c3),
+    c5 AS (SELECT doc_id, scheme, host,
+                  regexp_extract(pathq, '^([^?]*)', 1) AS path,
+                  regexp_extract(pathq, '\\?(.*)$', 1) AS query
+           FROM c4),
+    c6 AS (SELECT doc_id, scheme, host, path,
+                  list_sort(list_filter(string_split(query, '&'),
+                    q -> q <> '' AND NOT starts_with(q, 'utm_')
+                         AND NOT regexp_matches(q, '^(gclid|fbclid)(=|$)')))
+                    AS params
+           FROM c5),
+    canon AS (SELECT doc_id,
+                     scheme || '://' || host
+                     || CASE WHEN length(path) > 1 AND ends_with(path, '/')
+                             THEN substr(path, 1, length(path) - 1)
+                             ELSE path END
+                     || CASE WHEN len(params) > 0
+                             THEN '?' || array_to_string(params, '&')
+                             ELSE '' END AS curl
+              FROM c6)""".format(src=url_src)
+
+
+def _url_dedup_curation_oracle() -> str:
+    """URL-dedup front end + chain replay in ONE statement: planted
+    variants → canonical_url CTE pipeline → keep-min-doc_id per
+    canonical URL → the chain CTEs over the survivors → chain output
+    joined back to (curl, n_dup_urls)."""
+    chain_ctes, chain_final = _crawl_chain_parts(
+        "SELECT s.doc_id, b.domain, b.html FROM surv s"
+        " JOIN base b ON b.doc_id = s.doc_id"
+    )
+    return f"""
+    WITH base AS ({_CRAWL_PLANTED_SQL}),
+    u AS ({_URL_VARIANTS_SQL}),
+    {_canonical_url_ctes("u")},
+    surv AS (SELECT curl, min(doc_id) AS doc_id,
+                    CAST(count(*) AS BIGINT) AS n_dup_urls
+             FROM canon GROUP BY curl),
+    {chain_ctes},
+    g AS ({chain_final})
+    SELECT g.doc_id, g.domain, g.n_lines_removed, g.n_words, g.keep,
+           s.curl, s.n_dup_urls
+    FROM g JOIN surv s ON s.doc_id = g.doc_id
+    ORDER BY g.doc_id
+    """
+
+
+@query(
+    "url_dedup_curation",
+    oracle=_url_dedup_curation_oracle(),
+    tags=("tier-c", "dedup_exact", "url_canonical", "html_extract",
+          "boilerplate", "gopher_rules", "pipeline", "quality"),
+)
+def url_dedup_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + exact URL dedup as the station IN FRONT of
+    the curation chain — the first thing a crawl pipeline does with a
+    fetched URL list (operators/text.canonical_url, until now tested
+    but not deployed in a chain): every planted group of four doc_ids
+    is the SAME page arriving under tracking params, shuffled param
+    order, an explicit default port, a fragment, upper-case scheme and
+    host, and a trailing slash, so each canonicalization rule is
+    load-bearing in the group counts; dedup keeps the first crawl
+    (min doc_id per canonical URL — one |URLs|-keyed groupBy, the
+    exact-dedup shape) and ONLY the survivors flow into extract →
+    strip → gate (the boilerplate votes are counted over the DEDUPED
+    corpus, as production curation does — duplicate pages must not
+    multiply votes). Output: chain columns + canonical URL +
+    n_dup_urls, replayed end-to-end by one spliced oracle."""
+    from sql4pandas_spark.operators.text import canonical_url
+
+    register_tables(spark, sf_dir, ("documents",))
+    base = spark.sql(_CRAWL_PLANTED_SQL)
+    urls = spark.sql(_URL_VARIANTS_SQL)
+    canon = urls.select("doc_id", canonical_url(F.col("url")).alias("curl"))
+    surv = canon.groupBy("curl").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_dup_urls"),
+    )
+    planted = surv.join(base, "doc_id").select("doc_id", "domain", "html")
+    chain = _crawl_chain_df(spark, sf_dir, planted=planted)
+    return (
+        chain.join(surv.select("doc_id", "curl", "n_dup_urls"), "doc_id")
+        .select(
+            "doc_id", "domain", "n_lines_removed", "n_words", "keep",
+            "curl", "n_dup_urls",
+        )
+        .orderBy("doc_id")
+    )
 
 
 @query(

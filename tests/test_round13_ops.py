@@ -352,6 +352,45 @@ def test_pagerank_no_dangling_redistribution_is_identity(spark):
     assert plain == fixed
 
 
+# ----------------------------- URL dedup in front of the curation chain
+
+
+def test_url_variants_collapse_to_one_canonical(spark):
+    """The planted family: tracking params, param order, default port,
+    fragment, case, trailing slash — all four variants must key to the
+    SAME canonical URL (each rule load-bearing)."""
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.text import canonical_url
+
+    variants = [
+        "https://News.Site.com/article/9?utm_source=feed&id=2&z=2",
+        "https://news.site.com:443/article/9?z=2&id=2&utm_campaign=x",
+        "https://news.site.com/article/9?id=2&z=2#sec",
+        "HTTPS://NEWS.SITE.COM/article/9/?z=2&id=2",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "url string")
+    got = {
+        r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()
+    }
+    assert got == {"https://news.site.com/article/9?id=2&z=2"}
+
+
+def test_url_dedup_curation_group_counts(spark):
+    """At sf0.001 (500 docs) the dedup must keep exactly 125 survivors
+    (one per 4-variant group), every group fully collapsed, and the
+    survivor must be the FIRST crawl (min doc_id ≡ 0 mod 4)."""
+    from sql4pandas_spark.queries.catalog import load_catalog
+
+    rows = load_catalog()["url_dedup_curation"].build(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 125
+    assert all(r["n_dup_urls"] == 4 for r in rows)
+    assert all(r["doc_id"] % 4 == 0 for r in rows)
+    assert len({r["curl"] for r in rows}) == 125
+
+
 # ---------------------------------- rank-weighted crawl curation
 
 
