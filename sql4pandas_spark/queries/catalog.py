@@ -89,6 +89,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "bpe_char_merges_documents",
     "crawl_curation_ranked",
     "url_dedup_curation",
+    "corpus_assembly_e2e",
     # -- the 18 entries green only in r12 --
     "incremental_boilerplate_batches",
     "bpe_merges_documents",

@@ -929,6 +929,163 @@ _PIPELINE_E2E_ORACLE = f"""
 """
 
 
+#: assembly planting — the synthetic corpus contains at most ONE Gopher
+#: stopword per doc, so the unmodified gate would empty the build (and
+#: make every downstream stage vacuous); two thirds of the docs get a
+#: stopword-bearing clause appended so the gate keeps ~2/3 and DROPS the
+#: rest — both outcomes load-bearing in the census hash
+_ASSEMBLY_PLANTED_SQL = """
+      SELECT doc_id, lang, source,
+             text || CASE WHEN doc_id % 3 <> 0
+                          THEN ' of the data that we have with it'
+                          ELSE '' END AS text
+      FROM documents
+"""
+
+
+_CORPUS_ASSEMBLY_ORACLE = f"""
+    WITH pl AS ({{planted}}),
+    toks AS (
+      SELECT doc_id, lang, source, text,
+             list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x <> '') AS w,
+             string_split(text, chr(10)) AS lines
+      FROM pl),
+    m AS (SELECT doc_id, lang, source, text,
+                 len(w) AS n,
+                 list_sum(list_transform(w, x -> length(x)))::BIGINT
+                   AS sum_len,
+                 len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                   AS n_alpha,
+                 len(lines) AS n_lines,
+                 len(list_filter(lines, l -> starts_with(l, '- ')))
+                   AS n_bullet,
+                 len(list_filter(lines, l -> l LIKE '%...')) AS n_ell,
+                 len(list_filter(['the', 'be', 'to', 'of', 'and', 'that',
+                                  'have', 'with'],
+                                 s -> list_contains(
+                                        list_transform(w, x -> lower(x)), s)))
+                   AS n_stop
+          FROM toks),
+    gated AS (
+      SELECT doc_id, lang, source, text, n FROM m
+      WHERE (n >= 20 AND n <= 100000) AND (sum_len >= 3 * n AND
+             sum_len <= 10 * n) AND (5 * n_alpha > 4 * n) AND
+            (10 * n_bullet < 9 * n_lines) AND (10 * n_ell < 3 * n_lines)
+            AND (n_stop >= 2)),
+    deduped AS (
+      SELECT doc_id, lang, source, text, n
+      FROM (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id)
+                      AS rn FROM gated) WHERE rn = 1),
+    counts AS (SELECT lang AS c_lang, count(*) AS n_s
+               FROM deduped GROUP BY lang),
+    rates AS (SELECT c_lang,
+                     least(1.0, pow(n_s, 0.5) / sum(pow(n_s, 0.5)) OVER ()
+                           * 300.0 / n_s) AS frac
+              FROM counts),
+    mixed AS (
+      SELECT d.doc_id, d.lang, d.source, d.text, d.n
+      FROM deduped d JOIN rates r ON r.c_lang = d.lang
+      WHERE ({text.DUCKDB_HASH60_SQL.format(expr="CAST(doc_id AS VARCHAR)")})::DOUBLE
+              < r.frac * 1152921504606846976.0),
+    packedw AS (
+      SELECT source, doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start_off
+      FROM (SELECT source, doc_id,
+                   len(list_filter(string_split(text, ' '), x -> x <> ''))
+                     AS n_tok
+            FROM mixed))
+    SELECT 'p1_gated' AS stage, lang AS key,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(NULL AS BIGINT) AS n_seqs
+    FROM gated GROUP BY lang
+    UNION ALL
+    SELECT 'p2_deduped', lang, CAST(count(*) AS BIGINT),
+           CAST(sum(n) AS BIGINT), CAST(NULL AS BIGINT)
+    FROM deduped GROUP BY lang
+    UNION ALL
+    SELECT 'p3_mixed', lang, CAST(count(*) AS BIGINT),
+           CAST(sum(n) AS BIGINT), CAST(NULL AS BIGINT)
+    FROM mixed GROUP BY lang
+    UNION ALL
+    SELECT 'p4_packed', source, CAST(count(*) AS BIGINT),
+           CAST(sum(n_tok) AS BIGINT),
+           CAST(count(DISTINCT start_off // 256) AS BIGINT)
+    FROM packedw GROUP BY source
+    ORDER BY stage, key
+""".format(planted=_ASSEMBLY_PLANTED_SQL)
+
+
+@query(
+    "corpus_assembly_e2e",
+    oracle=_CORPUS_ASSEMBLY_ORACLE,
+    tags=("tier-c", "pipeline", "gopher_rules", "dedup_exact",
+          "temperature_mix", "pack_sequences", "data_mix", "quality"),
+)
+def corpus_assembly_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL pretraining-corpus build at today's catalog width, one
+    hash-checked census (the round-12 verdict's deployment-glue ask):
+    Gopher quality gate (word floor 20, the published integer rule set)
+    → exact dedup keep-first per content (row_number over the text
+    partition) → temperature mix at alpha=0.5 / target 300 (the
+    mT5-style rare-language up-weighting, deterministic via the
+    portable-hash threshold) → 256-token sequence packing per source
+    stream (window cumsum, concat-then-chunk). The output is the
+    per-stage / per-stratum census — (stage, key, n_docs, n_tokens,
+    n_seqs) — so corpus shrinkage is attributable stage by stage, and
+    one value hash pins all four stages AND their composition order.
+    Token conventions per stage: corpus stages report the gate's
+    whitespace word count; the packed stage reports the packer's
+    space-split tokens (its budget unit). Plan: one scan feeds the gate
+    (row-local HOFs), one dedup shuffle on text, a broadcast rate join
+    for the mix, one source-keyed window for packing — the same shapes
+    the standalone entries declare."""
+    from pyspark.sql import Window
+
+    from sql4pandas_spark.operators.sampling import temperature_sample
+    from sql4pandas_spark.operators.text import gopher_rules, pack_sequences
+
+    register_tables(spark, sf_dir, ("documents",))
+    docs = spark.sql(_ASSEMBLY_PLANTED_SQL)
+    gate = gopher_rules(docs, min_words=20).filter(F.col("keep")).select(
+        "doc_id", F.col("n_words").alias("n")
+    )
+    gated = docs.select("doc_id", "lang", "source", "text").join(gate, "doc_id")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    deduped = (
+        gated.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    mixed = temperature_sample(deduped, "lang", alpha=0.5, target_total=300)
+    packed = pack_sequences(mixed, budget_tokens=256)
+
+    def census(df: DataFrame, stage: str, key: str) -> DataFrame:
+        return df.groupBy(F.col(key).alias("key")).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("n_tokens"),
+        ).select(
+            F.lit(stage).alias("stage"), "key", "n_docs", "n_tokens",
+            F.lit(None).cast("long").alias("n_seqs"),
+        )
+
+    packed_census = packed.groupBy(F.col("source").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens_doc").cast("long").alias("n_tokens"),
+        F.countDistinct("seq_id").alias("n_seqs"),
+    ).select(F.lit("p4_packed").alias("stage"), "key", "n_docs", "n_tokens", "n_seqs")
+    return (
+        census(gated, "p1_gated", "lang")
+        .unionByName(census(deduped, "p2_deduped", "lang"))
+        .unionByName(census(mixed, "p3_mixed", "lang"))
+        .unionByName(packed_census)
+        .orderBy("stage", "key")
+    )
+
+
 @query(
     "pipeline_end_to_end",
     oracle=_PIPELINE_E2E_ORACLE,

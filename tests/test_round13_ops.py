@@ -352,6 +352,43 @@ def test_pagerank_no_dangling_redistribution_is_identity(spark):
     assert plain == fixed
 
 
+# ----------------------------------- full corpus-assembly composition
+
+
+def test_corpus_assembly_census_stage_monotonicity(spark):
+    """Each stage can only shrink the per-language corpus (gate ⊇ dedup
+    ⊇ mix), the temperature mix must up-weight rare languages (a rarer
+    language keeps a HIGHER fraction of its deduped docs), and the
+    packed stage must report every mixed doc exactly once across
+    source streams."""
+    from sql4pandas_spark.queries.catalog import load_catalog
+
+    rows = load_catalog()["corpus_assembly_e2e"].build(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_stage: dict = {}
+    for r in rows:
+        by_stage.setdefault(r["stage"], {})[r["key"]] = r
+    g, d, x = by_stage["p1_gated"], by_stage["p2_deduped"], by_stage["p3_mixed"]
+    for lang in d:
+        assert d[lang]["n_docs"] <= g[lang]["n_docs"]
+    for lang in x:
+        assert x[lang]["n_docs"] <= d[lang]["n_docs"]
+    # temperature alpha=0.5: keep-fraction ordering is inverse to size
+    fracs = sorted(
+        (d[lang]["n_docs"], x.get(lang, {"n_docs": 0})["n_docs"] / d[lang]["n_docs"])
+        for lang in d
+    )
+    assert fracs[0][1] >= fracs[-1][1], fracs
+    packed_docs = sum(r["n_docs"] for r in by_stage["p4_packed"].values())
+    mixed_docs = sum(r["n_docs"] for r in x.values())
+    assert packed_docs == mixed_docs
+    for r in by_stage["p4_packed"].values():
+        # each doc lands in exactly one sequence (its start offset's bin)
+        assert r["n_seqs"] is not None
+        assert 1 <= r["n_seqs"] <= r["n_docs"]
+
+
 # ----------------------------- URL dedup in front of the curation chain
 
 

@@ -140,7 +140,12 @@ def main() -> int:
                 orows = res.fetchall()
                 timings[name]["duckdb_s"] = round(time.time() - td, 3)
                 ocols = [d[0] for d in res.description]
-                if len(srows) != len(orows):
+                if len(srows) == 0 and len(orows) == 0:
+                    # 0 == 0 with equal hashes proves nothing — the
+                    # round-13 corpus_assembly gate emptied its corpus
+                    # and sailed through as a vacuous MATCH
+                    bad.append((name, "0-row result on BOTH engines — vacuous MATCH"))
+                elif len(srows) != len(orows):
                     bad.append((name, f"rowcount {len(srows)} vs {len(orows)}"))
                 elif sorted(sdf.columns) != sorted(ocols):
                     bad.append((name, f"cols {sorted(sdf.columns)} vs {sorted(ocols)}"))
