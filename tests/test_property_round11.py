@@ -94,6 +94,68 @@ def _power(draw):
     return f"CAST({base} ** {exp} AS BIGINT)", base**exp
 
 
+# ---- round-13 extensions: the round-12 session-2 rewrite classes ----
+
+#: chr() codes the fold must handle: tab, newline, comma, pipe, hash —
+#: the last three are regex-meta or plain, newline exercises a literal
+#: that can't be spelled raw in a one-line statement
+_CHR_CODES = [9, 10, 44, 124, 35]
+
+
+@st.composite
+def _chr_split_expr(draw):
+    """len(string_split(data, chr(N))) — the chr(N) separator FOLD
+    (r12 session-2) with the data string carrying the real character,
+    so a wrong fold changes the count."""
+    code = draw(st.sampled_from(_CHR_CODES))
+    words = draw(st.lists(st.sampled_from(_WORDS), min_size=1, max_size=4))
+    data = chr(code).join(words)
+    d_lit = "'" + data.replace("'", "''") + "'"
+    return f"len(string_split({d_lit}, chr({code})))", len(words)
+
+
+@st.composite
+def _starts_ends_expr(draw):
+    """starts_with/ends_with (r12 session-2 mappings) over needles that
+    include regex metachars — both are LITERAL matches in both engines."""
+    word = draw(st.sampled_from(["aa.bb", "a|b", "x(y", "plain", "a$"]))
+    k = draw(st.integers(min_value=1, max_value=3))
+    needle = word[:k] if draw(st.booleans()) else word[-k:]
+    fn = draw(st.sampled_from(["starts_with", "ends_with"]))
+    w_lit = "'" + word.replace("'", "''") + "'"
+    n_lit = "'" + needle.replace("'", "''") + "'"
+    val = word.startswith(needle) if fn == "starts_with" else word.endswith(needle)
+    return f"CAST({fn}({w_lit}, {n_lit}) AS BIGINT)", int(val)
+
+
+@st.composite
+def _list_reduce_expr(draw):
+    """list_reduce → aggregate mapping (r12) over a non-empty int list."""
+    xs = draw(st.lists(ints, min_size=1, max_size=5))
+    lit = "[" + ", ".join(str(x) for x in xs) + "]"
+    op = draw(st.sampled_from(["+", "*"]))
+    import functools
+    import operator
+
+    val = functools.reduce(operator.add if op == "+" else operator.mul, xs)
+    return f"list_reduce({lit}, (a, b) -> a {op} b)", val
+
+
+@st.composite
+def _regexp_extract2_expr(draw):
+    """2-arg regexp_extract (group-0 pin, r12 ADVICE fix): length of the
+    FIRST match of a char-class run, computed independently in Python."""
+    import re
+
+    word = draw(st.sampled_from(["abc123de", "zz9", "42", "a1b22c333", "xyz"]))
+    pat = draw(st.sampled_from(["[0-9]+", "[a-z]+", "b+"]))
+    m = re.search(pat, word)
+    return (
+        f"length(regexp_extract('{word}', '{pat}'))",
+        len(m.group(0)) if m else 0,
+    )
+
+
 @st.composite
 def _statement(draw):
     exprs, expect = [], []
@@ -102,6 +164,8 @@ def _statement(draw):
             st.one_of(
                 _split_expr(), _int_arith(), _list_index(),
                 _comprehension_sum(), _struct_field(), _power(),
+                _chr_split_expr(), _starts_ends_expr(),
+                _list_reduce_expr(), _regexp_extract2_expr(),
             )
         )
         exprs.append(e)
