@@ -90,6 +90,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "crawl_curation_ranked",
     "url_dedup_curation",
     "corpus_assembly_e2e",
+    "boilerplate_psl_domains",
     # -- the 18 entries green only in r12 --
     "incremental_boilerplate_batches",
     "bpe_merges_documents",

@@ -7040,6 +7040,101 @@ def domain_blocklist_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: boilerplate-under-PSL planting: two DISTINCT .co.uk shops plus a
+#: hosted-platform site and a .com control. 'Free UK delivery' sits in
+#: exactly 60% of shopa's pages (≥ the 60% threshold → stripped when
+#: grouped per PSL site) but a last-two-labels grouping pools shopa and
+#: shopb into one `co.uk` "domain" where the line is ~30% (< 60 → kept)
+#: and each shop's 100% banner dilutes to ~50% (< 60 → kept) — so the
+#: naive grouping produces a DIFFERENT clean_text on most rows
+_BP_PSL_PLANTED_SQL = """
+      SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 'https://shopa.co.uk/p/' || CAST(doc_id AS STRING)
+               WHEN 1 THEN 'https://shopb.co.uk/p/' || CAST(doc_id AS STRING)
+               WHEN 2 THEN 'https://mysite.github.io/p/' || CAST(doc_id AS STRING)
+               ELSE 'https://example.com/p/' || CAST(doc_id AS STRING)
+             END AS url,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN CASE WHEN doc_id % 10 < 6
+                                THEN 'Free UK delivery' || chr(10)
+                                ELSE '' END
+                           || 'BannerA' || chr(10)
+                           || 'content-' || CAST(doc_id AS STRING)
+               WHEN 1 THEN 'BannerB' || chr(10)
+                           || 'content-' || CAST(doc_id AS STRING)
+               WHEN 2 THEN 'BannerG' || chr(10)
+                           || 'content-' || CAST(doc_id AS STRING)
+               ELSE 'BannerE' || chr(10)
+                    || 'content-' || CAST(doc_id AS STRING)
+             END AS text
+      FROM documents
+"""
+
+
+@query(
+    "boilerplate_psl_domains",
+    oracle=f"""
+    WITH u AS ({_BP_PSL_PLANTED_SQL}),
+    {_psl_domain_oracle_cte("u")},
+    docs AS (SELECT u.doc_id, d.domain, u.text
+             FROM u JOIN d ON d.doc_id = u.doc_id),
+    l AS (SELECT domain,
+                 unnest(list_distinct(string_split(text, chr(10)))) AS line
+          FROM docs WHERE domain IS NOT NULL),
+    lc AS (SELECT domain, line, count(*) AS n FROM l GROUP BY 1, 2),
+    dd AS (SELECT domain, count(*) AS nd FROM docs
+           WHERE domain IS NOT NULL GROUP BY 1),
+    bl AS (SELECT lc.domain, list(lc.line) AS bll
+           FROM lc JOIN dd USING (domain)
+           WHERE dd.nd >= 2 AND lc.n * 100 >= dd.nd * 60
+           GROUP BY 1)
+    SELECT docs.doc_id, docs.domain,
+           array_to_string(list_filter(string_split(docs.text, chr(10)),
+             x -> NOT coalesce(list_contains(b.bll, x), false)), chr(10))
+             AS clean_text,
+           CAST(len(string_split(docs.text, chr(10)))
+                - len(list_filter(string_split(docs.text, chr(10)),
+                    x -> NOT coalesce(list_contains(b.bll, x), false)))
+                AS INT) AS n_lines_removed
+    FROM docs LEFT JOIN bl b USING (domain)
+    ORDER BY docs.doc_id
+    """,
+    tags=("tier-c", "boilerplate", "psl", "domain_filter", "quality",
+          "text_analysis"),
+)
+def boilerplate_psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate voting grouped by the PSL-aware registered domain —
+    the second station the round-12 verdict said must inherit correct
+    grouping: URLs key through operators/text.registered_domain, and
+    the per-domain line votes run per REGISTERED SITE, not per ccTLD
+    registry. The planting makes the grouping load-bearing both ways:
+    'Free UK delivery' sits in exactly 60% of shopa.co.uk's pages
+    (stripped per-site; a last-two-labels pool of shopa+shopb dilutes
+    it to ~30% → kept) and each shop's 100% banner dilutes to ~50% in
+    the pooled group (→ kept), so the naive grouping changes
+    clean_text on most rows and fails the hash. Same scale shape as
+    strip_boilerplate: votes shuffle as 8-byte (domain, line-hash)
+    partials, text never moves, decision arrays broadcast back;
+    the hash-free oracle replays votes on the LINE STRINGS, so an
+    xxhash64 collision would fail the entry rather than hide in it."""
+    from sql4pandas_spark.operators.text import (
+        registered_domain,
+        strip_boilerplate,
+    )
+
+    register_tables(spark, sf_dir, ("documents",))
+    u = spark.sql(_BP_PSL_PLANTED_SQL)
+    docs = u.select(
+        "doc_id", registered_domain(F.col("url")).alias("domain"), "text"
+    )
+    return (
+        strip_boilerplate(docs, min_pct=60, min_docs=2)
+        .select("doc_id", "domain", "clean_text", "n_lines_removed")
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "semantic_dedup_clusters",
     oracle="""
