@@ -1020,6 +1020,18 @@ def bpe_learn_merges_chars(
     return merges
 
 
+def bpe_apply_merges(w, merges: list[tuple[str, str, int]]):
+    """Apply a learned merge list IN ORDER to a symbol-array column —
+    the tokenizer INFERENCE side: a fold of :func:`bpe_merge_tokens`,
+    one row-local regexp pass per merge (same greedy left-to-right
+    rule as training), zero UDFs. At 30k merges a production tokenizer
+    replaces the pass-per-merge fold with a trie/linmerge kernel, but
+    the semantics pinned here are the contract it must match."""
+    for left, right, _ in merges:
+        w = bpe_merge_tokens(w, left, right)
+    return w
+
+
 #: the stopword set the Gopher rules require (≥ 2 distinct present) — the
 #: published list; lowercase-matched
 GOPHER_STOPWORDS: tuple[str, ...] = (

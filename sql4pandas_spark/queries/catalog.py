@@ -91,6 +91,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "url_dedup_curation",
     "corpus_assembly_e2e",
     "boilerplate_psl_domains",
+    "bpe_compression_by_lang",
     # -- the 18 entries green only in r12 --
     "incremental_boilerplate_batches",
     "bpe_merges_documents",

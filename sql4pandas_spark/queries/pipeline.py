@@ -8435,6 +8435,119 @@ def bpe_char_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_compression_oracle(n_merges: int = 3) -> str:
+    """DuckDB replay of train-then-APPLY: the char-BPE rounds carrying
+    (lang, word) through the chain (pair counts sum over the split rows
+    to the same word-frequency weights), application of ALL merges
+    including the last, and the per-language compression census —
+    symbols before = word length in chars, after = merged symbol
+    count, both weighted by word frequency."""
+    ctes = [
+        "v0 AS (SELECT lang, word, count(*) AS cnt FROM ("
+        "SELECT lang, unnest(list_filter("
+        "regexp_split_to_array(lower(text), '\\s+'),"
+        " t -> regexp_matches(t, '^[a-z0-9]+$'))) AS word"
+        " FROM documents) GROUP BY lang, word)",
+        "c0 AS (SELECT lang, word, list_filter(regexp_split_to_array(word, ''),"
+        " t -> t <> '') AS w, cnt FROM v0)",
+    ]
+    for k in range(1, n_merges + 1):
+        prev = f"c{k - 1}"
+        ctes.append(
+            f"""p{k} AS (
+      SELECT unnest([w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))])
+               AS pair, cnt
+      FROM {prev})"""
+        )
+        ctes.append(
+            f"b{k} AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS n"
+            f" FROM p{k} GROUP BY pair ORDER BY n DESC, pair LIMIT 1)"
+        )
+        ctes.append(
+            f"""s{k} AS (
+      SELECT lang, word,
+             trim(regexp_replace(' ' || array_to_string(w, '  ') || ' ',
+                  (SELECT ' ' || replace(pair, ' ', '  ') || ' '
+                   FROM b{k}),
+                  (SELECT ' ' || replace(pair, ' ', '') || ' '
+                   FROM b{k}), 'g')) AS s, cnt
+      FROM {prev})"""
+        )
+        ctes.append(
+            f"c{k} AS (SELECT lang, word, list_filter("
+            f"regexp_split_to_array(s, ' +'), t -> t <> '') AS w, cnt"
+            f" FROM s{k})"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT lang,
+           CAST(sum(cnt) AS BIGINT) AS n_words,
+           CAST(sum(length(word) * cnt) AS BIGINT) AS n_symbols_before,
+           CAST(sum(len(w) * cnt) AS BIGINT) AS n_symbols_after
+    FROM c{n_merges} GROUP BY lang ORDER BY lang
+    """
+    )
+
+
+@query(
+    "bpe_compression_by_lang",
+    oracle=_bpe_compression_oracle(3),
+    tags=("tier-c", "tokenizer", "bpe_train", "bpe_apply",
+          "text_analysis", "iterative", "data_mix"),
+)
+def bpe_compression_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-APPLY — the tokenizer deliverable: learn the 3
+    char-level merges corpus-wide (operators/text.
+    bpe_learn_merges_chars), apply the merge list in order to the
+    (lang, word, count) vocab (operators/text.bpe_apply_merges — one
+    row-local greedy regexp pass per merge, the inference-side
+    contract), and report the per-language compression census: word
+    occurrences, character symbols before, merged symbols after —
+    exactly the fertility/compression table a tokenizer-training run
+    publishes per language, and the number that decides whether a
+    merge budget is spent fairly across languages. Merges come from
+    the GLOBAL vocab; application and the census stay |vocab|-bounded
+    (the corpus is touched once, in the word count). The oracle
+    carries (lang, word) through the same unrolled rounds and applies
+    ALL merges including the last."""
+    from sql4pandas_spark.operators.text import (
+        BPE_ALNUM_RE,
+        bpe_apply_merges,
+        bpe_learn_merges_chars,
+        tokens,
+    )
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    merges = bpe_learn_merges_chars(docs, n_merges=3)
+    vocab = (
+        docs.select("lang", F.explode(tokens("text")).alias("word"))
+        .filter(F.col("word").rlike(BPE_ALNUM_RE))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    applied = vocab.select(
+        "lang",
+        "word",
+        "cnt",
+        bpe_apply_merges(
+            F.filter(F.split("word", ""), lambda c: c != ""), merges
+        ).alias("w"),
+    )
+    return (
+        applied.groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.length("word") * F.col("cnt")).cast("long")
+            .alias("n_symbols_before"),
+            F.sum(F.size("w") * F.col("cnt")).cast("long")
+            .alias("n_symbols_after"),
+        )
+        .orderBy("lang")
+    )
+
+
 #: the incremental entry's corpus: the batch pages PLUS a banner line
 #: that is rare in the even batch (~10% — below the 30% threshold, so
 #: batch 1 KEEPS it) but common in the odd batch (~71%), so the

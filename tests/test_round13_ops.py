@@ -266,6 +266,61 @@ def test_bpe_chars_vocab_weighting_differs_from_word_level(spark):
     assert bpe_learn_merges_chars(df, n_merges=1) == [("z", "z", 3)]
 
 
+# ----------------------------- BPE application / compression census
+
+
+def test_bpe_apply_merges_matches_python_fold(spark):
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.text import bpe_apply_merges
+
+    merges = [("h", "e", 0), ("t", "he", 0), ("the", "m", 0)]
+    words = ["the", "theme", "there", "other", "them", "xyz", "hehe"]
+
+    def py_apply(word):
+        syms = list(word)
+        for left, right, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: r["w"]
+        for r in df.select(
+            "word",
+            bpe_apply_merges(
+                F.filter(F.split("word", ""), lambda c: c != ""), merges
+            ).alias("w"),
+        ).collect()
+    }
+    for w in words:
+        assert got[w] == py_apply(w), f"word={w}: {got[w]}"
+
+
+def test_bpe_compression_census_invariants(spark):
+    """Merging can only shrink symbol counts, never below one symbol per
+    word occurrence, and at least one language must actually compress
+    (the corpus guarantees pairs with count >= 2)."""
+    from sql4pandas_spark.queries.catalog import load_catalog
+
+    rows = load_catalog()["bpe_compression_by_lang"].build(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["n_symbols_after"] <= r["n_symbols_before"]
+        assert r["n_symbols_after"] >= r["n_words"]
+    assert any(r["n_symbols_after"] < r["n_symbols_before"] for r in rows)
+
+
 # ------------------------------- PageRank dangling-mass redistribution
 
 
