@@ -92,6 +92,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_assembly_e2e",
     "boilerplate_psl_domains",
     "bpe_compression_by_lang",
+    "vocab_coverage_by_lang",
     # -- the 18 entries green only in r12 --
     "incremental_boilerplate_batches",
     "bpe_merges_documents",

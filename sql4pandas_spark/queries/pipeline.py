@@ -8548,6 +8548,75 @@ def bpe_compression_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "vocab_coverage_by_lang",
+    oracle="""
+    WITH w AS (
+      SELECT lang, unnest(list_filter(
+               regexp_split_to_array(lower(text), '\\s+'),
+               t -> t <> '')) AS word
+      FROM documents),
+    freq AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+    vocab AS (SELECT word FROM (
+                SELECT word, row_number() OVER (ORDER BY n DESC, word) AS r
+                FROM freq) WHERE r <= 25)
+    SELECT w.lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.word IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_in_vocab,
+           CAST(count(DISTINCT CASE WHEN v.word IS NULL THEN w.word END)
+                AS BIGINT) AS n_oov_types
+    FROM w LEFT JOIN vocab v ON v.word = w.word
+    GROUP BY w.lang ORDER BY w.lang
+    """,
+    tags=("tier-c", "tokenizer", "vocab_coverage", "text_analysis",
+          "data_mix"),
+)
+def vocab_coverage_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage census — the fairness audit run after any
+    frequency-truncated vocabulary is chosen: take the top-25 words by
+    CORPUS frequency (deterministic rank: count desc, word asc — the
+    truncation every classical vocab build applies), then report per
+    language the token count, the tokens covered by the vocab, and the
+    distinct OOV word types — the table that shows which languages a
+    shared vocab under-serves (the fertility complement to
+    bpe_compression_by_lang). Plan: one token explode feeds both the
+    global frequency rank (|vocab|-bounded top-k) and the coverage
+    join; the 25-word vocab BROADCASTS, so the corpus-side work is one
+    map-side left join + aggregate."""
+    from pyspark.sql import Window
+
+    from sql4pandas_spark.operators.text import tokens
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    w = t["documents"].select(
+        "lang", F.explode(tokens("text")).alias("word")
+    )
+    freq = w.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        freq.withColumn(
+            "r",
+            F.row_number().over(Window.orderBy(F.col("n").desc(), "word")),
+        )
+        .filter(F.col("r") <= 25)
+        .select(F.col("word").alias("v_word"))
+    )
+    return (
+        w.join(F.broadcast(vocab), w["word"] == F.col("v_word"), "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("v_word").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_in_vocab"),
+            F.countDistinct(
+                F.when(F.col("v_word").isNull(), F.col("word"))
+            ).alias("n_oov_types"),
+        )
+        .orderBy("lang")
+    )
+
+
 #: the incremental entry's corpus: the batch pages PLUS a banner line
 #: that is rare in the even batch (~10% — below the 30% threshold, so
 #: batch 1 KEEPS it) but common in the odd batch (~71%), so the

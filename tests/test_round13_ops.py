@@ -321,6 +321,29 @@ def test_bpe_compression_census_invariants(spark):
     assert any(r["n_symbols_after"] < r["n_symbols_before"] for r in rows)
 
 
+# --------------------------------- vocabulary coverage census
+
+
+def test_vocab_coverage_invariants(spark):
+    """Coverage can't exceed token count; OOV types + vocab size bound
+    the distinct universe; every language shares the SAME global vocab
+    (so a language whose tokens are all OOV still reports n_tokens)."""
+    from sql4pandas_spark.queries.catalog import load_catalog
+
+    rows = load_catalog()["vocab_coverage_by_lang"].build(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_in_vocab"] <= r["n_tokens"]
+        assert r["n_oov_types"] >= 0
+    # the synthetic corpus shares a small global word pool: the top-25
+    # vocab must cover a majority of tokens overall
+    assert sum(r["n_in_vocab"] for r in rows) * 2 > sum(
+        r["n_tokens"] for r in rows
+    )
+
+
 # ------------------------------- PageRank dangling-mass redistribution
 
 
