@@ -93,6 +93,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "boilerplate_psl_domains",
     "bpe_compression_by_lang",
     "vocab_coverage_by_lang",
+    "shard_assign_manifest",
     # -- the 18 entries green only in r12 --
     "incremental_boilerplate_batches",
     "bpe_merges_documents",

@@ -8617,6 +8617,78 @@ def vocab_coverage_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "shard_assign_manifest",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS n_tokens
+      FROM documents),
+    s AS (
+      SELECT source, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start_off
+      FROM d),
+    q AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(start_off // 256 AS BIGINT) AS seq_id
+      FROM s),
+    a AS (
+      SELECT source, doc_id, n_tokens, seq_id,
+             CAST(({text.DUCKDB_HASH60_SQL.format(
+                 expr="source || ':' || CAST(seq_id AS VARCHAR)")}) % 8
+               AS BIGINT) AS shard_id
+      FROM q)
+    SELECT shard_id,
+           CAST(count(DISTINCT source || ':' || CAST(seq_id AS VARCHAR))
+                AS BIGINT) AS n_seqs,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM a GROUP BY shard_id ORDER BY shard_id
+    """,
+    tags=("tier-c", "pack_sequences", "shard_export", "data_mix",
+          "sample_hash"),
+)
+def shard_assign_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard assignment + export manifest — the step AFTER packing in a
+    corpus build: every 256-token training sequence is assigned to one
+    of 8 output shards by the portable content hash of its
+    (source, seq_id) identity — deterministic, engine-independent,
+    restart-safe (a re-run assigns identically, so shard writes are
+    idempotent), and requiring NO total order: hash sharding is the
+    100 TB answer where a global row_number round-robin would serialize
+    on one task. The manifest is the per-shard census every export
+    publishes next to its files: sequence count, document count, token
+    count, distinct sources — the numbers a training job validates
+    before reading a shard. One window for packing (source-keyed, as
+    pack_sequences), one map-side hash, one |shards|-bounded
+    aggregate."""
+    from sql4pandas_spark.operators.text import pack_sequences, portable_hash60
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    packed = pack_sequences(t["documents"], budget_tokens=256)
+    seq_key = F.concat_ws(":", F.col("source"), F.col("seq_id").cast("string"))
+    a = packed.select(
+        "source", "doc_id", "n_tokens_doc", "seq_id",
+        F.pmod(portable_hash60(seq_key), F.lit(8)).cast("long").alias("shard_id"),
+    )
+    return (
+        a.groupBy("shard_id")
+        .agg(
+            F.countDistinct(
+                F.concat_ws(":", F.col("source"), F.col("seq_id").cast("string"))
+            ).alias("n_seqs"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens_doc").cast("long").alias("n_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("shard_id")
+    )
+
+
 #: the incremental entry's corpus: the batch pages PLUS a banner line
 #: that is rare in the even batch (~10% — below the 30% threshold, so
 #: batch 1 KEEPS it) but common in the odd batch (~71%), so the

@@ -321,6 +321,92 @@ def test_bpe_compression_census_invariants(spark):
     assert any(r["n_symbols_after"] < r["n_symbols_before"] for r in rows)
 
 
+# ------------------------------------ shard assignment manifest
+
+
+def test_shard_assignment_deterministic_and_complete(spark):
+    """Hash sharding must (a) assign every packed sequence to exactly
+    one shard, (b) be idempotent across runs, and (c) actually spread
+    load (more than one shard in use; no shard holds everything)."""
+    from sql4pandas_spark.queries.catalog import load_catalog
+
+    build = load_catalog()["shard_assign_manifest"].build
+    rows1 = build(spark, "/root/testdata/sf0.001").collect()
+    rows2 = build(spark, "/root/testdata/sf0.001").collect()
+    assert [tuple(r) for r in rows1] == [tuple(r) for r in rows2]
+    assert all(0 <= r["shard_id"] < 8 for r in rows1)
+    assert len(rows1) > 1
+    total = sum(r["n_docs"] for r in rows1)
+    assert max(r["n_docs"] for r in rows1) < total
+
+
+# ---------------------------- canonical_url property differential
+
+
+_URL_SCHEMES = ["https://", "http://", "HTTPS://", ""]
+_URL_HOSTS = ["Site.com", "news.site.com:443", "a.b.org:80", "x.io"]
+_URL_PATHS = ["", "/", "/p", "/p/", "/a/b"]
+_URL_QUERIES = ["", "?id=2", "?utm_source=f", "?z=2&id=1", "?id=1&utm_a=b&z=9",
+                "?gclid", "?fbclid=x&id=3"]
+_URL_FRAGS = ["", "#sec", "#a?b"]
+
+
+def _py_canonical_url(url: str) -> str:
+    """Independent Python implementation of the canonicalization rules
+    (string ops, not the operator's regexes)."""
+    import re
+
+    u = re.sub(r"#.*$", "", url.strip())
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*)://", u)
+    scheme = (m.group(1).lower() if m else "")
+    rest = u[m.end():] if m else u
+    m2 = re.match(r"^([^/?]*)", rest)
+    hostport = m2.group(1).lower()
+    host = hostport
+    if scheme == "https" and host.endswith(":443"):
+        host = host[:-4]
+    elif scheme == "http" and host.endswith(":80"):
+        host = host[:-3]
+    pathq = rest[len(hostport):]
+    path = pathq.split("?", 1)[0]
+    query = pathq.split("?", 1)[1] if "?" in pathq else ""
+    params = sorted(
+        p for p in query.split("&")
+        if p and not p.startswith("utm_")
+        and not re.match(r"^(gclid|fbclid)(=|$)", p)
+    )
+    if len(path) > 1 and path.endswith("/"):
+        path = path[:-1]
+    return (
+        scheme + "://" + host + path
+        + ("?" + "&".join(params) if params else "")
+    )
+
+
+def test_canonical_url_matches_python_reference(spark):
+    from itertools import product
+
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.text import canonical_url
+
+    urls = [
+        s + h + p + q + f
+        for s, h, p, q, f in product(
+            _URL_SCHEMES, _URL_HOSTS, _URL_PATHS, _URL_QUERIES, _URL_FRAGS
+        )
+    ][::7]  # every 7th of the 1680-case grid — 240 cases, all dimensions
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "id long, url string"
+    )
+    got = {
+        r["id"]: r["c"]
+        for r in df.select("id", canonical_url(F.col("url")).alias("c")).collect()
+    }
+    for i, u in enumerate(urls):
+        assert got[i] == _py_canonical_url(u), f"url={u!r}: {got[i]!r}"
+
+
 # --------------------------------- vocabulary coverage census
 
 
