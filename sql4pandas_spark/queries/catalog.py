@@ -68,22 +68,22 @@ def query(
 #: already have green CORRECTNESS_r01/r02 rows (or are next in line if the
 #: window is ever wider than 50). Future rounds rotate this list.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- ROUND-13 WINDOW ----
-    # CORRECTNESS_r12 went 50/50, so after round 12 exactly 18 entries sit
-    # at ONE committed green (the 18 round-12 additions); every other entry
-    # in the 248-entry catalog is settled (>= 2 saturated greens — ledger
-    # verified by the round-12 judge). Rotation recipe: round-13 NEW
-    # entries (0 greens) first as they land, then the 18 once-green r12
-    # entries, then stalest-settled fillers (the r06-last-green cohort in
-    # registration order, then the r07 cohort). A clean r13 window closes
-    # the >=2-greens evidence ledger for the FULL pre-r13 catalog — the
-    # terminal state three rounds of rotation have been building toward.
+    # ---- ROUND-14 WINDOW ----
+    # CORRECTNESS_r13 went 50/50, so after round 13 exactly 10 entries sit
+    # at ONE committed green (the 10 round-13 additions); every other entry
+    # in the 258-entry catalog is settled (>= 2 saturated greens — ledger
+    # verified by the round-13 judge). Rotation recipe, same as r12/r13:
+    # round-14 NEW entries (0 greens) first as they land, then the 10
+    # once-green r13 entries, then stalest-settled fillers (the
+    # r06-last-green cohort, then the r07 cohort, registration order).
+    # A clean r14 window makes every pre-r14 entry >= 2 committed greens.
     # tests/test_driver_window.py enforces the saturated least-evidence
     # rule; tools/catalog_index.py prints the ledger.
     #
-    # -- round-13 NEW entries (0 greens) --
+    # -- round-14 NEW entries (0 greens) --
     # (added as they land; each new entry MUST enter the window or the
     # evidence rule goes red)
+    # -- the 10 entries green only in r13 --
     "domain_blocklist_psl",
     "domain_pagerank_sinks",
     "bpe_char_merges_documents",
@@ -94,60 +94,53 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "bpe_compression_by_lang",
     "vocab_coverage_by_lang",
     "shard_assign_manifest",
-    # -- the 18 entries green only in r12 --
-    "incremental_boilerplate_batches",
-    "bpe_merges_documents",
-    "domain_pagerank",
-    "ann_sq8_persistent_top10",
-    "crawl_curation_chain",
-    "html_extract_documents",
-    "gopher_quality_gate",
-    "ann_sq8_top10",
-    "boilerplate_strip_documents",
-    "engine_lifecycle_pandas",
-    "bigram_gate_per_lang",
-    "entity_resolution_parts",
-    "asof_join_nulls",
-    "range_join_nulls",
-    "domain_blocklist_documents",
-    "semantic_dedup_clusters",
-    "stream_pii_scrub_counts",
-    "token_entropy_documents",
-    # -- stalest settled fill: last green r06, registration order --
-    "ivf_full_probe_top10",
-    "ann_lsh_top10",
-    "approx_distinct_events",
-    "scan_python_datasource",
-    "pipeline_end_to_end",
-    "scan_orc_roundtrip",
-    "compact_documents_files",
-    "quality_repetition_documents",
-    "decontaminate_documents",
-    "stratified_mix_hash",
-    "hll_sketch_users",
-    "asof_join_tolerance",
-    "range_join_nokey_buckets",
-    "hash_sample_orders",
-    "lateral_top_orders",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q15_top_supplier",
-    "q16_supplier_count_by_part",
-    "q18_large_volume_customers",
-    "q21_waiting_supplier",
+    # -- stalest settled fill: last green r06 --
     "q22_idle_customers",
     "events_hourly",
     "stream_watermark_hourly",
     "stream_dedup_events",
     "stream_stream_join",
     "stream_foreach_batch_sink",
-    # -- then the r07-last-green cohort in registration order --
+    # -- then the r07-last-green cohort, registration order --
     "variant_props_stats",
+    "dynamic_partition_overwrite",
+    "case_priority_buckets",
+    "agg_global_lineitem",
+    "agg_distinct_customer",
+    "agg_stats_orders",
+    "distinct_segments",
+    "tablesample_orders",
+    "setop_all_variants",
+    "join_hint_shuffle_hash",
+    "null_safe_join_counts",
+    "stats_corr_lineitem",
+    "q10_returned_items",
+    "q14_promo_share",
+    "q19_disjunctive_filter",
+    "q12_late_lines_by_priority",
+    "q13_order_count_distribution",
+    "q17_small_qty_revenue",
+    "udtf_table_arg_summary",
     "stratified_sample_mix",
     "heavy_hitters_events",
     "multimodal_frame_sample",
-    # ---- driver window (50) ends here; round-13 NEW entries prepended
+    "stream_python_datasource",
+    "cluster_documents_files",
+    "zorder_documents_files",
+    "incremental_dedup_batches",
+    "pack_sequences_bins",
+    "bm25_top15_documents",
+    "dedup_keep_best_doc",
+    "split_leakage_audit",
+    "quota_sample_by_lang",
+    "embedding_outlier_audit",
+    "temperature_mix_documents",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_dominant_suppliers",
+    "stream_stateful_sessions",
+    "gapfill_interpolate_15m",
+    # ---- driver window (50) ends here; round-14 NEW entries prepended
     # above push this tail out of the window automatically ----
 )
 
