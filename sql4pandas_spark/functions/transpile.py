@@ -126,11 +126,15 @@ def _rw_string_split(args: list[str]) -> str:
         # oracles' portable newline spelling, since a raw newline can't
         # sit inside a one-line SQL string)
         code_point = int(chr_call.group(1))
-        if not 0 <= code_point <= 0x10FFFF:
+        if not 0 <= code_point <= 0x10FFFF or 0xD800 <= code_point <= 0xDFFF:
+            # Surrogates pass chr() but a lone surrogate cannot be
+            # UTF-8-encoded — reject here with the descriptive error
+            # instead of letting it resurface as an encode failure.
             raise ValueError(
                 "transpile_duckdb: string_split separator "
-                f"chr({code_point}) is outside the Unicode code-point "
-                "range [0, 0x10FFFF] and cannot be folded to a character"
+                f"chr({code_point}) is outside the encodable Unicode "
+                "code-point range ([0, 0x10FFFF] minus the surrogate "
+                "block 0xD800-0xDFFF) and cannot be folded to a character"
             )
         sep = chr(code_point)
     else:

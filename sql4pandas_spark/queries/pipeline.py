@@ -1029,8 +1029,8 @@ def corpus_assembly_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL pretraining-corpus build at today's catalog width, one
     hash-checked census (the round-12 verdict's deployment-glue ask):
     Gopher quality gate (word floor 20, the published integer rule set)
-    → exact dedup keep-first per content (row_number over the text
-    partition) → temperature mix at alpha=0.5 / target 300 (the
+    → exact dedup keep-first per content (row_number over the sha2
+    digest partition) → temperature mix at alpha=0.5 / target 300 (the
     mT5-style rare-language up-weighting, deterministic via the
     portable-hash threshold) → 256-token sequence packing per source
     stream (window cumsum, concat-then-chunk). The output is the
@@ -1040,7 +1040,7 @@ def corpus_assembly_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     Token conventions per stage: corpus stages report the gate's
     whitespace word count; the packed stage reports the packer's
     space-split tokens (its budget unit). Plan: one scan feeds the gate
-    (row-local HOFs), one dedup shuffle on text, a broadcast rate join
+    (row-local HOFs), one dedup shuffle on 32-byte digests, a broadcast rate join
     for the mix, one source-keyed window for packing — the same shapes
     the standalone entries declare."""
     from pyspark.sql import Window
@@ -1054,7 +1054,13 @@ def corpus_assembly_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("n_words").alias("n")
     )
     gated = docs.select("doc_id", "lang", "source", "text").join(gate, "doc_id")
-    w = Window.partitionBy("text").orderBy("doc_id")
+    # Dedup window keys on the 32-byte sha2 digest, not the raw text —
+    # same groups (the collision caveat operators/dedup.py documents),
+    # but the shuffle/sort comparator never touches multi-KB keys. The
+    # oracle's PARTITION BY text is the same grouping stated directly.
+    w = Window.partitionBy(
+        F.sha2(F.col("text").cast("binary"), 256)
+    ).orderBy("doc_id")
     deduped = (
         gated.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -6900,10 +6906,13 @@ def _psl_domain_oracle_cte(url_src: str) -> str:
                     THEN regexp_extract(host, '{dom_re}', 1) END AS domain
       FROM h)""".format(
         src=url_src,
+        # Every spliced pattern is quote-escaped, not just the host one:
+        # the snapshot alphabet is pinned alphanumeric today, but a PSL
+        # refresh with an unexpected character must not corrupt the SQL.
         host_re=text.URL_HOST_RE.replace("'", "''"),
-        pure_re=text.PSL_SUFFIX_ONLY_RE,
-        psl_re=text.PSL_DOMAIN_RE,
-        dom_re=text.REGISTERED_DOMAIN_RE,
+        pure_re=text.PSL_SUFFIX_ONLY_RE.replace("'", "''"),
+        psl_re=text.PSL_DOMAIN_RE.replace("'", "''"),
+        dom_re=text.REGISTERED_DOMAIN_RE.replace("'", "''"),
     )
 
 
@@ -7921,12 +7930,9 @@ def _pagerank_ctes(
         "pr0 AS (SELECT node, CAST(1000000000 // (SELECT n FROM params)"
         " AS BIGINT) AS rank_e9 FROM nodes)",
     ]
-    if dangling:
-        ctes.insert(
-            3,
-            "dang AS (SELECT node FROM nodes"
-            " WHERE node NOT IN (SELECT src FROM deg))",
-        )
+    # No dangling-node CTE: the dangling mass is derived inside each
+    # round's c{k} via the LEFT JOIN CASE (a NOT IN formulation would
+    # also be a NULL-trap if src were ever nullable).
     for k in range(1, iters + 1):
         # ONE reference to pr{k-1} per round — mandatory: BOTH engines
         # inline multiply-referenced CTEs here (Spark's InlineCTE
