@@ -590,6 +590,42 @@ PSL_DOMAIN_RE = rf"([^.]+\.(?:{_PSL_ALT}))$"
 #: a host that IS a public suffix exactly — no registrable part → NULL
 PSL_SUFFIX_ONLY_RE = rf"^(?:{_PSL_ALT})$"
 
+#: PSL WILDCARD rule bases (`*.<base>` in the published list): EVERY
+#: label directly under the base is itself a public suffix, so
+#: registration happens one level deeper than under a plain multi-label
+#: entry — `foo.anything.ck` keys as `foo.anything.ck`, and a 2-label
+#: host `anything.ck` IS a suffix (NULL key). Contents are the ICANN
+#: wildcard ccTLDs a web crawl actually hits plus the Japanese
+#: geographic-prefecture wildcards (the canonical exception-rule
+#: exercisers). Same refresh contract as PUBLIC_SUFFIXES_MULTI.
+PSL_WILDCARD_BASES: tuple[str, ...] = (
+    "bd", "ck", "er", "fk", "mm", "np", "pg",
+    "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
+    "sapporo.jp", "sendai.jp", "yokohama.jp",
+)
+#: PSL EXCEPTION rules (`!<domain>` in the published list): carve-outs
+#: that cancel a wildcard — the named domain is NOT a public suffix, it
+#: IS the registered domain for itself and everything under it
+#: (`www.city.kobe.jp` keys as `city.kobe.jp`). Every entry must sit
+#: under a PSL_WILDCARD_BASES base (shape-pinned in tests).
+PSL_EXCEPTIONS: tuple[str, ...] = (
+    "www.ck",
+    "city.kawasaki.jp", "city.kitakyushu.jp", "city.kobe.jp",
+    "city.nagoya.jp", "city.sapporo.jp", "city.sendai.jp",
+    "city.yokohama.jp",
+)
+_PSL_WILD_ALT = "|".join(s.replace(".", r"\.") for s in PSL_WILDCARD_BASES)
+_PSL_EXC_ALT = "|".join(s.replace(".", r"\.") for s in PSL_EXCEPTIONS)
+#: host equals an exception domain or any subdomain of one → the
+#: exception domain is the registered domain (group 1)
+PSL_EXCEPTION_RE = rf"(?:^|\.)((?:{_PSL_EXC_ALT}))$"
+#: one label + one label + a wildcard base — the registrable name under
+#: a wildcard suffix (group 1); matched AFTER the exception arm
+PSL_WILDCARD_DOMAIN_RE = rf"([^.]+\.[^.]+\.(?:{_PSL_WILD_ALT}))$"
+#: exactly one label + a wildcard base: the host IS a wildcard-generated
+#: public suffix — no registrable part → NULL (unless an exception)
+PSL_WILDCARD_SUFFIX_ONLY_RE = rf"^[^.]+\.(?:{_PSL_WILD_ALT})$"
+
 
 def registered_domain(url: Column) -> Column:
     """Registered domain of a URL (or bare host) — the blocklist /
@@ -600,18 +636,34 @@ def registered_domain(url: Column) -> Column:
     falling back to the last two labels for TLDs with no multi-label
     registry entry. A host that IS a public suffix exactly (`co.uk`)
     has no registrable part and keys as NULL, as does any input with
-    no dotted host. Pure shared-subset regexp expressions over the
-    module-constant snapshot, replayed pattern-for-pattern by the
-    DuckDB oracles and independently by the pure-Python label-walking
-    property reference. PSL wildcard/exception rules (`*.ck`) are out
-    of snapshot scope — a refresh is a constant swap, same plan."""
+    no dotted host. PSL wildcard and exception rules (round-14) follow
+    the published algorithm's precedence: an exception rule wins
+    outright (`www.city.kobe.jp` keys as `city.kobe.jp`), otherwise a
+    wildcard base adds one level (`foo.anything.ck` keys as
+    `foo.anything.ck`; bare `anything.ck` is a suffix → NULL), then
+    the plain multi-label snapshot, then the last-two-labels fallback.
+    Pure shared-subset regexp expressions over the module-constant
+    snapshot, replayed pattern-for-pattern by the DuckDB oracles and
+    independently by the pure-Python label-walking property
+    reference. A full-list refresh is a constant swap, same plan — up
+    to JVM regex-size limits; past a few thousand rules swap the
+    mega-regex for the broadcast suffix-candidate join documented in
+    strip_boilerplate (measured cost curve in BASELINE.md)."""
     host = F.lower(
         F.regexp_extract(F.trim(url), URL_HOST_RE, 1)
     )
+    exc = F.regexp_extract(host, PSL_EXCEPTION_RE, 1)
+    wild = F.regexp_extract(host, PSL_WILDCARD_DOMAIN_RE, 1)
     psl = F.regexp_extract(host, PSL_DOMAIN_RE, 1)
     fallback = F.regexp_extract(host, REGISTERED_DOMAIN_RE, 1)
     return (
-        F.when(host.rlike(PSL_SUFFIX_ONLY_RE), F.lit(None).cast("string"))
+        F.when(exc != "", exc)
+        .when(
+            host.rlike(PSL_WILDCARD_SUFFIX_ONLY_RE),
+            F.lit(None).cast("string"),
+        )
+        .when(wild != "", wild)
+        .when(host.rlike(PSL_SUFFIX_ONLY_RE), F.lit(None).cast("string"))
         .when(psl != "", psl)
         .when(fallback != "", fallback)
     )

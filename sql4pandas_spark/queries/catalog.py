@@ -83,6 +83,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- round-14 NEW entries (0 greens) --
     # (added as they land; each new entry MUST enter the window or the
     # evidence rule goes red)
+    "psl_wildcard_exception_domains",
     # -- the 10 entries green only in r13 --
     "domain_blocklist_psl",
     "domain_pagerank_sinks",

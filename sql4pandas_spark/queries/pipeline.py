@@ -6887,11 +6887,12 @@ _DOMAIN_BLOCKLIST: tuple[str, ...] = ("bad-ads.net", "malware.example")
 
 def _psl_domain_oracle_cte(url_src: str) -> str:
     """DuckDB replay of operators/text.registered_domain, generated from
-    the SAME module constants the operator reads (URL_HOST_RE,
-    PSL_SUFFIX_ONLY_RE, PSL_DOMAIN_RE, REGISTERED_DOMAIN_RE) — the
-    pure-suffix NULL, longest-PSL-match, and last-two-labels fallback
-    arms pattern-for-pattern. Emits two CTEs ``h``/``d`` over
-    ``url_src`` (a CTE name providing doc_id, url)."""
+    the SAME module constants the operator reads (URL_HOST_RE and the
+    five PSL patterns) — the exception, wildcard-suffix NULL, wildcard
+    domain, pure-suffix NULL, longest-PSL-match, and last-two-labels
+    fallback arms pattern-for-pattern, in the operator's precedence
+    order. Emits two CTEs ``h``/``d`` over ``url_src`` (a CTE name
+    providing doc_id, url)."""
     return """
     h AS (
       SELECT doc_id,
@@ -6899,7 +6900,12 @@ def _psl_domain_oracle_cte(url_src: str) -> str:
       FROM {src}),
     d AS (
       SELECT doc_id,
-             CASE WHEN regexp_extract(host, '{pure_re}') <> '' THEN NULL
+             CASE WHEN regexp_extract(host, '{exc_re}', 1) <> ''
+                    THEN regexp_extract(host, '{exc_re}', 1)
+                  WHEN regexp_extract(host, '{wild_pure_re}') <> '' THEN NULL
+                  WHEN regexp_extract(host, '{wild_re}', 1) <> ''
+                    THEN regexp_extract(host, '{wild_re}', 1)
+                  WHEN regexp_extract(host, '{pure_re}') <> '' THEN NULL
                   WHEN regexp_extract(host, '{psl_re}', 1) <> ''
                     THEN regexp_extract(host, '{psl_re}', 1)
                   WHEN regexp_extract(host, '{dom_re}', 1) <> ''
@@ -6910,6 +6916,9 @@ def _psl_domain_oracle_cte(url_src: str) -> str:
         # the snapshot alphabet is pinned alphanumeric today, but a PSL
         # refresh with an unexpected character must not corrupt the SQL.
         host_re=text.URL_HOST_RE.replace("'", "''"),
+        exc_re=text.PSL_EXCEPTION_RE.replace("'", "''"),
+        wild_pure_re=text.PSL_WILDCARD_SUFFIX_ONLY_RE.replace("'", "''"),
+        wild_re=text.PSL_WILDCARD_DOMAIN_RE.replace("'", "''"),
         pure_re=text.PSL_SUFFIX_ONLY_RE.replace("'", "''"),
         psl_re=text.PSL_DOMAIN_RE.replace("'", "''"),
         dom_re=text.REGISTERED_DOMAIN_RE.replace("'", "''"),
@@ -7038,6 +7047,90 @@ def domain_blocklist_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     bl = F.broadcast(
         spark.createDataFrame(
             [(b,) for b in _PSL_BLOCKLIST], "domain string"
+        ).withColumn("_blocked", F.lit(True))
+    )
+    return (
+        d.join(bl, "domain", "left")
+        .groupBy("domain", F.coalesce("_blocked", F.lit(False)).alias("blocked"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select("domain", "n_docs", "blocked")
+        .orderBy("domain")
+    )
+
+
+#: URL planting for the wildcard/exception entry (round-14): every case
+#: keys differently under the FULL PSL rule set than under the plain
+#: multi-label snapshot — `*.ck`-class wildcard hosts key one level
+#: deeper, one-label-plus-base hosts ARE suffixes (NULL), `!`-exception
+#: domains cancel the wildcard (and two of the cases distinguish
+#: exception handling from wildcard-only handling), plus a fallback
+#: `.com` control
+_URL_PSL_WILD_PLANTED_SQL = """
+      SELECT doc_id,
+             CASE CAST(doc_id % 8 AS INT)
+               WHEN 0 THEN 'https://Store.Shop.ck/buy?x=' || CAST(doc_id AS STRING)
+               WHEN 1 THEN 'shop.ck'
+               WHEN 2 THEN 'https://www.ck/home'
+               WHEN 3 THEN 'foo.www.ck/page'
+               WHEN 4 THEN 'https://WWW.City.Kobe.jp:443/ward'
+               WHEN 5 THEN 'blog.foo.kobe.jp'
+               WHEN 6 THEN 'https://example.gov.bd/forms'
+               ELSE 'https://docs.example.com/ref'
+             END AS url
+      FROM documents
+"""
+
+#: blocklist for the wildcard/exception entry — `city.kobe.jp` is ONLY
+#: matchable via the exception arm (fallback keys the host as
+#: `kobe.jp`), `store.shop.ck` only via the wildcard arm (the plain
+#: snapshot keys it `shop.ck`)
+_PSL_WILD_BLOCKLIST: tuple[str, ...] = ("city.kobe.jp", "store.shop.ck")
+
+
+@query(
+    "psl_wildcard_exception_domains",
+    oracle="""
+    WITH u AS ({planted}),
+    {psl_ctes},
+    b (domain) AS (VALUES {blocked})
+    SELECT d.domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           (b.domain IS NOT NULL) AS blocked
+    FROM d LEFT JOIN b USING (domain)
+    GROUP BY d.domain, blocked ORDER BY d.domain
+    """.format(
+        planted=_URL_PSL_WILD_PLANTED_SQL,
+        psl_ctes=_psl_domain_oracle_cte("u"),
+        blocked=", ".join(f"('{b}')" for b in _PSL_WILD_BLOCKLIST),
+    ),
+    tags=("tier-c", "domain_filter", "blocklist", "psl", "text_analysis"),
+)
+def psl_wildcard_exception_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSL WILDCARD (`*.ck`) and EXCEPTION (`!city.kobe.jp`) rules,
+    LOAD-BEARING (operators/text.registered_domain, round-14 arms over
+    PSL_WILDCARD_BASES / PSL_EXCEPTIONS): planted URLs where the
+    round-13 snapshot provably mis-keys — `Store.Shop.ck` must key as
+    `store.shop.ck` (wildcard adds a level; the plain snapshot said
+    `shop.ck`), bare `shop.ck` IS a wildcard-generated suffix (NULL
+    key), `www.ck` and `foo.www.ck` hit the `!www.ck` exception (a
+    wildcard-only implementation returns NULL / `foo.www.ck`
+    respectively — the precedence is what this hash pins),
+    `WWW.City.Kobe.jp:443` keys as the blocklisted `city.kobe.jp`
+    (fallback said `kobe.jp`, missing the block), `blog.foo.kobe.jp`
+    keys four-label under the `*.kobe.jp` wildcard, `example.gov.bd`
+    keys three-label under `*.bd`, and a `.com` control rides the
+    fallback arm. Same broadcast blocklist join + |domains|-bounded
+    group as domain_blocklist_psl; the oracle replays all six CASE
+    arms from the same module constants in the same precedence
+    order."""
+    from sql4pandas_spark.operators.text import registered_domain
+
+    register_tables(spark, sf_dir, ("documents",))
+    u = spark.sql(_URL_PSL_WILD_PLANTED_SQL)
+    d = u.select("doc_id", registered_domain(F.col("url")).alias("domain"))
+    bl = F.broadcast(
+        spark.createDataFrame(
+            [(b,) for b in _PSL_WILD_BLOCKLIST], "domain string"
         ).withColumn("_blocked", F.lit(True))
     )
     return (

@@ -126,19 +126,55 @@ _DOMAIN_URLS = [
     "bucket.s3.amazonaws.com/key",
     ".co.uk/odd",
     "example.co.uk.",
+    # round-14 wildcard/exception rules: *.ck-class wildcards key one
+    # level deeper, !-exceptions cancel them, precedence is load-bearing
+    "https://store.shop.ck/x",
+    "shop.ck",
+    "ck",
+    "https://www.ck/home",
+    "foo.www.ck/page",
+    "a.b.www.ck",
+    "xwww.ck",
+    "www.city.kobe.jp/ward",
+    "city.kobe.jp",
+    "blog.foo.kobe.jp",
+    "foo.kobe.jp",
+    "kobe.jp",
+    "https://example.gov.bd/forms",
+    "deep.sub.example.mm",
+    ".x.ck/odd",
+    "x..ck",
 ]
 
 
 def _py_registered_domain(url: str) -> str | None:
     """Independent label-WALKING implementation of the PSL rule the
-    engine expresses as regexes over the bundled snapshot: longest
+    engine expresses as regexes over the bundled snapshot: exception
+    rules win outright, wildcard bases key one level deeper (bare
+    one-label-plus-base hosts are suffixes → None; malformed empty
+    labels fall through like the regexes' ``[^.]+``), then longest
     matching multi-label public suffix plus one label; pure suffix →
     None; last-two-labels fallback otherwise."""
-    from sql4pandas_spark.operators.text import PUBLIC_SUFFIXES_MULTI
+    from sql4pandas_spark.operators.text import (
+        PSL_EXCEPTIONS,
+        PSL_WILDCARD_BASES,
+        PUBLIC_SUFFIXES_MULTI,
+    )
 
     psl = set(PUBLIC_SUFFIXES_MULTI)
     m = re.match(r"^(?:[A-Za-z][A-Za-z0-9+.\-]*://)?([^/?#:]+)", url.strip())
     host = (m.group(1) if m else "").lower()
+    for exc in PSL_EXCEPTIONS:
+        if host == exc or host.endswith("." + exc):
+            return exc
+    for base in PSL_WILDCARD_BASES:
+        if host.endswith("." + base):
+            rest = host[: -(len(base) + 1)].split(".")
+            if len(rest) == 1 and rest[0]:
+                return None
+            if len(rest) >= 2 and rest[-1] and rest[-2]:
+                return ".".join(rest[-2:]) + "." + base
+            break
     if host in psl:
         return None
     labels = host.split(".")
