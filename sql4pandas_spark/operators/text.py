@@ -7,6 +7,7 @@ whole-stage codegen and scale linearly with input splits.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -374,6 +375,67 @@ def top_ngrams(
     )
 
 
+#: RFC 3986 unreserved characters — the set whose percent-encodings are
+#: semantically identical to the bare character and must decode during
+#: canonicalization (%7E ≡ ~); everything else keeps its encoding with
+#: the hex digits case-folded UPPER (%2f → %2F). Reserved separators
+#: (/?#&=%) are NOT in this set, so decoding can never change how a URL
+#: parses.
+_URL_UNRESERVED = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+#: `_XX` triplets (separator + 2 UPPER hex digits) for each unreserved
+#: char, concatenated. Lookup searches for `_` + upper(hexpair): hex
+#: digits never contain `_`, so every match is entry-aligned by
+#: construction — no crossing-pair false hit, no modular position check.
+#: Entry i sits at 1-based position 3i+1, so char index = (pos + 2) / 3.
+_URL_UNRESERVED_SEPHEX = "".join(f"_{ord(c):02X}" for c in _URL_UNRESERVED)
+
+
+def percent_normalize(col: Column) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization, pure expressions
+    (no UDF): split on ``%``, and for each following segment whose first
+    two chars are hex digits, either DECODE (when the octet is an
+    unreserved character — ``%7E``/``%7e`` → ``~``) or UPPERCASE the hex
+    digits (``%2f`` → ``%2F``); malformed ``%`` sequences pass through
+    untouched. Idempotent (decoded unreserved chars contain no ``%``),
+    row-local, codegen-friendly; replayed in DuckDB list ops by
+    ``_canonical_url_ctes``. ASCII-only by design: multi-byte UTF-8
+    encodings are reserved-octet pairs and correctly keep their (now
+    upper-cased) encoding."""
+    parts = F.split(col, "%", -1)
+
+    def seg(p: Column) -> Column:
+        hexu = F.upper(F.substring(p, 1, 2))
+        is_hex = p.rlike("^[0-9A-Fa-f]{2}")
+        pos = F.call_function(
+            "instr", F.lit(_URL_UNRESERVED_SEPHEX), F.concat(F.lit("_"), hexu)
+        )
+        ch = F.substring(
+            F.lit(_URL_UNRESERVED),
+            ((pos + F.lit(2)) / F.lit(3)).cast("int"),
+            F.lit(1),
+        )
+        rest = F.substring(p, F.lit(3), F.lit(1 << 20))
+        return (
+            F.when(is_hex & (pos > 0), F.concat(ch, rest))
+            .when(is_hex, F.concat(F.lit("%"), hexu, rest))
+            .otherwise(F.concat(F.lit("%"), p))
+        )
+
+    return F.when(F.size(parts) <= 1, col).otherwise(
+        F.concat(
+            F.element_at(parts, 1),
+            F.array_join(
+                F.transform(
+                    F.slice(parts, F.lit(2), F.size(parts) - F.lit(1)), seg
+                ),
+                "",
+            ),
+        )
+    )
+
+
 def canonical_url(col: Column) -> Column:
     """Canonical form of a URL — the dedup key of web-corpus curation
     (the same page arrives under tracking params, mixed-case hosts,
@@ -382,14 +444,20 @@ def canonical_url(col: Column) -> Column:
 
     Rules (each replayable in DuckDB — see the `url_canonical_dedup`
     oracle): lowercase scheme and host; strip the scheme's default port
-    (:443 https, :80 http); drop the fragment; drop utm_*/gclid/fbclid
-    tracking params and SORT the survivors (query-param order is not
-    identity); strip one trailing slash from a non-root path. Pure
-    regexp/HOF expressions, whole-stage-codegen-friendly; the handful of
-    repeated sub-regexps per row is a constant factor, not the per-element
-    lambda blow-up let_col exists for.
+    (:443 https, :80 http); drop the fragment; normalize percent
+    encodings (round-14: unreserved octets decode — %7E/%7e → ~ — and
+    surviving encodings case-fold their hex UPPER, per RFC 3986 §6.2.2,
+    see :func:`percent_normalize`); drop utm_*/gclid/fbclid tracking
+    params and SORT the survivors (query-param order is not identity);
+    strip one trailing slash from a non-root path. Pure regexp/HOF
+    expressions, whole-stage-codegen-friendly; the handful of repeated
+    sub-regexps per row is a constant factor, not the per-element
+    lambda blow-up let_col exists for. IDN hosts: see
+    :func:`idn_fold_host` (a genuinely non-SQL algorithm — the one
+    Arrow-batched UDF in the URL family), composed BEFORE this
+    canonicalizer by the idn entry.
     """
-    u = F.regexp_replace(F.trim(col), "#.*$", "")
+    u = percent_normalize(F.regexp_replace(F.trim(col), "#.*$", ""))
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
     hostport = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
@@ -425,6 +493,58 @@ def canonical_url(col: Column) -> Column:
             F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
         ).otherwise(F.lit("")),
     )
+
+
+def idn_fold_host(col: Column) -> Column:
+    """Host of a URL with internationalized (non-ASCII) labels folded to
+    their punycode ACE form (IDNA 2003: ``München.de`` →
+    ``xn--mnchen-3ya.de``), lowercased — so the SAME site crawled under
+    its Unicode and ACE spellings keys identically for blocklists,
+    per-domain boilerplate votes, and URL dedup.
+
+    Punycode is a genuinely non-SQL algorithm (adaptive basic-code
+    insertion-order encoding), so this is the URL family's ONE
+    Arrow-batched pandas UDF — per-row work is a codec call, no state,
+    so it scales embarrassingly; compose it BEFORE the pure-expression
+    :func:`canonical_url` / :func:`registered_domain` stations, which
+    stay UDF-free on the already-ASCII fast path. Hosts that are pure
+    ASCII never enter the codec. A label the codec rejects (overlong,
+    empty, bidi violations) falls back to the lowercased original —
+    curation wants a stable key, not an exception, for garbage hosts.
+    Oracle strategy: planted-input entries pin the codec's OUTPUT as
+    independent literals (DuckDB replays the expected VALUES, not the
+    algorithm)."""
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    host_re = _re.compile(r"^(?:[A-Za-z][A-Za-z0-9+.\-]*://)?([^/?#:]+)")
+
+    def fold_one(url: str | None) -> str | None:
+        if url is None:
+            return None
+        m = host_re.match(url.strip())
+        host = (m.group(1) if m else "").lower()
+        if not host:
+            return None
+        if host.isascii():
+            return host
+        out = []
+        for label in host.split("."):
+            if label.isascii():
+                out.append(label)
+                continue
+            try:
+                out.append(label.encode("idna").decode("ascii"))
+            except UnicodeError:
+                out.append(label)
+        return ".".join(out)
+
+    @pandas_udf("string")
+    def fold(urls: pd.Series) -> pd.Series:
+        return urls.map(fold_one)
+
+    return fold(col)
 
 
 def token_entropy(

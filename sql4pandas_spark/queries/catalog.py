@@ -84,6 +84,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (added as they land; each new entry MUST enter the window or the
     # evidence rule goes red)
     "psl_wildcard_exception_domains",
+    "url_percent_dedup",
+    "idn_host_fold_domains",
     # -- the 10 entries green only in r13 --
     "domain_blocklist_psl",
     "domain_pagerank_sinks",

@@ -8204,12 +8204,35 @@ _URL_VARIANTS_SQL = """
 
 def _canonical_url_ctes(url_src: str) -> str:
     """DuckDB replay of operators/text.canonical_url as a CTE pipeline
-    over ``url_src`` (doc_id, url) — fragment drop, scheme/host
-    lowercase, default-port strip, tracking-param drop + param SORT,
-    one-trailing-slash strip — ending in ``canon`` (doc_id, curl)."""
+    over ``url_src`` (doc_id, url) — fragment drop, percent-encoding
+    normalization (round-14: the same `_`-separated hex-triplet lookup
+    as operators/text.percent_normalize, spliced from the SAME module
+    constants), scheme/host lowercase, default-port strip,
+    tracking-param drop + param SORT, one-trailing-slash strip — ending
+    in ``canon`` (doc_id, curl)."""
     return """
-    c1 AS (SELECT doc_id, regexp_replace(trim(url), '#.*$', '', 'g') AS u
+    c0 AS (SELECT doc_id, regexp_replace(trim(url), '#.*$', '', 'g') AS u0
            FROM {src}),
+    c1 AS (SELECT doc_id,
+                  CASE WHEN len(string_split(u0, '%')) <= 1 THEN u0
+                       ELSE (string_split(u0, '%'))[1] ||
+                            array_to_string(list_transform(
+                              list_slice(string_split(u0, '%'), 2,
+                                         len(string_split(u0, '%'))),
+                              p -> CASE
+                                WHEN regexp_matches(p, '^[0-9A-Fa-f]{{2}}')
+                                     AND strpos('{sephex}',
+                                           '_' || upper(substr(p, 1, 2))) > 0
+                                  THEN substr('{unreserved}',
+                                         (strpos('{sephex}',
+                                            '_' || upper(substr(p, 1, 2)))
+                                          + 2) // 3, 1) || substr(p, 3)
+                                WHEN regexp_matches(p, '^[0-9A-Fa-f]{{2}}')
+                                  THEN '%' || upper(substr(p, 1, 2))
+                                       || substr(p, 3)
+                                ELSE '%' || p END), '')
+                  END AS u
+           FROM c0),
     c2 AS (SELECT doc_id, u,
                   lower(regexp_extract(u,
                     '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
@@ -8245,7 +8268,11 @@ def _canonical_url_ctes(url_src: str) -> str:
                      || CASE WHEN len(params) > 0
                              THEN '?' || array_to_string(params, '&')
                              ELSE '' END AS curl
-              FROM c6)""".format(src=url_src)
+              FROM c6)""".format(
+        src=url_src,
+        sephex=text._URL_UNRESERVED_SEPHEX.replace("'", "''"),
+        unreserved=text._URL_UNRESERVED.replace("'", "''"),
+    )
 
 
 def _url_dedup_curation_oracle() -> str:
@@ -8313,6 +8340,134 @@ def url_dedup_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "curl", "n_dup_urls",
         )
         .orderBy("doc_id")
+    )
+
+
+#: percent-encoding variant planting (round-14): family A is ONE page
+#: under four spellings where the unreserved decode (%7E/%7e → ~), hex
+#: case, %41→A in a query value, fragment, port, host case, trailing
+#: slash, and a tracking param are EACH load-bearing; family B pins the
+#: reserved-octet rule BOTH ways — %2f and %2F case-fold together but
+#: must NOT collapse with the literally-decoded `/` spelling (RFC 3986:
+#: %2F is data, / is structure); the last case keeps malformed `%zz`
+#: stable while still decoding a trailing %7e
+_URL_PCT_PLANTED_SQL = """
+      SELECT doc_id,
+             CASE CAST(doc_id % 8 AS INT)
+               WHEN 0 THEN 'https://CDN.Example.com:443/assets/p%7Eq?id=%41'
+               WHEN 1 THEN 'https://cdn.example.com/assets/p%7eq/?id=A#top'
+               WHEN 2 THEN 'https://cdn.example.com/assets/p~q?id=A&utm_c=x'
+               WHEN 3 THEN 'https://cdn.example.com/assets/p~q?id=%41'
+               WHEN 4 THEN 'https://files.example.org/a%2fb?dl=1'
+               WHEN 5 THEN 'https://files.example.org/a%2Fb?dl=1'
+               WHEN 6 THEN 'https://files.example.org/a/b?dl=1'
+               ELSE 'https://files.example.org/x%zz%7e'
+             END AS url
+      FROM documents
+"""
+
+
+@query(
+    "url_percent_dedup",
+    oracle=f"""
+    WITH u AS ({_URL_PCT_PLANTED_SQL}),
+    {_canonical_url_ctes("u")}
+    SELECT curl, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keep_id
+    FROM canon GROUP BY curl ORDER BY curl
+    """,
+    tags=("tier-c", "dedup_exact", "url_canonical", "pipeline", "quality"),
+)
+def url_percent_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-encoding normalization LOAD-BEARING in URL dedup
+    (operators/text.percent_normalize inside canonical_url, round-14):
+    four spellings of the same page — `%7E` vs `%7e` vs literal `~`,
+    `%41` vs `A` in a query value, plus the round-13 rules (port, case,
+    fragment, slash, tracking param) — collapse to ONE canonical key
+    with the first crawl kept; `%2f`/`%2F` case-fold together but do
+    NOT merge with the literally-decoded `/` spelling (a reserved octet
+    is data, not structure — a canonicalizer that percent-DECODES
+    everything fails this hash from the other side); malformed `%zz`
+    passes through stably. Same |URLs|-keyed groupBy shape as
+    url_dedup_curation; the oracle replays the full canonicalizer CTE
+    pipeline including the hex-triplet lookup spliced from the same
+    module constants."""
+    from sql4pandas_spark.operators.text import canonical_url
+
+    register_tables(spark, sf_dir, ("documents",))
+    u = spark.sql(_URL_PCT_PLANTED_SQL)
+    return (
+        u.select("doc_id", canonical_url(F.col("url")).alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .orderBy("curl")
+    )
+
+
+#: IDN planting (round-14): Unicode hosts whose punycode ACE forms are
+#: pinned as independent literals in the oracle — including one host
+#: planted in BOTH spellings (Unicode and already-ACE) that must pool
+_URL_IDN_PLANTED_SQL = """
+      SELECT doc_id,
+             CASE CAST(doc_id % 6 AS INT)
+               WHEN 0 THEN 'https://München.de/p?x=' || CAST(doc_id AS STRING)
+               WHEN 1 THEN 'https://BÜCHER.example/x'
+               WHEN 2 THEN 'http://日本語.jp/'
+               WHEN 3 THEN 'https://xn--mnchen-3ya.de/q'
+               WHEN 4 THEN 'ascii.Example.com/y'
+               ELSE 'пример.испытание'
+             END AS url
+      FROM documents
+"""
+
+
+@query(
+    "idn_host_fold_domains",
+    oracle=f"""
+    WITH u AS ({_URL_IDN_PLANTED_SQL}),
+    folded AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 6 AS INT)
+               WHEN 0 THEN 'xn--mnchen-3ya.de'
+               WHEN 1 THEN 'xn--bcher-kva.example'
+               WHEN 2 THEN 'xn--wgv71a119e.jp'
+               WHEN 3 THEN 'xn--mnchen-3ya.de'
+               WHEN 4 THEN 'ascii.example.com'
+               ELSE 'xn--e1afmkfd.xn--80akhbyknj4f'
+             END AS host
+      FROM u)
+    SELECT host, CAST(count(*) AS BIGINT) AS n_docs
+    FROM folded GROUP BY host ORDER BY host
+    """,
+    tags=("tier-c", "url_canonical", "domain_filter", "idn",
+          "text_analysis"),
+)
+def idn_host_fold_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDN/punycode host folding (operators/text.idn_fold_host — the URL
+    family's one Arrow-batched pandas UDF; punycode's adaptive
+    insertion-order encoding is genuinely non-SQL): Unicode hosts fold
+    to their ACE form so `München.de` and its already-punycode spelling
+    `xn--mnchen-3ya.de` POOL under one key (the planted %6 cases 0 and
+    3 land in the same group — that pooling is what blocklists
+    and per-domain votes need), Japanese and Cyrillic hosts (incl. an
+    IDN TLD) fold per-label, and pure-ASCII hosts take the UDF-free
+    lowercase path. Oracle strategy: the expected ACE forms are pinned
+    as INDEPENDENT literals (RFC 3492 worked examples, verifiable
+    against any punycode implementation) — DuckDB replays the expected
+    VALUES, not the algorithm, so this is a full value-hash gate on the
+    codec's output. |hosts|-bounded output."""
+    from sql4pandas_spark.operators.text import idn_fold_host
+
+    register_tables(spark, sf_dir, ("documents",))
+    u = spark.sql(_URL_IDN_PLANTED_SQL)
+    return (
+        u.select("doc_id", idn_fold_host(F.col("url")).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("host")
     )
 
 

@@ -354,10 +354,36 @@ def test_shard_assignment_deterministic_and_complete(spark):
 
 _URL_SCHEMES = ["https://", "http://", "HTTPS://", ""]
 _URL_HOSTS = ["Site.com", "news.site.com:443", "a.b.org:80", "x.io"]
-_URL_PATHS = ["", "/", "/p", "/p/", "/a/b"]
+# round-14 families: percent-encoded unreserved (%7E/%7e → ~), reserved
+# encodings case-folding UPPER (%2f → %2F), and malformed % sequences
+_URL_PATHS = ["", "/", "/p", "/p/", "/a/b", "/p%7Ea", "/p%7ea/", "/x%2fy",
+              "/x%2Fy", "/%zz", "/a%"]
 _URL_QUERIES = ["", "?id=2", "?utm_source=f", "?z=2&id=1", "?id=1&utm_a=b&z=9",
-                "?gclid", "?fbclid=x&id=3"]
+                "?gclid", "?fbclid=x&id=3", "?id=%41", "?id=%4a&z=%2E"]
 _URL_FRAGS = ["", "#sec", "#a?b"]
+
+_PCT_UNRESERVED = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+
+
+def _py_percent_normalize(s: str) -> str:
+    """Independent percent normalization: int(hex, 16) + chr(), not the
+    operator's separator-triplet lookup string."""
+    import re
+
+    parts = s.split("%")
+    out = [parts[0]]
+    for p in parts[1:]:
+        if re.match(r"^[0-9A-Fa-f]{2}", p):
+            ch = chr(int(p[:2], 16))
+            if ch in _PCT_UNRESERVED:
+                out.append(ch + p[2:])
+            else:
+                out.append("%" + p[:2].upper() + p[2:])
+        else:
+            out.append("%" + p)
+    return "".join(out)
 
 
 def _py_canonical_url(url: str) -> str:
@@ -365,7 +391,7 @@ def _py_canonical_url(url: str) -> str:
     (string ops, not the operator's regexes)."""
     import re
 
-    u = re.sub(r"#.*$", "", url.strip())
+    u = _py_percent_normalize(re.sub(r"#.*$", "", url.strip()))
     m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*)://", u)
     scheme = (m.group(1).lower() if m else "")
     rest = u[m.end():] if m else u
@@ -404,7 +430,7 @@ def test_canonical_url_matches_python_reference(spark):
         for s, h, p, q, f in product(
             _URL_SCHEMES, _URL_HOSTS, _URL_PATHS, _URL_QUERIES, _URL_FRAGS
         )
-    ][::7]  # every 7th of the 1680-case grid — 240 cases, all dimensions
+    ][::7]  # every 7th of the 4752-case grid — 679 cases, all dimensions
     df = spark.createDataFrame(
         [(i, u) for i, u in enumerate(urls)], "id long, url string"
     )

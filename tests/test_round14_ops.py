@@ -126,9 +126,134 @@ def test_psl_wildcard_exception_snapshot_shape():
             assert a == b or not a.endswith("." + b), (a, b)
 
 
+# ---------------------- percent-encoding normalization (RFC 3986 §6.2.2)
+
+
+def test_percent_normalize_cases(spark):
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.text import percent_normalize
+
+    cases = [
+        # unreserved octets decode, either hex case
+        (1, "a%7Eb", "a~b"),
+        (2, "a%7eb", "a~b"),
+        (3, "%41%62%39%2D%2e%5F", "Ab9-._"),
+        # reserved octets keep their encoding, hex case-folded UPPER
+        (4, "x%2fy", "x%2Fy"),
+        (5, "x%2Fy", "x%2Fy"),
+        (6, "q%3D1%26r", "q%3D1%26r"),
+        # %25 is the escape itself — reserved, never double-decoded
+        (7, "100%25%41", "100%25A"),
+        # malformed sequences pass through byte-for-byte
+        (8, "a%zz", "a%zz"),
+        (9, "a%", "a%"),
+        (10, "a%%41", "a%A"),
+        (11, "%4", "%4"),
+        # no % at all: identity
+        (12, "plain", "plain"),
+        (13, "", ""),
+        # multi-byte UTF-8 octets are reserved pairs: stay encoded
+        (14, "%c3%a9", "%C3%A9"),
+        # idempotence witness: already-normal input is a fixed point
+        (15, "a~b%2F%C3", "a~b%2F%C3"),
+    ]
+    df = spark.createDataFrame([(i, s) for i, s, _ in cases], "id long, s string")
+    got = {
+        r["id"]: r["n"]
+        for r in df.select("id", percent_normalize(F.col("s")).alias("n")).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+
+def test_canonical_url_percent_variants_collapse(spark):
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.text import canonical_url
+
+    variants = [
+        "https://CDN.Example.com:443/assets/p%7Eq?id=%41",
+        "https://cdn.example.com/assets/p%7eq/?id=A#top",
+        "https://cdn.example.com/assets/p~q?id=A&utm_c=x",
+        "https://cdn.example.com/assets/p~q?id=%41",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "url string")
+    keys = {r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()}
+    assert keys == {"https://cdn.example.com/assets/p~q?id=A"}
+    # and the reserved-octet boundary: %2F never merges with literal /
+    df2 = spark.createDataFrame(
+        [("https://f.org/a%2fb",), ("https://f.org/a%2Fb",), ("https://f.org/a/b",)],
+        "url string",
+    )
+    keys2 = [r["c"] for r in df2.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert keys2[0] == keys2[1] == "https://f.org/a%2Fb"
+    assert keys2[2] == "https://f.org/a/b"
+
+
+# ---------------------- IDN / punycode host folding
+
+
+def test_idn_fold_host_cases(spark):
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.text import idn_fold_host
+
+    cases = [
+        # RFC 3492-style worked examples, Unicode → ACE
+        (1, "https://München.de/p", "xn--mnchen-3ya.de"),
+        (2, "https://BÜCHER.example/x", "xn--bcher-kva.example"),
+        (3, "http://日本語.jp/", "xn--wgv71a119e.jp"),
+        # already-ACE input is a fixed point (pools with case 1)
+        (4, "https://xn--mnchen-3ya.de/q", "xn--mnchen-3ya.de"),
+        # pure ASCII takes the codec-free path, lowercased
+        (5, "ascii.Example.com/y", "ascii.example.com"),
+        # IDN TLD: every label folds independently
+        (6, "пример.испытание", "xn--e1afmkfd.xn--80akhbyknj4f"),
+        # mixed: only the non-ASCII label is encoded
+        (7, "https://shop.münchen.de:8080/x", "shop.xn--mnchen-3ya.de"),
+        (8, None, None),
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _ in cases], "id long, url string")
+    got = {
+        r["id"]: r["h"]
+        for r in df.select("id", idn_fold_host(F.col("url")).alias("h")).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+
+def test_idn_fold_matches_python_codec(spark):
+    """Spark-side folding equals a direct driver-side computation with
+    the same stdlib codec — pins the UDF plumbing (Arrow batching, NULL
+    handling) rather than the codec itself."""
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.text import idn_fold_host
+
+    hosts = ["münchen.de", "café.fr", "bücher.example", "plain.org",
+             "日本語.jp", "ös.terreich.at"]
+    urls = [f"https://{h}/p" for h in hosts]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "id long, url string")
+    got = {
+        r["id"]: r["h"]
+        for r in df.select("id", idn_fold_host(F.col("url")).alias("h")).collect()
+    }
+    for i, h in enumerate(hosts):
+        want = ".".join(
+            lbl if lbl.isascii() else lbl.encode("idna").decode("ascii")
+            for lbl in h.lower().split(".")
+        )
+        assert got[i] == want, (h, got[i], want)
+
+
 @pytest.mark.parametrize(
     "name",
-    ["psl_wildcard_exception_domains"],
+    [
+        "psl_wildcard_exception_domains",
+        "url_percent_dedup",
+        "idn_host_fold_domains",
+    ],
 )
 def test_round14_entries_registered(name):
     from sql4pandas_spark.queries import load_catalog
