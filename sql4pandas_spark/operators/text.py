@@ -1152,14 +1152,33 @@ def bpe_learn_merges_chars(
         .filter(F.col("word").rlike(BPE_ALNUM_RE))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            F.filter(F.split("word", ""), lambda c: c != "").alias("w"),
-            "cnt",
-        )
-        .localCheckpoint(eager=True)
     )
+    return bpe_learn_merges_from_vocab(vocab, n_merges)
+
+
+def bpe_learn_merges_from_vocab(
+    vocab_df: DataFrame,
+    n_merges: int,
+    on_round=None,
+) -> list[tuple[str, str, int]]:
+    """The trainer loop of :func:`bpe_learn_merges_chars`, taking the
+    (word, cnt) frequency frame DIRECTLY — the entry point for
+    pipelines that already maintain word counts (and for the
+    merge-depth probe, whose slope must be measured at a realistic
+    |vocab| the synthetic corpus's 31-word vocabulary can't provide).
+    ``on_round(k, seconds)``, when given, observes each merge's wall
+    time. Same contract as the corpus wrapper: per-round work is
+    |vocab|-bounded, one 1-row argmax collect per merge, loud
+    exhaustion error."""
+    import time as _time
+
+    vocab = vocab_df.select(
+        F.filter(F.split("word", ""), lambda c: c != "").alias("w"),
+        "cnt",
+    ).localCheckpoint(eager=True)
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
+    for _k in range(n_merges):
+        _t0 = _time.time()
         best = (
             vocab.select(
                 F.explode(
@@ -1189,6 +1208,8 @@ def bpe_learn_merges_chars(
         vocab = vocab.select(
             bpe_merge_tokens(F.col("w"), left, right).alias("w"), "cnt"
         ).localCheckpoint(eager=True)
+        if on_round is not None:
+            on_round(_k + 1, _time.time() - _t0)
     return merges
 
 

@@ -86,6 +86,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "psl_wildcard_exception_domains",
     "url_percent_dedup",
     "idn_host_fold_domains",
+    "shard_export_files",
     # -- the 10 entries green only in r13 --
     "domain_blocklist_psl",
     "domain_pagerank_sinks",

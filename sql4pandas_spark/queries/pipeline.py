@@ -8871,9 +8871,11 @@ def vocab_coverage_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "shard_assign_manifest",
-    oracle=f"""
+#: the per-shard census CTE chain — packing window, hash assignment,
+#: manifest aggregate; shared verbatim by the manifest entry and the
+#: round-14 file-writing entry (the latter appends a manifest_match
+#: projection)
+_SHARD_CENSUS_SELECT = f"""
     WITH d AS (
       SELECT source, doc_id,
              len(list_filter(string_split(text, ' '), t -> t <> ''))
@@ -8901,8 +8903,45 @@ def vocab_coverage_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
            CAST(count(DISTINCT source) AS BIGINT) AS n_sources
-    FROM a GROUP BY shard_id ORDER BY shard_id
-    """,
+    FROM a GROUP BY shard_id"""
+
+
+def _shard_assign_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed sequences with their hash-assigned shard_id — shared by
+    the manifest entry and the round-14 file-writing entry, so the
+    manifest and the files are provably computed from the SAME
+    assignment."""
+    from sql4pandas_spark.operators.text import pack_sequences, portable_hash60
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    packed = pack_sequences(t["documents"], budget_tokens=256)
+    seq_key = F.concat_ws(":", F.col("source"), F.col("seq_id").cast("string"))
+    return packed.select(
+        "source", "doc_id", "n_tokens_doc", "seq_id",
+        F.pmod(portable_hash60(seq_key), F.lit(8)).cast("long").alias("shard_id"),
+    )
+
+
+def _shard_census(a: DataFrame) -> DataFrame:
+    """The per-shard export manifest: the numbers a training job
+    validates before reading a shard."""
+    return (
+        a.groupBy("shard_id")
+        .agg(
+            F.countDistinct(
+                F.concat_ws(":", F.col("source"), F.col("seq_id").cast("string"))
+            ).alias("n_seqs"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens_doc").cast("long").alias("n_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+@query(
+    "shard_assign_manifest",
+    oracle=_SHARD_CENSUS_SELECT + " ORDER BY shard_id",
     tags=("tier-c", "pack_sequences", "shard_export", "data_mix",
           "sample_hash"),
 )
@@ -8920,24 +8959,55 @@ def shard_assign_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     before reading a shard. One window for packing (source-keyed, as
     pack_sequences), one map-side hash, one |shards|-bounded
     aggregate."""
-    from sql4pandas_spark.operators.text import pack_sequences, portable_hash60
+    return _shard_census(_shard_assign_df(spark, sf_dir))
 
-    t = register_tables(spark, sf_dir, ("documents",))
-    packed = pack_sequences(t["documents"], budget_tokens=256)
-    seq_key = F.concat_ws(":", F.col("source"), F.col("seq_id").cast("string"))
-    a = packed.select(
-        "source", "doc_id", "n_tokens_doc", "seq_id",
-        F.pmod(portable_hash60(seq_key), F.lit(8)).cast("long").alias("shard_id"),
+
+@query(
+    "shard_export_files",
+    oracle="SELECT shard_id, n_seqs, n_docs, n_tokens, n_sources,"
+           " true AS manifest_match FROM (" + _SHARD_CENSUS_SELECT
+           + ") ORDER BY shard_id",
+    tags=("tier-c", "pack_sequences", "shard_export", "sink_parquet",
+          "data_mix", "sample_hash"),
+)
+def shard_export_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shards actually WRITTEN and audited (round-14, closing the
+    manifest entry's gap): the hash-assigned sequence frame is exported
+    with ``partitionBy("shard_id")`` — one directory per shard, the
+    layout a training job reads, written in ONE pass with no
+    pre-shuffle (the writer splits partitions by the column; shard
+    files stay restart-safe because the assignment is content-hashed) —
+    then the export is RE-READ from disk and censused again, and each
+    shard row carries ``manifest_match``: whether the file census
+    equals the pre-write manifest on all four numbers. A lossy or
+    misrouted write (dropped rows, a sequence split across shards,
+    partition-column corruption) flips the flag or drops a row, and the
+    oracle — which replays the census once and asserts match=true —
+    catches either. FULL OUTER join on shard_id so a shard directory
+    that vanishes entirely still produces a (mismatched) row rather
+    than silently thinning the join."""
+    a = _shard_assign_df(spark, sf_dir)
+    manifest = _shard_census(a)
+    (out,) = _scratch_dirs("shard_export")
+    a.write.mode("overwrite").partitionBy("shard_id").parquet(out)
+    files = _shard_census(spark.read.parquet(out))
+    m = manifest.select(
+        F.col("shard_id"),
+        F.col("n_seqs").alias("m_seqs"),
+        F.col("n_docs").alias("m_docs"),
+        F.col("n_tokens").alias("m_tokens"),
+        F.col("n_sources").alias("m_sources"),
     )
     return (
-        a.groupBy("shard_id")
-        .agg(
-            F.countDistinct(
-                F.concat_ws(":", F.col("source"), F.col("seq_id").cast("string"))
-            ).alias("n_seqs"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens_doc").cast("long").alias("n_tokens"),
-            F.countDistinct("source").alias("n_sources"),
+        files.join(m, "shard_id", "full_outer")
+        .select(
+            "shard_id", "n_seqs", "n_docs", "n_tokens", "n_sources",
+            (
+                F.col("n_seqs").eqNullSafe(F.col("m_seqs"))
+                & F.col("n_docs").eqNullSafe(F.col("m_docs"))
+                & F.col("n_tokens").eqNullSafe(F.col("m_tokens"))
+                & F.col("n_sources").eqNullSafe(F.col("m_sources"))
+            ).alias("manifest_match"),
         )
         .orderBy("shard_id")
     )

@@ -247,12 +247,69 @@ def test_idn_fold_matches_python_codec(spark):
         assert got[i] == want, (h, got[i], want)
 
 
+# ---------------------- shard export: files on disk match the manifest
+
+
+def test_shard_export_layout_and_pruning(spark):
+    """The export writes one directory per shard (the layout a training
+    job reads) and a single-shard read prunes to that partition."""
+    from sql4pandas_spark.queries.pipeline import (
+        _scratch_dirs,
+        _shard_assign_df,
+    )
+
+    a = _shard_assign_df(spark, "/root/testdata/sf0.001")
+    (out,) = _scratch_dirs("shard_layout_test")
+    a.write.mode("overwrite").partitionBy("shard_id").parquet(out)
+    import os
+
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard_id="))
+    assert dirs == [f"shard_id={k}" for k in range(8)]
+    one = spark.read.parquet(out).filter("shard_id = 3")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: the scan's partition filter names shard_id
+    assert "shard_id" in plan
+    assert one.count() == a.filter("shard_id = 3").count()
+
+
+def test_shard_export_detects_lossy_write(spark):
+    """manifest_match flips when a shard's files lose rows — the audit
+    the entry exists for is actually capable of failing."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.queries.pipeline import (
+        _scratch_dirs,
+        _shard_assign_df,
+        _shard_census,
+    )
+
+    a = _shard_assign_df(spark, "/root/testdata/sf0.001")
+    manifest = _shard_census(a)
+    (out,) = _scratch_dirs("shard_corrupt_test")
+    a.write.mode("overwrite").partitionBy("shard_id").parquet(out)
+    shutil.rmtree(f"{out}/shard_id=5")  # lose one whole shard
+    files = _shard_census(spark.read.parquet(out))
+    m = manifest.select(
+        "shard_id", F.col("n_docs").alias("m_docs")
+    )
+    joined = files.join(m, "shard_id", "full_outer").select(
+        "shard_id",
+        F.col("n_docs").eqNullSafe(F.col("m_docs")).alias("ok"),
+    )
+    rows = {r["shard_id"]: r["ok"] for r in joined.collect()}
+    assert rows[5] is False  # vanished shard still surfaces, mismatched
+    assert all(v for k, v in rows.items() if k != 5)
+
+
 @pytest.mark.parametrize(
     "name",
     [
         "psl_wildcard_exception_domains",
         "url_percent_dedup",
         "idn_host_fold_domains",
+        "shard_export_files",
     ],
 )
 def test_round14_entries_registered(name):
