@@ -964,14 +964,39 @@ def strip_boilerplate_with_state(
 #: which would otherwise leave their payload behind as fake prose.
 HTML_STRIP_STAGES: tuple[tuple[str, str], ...] = (
     (r"(?is)<script[^>]*>.*?</script>", " "),
+    # UNCLOSED script (round-14 malformed-HTML recovery): a <script>
+    # with no closer consumes to end-of-document, exactly as a browser
+    # tokenizer does — without this stage the JS payload leaks into
+    # "prose" and poisons every downstream quality signal. `.*` under
+    # (?s) reaches true end in Java and RE2 alike (no `$`-semantics
+    # divergence to manage). Same recovery for style/CDATA/comments.
+    (r"(?is)<script[^>]*>.*", " "),
     (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?is)<style[^>]*>.*", " "),
+    # <title> is metadata, not prose — stripped as a PAIR before <head>
+    # so a malformed/unclosed head (which the pair stage below can't
+    # catch) at least never leaks its title into the text
+    (r"(?is)<title[^>]*>.*?</title>", " "),
     (r"(?is)<head[^>]*>.*?</head>", " "),
+    # CDATA is foreign (XML) content, never rendered prose; the payload
+    # may contain `>` so the generic tag regex would leak its tail
+    (r"(?s)<!\[CDATA\[.*?\]\]>", " "),
+    (r"(?s)<!\[CDATA\[.*", " "),
     (r"(?s)<!--.*?-->", " "),
+    # unclosed comment consumes to EOF (the HTML5 spec's EOF-in-comment
+    # rule)
+    (r"(?s)<!--.*", " "),
     # block-level closers become NEWLINES before the generic strip — the
     # WET convention that preserves document line structure, which the
     # line-based stations downstream (boilerplate strip) depend on
     (r"(?i)</(?:p|h1|h2|h3|li|div|tr)>|<br[^>]*>", "\n"),
-    (r"<[^>]+>", " "),
+    # generic tag strip, QUOTE-AWARE (round-14): a `>` inside a quoted
+    # attribute value no longer truncates the tag and leaks the rest
+    # (`<a href="x>y">` strips whole); first char restricted to
+    # [a-zA-Z/!] so prose like `1 < 2 > 0` is no longer eaten as a
+    # pseudo-tag. Alternation branches are first-char disjoint — no
+    # backtracking blow-up, RE2-safe (no backreferences/lookahead).
+    ("<[a-zA-Z/!][^>\"']*(?:\"[^\"]*\"[^>\"']*|'[^']*'[^>\"']*)*>", " "),
 )
 
 #: whitespace normalization, applied LAST and in order: newline runs

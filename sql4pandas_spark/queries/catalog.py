@@ -87,6 +87,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "url_percent_dedup",
     "idn_host_fold_domains",
     "shard_export_files",
+    "html_malformed_recovery",
     # -- the 10 entries green only in r13 --
     "domain_blocklist_psl",
     "domain_pagerank_sinks",

@@ -7699,13 +7699,17 @@ def _html_oracle_expr(col: str) -> str:
     )
 
     out = col
+    # patterns are quote-escaped on splice (round-14: the quote-aware
+    # tag stage carries literal ' and " inside the pattern)
     for pat, repl in HTML_STRIP_STAGES:
-        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+        p, r = pat.replace("'", "''"), repl.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
     for ent, ch in HTML_ENTITIES:
         lit = ch.replace("'", "''")
         out = f"replace({out}, '{ent}', '{lit}')"
     for pat, repl in HTML_WS_STAGES:
-        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+        p, r = pat.replace("'", "''"), repl.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
     return out
 
 
@@ -7747,6 +7751,69 @@ def html_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_chars_clean", F.length("clean_text").cast("long"))
         .orderBy("doc_id")
         .limit(300)
+    )
+
+
+#: malformed-HTML planting (round-14): every case is a real-crawl
+#: pathology the round-13 extractor provably mishandles — unclosed
+#: script (JS leaks as prose), CDATA payload containing `>` (tail
+#: leaks), unclosed comment (rest of page was kept), `>` inside a
+#: quoted attribute (attribute tail leaks), bare `<`/`>` prose eaten as
+#: a pseudo-tag, and a title inside an unclosed head (title leaked)
+_HTML_MALFORMED_PLANTED_SQL = """
+      SELECT doc_id,
+             CASE CAST(doc_id % 6 AS INT)
+               WHEN 0 THEN '<p>Real intro</p><script>var hidden = "SELL NOW"; if (a<b) { trackUser(); }'
+               WHEN 1 THEN '<p>Before</p><![CDATA[raw > bits <tag> more]]><p>After</p>'
+               WHEN 2 THEN '<p>Visible</p><!-- tracking pixel <img src=x> and the rest of the page'
+               WHEN 3 THEN '<a href="/x?a>b" title="q">Link</a> tail text'
+               WHEN 4 THEN 'math: 1 < 2 > 0 and <b>bold</b> stays'
+               ELSE '<head><title>Site - Secret Title</title><meta a=b>Body text only'
+             END AS html
+      FROM documents
+"""
+
+
+@query(
+    "html_malformed_recovery",
+    oracle=f"""
+    WITH p AS ({_HTML_MALFORMED_PLANTED_SQL}),
+    c AS (SELECT doc_id, CAST(doc_id % 6 AS BIGINT) AS case_id,
+                 {_html_oracle_expr("html")} AS clean_text FROM p)
+    SELECT case_id, clean_text, CAST(count(*) AS BIGINT) AS n_docs
+    FROM c GROUP BY case_id, clean_text ORDER BY case_id, clean_text
+    """,
+    tags=("tier-c", "html_extract", "text_analysis", "scrub", "quality"),
+)
+def html_malformed_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-HTML recovery in the extractor (round-14 stages in
+    operators/text.HTML_STRIP_STAGES), each planted case mishandled by
+    the round-13 table: an UNCLOSED <script> consumes to end-of-document
+    (browser tokenizer behavior) instead of leaking
+    'var hidden = "SELL NOW"…' as prose; a CDATA section whose payload
+    contains `>` strips whole instead of leaking its tail; an UNCLOSED
+    comment consumes the rest of the page (the HTML5 EOF-in-comment
+    rule); a `>` inside a quoted attribute no longer truncates the tag
+    (the quote-aware generic matcher); prose `1 < 2 > 0` is no longer
+    eaten as a pseudo-tag; and a <title> inside an unclosed <head> is
+    stripped as metadata. The oracle is generated from the same stage
+    tables (quote-escaped splice), so a hash match proves both engines
+    run the identical recovery; the expected clean strings themselves
+    are pinned as literals in tests/test_round14_ops.py, with an
+    old-vs-new divergence test proving the r13 table fails every
+    case."""
+    from sql4pandas_spark.operators.text import html_to_text
+
+    register_tables(spark, sf_dir, ("documents",))
+    p = spark.sql(_HTML_MALFORMED_PLANTED_SQL)
+    return (
+        p.select(
+            (F.col("doc_id") % 6).cast("long").alias("case_id"),
+            html_to_text(F.col("html")).alias("clean_text"),
+        )
+        .groupBy("case_id", "clean_text")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("case_id", "clean_text")
     )
 
 

@@ -247,6 +247,86 @@ def test_idn_fold_matches_python_codec(spark):
         assert got[i] == want, (h, got[i], want)
 
 
+# ---------------------- malformed-HTML recovery
+
+
+_MALFORMED_HTML_CASES = [
+    # (html, expected clean text with the round-14 recovery stages)
+    ('<p>Real intro</p><script>var hidden = "SELL NOW"; if (a<b) { x(); }',
+     "Real intro"),
+    ("<p>Before</p><![CDATA[raw > bits <tag> more]]><p>After</p>",
+     "Before\nAfter"),
+    ("<p>Visible</p><!-- tracking pixel <img src=x> and the rest",
+     "Visible"),
+    ('<a href="/x?a>b" title="q">Link</a> tail text', "Link tail text"),
+    ("math: 1 < 2 > 0 and <b>bold</b> stays",
+     "math: 1 < 2 > 0 and bold stays"),
+    ("<head><title>Site - Secret Title</title><meta a=b>Body text only",
+     "Body text only"),
+    # closed pairs keep working exactly as before
+    ("<script>var x = 1 < 2;</script><p>kept</p>", "kept"),
+    ("<style>p { color: red }</style>prose", "prose"),
+]
+
+
+def test_html_malformed_recovery_cases(spark):
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.text import html_to_text
+
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(_MALFORMED_HTML_CASES)],
+        "id long, html string",
+    )
+    got = {
+        r["id"]: r["c"]
+        for r in df.select("id", html_to_text(F.col("html")).alias("c")).collect()
+    }
+    for i, (h, want) in enumerate(_MALFORMED_HTML_CASES):
+        assert got[i] == want, f"case {i} {h!r}: {got[i]!r} != {want!r}"
+
+
+def test_html_recovery_differs_from_r13_table(spark):
+    """The load-bearing guarantee of html_malformed_recovery: the
+    round-13 stage table (no unclosed-block recovery, quote-blind
+    `<[^>]+>` generic strip) produces DIFFERENT output on every planted
+    pathology, so that extractor cannot pass the entry's hash."""
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.text import HTML_ENTITIES, HTML_WS_STAGES
+
+    r13_strip = (
+        r"(?is)<script[^>]*>.*?</script>",
+        r"(?is)<style[^>]*>.*?</style>",
+        r"(?is)<head[^>]*>.*?</head>",
+        r"(?s)<!--.*?-->",
+    )
+
+    def r13_html_to_text(col):
+        out = col
+        for pat in r13_strip:
+            out = F.regexp_replace(out, pat, " ")
+        out = F.regexp_replace(
+            out, r"(?i)</(?:p|h1|h2|h3|li|div|tr)>|<br[^>]*>", "\n"
+        )
+        out = F.regexp_replace(out, r"<[^>]+>", " ")
+        for ent, ch in HTML_ENTITIES:
+            out = F.replace(out, F.lit(ent), F.lit(ch))
+        for pat, repl in HTML_WS_STAGES:
+            out = F.regexp_replace(out, pat, repl)
+        return out
+
+    from sql4pandas_spark.operators.text import html_to_text
+
+    pathological = [h for h, _ in _MALFORMED_HTML_CASES[:6]]
+    df = spark.createDataFrame([(h,) for h in pathological], "html string")
+    rows = df.select(
+        html_to_text(F.col("html")).alias("now"),
+        r13_html_to_text(F.col("html")).alias("r13"),
+    ).collect()
+    assert all(r["now"] != r["r13"] for r in rows), rows
+
+
 # ---------------------- shard export: files on disk match the manifest
 
 
@@ -310,6 +390,7 @@ def test_shard_export_detects_lossy_write(spark):
         "url_percent_dedup",
         "idn_host_fold_domains",
         "shard_export_files",
+        "html_malformed_recovery",
     ],
 )
 def test_round14_entries_registered(name):
