@@ -62,6 +62,10 @@ DUCKDB_TO_SPARK_FN: dict[str, str] = {
     "unicode": "ascii",                # both: codepoint of first char
     "starts_with": "startswith",       # same 2-arg prefix test
     "ends_with": "endswith",           # same 2-arg suffix test
+    # set semantics (distinct elements in both) shared; element ORDER is
+    # engine-specific, so oracles emitting the array itself (not a
+    # len()/membership over it) must wrap it in list_sort
+    "list_intersect": "array_intersect",
     # epoch is NOT a pure rename: DuckDB returns DOUBLE seconds (sub-second
     # precision preserved) while unix_timestamp truncates to BIGINT —
     # argument-aware handling in _ARG_REWRITERS emits unix_micros/1e6

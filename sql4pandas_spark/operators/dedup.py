@@ -87,6 +87,61 @@ def shingles(text_col, n: int = 3):
     )
 
 
+def portable_minhash_bands(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """(id, words, band_keys) — the CALIBRATION variant of the MinHash-LSH
+    station: identical affine-permutation/banding structure to
+    :func:`minhash_signatures` + :func:`band_keys`, but every hash is the
+    md5-based :func:`portable_hash60` instead of xxhash64, so the ENTIRE
+    pipeline — base hashes, signature minima, band keys — replays
+    value-for-value in a DuckDB oracle (xxhash64 has no DuckDB spelling;
+    the production path keeps it because it is ~2× cheaper and its census
+    is ground-truthed by the exact-Jaccard oracle instead). Shingles are
+    distinct lowercase whitespace words (1-gram) — the calibration
+    entry's planted pairs control Jaccard through shared word counts, so
+    word-granularity keeps the planted level exact. ``rows_per_band`` is
+    ``n_hashes // n_bands``. Row-local, zero UDFs, zero shuffles."""
+    rows_per_band = n_hashes // n_bands
+    words = F.array_distinct(
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    )
+    base = F.transform(
+        F.col("words"), lambda s: F.pmod(portable_hash60(s), F.lit(MERSENNE31))
+    )
+
+    def _perm(a: int, b: int):
+        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE31))
+
+    sig = [
+        F.array_min(F.transform(F.col("base"), _perm(a, b)))
+        for a, b in _affine_params(n_hashes)
+    ]
+    bands = F.array(
+        *[
+            portable_hash60(
+                F.concat_ws(
+                    ",",
+                    *[
+                        s.cast("string")
+                        for s in sig[i * rows_per_band : (i + 1) * rows_per_band]
+                    ],
+                )
+            )
+            for i in range(n_bands)
+        ]
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), words.alias("words"))
+        .withColumn("base", base)
+        .select("doc_id", "words", bands.alias("band_keys"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

@@ -88,6 +88,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "idn_host_fold_domains",
     "shard_export_files",
     "html_malformed_recovery",
+    "lsh_calibration_curve",
     # -- the 10 entries green only in r13 --
     "domain_blocklist_psl",
     "domain_pagerank_sinks",

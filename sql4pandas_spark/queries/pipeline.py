@@ -399,6 +399,155 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dedup_minhash(t["documents"]).orderBy("doc_id")
 
 
+#: LSH calibration planting: 7 Jaccard levels via shared-word counts m
+#: of 20 (j = m/(40-m) ∈ {.05,.18,.33,.54,.67,.82,.90} — spanning the
+#: 16-hash/4-band S-curve from ~0 to ~0.99 collision probability); each
+#: 14-doc block yields one pair per level, words made pair-unique by
+#: replacing the P marker with the pair id so every pair draws fresh
+#: hashes from the same fixed family
+_LSH_CAL_SHARED_M = (2, 6, 10, 14, 16, 18, 19)
+
+
+def _lsh_cal_template(m: int, side: int) -> str:
+    return " ".join(
+        f"sPw{i}" if i < m else f"d{side}Pw{i}" for i in range(20)
+    )
+
+
+_LSH_CAL_PLANTED_SQL = (
+    "SELECT doc_id, CAST(doc_id % 7 AS BIGINT) AS level,"
+    " CAST(floor(doc_id / 14) AS BIGINT) AS pid,"
+    " CASE WHEN doc_id % 14 < 7 THEN 0 ELSE 1 END AS side,"
+    " replace(CASE CAST(doc_id % 14 AS INT) "
+    + "".join(
+        f"WHEN {k} THEN '{_lsh_cal_template(_LSH_CAL_SHARED_M[k % 7], k // 7)}' "
+        for k in range(14)
+    )
+    + "END, 'P', CAST(CAST(floor(doc_id / 14) AS BIGINT) AS STRING)) AS text"
+    " FROM documents"
+)
+
+
+def _lsh_cal_oracle() -> str:
+    """DuckDB replay of operators/dedup.portable_minhash_bands over the
+    calibration planting — base hashes (portable md5-60), the 16 affine
+    permutations (the SAME _affine_params constants the operator
+    splices), 4 band keys, pair join, exact Jaccard, and the
+    1-(1-j^4)^4 theory column, all value-for-value."""
+    from sql4pandas_spark.operators.dedup import MERSENNE31, _affine_params
+
+    h60 = text.DUCKDB_HASH60_SQL
+    sig_cols = ", ".join(
+        f"list_min(list_transform(base, h ->"
+        f" (CAST({a} AS BIGINT) * h + {b}) % {MERSENNE31})) AS s{i}"
+        for i, (a, b) in enumerate(_affine_params(16))
+    )
+    band_exprs = ", ".join(
+        "("
+        + h60.format(
+            expr="CAST(s{0} AS STRING) || ',' || CAST(s{1} AS STRING)"
+            " || ',' || CAST(s{2} AS STRING) || ',' || CAST(s{3} AS STRING)"
+            .format(i * 4, i * 4 + 1, i * 4 + 2, i * 4 + 3)
+        )
+        + ")"
+        for i in range(4)
+    )
+    return f"""
+    WITH u AS ({_LSH_CAL_PLANTED_SQL}),
+    w AS (SELECT doc_id, level, pid, side,
+                 list_distinct(list_filter(
+                   regexp_split_to_array(lower(text), '\\s+'),
+                   t -> t <> '')) AS words
+          FROM u),
+    bse AS (SELECT doc_id, level, pid, side, words,
+                   list_transform(words,
+                     s -> ({h60.format(expr="s")}) % {MERSENNE31}) AS base
+            FROM w),
+    sg AS (SELECT doc_id, level, pid, side, words, {sig_cols} FROM bse),
+    bnd AS (SELECT doc_id, level, pid, side, words,
+                   [{band_exprs}] AS band_keys
+            FROM sg),
+    p0 AS (SELECT pid, level, words, band_keys FROM bnd WHERE side = 0),
+    p1 AS (SELECT pid, level, words AS words_b, band_keys AS bands_b
+           FROM bnd WHERE side = 1),
+    pr AS (SELECT p0.level,
+                  CAST(len(list_intersect(p0.words, p1.words_b)) AS DOUBLE)
+                    / len(list_distinct(p0.words || p1.words_b)) AS jac,
+                  CASE WHEN len(list_intersect(p0.band_keys, p1.bands_b)) > 0
+                       THEN 1 ELSE 0 END AS hit
+           FROM p0 JOIN p1 USING (pid, level))
+    SELECT level, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(hit) AS BIGINT) AS n_hits,
+           round(avg(jac), 4) AS jaccard,
+           round(avg(1 - pow(1 - pow(jac, 4), 4)), 4) AS p_theory
+    FROM pr GROUP BY level ORDER BY level
+    """
+
+
+@query(
+    "lsh_calibration_curve",
+    oracle=_lsh_cal_oracle(),
+    tags=("tier-c", "dedup_near", "lsh", "calibration", "quality"),
+)
+def lsh_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH S-CURVE, measured and fully value-checked
+    (operators/dedup.portable_minhash_bands — the calibration variant
+    whose every hash is the engine-portable md5-60, so base hashes,
+    signature minima, and band keys replay in DuckDB value-for-value;
+    the production xxhash64 path is instead ground-truthed by the
+    exact-Jaccard oracle of dedup_near_minhash): planted pairs at 7
+    controlled Jaccard levels (shared-word construction, j from .05 to
+    .90), per level the census reports pairs, band-collision HITS, the
+    measured exact Jaccard, and the analytic collision probability
+    1-(1-j^r)^b for the 16-hash/4-band scheme. This is the artifact a
+    dedup owner reads before choosing (bands, rows) for a corpus: where
+    the curve's knee sits vs the dedup threshold, and how fat the
+    false-candidate tail below it is. Theory-conformance (empirical hit
+    rate within binomial noise of p_theory at every level) is
+    pytest-pinned; the driver hash pins determinism of the whole
+    pipeline. Row-local signatures, one (pid, level)-keyed pair join —
+    no all-pairs anywhere."""
+    from sql4pandas_spark.operators.dedup import portable_minhash_bands
+
+    register_tables(spark, sf_dir, ("documents",))
+    u = spark.sql(_LSH_CAL_PLANTED_SQL)
+    b = portable_minhash_bands(u, id_col="doc_id", text_col="text")
+    j = u.select("doc_id", "level", "pid", "side").join(b, "doc_id")
+    p0 = j.filter(F.col("side") == 0).select(
+        "pid", "level", "words", "band_keys"
+    )
+    p1 = j.filter(F.col("side") == 1).select(
+        "pid", "level",
+        F.col("words").alias("words_b"), F.col("band_keys").alias("bands_b"),
+    )
+    jac = (
+        F.size(F.array_intersect("words", "words_b")).cast("double")
+        / F.size(F.array_union("words", "words_b"))
+    )
+    hit = F.when(
+        F.size(F.array_intersect("band_keys", "bands_b")) > 0, 1
+    ).otherwise(0)
+    pr = p0.join(p1, ["pid", "level"]).select(
+        "level", jac.alias("jac"), hit.alias("hit")
+    )
+    return (
+        pr.groupBy("level")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("hit").cast("long").alias("n_hits"),
+            F.round(F.avg("jac"), 4).alias("jaccard"),
+            F.round(
+                F.avg(
+                    F.lit(1.0)
+                    - F.pow(F.lit(1.0) - F.pow(F.col("jac"), F.lit(4.0)), F.lit(4.0))
+                ),
+                4,
+            ).alias("p_theory"),
+        )
+        .orderBy("level")
+    )
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle="""

@@ -327,6 +327,52 @@ def test_html_recovery_differs_from_r13_table(spark):
     assert all(r["now"] != r["r13"] for r in rows), rows
 
 
+# ---------------------- MinHash-LSH calibration
+
+
+def test_lsh_calibration_tracks_theory(spark):
+    """Empirical band-collision rates must sit within binomial noise of
+    the analytic 1-(1-j^4)^4 curve at every planted level — the
+    calibration entry's reason to exist. 3.5 sigma tolerance on ~35
+    pairs per level keeps the pin tight but non-flaky (the planting is
+    deterministic, so this can only fail if the hash family or banding
+    changes)."""
+    import math
+
+    from sql4pandas_spark.queries import load_catalog
+
+    cat = load_catalog()
+    rows = cat["lsh_calibration_curve"].build(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 7
+    for r in rows:
+        p, n = r["p_theory"], r["n_pairs"]
+        sigma = math.sqrt(max(p * (1 - p) * n, 1.0))
+        assert abs(r["n_hits"] - p * n) <= 3.5 * sigma, dict(r.asDict())
+    # the curve is a monotone S: hits never decrease with jaccard
+    hits = [r["n_hits"] for r in sorted(rows, key=lambda r: r["level"])]
+    assert hits == sorted(hits)
+    assert hits[0] == 0 and hits[-1] >= 0.9 * rows[-1]["n_pairs"]
+
+
+def test_portable_minhash_bands_shape(spark):
+    """Band keys: 4 per doc, 60-bit-range, deterministic across calls."""
+    from sql4pandas_spark.operators.dedup import portable_minhash_bands
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "wholly different words here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["band_keys"]
+           for r in portable_minhash_bands(df).collect()}
+    assert all(len(v) == 4 for v in out.values())
+    assert out[1] == out[2]          # identical text → identical bands
+    assert out[1] != out[3]
+    assert all(0 <= k < 2 ** 60 for v in out.values() for k in v)
+
+
 # ---------------------- shard export: files on disk match the manifest
 
 
@@ -391,6 +437,7 @@ def test_shard_export_detects_lossy_write(spark):
         "idn_host_fold_domains",
         "shard_export_files",
         "html_malformed_recovery",
+        "lsh_calibration_curve",
     ],
 )
 def test_round14_entries_registered(name):
