@@ -89,6 +89,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "shard_export_files",
     "html_malformed_recovery",
     "lsh_calibration_curve",
+    "epoch_shuffle_manifest",
+    "curriculum_anneal_mix",
     # -- the 10 entries green only in r13 --
     "domain_blocklist_psl",
     "domain_pagerank_sinks",

@@ -9091,8 +9091,9 @@ def vocab_coverage_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: manifest aggregate; shared verbatim by the manifest entry and the
 #: round-14 file-writing entry (the latter appends a manifest_match
 #: projection)
-_SHARD_CENSUS_SELECT = f"""
-    WITH d AS (
+#: the packing + hash-assignment CTE chain (ends in ``a``), shared by
+#: the manifest, file-export, and epoch-shuffle oracles
+_SHARD_ASSIGN_CTES = f"""d AS (
       SELECT source, doc_id,
              len(list_filter(string_split(text, ' '), t -> t <> ''))
                AS n_tokens
@@ -9112,7 +9113,10 @@ _SHARD_CENSUS_SELECT = f"""
              CAST(({text.DUCKDB_HASH60_SQL.format(
                  expr="source || ':' || CAST(seq_id AS VARCHAR)")}) % 8
                AS BIGINT) AS shard_id
-      FROM q)
+      FROM q)"""
+
+_SHARD_CENSUS_SELECT = f"""
+    WITH {_SHARD_ASSIGN_CTES}
     SELECT shard_id,
            CAST(count(DISTINCT source || ':' || CAST(seq_id AS VARCHAR))
                 AS BIGINT) AS n_seqs,
@@ -9226,6 +9230,181 @@ def shard_export_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("manifest_match"),
         )
         .orderBy("shard_id")
+    )
+
+
+_EPOCH_SHUFFLE_ORACLE = f"""
+    WITH {_SHARD_ASSIGN_CTES},
+    seqs AS (SELECT source, seq_id, shard_id, count(*) AS n_docs
+             FROM a GROUP BY 1, 2, 3),
+    eps AS (SELECT 0 AS epoch UNION ALL SELECT 1),
+    k AS (SELECT epoch, shard_id, source, seq_id,
+                 ({text.DUCKDB_HASH60_SQL.format(
+                     expr="source || ':' || CAST(seq_id AS VARCHAR)"
+                          " || ':' || CAST(epoch AS VARCHAR)")}) AS okey
+          FROM seqs CROSS JOIN eps),
+    r AS (SELECT epoch, shard_id, source, seq_id,
+                 row_number() OVER (PARTITION BY epoch, shard_id
+                    ORDER BY okey, source, seq_id) AS rn
+          FROM k)
+    SELECT CAST(epoch AS BIGINT) AS epoch, shard_id,
+           CAST(count(*) AS BIGINT) AS n_seqs,
+           array_to_string(list_sort(
+             list(CAST(rn AS STRING) || ':' || source || ':'
+                  || CAST(seq_id AS STRING)) FILTER (WHERE rn <= 3)), '|')
+             AS first3
+    FROM r GROUP BY epoch, shard_id ORDER BY epoch, shard_id
+    """
+
+
+@query(
+    "epoch_shuffle_manifest",
+    oracle=_EPOCH_SHUFFLE_ORACLE,
+    tags=("tier-c", "shard_export", "sample_hash", "data_mix",
+          "pack_sequences"),
+)
+def epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PER-EPOCH data ordering — the reproducibility
+    contract a trainer needs (epoch N's read order must be recomputable
+    after a restart, differ from epoch N-1's, and never require a
+    global shuffle): each training sequence's order key for epoch e is
+    the portable content hash of (source, seq_id, e), and the read
+    order is a SORT WITHIN SHARD on that key (per-shard windows — the
+    100 TB shape; a global row_number would serialize). The manifest
+    pins, per (epoch, shard): the sequence count (identical across
+    epochs — shuffling must lose nothing) and the first three
+    sequences in read order (the restart-check literal a trainer logs);
+    epochs 0 and 1 provably order differently (pytest). Oracle replays
+    hash, window, and head-of-order census exactly; collected heads are
+    sorted post-collect (the cross-engine ordered-collect rule)."""
+    from sql4pandas_spark.operators.text import portable_hash60
+
+    a = _shard_assign_df(spark, sf_dir)
+    seqs = a.groupBy("source", "seq_id", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    e = seqs.crossJoin(
+        spark.range(2).select(F.col("id").cast("int").alias("epoch"))
+    )
+    okey = portable_hash60(
+        F.concat_ws(
+            ":",
+            F.col("source"),
+            F.col("seq_id").cast("string"),
+            F.col("epoch").cast("string"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("epoch", "shard_id").orderBy(
+        okey, F.col("source"), F.col("seq_id")
+    )
+    r = e.withColumn("rn", F.row_number().over(w))
+    head = F.when(
+        F.col("rn") <= 3,
+        F.concat_ws(
+            ":",
+            F.col("rn").cast("string"),
+            F.col("source"),
+            F.col("seq_id").cast("string"),
+        ),
+    )
+    return (
+        r.groupBy(F.col("epoch").cast("long").alias("epoch"), F.col("shard_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.array_join(F.array_sort(F.collect_list(head)), "|").alias("first3"),
+        )
+        .orderBy("epoch", "shard_id")
+    )
+
+
+_CURRICULUM_ORACLE = f"""
+    WITH sc AS (
+      SELECT doc_id, length(text) AS score FROM documents),
+    dec AS (
+      SELECT doc_id,
+             CAST(ntile(10) OVER (ORDER BY score, doc_id) AS BIGINT)
+               AS decile
+      FROM sc),
+    eps AS (SELECT 0 AS epoch UNION ALL SELECT 1 UNION ALL SELECT 2),
+    p AS (
+      SELECT epoch, doc_id, decile,
+             (1.0 - epoch / 2.0) * 0.5
+               + (epoch / 2.0) * (decile / 10.0) AS keep_p
+      FROM dec CROSS JOIN eps),
+    k AS (
+      SELECT epoch, decile,
+             CASE WHEN ({text.DUCKDB_HASH60_SQL.format(
+                 expr="CAST(doc_id AS VARCHAR) || ':'"
+                      " || CAST(epoch AS VARCHAR)")})::DOUBLE
+                  < keep_p * 1152921504606846976.0
+                  THEN 1 ELSE 0 END AS kept
+      FROM p)
+    SELECT CAST(epoch AS BIGINT) AS epoch, decile,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(kept) AS BIGINT) AS n_kept
+    FROM k GROUP BY epoch, decile ORDER BY epoch, decile
+    """
+
+
+@query(
+    "curriculum_anneal_mix",
+    oracle=_CURRICULUM_ORACLE,
+    tags=("tier-c", "data_mix", "sample_hash", "quality", "curriculum"),
+)
+def curriculum_anneal_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-CURRICULUM annealing — the multi-epoch mixing schedule a
+    pretraining run uses to shift from broad coverage to quality-heavy
+    data: documents are cut into quality deciles (exact ntile over a
+    deterministic score with doc_id tie-break), and epoch e's keep
+    probability interpolates linearly from UNIFORM 0.5 (epoch 0 — see
+    everything) to DECILE-PROPORTIONAL d/10 (epoch 2 — top decile kept
+    outright, bottom at 10%). Keeps are deterministic portable-hash
+    draws on (doc_id, epoch) — restart-safe, no RNG state, a different
+    but reproducible subset each epoch — the same threshold idiom as
+    temperature_mix. Census: (epoch, decile) → total/kept, the table a
+    training-run owner reads to verify the anneal. Scale note: exact
+    ntile is ONE global sort, fine at fixture scale and exact for the
+    oracle; at 100 TB swap the decile cut for broadcast approxQuantile
+    cutpoints (map-side bucketing, same census contract) — the same
+    swap crawl_curation_ranked documents for its rank deciles."""
+    from pyspark.sql import Window
+
+    from sql4pandas_spark.operators.text import portable_hash60
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    dec = t["documents"].select(
+        "doc_id",
+        F.ntile(10)
+        .over(Window.orderBy(F.length("text"), F.col("doc_id")))
+        .cast("long")
+        .alias("decile"),
+    )
+    e = dec.crossJoin(
+        spark.range(3).select(F.col("id").cast("int").alias("epoch"))
+    )
+    keep_p = (F.lit(1.0) - F.col("epoch") / F.lit(2.0)) * F.lit(0.5) + (
+        F.col("epoch") / F.lit(2.0)
+    ) * (F.col("decile") / F.lit(10.0))
+    draw = portable_hash60(
+        F.concat_ws(
+            ":", F.col("doc_id").cast("string"), F.col("epoch").cast("string")
+        )
+    ).cast("double")
+    kept = F.when(draw < keep_p * F.lit(1152921504606846976.0), 1).otherwise(0)
+    return (
+        e.select(
+            F.col("epoch").cast("long").alias("epoch"),
+            "decile",
+            kept.alias("kept"),
+        )
+        .groupBy("epoch", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").cast("long").alias("n_kept"),
+        )
+        .orderBy("epoch", "decile")
     )
 
 

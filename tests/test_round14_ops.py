@@ -373,6 +373,55 @@ def test_portable_minhash_bands_shape(spark):
     assert all(0 <= k < 2 ** 60 for v in out.values() for k in v)
 
 
+# ---------------------- epoch shuffle + curriculum anneal
+
+
+def test_epoch_shuffle_orders_differ_and_lose_nothing(spark):
+    from sql4pandas_spark.queries import load_catalog
+
+    cat = load_catalog()
+    rows = cat["epoch_shuffle_manifest"].build(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], {})[r["shard_id"]] = r
+    assert set(by_epoch) == {0, 1}
+    for shard in by_epoch[0]:
+        a, b = by_epoch[0][shard], by_epoch[1][shard]
+        # shuffling loses nothing: per-shard sequence counts identical
+        assert a["n_seqs"] == b["n_seqs"]
+        # and the read order genuinely changes between epochs
+        assert a["first3"] != b["first3"], shard
+    # determinism: a rebuild produces the identical manifest
+    again = cat["epoch_shuffle_manifest"].build(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_curriculum_anneal_shape(spark):
+    """Epoch 0 is uniform ~50% everywhere; epoch 2 keep-rate rises with
+    decile and keeps the top decile outright (p=1.0 — the draw can
+    never exceed the 2^60 threshold)."""
+    from sql4pandas_spark.queries import load_catalog
+
+    cat = load_catalog()
+    rows = cat["curriculum_anneal_mix"].build(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    e0 = {r["decile"]: r for r in rows if r["epoch"] == 0}
+    e2 = {r["decile"]: r for r in rows if r["epoch"] == 2}
+    assert set(e0) == set(range(1, 11))
+    for d, r in e0.items():
+        assert 0.3 <= r["n_kept"] / r["n_total"] <= 0.7, (d, r)
+    assert e2[10]["n_kept"] == e2[10]["n_total"]  # p = 1.0 exactly
+    # monotone-ish rise: decile 9-10 keep far more than decile 1-2
+    top = e2[9]["n_kept"] + e2[10]["n_kept"]
+    bottom = e2[1]["n_kept"] + e2[2]["n_kept"]
+    assert top > 2 * bottom
+
+
 # ---------------------- shard export: files on disk match the manifest
 
 
@@ -438,6 +487,8 @@ def test_shard_export_detects_lossy_write(spark):
         "shard_export_files",
         "html_malformed_recovery",
         "lsh_calibration_curve",
+        "epoch_shuffle_manifest",
+        "curriculum_anneal_mix",
     ],
 )
 def test_round14_entries_registered(name):
