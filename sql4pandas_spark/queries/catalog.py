@@ -91,6 +91,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "lsh_calibration_curve",
     "epoch_shuffle_manifest",
     "curriculum_anneal_mix",
+    "bpe_artifact_lifecycle",
     # -- the 10 entries green only in r13 --
     "domain_blocklist_psl",
     "domain_pagerank_sinks",

@@ -9019,6 +9019,75 @@ def bpe_compression_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bpe_artifact_lifecycle",
+    oracle="SELECT lang, n_words, n_symbols_before, n_symbols_after,"
+           " CAST(3 AS BIGINT) AS n_merges_applied FROM ("
+           + _bpe_compression_oracle(3) + ") ORDER BY lang",
+    tags=("tier-c", "tokenizer", "bpe_train", "bpe_apply", "sink_parquet",
+          "text_analysis", "iterative"),
+)
+def bpe_artifact_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer ARTIFACT lifecycle — train, PERSIST, reload, apply
+    (the missing glue between bpe_learn_merges_chars and a training job
+    that tokenizes months later on a different cluster): the learned
+    merge list is written as a versionable parquet artifact
+    (rank, left, right, weighted_count — rank IS the application
+    order, the part of a BPE vocab that must never be lost or
+    reordered), re-read from disk, re-sorted by rank (a |merges|-row
+    bounded collect, the 1-row-argmax class), and applied via
+    bpe_apply_merges. The census must equal the train-then-apply path
+    of bpe_compression_by_lang exactly — the oracle IS that entry's
+    unrolled replay plus the applied-merge count, so a lossy artifact
+    round-trip (dropped merge, shuffled rank, truncated pair) flips
+    the hash. Reload-order corruption is additionally pytest-pinned."""
+    from sql4pandas_spark.operators.text import (
+        BPE_ALNUM_RE,
+        bpe_apply_merges,
+        bpe_learn_merges_chars,
+        tokens,
+    )
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    merges = bpe_learn_merges_chars(docs, n_merges=3)
+    (store,) = _scratch_dirs("bpe_artifact")
+    spark.createDataFrame(
+        [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "rank int, left string, right string, weighted_count long",
+    ).write.mode("overwrite").parquet(store)
+    reloaded = [
+        (r["left"], r["right"], r["weighted_count"])
+        for r in spark.read.parquet(store).orderBy("rank").collect()
+    ]
+    vocab = (
+        docs.select("lang", F.explode(tokens("text")).alias("word"))
+        .filter(F.col("word").rlike(BPE_ALNUM_RE))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    applied = vocab.select(
+        "lang",
+        "word",
+        "cnt",
+        bpe_apply_merges(
+            F.filter(F.split("word", ""), lambda c: c != ""), reloaded
+        ).alias("w"),
+    )
+    return (
+        applied.groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.length("word") * F.col("cnt")).cast("long")
+            .alias("n_symbols_before"),
+            F.sum(F.size("w") * F.col("cnt")).cast("long")
+            .alias("n_symbols_after"),
+        )
+        .withColumn("n_merges_applied", F.lit(len(reloaded)).cast("long"))
+        .orderBy("lang")
+    )
+
+
+@query(
     "vocab_coverage_by_lang",
     oracle="""
     WITH w AS (

@@ -422,6 +422,32 @@ def test_curriculum_anneal_shape(spark):
     assert top > 2 * bottom
 
 
+# ---------------------- BPE artifact lifecycle
+
+
+def test_bpe_artifact_rank_order_is_load_bearing(spark):
+    """Applying the same merges in a DIFFERENT order produces a
+    different tokenization on a crafted vocab — the reason the artifact
+    persists rank and the reload sorts on it."""
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.text import bpe_apply_merges
+
+    # merges: (a,b) then (ab,c). Reversed order can never form 'abc'
+    # because 'ab' does not exist yet when (ab,c) is applied first.
+    df = spark.createDataFrame([("abc",)], "word string")
+    sym = F.filter(F.split("word", ""), lambda c: c != "")
+    in_order = df.select(
+        bpe_apply_merges(sym, [("a", "b", 9), ("ab", "c", 5)]).alias("w")
+    ).collect()[0]["w"]
+    reversed_order = df.select(
+        bpe_apply_merges(sym, [("ab", "c", 5), ("a", "b", 9)]).alias("w")
+    ).collect()[0]["w"]
+    assert in_order == ["abc"]
+    assert reversed_order == ["ab", "c"]
+    assert in_order != reversed_order
+
+
 # ---------------------- shard export: files on disk match the manifest
 
 
@@ -489,6 +515,7 @@ def test_shard_export_detects_lossy_write(spark):
         "lsh_calibration_curve",
         "epoch_shuffle_manifest",
         "curriculum_anneal_mix",
+        "bpe_artifact_lifecycle",
     ],
 )
 def test_round14_entries_registered(name):
