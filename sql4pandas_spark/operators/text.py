@@ -547,6 +547,34 @@ def idn_fold_host(col: Column) -> Column:
     return fold(col)
 
 
+def nfc_casefold(col: Column) -> Column:
+    """Unicode-canonical dedup key: full case folding then NFC
+    composition (``unicodedata.normalize("NFC", s.casefold())``) — so
+    the SAME text under composed vs decomposed accents (``é`` vs
+    ``e``+U+0301), case variants, ``ß``→``ss``, and compatibility
+    ligatures (``ﬁ``→``fi``, which casefold maps) keys identically for
+    exact dedup. Lowercase alone misses every one of these; Unicode
+    normalization tables are a genuinely non-SQL algorithm, so like
+    :func:`idn_fold_host` this is an Arrow-batched pandas UDF with a
+    VALUES-literal oracle strategy (the expected forms are Unicode-
+    standard foldings, independently verifiable). Stateless per row —
+    scales embarrassingly; NULL passes through."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    def one(s: str | None) -> str | None:
+        if s is None:
+            return None
+        return unicodedata.normalize("NFC", s.casefold())
+
+    @pandas_udf("string")
+    def fold(texts: pd.Series) -> pd.Series:
+        return texts.map(one)
+
+    return fold(col)
+
+
 def token_entropy(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -92,6 +92,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "epoch_shuffle_manifest",
     "curriculum_anneal_mix",
     "bpe_artifact_lifecycle",
+    "unicode_dedup_normalize",
+    "data_card_by_source",
     # -- the 10 entries green only in r13 --
     "domain_blocklist_psl",
     "domain_pagerank_sinks",

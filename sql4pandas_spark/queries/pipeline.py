@@ -9087,6 +9087,206 @@ def bpe_artifact_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Unicode-normalization planting: three families that a bytes-equal or
+#: lowercase-only dedup key provably splits — composed/decomposed/case
+#: variants of one word (4 spellings), sharp-s vs SS (2), and an fi
+#: ligature vs plain fi (2) — each must collapse to ONE normalized key
+_UNICODE_PLANTED_SQL = """
+      SELECT doc_id,
+             CASE CAST(doc_id % 8 AS INT)
+               WHEN 0 THEN 'Café'
+               WHEN 1 THEN 'Café'
+               WHEN 2 THEN 'CAFÉ'
+               WHEN 3 THEN 'café'
+               WHEN 4 THEN 'Straße'
+               WHEN 5 THEN 'STRASSE'
+               WHEN 6 THEN 'file'
+               ELSE 'ﬁle'
+             END AS text
+      FROM documents
+"""
+
+
+@query(
+    "unicode_dedup_normalize",
+    oracle=f"""
+    WITH u AS ({_UNICODE_PLANTED_SQL}),
+    n AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 8 AS INT)
+               WHEN 0 THEN 'café' WHEN 1 THEN 'café'
+               WHEN 2 THEN 'café' WHEN 3 THEN 'café'
+               WHEN 4 THEN 'strasse' WHEN 5 THEN 'strasse'
+               WHEN 6 THEN 'file' ELSE 'file'
+             END AS norm_text
+      FROM u)
+    SELECT norm_text, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keep_id
+    FROM n GROUP BY norm_text ORDER BY norm_text
+    """,
+    tags=("tier-c", "dedup_exact", "unicode", "text_analysis", "scrub"),
+)
+def unicode_dedup_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-canonical exact dedup (operators/text.nfc_casefold —
+    casefold + NFC, the second Arrow-batched UDF alongside
+    idn_fold_host; normalization tables are genuinely non-SQL): planted
+    spellings that byte-equality and lowercase() both split — composed
+    U+00E9 vs decomposed e+U+0301 vs case variants of one word (all
+    four pool), ``Straße``/``STRASSE`` (casefold's ß→ss, which
+    lower() does NOT do), and the ﬁ ligature vs plain ``fi``
+    (compatibility folding) — collapse to one key each, keep-first by
+    min doc_id, the exact-dedup shape. Oracle strategy: the expected
+    normalized forms are pinned as INDEPENDENT literals (Unicode-
+    standard foldings) over the same planted frame — a full value-hash
+    gate on the codec output, as idn_host_fold_domains."""
+    from sql4pandas_spark.operators.text import nfc_casefold
+
+    register_tables(spark, sf_dir, ("documents",))
+    u = spark.sql(_UNICODE_PLANTED_SQL)
+    return (
+        u.select("doc_id", nfc_casefold(F.col("text")).alias("norm_text"))
+        .groupBy("norm_text")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .orderBy("norm_text")
+    )
+
+
+#: data-card planting: 2/3 of docs get the stopword tail that makes the
+#: Gopher gate pass (the corpus_assembly idiom — raw synthetic text
+#: fails the stopword rule, which would pin every source's pass rate at
+#: a vacuous 0.0), and every doc_id%5==4 within a source shares ONE
+#: page body so the dup-rate column is load-bearing too
+_DATA_CARD_PLANTED_SQL = """
+      SELECT doc_id, lang, source,
+             CASE WHEN doc_id % 5 = 4
+                  THEN 'duplicate page body for ' || source
+                  ELSE text || CASE WHEN doc_id % 3 <> 0
+                               THEN ' of the data that we have with it'
+                               ELSE '' END
+             END AS text
+      FROM documents
+"""
+
+_DATA_CARD_ORACLE = f"""
+    WITH pl AS ({_DATA_CARD_PLANTED_SQL}),
+    toks AS (
+      SELECT doc_id, lang, source, text,
+             list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x <> '') AS w,
+             string_split(text, chr(10)) AS lines
+      FROM pl),
+    m AS (SELECT doc_id, lang, source, text,
+                 len(w) AS n,
+                 list_sum(list_transform(w, x -> length(x)))::BIGINT
+                   AS sum_len,
+                 len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                   AS n_alpha,
+                 len(lines) AS n_lines,
+                 len(list_filter(lines, l -> starts_with(l, '- ')))
+                   AS n_bullet,
+                 len(list_filter(lines, l -> l LIKE '%...')) AS n_ell,
+                 len(list_filter(['the', 'be', 'to', 'of', 'and', 'that',
+                                  'have', 'with'],
+                                 s -> list_contains(
+                                        list_transform(w, x -> lower(x)), s)))
+                   AS n_stop
+          FROM toks),
+    flags AS (
+      SELECT source, lang, n,
+             CASE WHEN (n >= 20 AND n <= 100000) AND (sum_len >= 3 * n AND
+                  sum_len <= 10 * n) AND (5 * n_alpha > 4 * n) AND
+                  (10 * n_bullet < 9 * n_lines) AND (10 * n_ell < 3 * n_lines)
+                  AND (n_stop >= 2) THEN 1 ELSE 0 END AS keep,
+             CASE WHEN row_number() OVER (PARTITION BY text ORDER BY doc_id)
+                  > 1 THEN 1 ELSE 0 END AS is_dup
+      FROM m),
+    lc AS (SELECT source, lang, count(*) AS nl FROM flags GROUP BY 1, 2),
+    top AS (SELECT source, lang AS top_lang FROM (
+              SELECT source, lang,
+                     row_number() OVER (PARTITION BY source
+                        ORDER BY nl DESC, lang) AS r
+              FROM lc) WHERE r = 1)
+    SELECT f.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(f.n) AS BIGINT) AS n_tokens,
+           round(avg(CAST(f.keep AS DOUBLE)), 4) AS gate_pass_rate,
+           round(avg(CAST(f.is_dup AS DOUBLE)), 4) AS dup_rate,
+           CAST(count(DISTINCT f.lang) AS BIGINT) AS n_langs,
+           max(t.top_lang) AS top_lang
+    FROM flags f JOIN top t ON t.source = f.source
+    GROUP BY f.source ORDER BY f.source
+    """
+
+
+@query(
+    "data_card_by_source",
+    oracle=_DATA_CARD_ORACLE,
+    tags=("tier-c", "profile", "gopher_rules", "dedup_exact", "data_mix",
+          "quality", "audit"),
+)
+def data_card_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source DATA CARD — the one-row-per-source datasheet a
+    corpus release publishes (and the table a mix designer reads before
+    setting source weights): document and token counts, Gopher-gate
+    pass rate, exact-duplicate rate (keep-first digest convention —
+    first copy is not a dup), language count and the modal language
+    (deterministic count-desc/lang-asc tie-break). Composes three real
+    stations (gopher_rules row-local HOFs, digest-window dup flag, a
+    |source×lang|-bounded mode) into ONE |sources|-bounded frame; at
+    100 TB the only wide operations are the dup-flag window on 32-byte
+    digests and the card's own groupBy. Oracle replays every flag from
+    the same integer thresholds."""
+    from pyspark.sql import Window
+
+    from sql4pandas_spark.operators.text import gopher_rules
+
+    register_tables(spark, sf_dir, ("documents",))
+    docs = spark.sql(_DATA_CARD_PLANTED_SQL)
+    g = docs.join(
+        gopher_rules(docs, min_words=20).select(
+            "doc_id", "n_words", F.col("keep").cast("int").alias("keep")
+        ),
+        "doc_id",
+    ).select("doc_id", "lang", "source", "text", "n_words", "keep")
+    w = Window.partitionBy(
+        F.sha2(F.col("text").cast("binary"), 256)
+    ).orderBy("doc_id")
+    flags = g.withColumn(
+        "is_dup", (F.row_number().over(w) > 1).cast("int")
+    )
+    lc = flags.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("nl"))
+    top = (
+        lc.withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.col("nl").desc(), F.col("lang")
+                )
+            ),
+        )
+        .filter(F.col("r") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return (
+        flags.join(top, "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_tokens"),
+            F.round(F.avg(F.col("keep").cast("double")), 4)
+            .alias("gate_pass_rate"),
+            F.round(F.avg(F.col("is_dup").cast("double")), 4)
+            .alias("dup_rate"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.max("top_lang").alias("top_lang"),
+        )
+        .orderBy("source")
+    )
+
+
 @query(
     "vocab_coverage_by_lang",
     oracle="""

@@ -516,6 +516,8 @@ def test_shard_export_detects_lossy_write(spark):
         "epoch_shuffle_manifest",
         "curriculum_anneal_mix",
         "bpe_artifact_lifecycle",
+        "unicode_dedup_normalize",
+        "data_card_by_source",
     ],
 )
 def test_round14_entries_registered(name):
@@ -525,3 +527,52 @@ def test_round14_entries_registered(name):
     cat = load_catalog()
     assert name in cat and cat[name].oracle
     assert name in DRIVER_PRIORITY[:50]
+
+
+# ---------------------- unicode normalization
+
+
+def test_nfc_casefold_cases(spark):
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.text import nfc_casefold
+
+    cases = [
+        (1, "Café", "café"),          # composed
+        (2, "Café", "café"),         # decomposed → composed
+        (3, "CAFÉ", "café"),
+        (4, "Straße", "strasse"),          # ß → ss (lower() keeps ß)
+        (5, "ﬁle", "file"),                # fi ligature folds
+        (6, "plain ascii", "plain ascii"),
+        (7, None, None),
+    ]
+    df = spark.createDataFrame([(i, s) for i, s, _ in cases], "id long, s string")
+    got = {
+        r["id"]: r["n"]
+        for r in df.select("id", nfc_casefold(F.col("s")).alias("n")).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+    # and the divergence that makes the entry load-bearing: lower()
+    # splits what casefold pools
+    lowered = {
+        r["id"]: r["l"]
+        for r in df.select("id", F.lower(F.col("s")).alias("l")).collect()
+    }
+    assert lowered[4] == "straße" != got[4]
+    assert lowered[2] == "café" != got[2]
+
+
+def test_data_card_columns_are_load_bearing(spark):
+    """Gate-pass and dup-rate both take non-trivial values somewhere in
+    the census (an all-zeros column would be a vacuous pin)."""
+    from sql4pandas_spark.queries import load_catalog
+
+    cat = load_catalog()
+    rows = cat["data_card_by_source"].build(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert any(r["gate_pass_rate"] > 0.5 for r in rows)
+    assert any(r["dup_rate"] > 0.5 for r in rows)
+    assert any(r["dup_rate"] == 0.0 for r in rows)
+    assert all(r["n_langs"] >= 1 and r["top_lang"] for r in rows)
