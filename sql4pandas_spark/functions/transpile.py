@@ -301,12 +301,35 @@ def _validate_regexp_replace(args: list[str]) -> None:
         )
 
 
+_INDEX_LAMBDA_RE = re.compile(r"^\(\s*\w+\s*,\s*\w+\s*\)\s*->")
+
+
+def _validate_no_index_lambda(args: list[str]) -> None:
+    """Reject (element, index) lambdas in list_transform/list_filter:
+    DuckDB's index is 1-BASED while Spark transform/filter's is 0-BASED,
+    and the lambda body passes through the transpiler UNCHANGED — a
+    silent off-by-one on every element. No rewrite is attempted (the
+    index variable's use sites inside an arbitrary body can't be safely
+    rebased textually); restructure with list_slice / explicit ranges,
+    which transpile exactly."""
+    for a in args:
+        if _INDEX_LAMBDA_RE.match(a.strip()):
+            raise ValueError(
+                "transpile_duckdb: (x, i) index lambdas are 1-based in "
+                "DuckDB but 0-based in Spark — a silent off-by-one; "
+                "restructure with list_slice/range instead "
+                f"(got {a.strip()[:60]!r})"
+            )
+
+
 #: name → validator(args) run over the ORIGINAL statement's call sites only
 #: (first fixpoint pass) — rejects argument shapes whose DuckDB semantics
 #: have no Spark spelling, without tripping on Spark-form text that the
 #: rewriters themselves emit.
 _SOURCE_SHAPE_VALIDATORS: dict[str, Callable[[list[str]], None]] = {
     "regexp_replace": _validate_regexp_replace,
+    "list_transform": _validate_no_index_lambda,
+    "list_filter": _validate_no_index_lambda,
 }
 
 
@@ -477,8 +500,14 @@ _ARG_REWRITERS: dict[str, Callable[[list[str]], str]] = {
     "lead": _make_rw_ignore_nulls("lead"),
 }
 
+#: validate-only names: visited for _SOURCE_SHAPE_VALIDATORS but with no
+#: rewriter — their call text is left untouched (the later rename pass
+#: handles list_transform→transform etc.)
+_VALIDATE_ONLY = sorted(set(_SOURCE_SHAPE_VALIDATORS) - set(_ARG_REWRITERS))
+
 _ARG_CALL = re.compile(
-    r"\b(" + "|".join(_ARG_REWRITERS) + r")\s*\(", re.IGNORECASE
+    r"\b(" + "|".join((*_ARG_REWRITERS, *_VALIDATE_ONLY)) + r")\s*\(",
+    re.IGNORECASE,
 )
 #: range/generate_series in FROM position are table functions; Spark's own
 #: range TVF matches DuckDB's end-exclusive semantics, so those stay.
@@ -536,6 +565,8 @@ def _rewrite_calls(statement: str, validate: bool = False) -> str:
             args = []
         if validate and name in _SOURCE_SHAPE_VALIDATORS:
             _SOURCE_SHAPE_VALIDATORS[name](args)
+        if name not in _ARG_REWRITERS:
+            continue  # validate-only name: no rewrite, no edit
         text = _ARG_REWRITERS[name](args)
         # An identity rewrite (pass-through shape, e.g. last_value without
         # IGNORE NULLS or an already-3-arg regexp_extract) must NOT become
