@@ -9552,8 +9552,10 @@ def epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     seqs = a.groupBy("source", "seq_id", "shard_id").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
-    e = seqs.crossJoin(
-        spark.range(2).select(F.col("id").cast("int").alias("epoch"))
+    # epoch expansion is a row-local explode, not a crossJoin — same
+    # rows, no BroadcastNestedLoopJoin in the plan
+    e = seqs.withColumn(
+        "epoch", F.explode(F.array(F.lit(0), F.lit(1)))
     )
     okey = portable_hash60(
         F.concat_ws(
@@ -9650,8 +9652,8 @@ def curriculum_anneal_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("decile"),
     )
-    e = dec.crossJoin(
-        spark.range(3).select(F.col("id").cast("int").alias("epoch"))
+    e = dec.withColumn(
+        "epoch", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2)))
     )
     keep_p = (F.lit(1.0) - F.col("epoch") / F.lit(2.0)) * F.lit(0.5) + (
         F.col("epoch") / F.lit(2.0)
