@@ -8,7 +8,7 @@ driver-side data structures beyond scalar metadata (node count).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: e9 fixed-point scale for PageRank mass — integer arithmetic end-to-end
@@ -118,3 +118,83 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al. 2007)
+    over an undirected edge frame — the density-based complement to
+    ``dedup.label_components``: connected components merge everything
+    reachable, LPA splits a connected graph into locally-dense
+    communities (two cliques joined by one bridge edge are ONE
+    component but TWO LPA communities — pytest-pinned).
+
+    Semantics, chosen so every round replays value-exactly in a DuckDB
+    oracle: labels start as the node's own id (string — lexicographic
+    min is the tie order); each round every node adopts the MODE of its
+    neighbors' current labels, ties broken by the smallest label.
+    Self-loops are dropped and the node frame derives from the filtered
+    symmetric edges, so every surviving node has a neighbor (a
+    self-loop-only host is not a community — the connected_components
+    contract); the keep-own-label coalesce is a guard against an empty
+    vote, not a reachable path here. Updates are synchronous
+    (all votes read the round-N frame, write round-N+1), so the result
+    is partitioning- and schedule-independent — the asynchronous
+    variant in the paper is run-order dependent and cannot carry an
+    oracle.
+
+    Scale shape follows :func:`pagerank`: the input is symmetrized once
+    (both directions, distinct) and checkpointed; per round one
+    src-keyed join + one (node, label) aggregate + one per-node argmax
+    — state is |nodes| rows, shuffle keys are (node, label) pairs, and
+    lineage is localCheckpoint-truncated per round. The per-node argmax
+    window partitions on ``node`` (never a global sort). Returns
+    (node, community)."""
+    e = (
+        edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+        .union(edges.select(F.col(dst).alias("_src"), F.col(src).alias("_dst")))
+        .filter(F.col("_src") != F.col("_dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.withColumn("community", F.col("node")).localCheckpoint(
+        eager=True
+    )
+    rank_w = Window.partitionBy("node").orderBy(
+        F.col("_votes").desc(), F.col("_cand")
+    )
+    for _ in range(rounds):
+        votes = (
+            e.join(labels, e["_src"] == labels["node"])
+            .select(
+                F.col("_dst").alias("node"),
+                F.col("community").alias("_cand"),
+            )
+            .groupBy("node", "_cand")
+            .agg(F.count(F.lit(1)).alias("_votes"))
+        )
+        winner = (
+            votes.withColumn("_rn", F.row_number().over(rank_w))
+            .filter(F.col("_rn") == 1)
+            .select("node", F.col("_cand").alias("_new"))
+        )
+        labels = (
+            labels.join(winner, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_new"), F.col("community")).alias(
+                    "community"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -430,3 +430,131 @@ def cap_per_group(
     return df.withColumn("_rank", F.row_number().over(w)).withColumn(
         "kept", F.col("_rank") <= cap
     )
+
+
+#: hashed-feature space for DSIR importance weights. 64 buckets is the
+#: fixture-scale stand-in for the paper's 10k-bucket hashed n-grams —
+#: the stats frame stays |buckets| rows and broadcasts either way.
+DSIR_BUCKETS = 64
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    is_target,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Hashed-feature importance weights for Data Selection via Importance
+    Resampling (DSIR, Xie et al. 2023): score every raw document by how
+    much its hashed-unigram distribution looks like a TARGET slice
+    (``is_target`` is a boolean Column over ``df``'s rows, e.g.
+    ``F.col("lang") == "en"``), so resampling by the weight tilts the
+    corpus toward the target domain without hand-written rules.
+
+    Per document: ``log w(x) = Σ_tokens [ln p_target(b) − ln p_raw(b)]``
+    where ``b = portable_hash60(token) % n_buckets`` and both bucket
+    distributions are Laplace-smoothed ``(count + 1) / (total +
+    n_buckets)``. The per-bucket log-ratio is quantized ONCE to integer
+    micro-nats (``floor(x·1e6 + 0.5)``, the e6 convention) so the
+    per-document reduction is an exact BIGINT sum — no float
+    accumulation order for engines or partitionings to disagree on.
+
+    Scale shape: one exploded-token aggregate builds the |buckets|-row
+    stats frame (map-side combined, 8-byte keys); totals ride a window
+    over that tiny frame; the stats broadcast back onto the exploded
+    tokens, and the per-document sum is one map-combined groupBy on the
+    id. Documents with zero tokens have no defined distribution and are
+    dropped (inner semantics on the explode), matching the SQL replay.
+
+    Returns (id_col, n_tok, logw_e6, logw) — ``logw`` is the e6 integer
+    divided back to nats, rounded 6dp (exact: it IS the integer/1e6).
+    Feed to :func:`gumbel_topk` for the paper's resampling step.
+    """
+    toks = (
+        df.select(
+            F.col(id_col),
+            is_target.alias("_is_t"),
+            F.explode(F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")).alias("_w"),
+        )
+        .select(
+            id_col,
+            "_is_t",
+            F.pmod(portable_hash60(F.col("_w")), F.lit(n_buckets)).alias("_b"),
+        )
+    )
+    stats = toks.groupBy("_b").agg(
+        F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("_t_cnt"),
+        F.count(F.lit(1)).alias("_r_cnt"),
+    )
+    tot = Window.partitionBy()
+    terms = stats.select(
+        "_b",
+        F.floor(
+            (
+                F.log(
+                    (F.col("_t_cnt") + F.lit(1.0))
+                    / (F.sum("_t_cnt").over(tot) + F.lit(float(n_buckets)))
+                )
+                - F.log(
+                    (F.col("_r_cnt") + F.lit(1.0))
+                    / (F.sum("_r_cnt").over(tot) + F.lit(float(n_buckets)))
+                )
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("_term_e6"),
+    )
+    return (
+        toks.join(F.broadcast(terms), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("_term_e6").alias("logw_e6"),
+        )
+        .withColumn(
+            "logw", F.round(F.col("logw_e6").cast("double") / F.lit(1e6), 6)
+        )
+    )
+
+
+def gumbel_topk(
+    df: DataFrame,
+    logw_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "dsir:",
+) -> DataFrame:
+    """Deterministic Gumbel top-k: sample ``k`` rows WITHOUT replacement
+    with inclusion odds proportional to ``exp(logw)`` — the resampling
+    step of DSIR, taken in LOG space so astronomically small importance
+    ratios never underflow the way exponentiating for A-ES would
+    (:func:`weighted_sample_topk` needs the weight itself; this needs
+    only its log). The Gumbel-max trick: ``key = logw − ln(−ln(u))``
+    with u uniform from the salted portable hash of the id, largest k
+    keys win.
+
+    Keys round to 6dp before ranking (the A-ES convention) and ties
+    fall to the hash then the id, so the cut replays identically in a
+    DuckDB oracle. One map-side expression + TakeOrderedAndProject —
+    zero data-row shuffles. NULL logw rows are excluded (no defined
+    weight). u shares A-ES's (hash + 1) / 2^60 draw; its u = 1 corner
+    (the all-ones hash, 2^-60 per row) would send the double log to
+    +inf here where A-ES degrades gracefully — accepted: both engines
+    produce the same infinity, and the next salt is one character away.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    h = portable_hash60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    u = (h + F.lit(1)).cast("double") / F.lit(_HASH_SPAN)
+    key = F.round(F.col(logw_col) - F.log(-F.log(u)), 6)
+    return (
+        df.filter(F.col(logw_col).isNotNull())
+        .withColumn("skey", key)
+        .withColumn("_tb", h)
+        .orderBy(F.desc("skey"), F.col("_tb"), F.col(id_col))
+        .limit(k)
+        .drop("_tb")
+    )

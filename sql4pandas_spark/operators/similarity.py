@@ -42,6 +42,24 @@ def _dot_expr(vec_col, query_vec: list[float]):
     )
 
 
+def cosine_cols(a, b):
+    """JVM-side cosine(similarity) between two ARRAY COLUMNS — the
+    column-vs-column sibling of :func:`_dot_expr` (which takes a literal
+    query): zip_with product fold for the dot, per-side self-folds for
+    the norms, float32→double casts per element (§2.12 #9). Normalizing
+    by both norms matches DuckDB's ``list_cosine_similarity`` even when
+    vectors are only approximately unit — dot-only would diverge in the
+    4th decimal. Pure whole-stage-codegen expressions, no UDF."""
+
+    def _fold(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v)
+
+    dot = _fold(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")))
+    na = F.sqrt(_fold(F.transform(a, lambda x: x.cast("double") * x.cast("double"))))
+    nb = F.sqrt(_fold(F.transform(b, lambda x: x.cast("double") * x.cast("double"))))
+    return dot / (na * nb)
+
+
 def cosine_query_topk(
     emb: DataFrame, query_vec: list[float], k: int = 10, id_col: str = "vec_id"
 ) -> DataFrame:

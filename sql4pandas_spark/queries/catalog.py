@@ -83,6 +83,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- round-14 NEW entries (0 greens) --
     # (added as they land; each new entry MUST enter the window or the
     # evidence rule goes red)
+    "dsir_importance_resample",
+    "ivf_recall_census",
+    "graph_label_propagation",
     "psl_wildcard_exception_domains",
     "url_percent_dedup",
     "idn_host_fold_domains",

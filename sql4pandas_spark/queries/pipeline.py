@@ -695,6 +695,209 @@ def ivf_full_probe_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DuckDB spellings of the IVF-census seed hashes (centroid / query picks)
+_IVFC_HASH = "({})".format(
+    text.DUCKDB_HASH60_SQL.format(expr="'ivfc:' || CAST(vec_id AS VARCHAR)")
+)
+_IVFQ_HASH = "({})".format(
+    text.DUCKDB_HASH60_SQL.format(expr="'ivfq:' || CAST(vec_id AS VARCHAR)")
+)
+_IVF_COS = (
+    "round(CAST(list_cosine_similarity(CAST({a} AS DOUBLE[]),"
+    " {b}) AS DOUBLE), 4)"
+)
+
+
+@query(
+    "ivf_recall_census",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb,
+             row_number() OVER (ORDER BY {_IVFC_HASH}, vec_id) AS cidx
+      FROM embeddings ORDER BY {_IVFC_HASH}, vec_id LIMIT 8),
+    qry AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qemb
+      FROM embeddings ORDER BY {_IVFQ_HASH}, vec_id LIMIT 5),
+    asg AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cidx AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_IVF_COS.format(a="e.embedding", b="c.cemb")} DESC,
+                          c.cidx) AS rn
+        FROM embeddings e, cent c) AS t WHERE rn = 1),
+    probe AS (
+      SELECT qid, qemb, cell FROM (
+        SELECT q.qid, q.qemb, c.cidx AS cell,
+               row_number() OVER (PARTITION BY q.qid
+                 ORDER BY {_IVF_COS.format(a="q.qemb", b="c.cemb")} DESC,
+                          c.cidx) AS rn
+        FROM qry q, cent c) AS t WHERE rn <= 2),
+    cand AS (
+      SELECT p.qid, a.vec_id,
+             {_IVF_COS.format(a="a.embedding", b="p.qemb")} AS sim
+      FROM asg a JOIN probe p USING (cell) WHERE a.vec_id <> p.qid),
+    ann AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+          ORDER BY sim DESC, vec_id) AS rn FROM cand) AS t WHERE rn <= 10),
+    ex AS (
+      SELECT q.qid, e.vec_id,
+             {_IVF_COS.format(a="e.embedding", b="q.qemb")} AS sim
+      FROM embeddings e, qry q WHERE e.vec_id <> q.qid),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+          ORDER BY sim DESC, vec_id) AS rn FROM ex) AS t WHERE rn <= 10),
+    nc AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_cand
+           FROM cand GROUP BY qid),
+    nh AS (SELECT a.qid, CAST(count(*) AS BIGINT) AS n_hits
+           FROM ann a JOIN exact x ON a.qid = x.qid AND a.vec_id = x.vec_id
+           GROUP BY a.qid)
+    SELECT q.qid,
+           coalesce(nc.n_cand, CAST(0 AS BIGINT)) AS n_cand,
+           coalesce(nh.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+           round(coalesce(nh.n_hits, CAST(0 AS BIGINT)) / 10.0, 4) AS recall
+    FROM qry q
+    LEFT JOIN nc ON nc.qid = q.qid
+    LEFT JOIN nh ON nh.qid = q.qid
+    ORDER BY q.qid
+    """,
+    tags=("tier-c", "sim_search_ann", "audit", "recall"),
+)
+def ivf_recall_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@10 census for a FULLY-DETERMINISTIC IVF: centroids
+    are the 8 hash-picked corpus vectors (no k-means — assignment becomes
+    a pure function of the data, so DuckDB replays the ENTIRE index:
+    assignment, probe choice, candidate set, and the recall fractions are
+    all value-checked, where ann_ivf_query_top10's trained-centroid
+    recall can only be bounded as a literal). This is the audit a 100 TB
+    deployment runs on a sample before trusting an ANN index: per query
+    (5 hash-picked), n_cand = how much of the corpus 2-of-8 probing
+    scanned, n_hits/recall = how much of the exact top-10 it found.
+    Plan shape: centroid/query frames are 8- and 5-row broadcasts; the
+    corpus-side work is one broadcast nested loop per frame (map-side,
+    no shuffle of embeddings), per-vec argmax and per-query top-k are
+    node-partitioned WindowGroupLimit windows; the exact side is the
+    documented small-Q brute-force audit path (N×5). Zero driver
+    collects — even the centroids stay a broadcast frame."""
+    from pyspark.sql import Window
+
+    from sql4pandas_spark.operators.similarity import cosine_cols
+    from sql4pandas_spark.operators.text import portable_hash60
+
+    t = register_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].select("vec_id", "embedding")
+
+    def _picks(salt: str, n: int, idc: str, embc: str) -> DataFrame:
+        h = portable_hash60(
+            F.concat(F.lit(salt), F.col("vec_id").cast("string"))
+        )
+        base = (
+            emb.select(
+                F.col("vec_id").alias(idc),
+                F.col("embedding").alias(embc),
+                h.alias("_h"),
+            )
+            .orderBy("_h", idc)
+            .limit(n)
+        )
+        return base
+
+    cent = (
+        _picks("ivfc:", 8, "cid", "cemb")
+        .withColumn(
+            "cidx", F.row_number().over(Window.orderBy("_h", "cid"))
+        )
+        .drop("_h")
+    )
+    qry = _picks("ivfq:", 5, "qid", "qemb").drop("_h")
+
+    w_vec = Window.partitionBy("vec_id").orderBy(
+        F.desc("csim"), F.col("cidx")
+    )
+    asg = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "cidx",
+            F.round(cosine_cols(F.col("embedding"), F.col("cemb")), 4).alias(
+                "csim"
+            ),
+        )
+        .withColumn("_rn", F.row_number().over(w_vec))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "embedding", F.col("cidx").alias("cell"))
+    )
+    w_q = Window.partitionBy("qid").orderBy(F.desc("qsim"), F.col("cidx"))
+    probe = (
+        qry.crossJoin(F.broadcast(cent))
+        .select(
+            "qid",
+            "qemb",
+            "cidx",
+            F.round(cosine_cols(F.col("qemb"), F.col("cemb")), 4).alias(
+                "qsim"
+            ),
+        )
+        .withColumn("_rn", F.row_number().over(w_q))
+        .filter(F.col("_rn") <= 2)
+        .select("qid", "qemb", F.col("cidx").alias("cell"))
+    )
+    cand = (
+        asg.join(F.broadcast(probe), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine_cols(F.col("embedding"), F.col("qemb")), 4).alias(
+                "sim"
+            ),
+        )
+    )
+    w_topk = Window.partitionBy("qid").orderBy(F.desc("sim"), F.col("vec_id"))
+    ann = (
+        cand.withColumn("_rn", F.row_number().over(w_topk))
+        .filter(F.col("_rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    exact = (
+        emb.crossJoin(F.broadcast(qry))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine_cols(F.col("embedding"), F.col("qemb")), 4).alias(
+                "sim"
+            ),
+        )
+        .withColumn("_rn", F.row_number().over(w_topk))
+        .filter(F.col("_rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    zero = F.lit(0).cast("long")
+    n_cand = cand.groupBy("qid").agg(F.count(F.lit(1)).alias("n_cand"))
+    n_hits = (
+        ann.join(exact, ["qid", "vec_id"], "left_semi")
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        qry.select("qid")
+        .join(n_cand, "qid", "left")
+        .join(n_hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("n_cand"), zero).alias("n_cand"),
+            F.coalesce(F.col("n_hits"), zero).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), zero) / F.lit(10.0), 4
+            ).alias("recall"),
+        )
+        .orderBy("qid")
+    )
+
+
 # DuckDB replay of the full 60-bit SimHash signature: per-bit ±1 vote sums
 # over the portable_hash60 token hashes. The banded candidate generation has
 # EXACT recall at Hamming ≤ 3 (pigeonhole over 4 chunks), so the oracle can
@@ -2377,6 +2580,87 @@ def weighted_sample_merged_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(3)
     ]
     return merge_weighted_samples(states, k=50)
+
+
+#: DuckDB spellings of the DSIR hashes — the token-bucket hash and the
+#: salted Gumbel draw hash (salt 'dsir:' matches gumbel_topk's default)
+_DSIR_TOK_HASH = text.DUCKDB_HASH60_SQL.format(expr="w")
+_DSIR_ID_HASH = text.DUCKDB_HASH60_SQL.format(
+    expr="'dsir:' || CAST(doc_id AS VARCHAR)"
+)
+
+
+@query(
+    "dsir_importance_resample",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang = 'en' AS is_t,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                t -> t <> '')) AS w
+      FROM documents),
+    b AS (SELECT doc_id, is_t, ({_DSIR_TOK_HASH}) % 64 AS bucket FROM tok),
+    stats AS (
+      SELECT bucket,
+             CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt,
+             CAST(count(*) AS BIGINT) AS r_cnt
+      FROM b GROUP BY bucket),
+    terms AS (
+      SELECT bucket,
+             CAST(floor((ln((t_cnt + 1.0)
+                            / (CAST(sum(t_cnt) OVER () AS DOUBLE) + 64.0))
+                       - ln((r_cnt + 1.0)
+                            / (CAST(sum(r_cnt) OVER () AS DOUBLE) + 64.0)))
+                       * 1e6 + 0.5) AS BIGINT) AS term_e6
+      FROM stats),
+    docw AS (
+      SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+             CAST(sum(term_e6) AS BIGINT) AS logw_e6
+      FROM b JOIN terms USING (bucket) GROUP BY b.doc_id),
+    keyed AS (
+      SELECT d.doc_id, d.lang, d.source, n_tok,
+             round(CAST(logw_e6 AS DOUBLE) / 1e6, 6) AS logw,
+             round(CAST(logw_e6 AS DOUBLE) / 1e6
+                   - ln(-ln((({_DSIR_ID_HASH}) + 1)
+                            / 1152921504606846976.0)), 6) AS skey,
+             ({_DSIR_ID_HASH}) AS tb
+      FROM docw JOIN documents d USING (doc_id))
+    SELECT doc_id, lang, source, n_tok, logw, skey
+    FROM keyed ORDER BY skey DESC, tb, doc_id LIMIT 50
+    """,
+    tags=("tier-c", "data_mix", "sample_hash", "quality", "dsir"),
+)
+def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023) —
+    score every document by how much its hashed-unigram distribution
+    looks like a TARGET slice (here lang='en', the paper's
+    "formal-text" stand-in), then Gumbel-top-k resample proportional to
+    exp(logw): the principled replacement for hand-rule quality gates
+    when "like Wikipedia" is the actual curation goal. Per-bucket
+    log-ratios quantize to integer micro-nats (the e6 convention) so the
+    per-document reduction is an exact BIGINT sum — partitioning- and
+    engine-independent — and the Gumbel draw comes from the salted
+    portable hash, so all 50 winners, their weights, AND their sort keys
+    value-check against the from-scratch oracle replay. Plan: one
+    exploded-token aggregate (64-row stats frame, broadcast back), one
+    map-combined per-doc sum, TakeOrderedAndProject for the cut — the
+    corpus shuffles only 8-byte (doc_id, term) partials, never text.
+    The weight tilt is pytest-pinned where it is deterministic: the
+    target language's MEAN logw strictly tops every other language's
+    (the Gumbel-noised sample share itself is a statistical quantity —
+    at fixture scale the noise, σ≈1.28 nats, rightly dominates the
+    ~0.2-nat per-doc signal, so the pin lives on the weights)."""
+    from sql4pandas_spark.operators.sampling import (
+        dsir_importance_weights,
+        gumbel_topk,
+    )
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    d = t["documents"]
+    w = dsir_importance_weights(d, F.col("lang") == "en")
+    scored = w.join(d.select("doc_id", "lang", "source"), "doc_id")
+    return gumbel_topk(scored, "logw", k=50).select(
+        "doc_id", "lang", "source", "n_tok", "logw", "skey"
+    )
 
 
 @query(
@@ -8367,6 +8651,92 @@ def domain_pagerank_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(
         edges, iterations=10, redistribute_dangling=True
     ).orderBy("node")
+
+
+#: PLANTED two-community graph for label propagation: an 8-clique (the
+#: doc_id % 8 residue domains) and a 7-clique (% 7) joined by ONE bridge
+#: edge a0—b0. Connected components would merge everything into a single
+#: component; LPA's mode-vote must hold the bridge and report exactly two
+#: communities — the distinguishing fixture (pytest-pinned both ways).
+_LPA_GRAPH_SQL = """
+      SELECT 'a' || x.r AS src, 'a' || y.r AS dst
+      FROM (SELECT DISTINCT CAST(doc_id % 8 AS STRING) AS r FROM documents) x,
+           (SELECT DISTINCT CAST(doc_id % 8 AS STRING) AS r FROM documents) y
+      WHERE x.r < y.r
+      UNION
+      SELECT 'b' || x.r, 'b' || y.r
+      FROM (SELECT DISTINCT CAST(doc_id % 7 AS STRING) AS r FROM documents) x,
+           (SELECT DISTINCT CAST(doc_id % 7 AS STRING) AS r FROM documents) y
+      WHERE x.r < y.r
+      UNION
+      SELECT DISTINCT 'a0' AS src, 'b0' AS dst FROM documents
+"""
+
+
+def _lpa_oracle(rounds: int, edges_sql: str = _LPA_GRAPH_SQL) -> str:
+    """DuckDB replay of operators/graph.label_propagation with the
+    synchronous rounds UNROLLED into generated CTEs (the _pagerank_oracle
+    recipe): per round one neighbor-vote aggregate, one per-node argmax
+    (row_number over votes DESC, label ASC — the operator's exact tie
+    order), one keep-own-label fold for isolated nodes. Plain joins and
+    window functions only, so the statement also sweeps verbatim through
+    the dialect front end."""
+    ctes = [
+        f"eraw AS ({edges_sql})",
+        "e AS (SELECT src AS s, dst AS d FROM eraw WHERE src <> dst"
+        " UNION SELECT dst AS s, src AS d FROM eraw WHERE src <> dst)",
+        "n AS (SELECT DISTINCT s AS node FROM e)",
+        "l0 AS (SELECT node, node AS community FROM n)",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        ctes.append(
+            f"c{k} AS (SELECT e.d AS node, l.community AS cand,"
+            f" count(*) AS votes FROM e JOIN l{p} l ON e.s = l.node"
+            " GROUP BY e.d, l.community)"
+        )
+        ctes.append(
+            f"w{k} AS (SELECT node, cand FROM (SELECT node, cand,"
+            " row_number() OVER (PARTITION BY node"
+            f" ORDER BY votes DESC, cand) AS rn FROM c{k}) AS t"
+            " WHERE rn = 1)"
+        )
+        ctes.append(
+            f"l{k} AS (SELECT p.node,"
+            f" coalesce(w.cand, p.community) AS community"
+            f" FROM l{p} p LEFT JOIN w{k} w ON w.node = p.node)"
+        )
+    joined = ",\n    ".join(ctes)
+    return (
+        f"WITH {joined}\n"
+        f"    SELECT node, community FROM l{rounds} ORDER BY node"
+    )
+
+
+@query(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(4),
+    tags=("tier-c", "graph", "label_propagation", "community", "iterative"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (operators/graph.label_propagation) —
+    the density-based grouping a curation pipeline wants where connected
+    components is too blunt: near-dup clusters, link-farm detection, and
+    domain neighborhoods all bleed into one giant component through a few
+    bridge edges, while LPA's neighbor-mode vote keeps locally-dense
+    groups apart. The planted graph (two cliques, one bridge) makes that
+    distinction LOAD-BEARING: components says 1 group, this entry must
+    say exactly 2 ('a0' and 'b0'), every one of the 15 per-node rows
+    value-checked. Synchronous rounds with min-label tie-break replay
+    value-exactly in the unrolled-CTE oracle; per-round work is one edge
+    join + one (node, label) aggregate + a node-partitioned argmax —
+    pagerank's scale discipline (|nodes|-row state, localCheckpoint
+    lineage truncation, zero driver collects)."""
+    from sql4pandas_spark.operators.graph import label_propagation
+
+    register_tables(spark, sf_dir, ("documents",))
+    edges = spark.sql(_LPA_GRAPH_SQL)
+    return label_propagation(edges, rounds=4).orderBy("node")
 
 
 def _crawl_ranked_oracle() -> str:

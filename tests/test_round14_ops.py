@@ -602,3 +602,132 @@ def test_transpile_rejects_index_lambdas():
     assert "aggregate" in transpile_duckdb(
         "SELECT list_reduce([1,2,3], (a, b) -> a + b)"
     )
+
+
+# ---------------------- label propagation: communities vs components
+
+
+def test_lpa_splits_bridged_cliques(spark):
+    """The planted two-clique bridge graph: LPA must report exactly two
+    communities while the graph is a SINGLE connected component — the
+    distinction that makes the operator worth having next to
+    label_components."""
+    from sql4pandas_spark.operators.graph import label_propagation
+    from sql4pandas_spark.queries.pipeline import _LPA_GRAPH_SQL
+    from sql4pandas_spark.sources.parquet import register_tables
+
+    register_tables(spark, "/root/testdata/sf0.001", ("documents",))
+    edges = spark.sql(_LPA_GRAPH_SQL)
+    out = {r["node"]: r["community"] for r in label_propagation(edges, rounds=4).collect()}
+    assert len(out) == 15
+    assert {out[n] for n in out if n.startswith("a")} == {"a0"}
+    assert {out[n] for n in out if n.startswith("b")} == {"b0"}
+    # same graph, connected-components view: ONE component
+    from sql4pandas_spark.operators.dedup import connected_components
+
+    pairs = edges.selectExpr("src AS id_a", "dst AS id_b")
+    comp = connected_components(pairs)
+    n_comp = comp.select("cluster_id").distinct().count()
+    assert n_comp == 1
+
+
+def test_lpa_self_loops_dropped_and_two_cycle_oscillates(spark):
+    """Self-loop-only nodes are NOT communities (the node frame derives
+    from the filtered symmetric edge frame — same contract as
+    connected_components); a 2-cycle oscillates under synchronous
+    updates (the documented LPA behavior the even round count hides)."""
+    from sql4pandas_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame([("x", "y"), ("z", "z")], ["src", "dst"])
+    out = {r["node"]: r["community"] for r in label_propagation(edges, rounds=2).collect()}
+    # z appears only in a self-loop → absent; x and y trade labels round
+    # 1 (each other's only neighbor) and trade back round 2
+    assert out == {"x": "x", "y": "y"}
+    out1 = {r["node"]: r["community"] for r in label_propagation(edges, rounds=1).collect()}
+    assert out1 == {"x": "y", "y": "x"}
+
+
+# ---------------------- DSIR importance weights + Gumbel top-k
+
+
+def test_dsir_target_lang_mean_logw_tops(spark):
+    """The deterministic half of the DSIR pin: the target language's mean
+    importance weight strictly exceeds every other language's (the
+    Gumbel-noised sample composition is statistical; the weights are
+    not)."""
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.sampling import dsir_importance_weights
+    from sql4pandas_spark.sources.parquet import table
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    w = dsir_importance_weights(d, F.col("lang") == "en")
+    rows = (
+        w.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.avg("logw").alias("m"))
+        .collect()
+    )
+    means = {r["lang"]: r["m"] for r in rows}
+    assert set(means) == {"en", "de", "es", "fr", "zh"}
+    others = [v for k, v in means.items() if k != "en"]
+    assert all(means["en"] > v for v in others), means
+
+
+def test_dsir_logw_is_exact_integer_micronats(spark):
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.sampling import dsir_importance_weights
+    from sql4pandas_spark.sources.parquet import table
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    w = dsir_importance_weights(d, F.col("lang") == "en")
+    bad = w.filter(
+        F.abs(F.col("logw") - F.col("logw_e6").cast("double") / 1e6) > 1e-12
+    ).count()
+    assert bad == 0
+    # zero-token docs are dropped, not scored
+    tiny = spark.createDataFrame(
+        [(1, "hello world", True), (2, "   ", True)],
+        ["doc_id", "text", "t"],
+    )
+    got = dsir_importance_weights(tiny, F.col("t")).collect()
+    assert [r["doc_id"] for r in got] == [1]
+
+
+def test_gumbel_topk_contract(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.sampling import gumbel_topk
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).cast("double").alias("lw")
+    )
+    with _pytest.raises(ValueError):
+        gumbel_topk(df, "lw", 0)
+    a = [r["doc_id"] for r in gumbel_topk(df, "lw", 10).collect()]
+    b = [r["doc_id"] for r in gumbel_topk(df, "lw", 10).collect()]
+    assert a == b and len(a) == 10
+    # NULL logw rows never selected
+    withnull = df.withColumn(
+        "lw", F.when(F.col("doc_id") < 90, F.col("lw"))
+    )
+    sel = gumbel_topk(withnull, "lw", 20).filter(F.col("lw").isNull()).count()
+    assert sel == 0
+
+
+# ---------------------- IVF recall census
+
+
+def test_ivf_recall_census_shape(spark):
+    from sql4pandas_spark.queries.pipeline import ivf_recall_census
+
+    rows = ivf_recall_census(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 < r["n_cand"] < 499  # probed a strict subset of the corpus
+        assert abs(r["recall"] - r["n_hits"] / 10.0) < 1e-9
+        assert 0.0 <= r["recall"] <= 1.0
+    # the approximation is real at probe 2-of-8: not every query is perfect
+    assert any(r["recall"] < 1.0 for r in rows)
