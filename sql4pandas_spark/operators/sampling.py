@@ -558,3 +558,99 @@ def gumbel_topk(
         .limit(k)
         .drop("_tb")
     )
+
+
+#: e9 fixed-point scale for DoReMi domain weights (the PageRank
+#: convention — integer mass end-to-end, floors deterministic).
+DOREMI_SCALE = 10**9
+
+#: offset making the eta division's dividend non-negative: Spark DIV and
+#: DuckDB // both truncate toward zero, which is floor ONLY for
+#: non-negative dividends — a negative excess would round the two
+#: engines' factors differently. Must stay a multiple of every allowed
+#: eta_denom (asserted) so the shift cancels exactly.
+_DOREMI_OFF = 100_000_000
+
+
+def doremi_reweight(
+    loss: DataFrame,
+    rounds: int = 10,
+    eta_denom: int = 1,
+    domain_col: str = "domain",
+    loss_col: str = "loss_e6",
+) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023, "Domain
+    Reweighting with Minimax Optimization") as deterministic
+    multiplicative weights: given one reference LOSS per domain (integer
+    micro-nats, e.g. per-language cross-model surprisal from
+    ``text.crossmodel_surprisal``), iterate ``w_d ∝ w_d · (1 +
+    η·(L_d − L̄))`` with ``L̄`` the current WEIGHT-AVERAGED loss, and
+    renormalize — mass flows toward domains the reference model serves
+    worst (the group-DRO direction), which is the published method's
+    shape with the proxy-model training loop replaced by a fixed loss
+    frame (documented simplification: the full method re-measures L_d
+    per round under a model trained on the current mix; a fixed frame
+    gives the update's exact arithmetic a value-checked oracle).
+
+    The linear (1 + η·excess) update is the standard Arora–Hazan–Kale
+    MW variant of exp(η·excess) — chosen because it stays in INTEGER
+    arithmetic: per round, the mean is ``Σ(w·L) DIV Σw`` (self-
+    normalizing, so floor drift never compounds), the factor is
+    ``1e6 + (L − L̄ + OFF) DIV eta_denom − OFF DIV eta_denom`` (the
+    offset keeps the truncating division on non-negative ground; with
+    eta_denom=1 it cancels to ``1e6 + L − L̄`` exactly), clamped ≥ 1,
+    and weights renormalize to DOREMI_SCALE by integer division. Every
+    round replays bit-exactly in an unrolled-CTE oracle.
+
+    Scale shape: the loss frame is |domains| rows — per round two 1-row
+    aggregates ride the plan as crossJoin(broadcast) scalars
+    (pagerank's dangling-mass shape), state is |domains| rows,
+    localCheckpoint truncates lineage. Returns (domain_col, loss_col,
+    weight_e9) with Σ weight_e9 = DOREMI_SCALE up to |domains| floor
+    units (pytest-pinned)."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    if eta_denom < 1 or _DOREMI_OFF % eta_denom != 0:
+        raise ValueError(
+            f"eta_denom must be a positive divisor of {_DOREMI_OFF}"
+        )
+    n = loss.count()
+    if n == 0:
+        return loss.withColumn("weight_e9", F.lit(0).cast("long"))
+    w = loss.select(
+        domain_col,
+        F.col(loss_col).cast("long").alias(loss_col),
+        F.lit(DOREMI_SCALE // n).cast("long").alias("weight_e9"),
+    ).localCheckpoint(eager=True)
+    base = 1_000_000 - _DOREMI_OFF // eta_denom
+    for _ in range(rounds):
+        mean = w.agg(
+            F.expr(
+                f"sum(weight_e9 * {loss_col}) DIV sum(weight_e9)"
+            ).alias("_mean_e6")
+        )
+        u = (
+            w.crossJoin(F.broadcast(mean))
+            .withColumn(
+                "_u",
+                F.expr(
+                    f"(weight_e9 * greatest(CAST(1 AS BIGINT),"
+                    f" CAST({base} AS BIGINT)"
+                    f" + ({loss_col} - _mean_e6 + {_DOREMI_OFF})"
+                    f" DIV {eta_denom})) DIV 1000000"
+                ),
+            )
+        )
+        tot = u.agg(F.sum("_u").alias("_tot"))
+        w = (
+            u.crossJoin(F.broadcast(tot))
+            .select(
+                domain_col,
+                loss_col,
+                F.expr(f"(_u * {DOREMI_SCALE}) DIV _tot")
+                .cast("long")
+                .alias("weight_e9"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return w

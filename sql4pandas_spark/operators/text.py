@@ -1500,6 +1500,82 @@ def unigram_surprisal(
     )
 
 
+def crossmodel_surprisal(
+    df: DataFrame,
+    model_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unigram surprisal of EVERY document under a model trained on only
+    the ``model_pred`` slice (a boolean Column, e.g. ``F.col("lang") ==
+    "en"``) — the cross-domain loss signal domain-reweighting needs:
+    :func:`unigram_surprisal` scores the corpus against itself, this
+    scores raw domains against a TARGET/reference distribution, so
+    out-of-model domains surface as excess loss.
+
+    Same conventions as :func:`unigram_surprisal` (add-one smoothing,
+    per-token ln(1/p) e6-quantized once per vocabulary entry, integer
+    document sums), plus the one thing cross-model scoring forces: an
+    OUT-OF-VOCABULARY arm. A token the model never saw has c = 0 →
+    p = 1/(N + V) → surprisal ln(N + V), carried as a 1-row broadcast
+    scalar and coalesced in at the doc-distinct join (so OOV mass is
+    priced exactly, not dropped — dropping it would make foreign text
+    look FLUENT). V is the model slice's vocabulary size; the smoothing
+    is over seen types (the unigram_surprisal convention), documented
+    rather than re-normalized over unseen types, whose count is unknown.
+
+    Scale shape unchanged: model counts are one map-combined aggregate
+    over the slice, (N, V, s_oov) one broadcast row, docs pre-reduced to
+    (doc, token, count) before the vocab join. Returns
+    (id_col, n_tokens, surprisal_sum_e6)."""
+    toks = df.select(
+        id_col, model_pred.alias("_in_model"), tokens(text_col).alias("_w")
+    )
+    ex = toks.select(id_col, "_in_model", F.explode("_w").alias("_t"))
+    counts = (
+        ex.filter(F.col("_in_model"))
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    nv = counts.agg(
+        F.sum("_c").alias("_n"),
+        F.count(F.lit(1)).alias("_v"),
+        F.round(F.log(F.sum("_c") + F.count(F.lit(1))) * 1e6)
+        .cast("long")
+        .alias("_s_oov"),
+    )
+    vocab = counts.crossJoin(F.broadcast(nv.select("_n", "_v"))).select(
+        "_t",
+        F.round(
+            F.log((F.col("_n") + F.col("_v")) / (F.col("_c") + F.lit(1.0)))
+            * 1e6
+        )
+        .cast("long")
+        .alias("_s_e6"),
+    )
+    per_dt = ex.groupBy(id_col, "_t").agg(F.count(F.lit(1)).alias("_k"))
+    perdoc = (
+        per_dt.join(vocab, "_t", "left")
+        .crossJoin(F.broadcast(nv.select("_s_oov")))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_k").alias("_nt"),
+            F.sum(
+                F.col("_k") * F.coalesce(F.col("_s_e6"), F.col("_s_oov"))
+            ).alias("_sum"),
+        )
+    )
+    return (
+        toks.select(id_col)
+        .join(perdoc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_nt", F.lit(0)).alias("n_tokens"),
+            F.coalesce("_sum", F.lit(0)).alias("surprisal_sum_e6"),
+        )
+    )
+
+
 def bigram_backoff_surprisal(
     df: DataFrame,
     ref: DataFrame,

@@ -84,6 +84,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (added as they land; each new entry MUST enter the window or the
     # evidence rule goes red)
     "dsir_importance_resample",
+    "doremi_domain_weights",
     "ivf_recall_census",
     "graph_label_propagation",
     "psl_wildcard_exception_domains",

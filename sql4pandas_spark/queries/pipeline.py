@@ -2663,6 +2663,112 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doremi_oracle(rounds: int) -> str:
+    """DuckDB replay of operators/sampling.doremi_reweight over the
+    per-language cross-model loss frame, rounds UNROLLED into generated
+    CTEs (the _pagerank_oracle recipe): per round one weighted-mean
+    1-row aggregate, the clamped linear MW factor, one renormalizing
+    1-row sum — all BIGINT. The loss CTEs replay
+    text.crossmodel_surprisal including its OOV arm (LEFT JOIN +
+    coalesce to the ln(N+V) scalar)."""
+    ctes = [
+        """toks AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         t -> t <> '') AS w
+      FROM documents)""",
+        "ex AS (SELECT doc_id, lang, unnest(w) AS t FROM toks)",
+        "c AS (SELECT t, count(*) AS c FROM ex WHERE lang = 'en' GROUP BY 1)",
+        """nv AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v,
+              CAST(round(ln(sum(c) + count(*)) * 1000000) AS BIGINT) AS s_oov
+      FROM c)""",
+        """vocab AS (
+      SELECT t, CAST(round(ln((n + v) / (c + 1.0)) * 1000000) AS BIGINT)
+                AS s_e6
+      FROM c, nv)""",
+        "per_lt AS (SELECT lang, t, count(*) AS k FROM ex GROUP BY 1, 2)",
+        """dom AS (
+      SELECT lang AS domain,
+             CAST(sum(k * coalesce(s_e6, s_oov)) AS BIGINT)
+               // CAST(sum(k) AS BIGINT) AS loss_e6
+      FROM per_lt LEFT JOIN vocab USING (t) CROSS JOIN nv GROUP BY lang)""",
+        # each round references its predecessor exactly ONCE, with the
+        # two 1-row scalars (weighted mean, renormalizer) as
+        # unpartitioned window sums — both engines INLINE
+        # multiply-referenced CTEs, so the m/u/s-CTE spelling would
+        # expand 2^rounds copies of the base scan (the
+        # domain_pagerank_sinks lesson; it manifests here as DuckDB
+        # exhausting file handles on the 1024 parquet re-opens)
+        """w0 AS (
+      SELECT domain, loss_e6,
+             CAST(1000000000 AS BIGINT) // count(*) OVER () AS weight_e9
+      FROM dom)""",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        ctes.append(
+            f"w{k} AS (SELECT domain, loss_e6,"
+            f" (u * 1000000000) // CAST(sum(u) OVER () AS BIGINT)"
+            f" AS weight_e9 FROM ("
+            f"SELECT domain, loss_e6,"
+            f" (weight_e9 * greatest(CAST(1 AS BIGINT),"
+            f" CAST(-99000000 AS BIGINT)"
+            f" + (loss_e6"
+            f" - CAST(sum(weight_e9 * loss_e6) OVER () AS BIGINT)"
+            f" // CAST(sum(weight_e9) OVER () AS BIGINT)"
+            f" + 100000000) // 1)) // 1000000 AS u"
+            f" FROM w{p}) AS t{k})"
+        )
+    joined = ",\n    ".join(ctes)
+    return (
+        f"WITH {joined}\n    SELECT domain, loss_e6, weight_e9"
+        f" FROM w{rounds} ORDER BY domain"
+    )
+
+
+@query(
+    "doremi_domain_weights",
+    oracle=_doremi_oracle(10),
+    tags=("tier-c", "data_mix", "doremi", "lm_surprisal", "iterative"),
+)
+def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023) end-to-end: the
+    reference loss is each language's token-weighted surprisal under a
+    unigram model trained on the en slice ONLY
+    (operators/text.crossmodel_surprisal — OOV mass priced at ln(N+V),
+    not dropped), and operators/sampling.doremi_reweight runs 10
+    multiplicative-weights rounds on the 5-row loss frame: mass flows
+    toward the languages the reference model serves worst (the
+    group-DRO direction), giving the mix weights a training pipeline
+    feeds to quota/temperature sampling. All arithmetic is e6/e9
+    integer fixed-point, so the oracle replays loss derivation AND all
+    10 rounds value-exactly in unrolled CTEs (sweeps verbatim).
+    Fixture honesty: the synthetic corpus shares one 31-token
+    vocabulary across languages, so per-domain excess is small
+    (~6e3 micro-nats) — η is 1/nat to make the trajectory visibly
+    separate; ordering (weights strictly increasing in loss, mass
+    conserved to |domains| floor units) is pytest-pinned. Plan: the
+    loss frame is 5 rows; per round two 1-row broadcast scalars ride
+    the plan (pagerank's dangling-mass shape), zero driver collects
+    beyond the |domains| count."""
+    from sql4pandas_spark.operators.sampling import doremi_reweight
+    from sql4pandas_spark.operators.text import crossmodel_surprisal
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    sc = crossmodel_surprisal(docs, F.col("lang") == "en")
+    dom = (
+        sc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy(F.col("lang").alias("domain"))
+        .agg(
+            F.expr("sum(surprisal_sum_e6) DIV sum(n_tokens)").alias(
+                "loss_e6"
+            )
+        )
+    )
+    return doremi_reweight(dom, rounds=10, eta_denom=1).orderBy("domain")
+
+
 @query(
     "weighted_sample_docs",
     oracle=f"""

@@ -731,3 +731,76 @@ def test_ivf_recall_census_shape(spark):
         assert 0.0 <= r["recall"] <= 1.0
     # the approximation is real at probe 2-of-8: not every query is perfect
     assert any(r["recall"] < 1.0 for r in rows)
+
+
+# ---------------------- DoReMi domain reweighting
+
+
+def test_doremi_weights_ordered_and_mass_conserved(spark):
+    """Weights after 10 rounds are strictly increasing in loss (mass
+    flows toward the worst-served domain — the group-DRO direction) and
+    total mass stays DOREMI_SCALE up to |domains| floor units."""
+    from sql4pandas_spark.operators.sampling import DOREMI_SCALE
+    from sql4pandas_spark.queries.pipeline import doremi_domain_weights
+
+    rows = doremi_domain_weights(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 5
+    by_loss = sorted(rows, key=lambda r: r["loss_e6"])
+    ws = [r["weight_e9"] for r in by_loss]
+    assert ws == sorted(ws) and len(set(ws)) == len(ws), by_loss
+    total = sum(r["weight_e9"] for r in rows)
+    assert DOREMI_SCALE - len(rows) <= total <= DOREMI_SCALE
+
+
+def test_doremi_reweight_contract(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.sampling import DOREMI_SCALE, doremi_reweight
+
+    loss = spark.createDataFrame(
+        [("a", 5_000_000), ("b", 5_000_000), ("c", 5_000_000)],
+        "domain string, loss_e6 long",
+    )
+    with _pytest.raises(ValueError):
+        doremi_reweight(loss, rounds=0)
+    with _pytest.raises(ValueError):
+        doremi_reweight(loss, eta_denom=7)  # not a divisor of the offset
+    # equal losses: zero excess everywhere -> weights stay exactly uniform
+    out = {r["domain"]: r["weight_e9"] for r in doremi_reweight(loss, rounds=3).collect()}
+    assert out == {"a": DOREMI_SCALE // 3, "b": DOREMI_SCALE // 3, "c": DOREMI_SCALE // 3}
+    # one hot domain takes weight from the others, which stay tied
+    loss2 = spark.createDataFrame(
+        [("a", 5_000_000), ("b", 5_000_000), ("c", 9_000_000)],
+        "domain string, loss_e6 long",
+    )
+    out2 = {r["domain"]: r["weight_e9"] for r in doremi_reweight(loss2, rounds=3).collect()}
+    assert out2["c"] > DOREMI_SCALE // 3 > out2["a"] == out2["b"]
+
+
+def test_crossmodel_surprisal_oov_arm(spark):
+    """A token absent from the model slice prices at ln(N+V) — the OOV
+    arm; a model-slice token prices at ln((N+V)/(c+1))."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.text import crossmodel_surprisal
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha alpha beta", True),   # model slice: N=3, V=2
+            (2, "alpha gamma", False),        # gamma is OOV
+        ],
+        "doc_id long, text string, m boolean",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in crossmodel_surprisal(df, F.col("m")).collect()
+    }
+    s_alpha = round(math.log((3 + 2) / (2 + 1.0)) * 1e6)
+    s_beta = round(math.log((3 + 2) / (1 + 1.0)) * 1e6)
+    s_oov = round(math.log(3 + 2) * 1e6)
+    assert got[1]["surprisal_sum_e6"] == 2 * s_alpha + s_beta
+    assert got[2]["surprisal_sum_e6"] == s_alpha + s_oov
+    assert got[1]["n_tokens"] == 3 and got[2]["n_tokens"] == 2
