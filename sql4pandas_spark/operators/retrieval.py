@@ -283,3 +283,28 @@ def rerank_with_model(
             yield pdf
 
     return candidates.mapInPandas(score_batches, schema=out_schema)
+
+
+#: e6-integer NDCG position discounts, 1/log2(r+1) for ranks 1..10 —
+#: quantized ONCE here (the PSI/surprisal convention) and spliced as
+#: identical literals into Spark expressions and DuckDB oracles, so DCG
+#: sums are exact BIGINT arithmetic with no transcendental in either
+#: engine's hot path.
+NDCG_DISC_E6: tuple[int, ...] = (
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+)
+
+
+def dcg_e6_expr(rank_col: str, gain_col: str):
+    """Aggregate expression Σ gain·disc_e6[rank] over a ranked frame
+    (ranks 1..len(NDCG_DISC_E6)) — the integer DCG@k building block of
+    :data:`NDCG_DISC_E6`. Apply with ``.agg(dcg_e6_expr("r",
+    "gain").alias("dcg_e6"))`` on a frame already truncated to the
+    cutoff; ranks past the table index to NULL and would poison the sum
+    loudly rather than silently under-count."""
+    disc = F.element_at(
+        F.array(*[F.lit(d).cast("long") for d in NDCG_DISC_E6]),
+        F.col(rank_col).cast("int"),
+    )
+    return F.sum(F.col(gain_col).cast("long") * disc)

@@ -85,6 +85,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # evidence rule goes red)
     "dsir_importance_resample",
     "doremi_domain_weights",
+    "retrieval_ndcg_audit",
     "ivf_recall_census",
     "graph_label_propagation",
     "psl_wildcard_exception_domains",

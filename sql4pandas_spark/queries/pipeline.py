@@ -2194,6 +2194,158 @@ def bm25_top15_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(t["documents"], list(_BM25_TERMS), k=15)
 
 
+def _ndcg_oracle() -> str:
+    """Per-term NDCG@10 replay: for each of the three BM25 terms, the
+    SYSTEM ranking (single-term BM25, the exact _BM25_SCORE operation
+    order) and the IDEAL ranking (raw tf desc) truncate at 10, join the
+    e6-integer discount VALUES table, and reduce to exact BIGINT
+    DCG/IDCG. Every multiply-read frame is either toks/stats (constant
+    fan-out, 6 scans) or a ≤10-row CTE — no exponential inlining."""
+    from sql4pandas_spark.operators.retrieval import NDCG_DISC_E6
+
+    disc_vals = ", ".join(
+        f"({r}, CAST({d} AS BIGINT))"
+        for r, d in enumerate(NDCG_DISC_E6, start=1)
+    )
+    ctes = [
+        f"toks AS ({_TOKS_CTE})",
+        f"""stats AS (
+      SELECT count(*) AS n_docs, avg(len(w)) AS avgdl, {_BM25_STATS}
+      FROM toks)""",
+        f"disc AS (SELECT * FROM (VALUES {disc_vals}) AS t(r, disc_e6))",
+    ]
+    rows = []
+    for i, term in enumerate(_BM25_TERMS):
+        tf_d = f"CAST(len(list_filter(w, x -> x = '{term}')) AS DOUBLE)"
+        score = (
+            f"round(ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
+            f" * {tf_d} * 2.2"
+            f" / ({tf_d} + 1.2 * (0.25 + 0.75 * len(w) / avgdl)), 4)"
+        )
+        gain = f"CAST(len(list_filter(w, x -> x = '{term}')) AS BIGINT)"
+        ctes.append(
+            f"""s{i} AS (
+      SELECT row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r, gain
+      FROM (SELECT doc_id, {gain} AS gain, {score} AS bm25
+            FROM toks, stats) AS sc{i}
+      WHERE gain > 0 ORDER BY bm25 DESC, doc_id LIMIT 10)"""
+        )
+        ctes.append(
+            f"""i{i} AS (
+      SELECT row_number() OVER (ORDER BY gain DESC, doc_id) AS r, gain
+      FROM (SELECT doc_id, {gain} AS gain FROM toks) AS ic{i}
+      WHERE gain > 0 ORDER BY gain DESC, doc_id LIMIT 10)"""
+        )
+        ctes.append(
+            f"n{i} AS (SELECT CAST(count(*) AS BIGINT) AS n_rel"
+            f" FROM toks WHERE len(list_filter(w, x -> x = '{term}')) > 0)"
+        )
+        ctes.append(
+            f"d{i} AS (SELECT CAST(sum(gain * disc_e6) AS BIGINT)"
+            f" AS dcg_e6 FROM s{i} JOIN disc USING (r))"
+        )
+        ctes.append(
+            f"g{i} AS (SELECT CAST(sum(gain * disc_e6) AS BIGINT)"
+            f" AS idcg_e6 FROM i{i} JOIN disc USING (r))"
+        )
+        rows.append(
+            f"SELECT '{term}' AS term, n_rel, dcg_e6, idcg_e6,"
+            f" dcg_e6 * 1000000 // idcg_e6 AS ndcg_e6"
+            f" FROM d{i}, g{i}, n{i}"
+        )
+    joined = ",\n    ".join(ctes)
+    body = " UNION ALL ".join(rows)
+    return f"WITH {joined}\n    SELECT * FROM ({body}) AS u ORDER BY term"
+
+
+@query(
+    "retrieval_ndcg_audit",
+    oracle=_ndcg_oracle(),
+    tags=("tier-c", "retrieval", "audit", "quality"),
+)
+def retrieval_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 census for the BM25 ranker — the ranking-quality audit
+    that closes the retrieval loop the way ivf_recall_census closes the
+    ANN loop: per query term, graded relevance = raw term frequency,
+    system ranking = single-term BM25 (LENGTH-NORMALIZED, so it
+    genuinely disagrees with the ideal tf ordering — the gap IS the
+    signal), ideal ranking = tf desc, both truncated at 10. Discounts
+    1/log2(r+1) are e6-quantized module constants
+    (operators/retrieval.NDCG_DISC_E6) spliced identically into both
+    engines, so DCG, IDCG, and ndcg_e6 = DCG·1e6 DIV IDCG are exact
+    BIGINT — no float accumulation anywhere. At least one term scores
+    ndcg_e6 < 1e6 (pytest-pinned): a census where system == ideal
+    everywhere would audit nothing. Plan: ONE tokenized scan feeds all
+    corpus stats (1-row broadcast); per query the top-10s compile to
+    TakeOrderedAndProject (per-partition heaps) with the rank window
+    running over the 10 surviving rows; the discount join is a 10-row
+    literal array lookup."""
+    from pyspark.sql import Window
+
+    from sql4pandas_spark.operators.retrieval import dcg_e6_expr
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    toks_df = t["documents"].select("doc_id", text.tokens("text").alias("_toks"))
+    stats = toks_df.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.avg(F.size("_toks")).alias("_avgdl"),
+        *[
+            F.sum(
+                F.when(F.array_contains("_toks", term), 1).otherwise(0)
+            ).alias(f"_df_{i}")
+            for i, term in enumerate(_BM25_TERMS)
+        ],
+    )
+    base = toks_df.crossJoin(F.broadcast(stats))
+    nrm = F.lit(1.2) * (
+        F.lit(0.25)
+        + F.lit(0.75) * F.size("_toks").cast("double") / F.col("_avgdl")
+    )
+    out = None
+    for i, term in enumerate(_BM25_TERMS):
+        tf_d = F.size(
+            F.filter("_toks", lambda x: x == F.lit(term))
+        ).cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n_docs") - F.col(f"_df_{i}") + F.lit(0.5))
+            / (F.col(f"_df_{i}") + F.lit(0.5))
+        )
+        scored = base.select(
+            "doc_id",
+            tf_d.cast("long").alias("gain"),
+            F.round(idf * tf_d * F.lit(2.2) / (tf_d + nrm), 4).alias("bm25"),
+        ).filter(F.col("gain") > 0)
+        w_sys = Window.orderBy(F.desc("bm25"), F.col("doc_id"))
+        sys10 = (
+            scored.orderBy(F.desc("bm25"), "doc_id")
+            .limit(10)
+            .withColumn("r", F.row_number().over(w_sys))
+        )
+        w_idl = Window.orderBy(F.desc("gain"), F.col("doc_id"))
+        ideal10 = (
+            scored.orderBy(F.desc("gain"), "doc_id")
+            .limit(10)
+            .withColumn("r", F.row_number().over(w_idl))
+        )
+        row = (
+            scored.agg(F.count(F.lit(1)).alias("n_rel"))
+            .crossJoin(sys10.agg(dcg_e6_expr("r", "gain").alias("dcg_e6")))
+            .crossJoin(
+                ideal10.agg(dcg_e6_expr("r", "gain").alias("idcg_e6"))
+            )
+            .select(
+                F.lit(term).alias("term"),
+                "n_rel",
+                "dcg_e6",
+                "idcg_e6",
+                F.expr("dcg_e6 * 1000000 DIV idcg_e6").alias("ndcg_e6"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("term")
+
+
 _RRF_LEX_BUDGET, _RRF_SEM_BUDGET, _RRF_K0 = 50, 50, 60
 
 

@@ -804,3 +804,34 @@ def test_crossmodel_surprisal_oov_arm(spark):
     assert got[1]["surprisal_sum_e6"] == 2 * s_alpha + s_beta
     assert got[2]["surprisal_sum_e6"] == s_alpha + s_oov
     assert got[1]["n_tokens"] == 3 and got[2]["n_tokens"] == 2
+
+
+# ---------------------- retrieval NDCG@10 audit
+
+
+def test_ndcg_audit_bounds_and_disagreement(spark):
+    """NDCG is a true fraction (0 < ndcg_e6 <= 1e6), IDCG >= DCG by
+    construction, and at least one term's system ranking disagrees with
+    the ideal (the audit's reason to exist)."""
+    from sql4pandas_spark.queries.pipeline import retrieval_ndcg_audit
+
+    rows = retrieval_ndcg_audit(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert 0 < r["ndcg_e6"] <= 1_000_000
+        assert r["idcg_e6"] >= r["dcg_e6"] > 0
+        assert r["n_rel"] > 0
+        assert r["ndcg_e6"] == r["dcg_e6"] * 1_000_000 // r["idcg_e6"]
+    assert any(r["ndcg_e6"] < 1_000_000 for r in rows)
+
+
+def test_dcg_expr_known_value(spark):
+    """Hand-computed DCG@3: gains (3, 2, 0) at ranks 1..3 under the e6
+    discount table."""
+    from sql4pandas_spark.operators.retrieval import NDCG_DISC_E6, dcg_e6_expr
+
+    df = spark.createDataFrame(
+        [(1, 3), (2, 2), (3, 0)], "r int, gain long"
+    )
+    got = df.agg(dcg_e6_expr("r", "gain").alias("d")).collect()[0]["d"]
+    assert got == 3 * NDCG_DISC_E6[0] + 2 * NDCG_DISC_E6[1]
