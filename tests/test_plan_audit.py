@@ -43,6 +43,12 @@ BNLJ_ALLOWED = {
                                  # spine) + 1-row grand-total row
     "tfidf_top_terms_documents", # 1-row corpus size N
     "lm_surprisal_documents",    # 1-row (N, V) unigram-model normalizer
+    "retrieval_ndcg_audit",      # 1-row corpus stats + 1-row DCG/IDCG/
+                                 # n_rel scalar rows per query term
+    "ivf_recall_census",         # 8-row centroid and 5-row query frames
+                                 # broadcast against the corpus — the
+                                 # declared deterministic-IVF assignment
+                                 # + small-Q brute-force audit shape
     "bigram_surprisal_documents",  # same 1-row (N, V) backoff normalizer
     "bigram_gate_per_lang",      # same 1-row (N, V) normalizer via the
                                  # composed bigram scorer; the gate's own
