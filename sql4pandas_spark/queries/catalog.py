@@ -86,6 +86,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dsir_importance_resample",
     "doremi_domain_weights",
     "retrieval_ndcg_audit",
+    "langid_confusion_audit",
     "ivf_recall_census",
     "graph_label_propagation",
     "psl_wildcard_exception_domains",

@@ -321,6 +321,62 @@ def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_id(t["documents"]).orderBy("doc_id").limit(200)
 
 
+@query(
+    "langid_confusion_audit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         t -> t <> '') AS w
+      FROM documents),
+    cand AS (SELECT * FROM (VALUES {{lang_values}}) AS c(cl, stop)),
+    scored AS (
+      SELECT t.doc_id, t.lang, c.cl,
+             CAST(len(list_filter(t.w, x -> list_contains(c.stop, x)))
+                  AS INTEGER) AS hits
+      FROM toks t CROSS JOIN cand c),
+    ranked AS (
+      SELECT doc_id, lang, cl,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY hits DESC, cl ASC) AS rn
+      FROM scored),
+    conf AS (
+      SELECT lang, cl AS lang_pred, CAST(count(*) AS BIGINT) AS n
+      FROM ranked WHERE rn = 1 GROUP BY 1, 2)
+    SELECT lang, lang_pred, n,
+           n * 1000000 // CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT)
+             AS recall_e6
+    FROM conf ORDER BY lang, lang_pred
+    """.replace("{lang_values}", _LANG_VALUES),
+    tags=("tier-c", "text_analysis", "audit", "classifier"),
+)
+def langid_confusion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion-matrix census for the stopword-vote language ID against
+    the labeled ``lang`` column — the model-eval layer every heuristic
+    gate needs before it filters 100 TB: per (true, predicted) cell the
+    count and the e6-integer recall share of the true class. On THIS
+    fixture the audit's verdict is damning by design — the languages
+    share one 31-token vocabulary, so the voter collapses most
+    non-English docs to 'en' (en recall ≈ 0.95, de ≈ 0.07 at sf0.01)
+    — which is precisely the failure a census must surface before
+    anyone trusts lang_id-gated mixes; the off-diagonal mass is
+    pytest-pinned. Plan: one scan through the existing lang_id argmax
+    (JVM struct-max, no explode), one (lang, pred) aggregate, recall
+    shares via a |langs|-partition window over the 25-cell frame —
+    integer DIV end-to-end, no float."""
+    t = register_tables(spark, sf_dir, ("documents",))
+    pred = text.lang_id(t["documents"])
+    conf = pred.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return conf.selectExpr(
+        "lang",
+        "lang_pred",
+        "n",
+        "n * 1000000 DIV sum(n) OVER (PARTITION BY lang) AS recall_e6",
+    ).orderBy("lang", "lang_pred")
+
+
 _FINGERPRINT_ORACLE = f"""
     WITH toks AS ({_TOKS_CTE}),
     h AS (SELECT doc_id, list_transform(w, t -> {_HASH60}) AS hs FROM toks),

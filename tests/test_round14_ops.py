@@ -835,3 +835,41 @@ def test_dcg_expr_known_value(spark):
     )
     got = df.agg(dcg_e6_expr("r", "gain").alias("d")).collect()[0]["d"]
     assert got == 3 * NDCG_DISC_E6[0] + 2 * NDCG_DISC_E6[1]
+
+
+# ---------------------- lang-ID confusion audit
+
+
+def test_langid_confusion_exposes_collapse(spark):
+    """The audit's reason to exist on this fixture: shared vocabulary
+    collapses most non-English docs to 'en' — off-diagonal mass is
+    large, recall shares per true class sum to ~1e6, and every cell
+    count is positive."""
+    from sql4pandas_spark.queries.pipeline import langid_confusion_audit
+
+    rows = langid_confusion_audit(spark, "/root/testdata/sf0.001").collect()
+    assert all(r["n"] > 0 for r in rows)
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, cells in by_lang.items():
+        total = sum(c["recall_e6"] for c in cells)
+        # integer DIV per cell: the shares under-sum by < |cells| units
+        assert 1_000_000 - len(cells) <= total <= 1_000_000
+        for c in cells:
+            assert c["recall_e6"] == c["n"] * 1_000_000 // sum(x["n"] for x in cells)
+    offdiag = sum(r["n"] for r in rows if r["lang"] != r["lang_pred"])
+    diag = sum(r["n"] for r in rows if r["lang"] == r["lang_pred"])
+    assert offdiag > 0 and diag > 0
+    # the collapse the audit must surface: some non-en class has recall
+    # below one half while en stays above
+    en = [r for r in rows if r["lang"] == "en" and r["lang_pred"] == "en"]
+    assert en and en[0]["recall_e6"] > 500_000
+    assert any(
+        r["lang"] == r["lang_pred"] and r["recall_e6"] < 500_000
+        for r in rows
+        if r["lang"] != "en"
+    ) or any(
+        lang != "en" and all(c["lang_pred"] != lang for c in cells)
+        for lang, cells in by_lang.items()
+    )
