@@ -2835,7 +2835,7 @@ _DSIR_ID_HASH = text.DUCKDB_HASH60_SQL.format(
     SELECT doc_id, lang, source, n_tok, logw, skey
     FROM keyed ORDER BY skey DESC, tb, doc_id LIMIT 50
     """,
-    tags=("tier-c", "data_mix", "sample_hash", "quality", "dsir"),
+    tags=("tier-c", "data_mix", "sample_hash", "quality", "dsir", "bench-heavy"),
 )
 def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data Selection via Importance Resampling (DSIR, Xie et al. 2023) —
