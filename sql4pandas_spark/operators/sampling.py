@@ -470,25 +470,70 @@ def dsir_importance_weights(
     Returns (id_col, n_tok, logw_e6, logw) — ``logw`` is the e6 integer
     divided back to nats, rounded 6dp (exact: it IS the integer/1e6).
     Feed to :func:`gumbel_topk` for the paper's resampling step.
+
+    Composed from :func:`dsir_bucket_tokens` → :func:`dsir_bucket_stats`
+    → :func:`dsir_terms` → :func:`dsir_score` — the stats frame is a
+    pair of per-bucket COUNTERS, i.e. mergeable state: summing partial
+    frames from independent batches gives exactly the global frame, so
+    the cross-batch incremental form needs no re-scan of history
+    (entry `dsir_incremental_stats` pins batch-merged == from-scratch).
     """
-    toks = (
-        df.select(
-            F.col(id_col),
-            is_target.alias("_is_t"),
-            F.explode(F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")).alias("_w"),
-        )
-        .select(
-            id_col,
-            "_is_t",
-            F.pmod(portable_hash60(F.col("_w")), F.lit(n_buckets)).alias("_b"),
-        )
+    toks = dsir_bucket_tokens(df, is_target, text_col, id_col, n_buckets)
+    terms = dsir_terms(dsir_bucket_stats(toks), n_buckets)
+    return dsir_score(toks, terms, id_col)
+
+
+def dsir_bucket_tokens(
+    df: DataFrame,
+    is_target,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """(id, is_target, bucket) exploded-token frame — the shared input of
+    the stats and scoring passes."""
+    return df.select(
+        F.col(id_col),
+        is_target.alias("_is_t"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")
+        ).alias("_w"),
+    ).select(
+        id_col,
+        "_is_t",
+        F.pmod(portable_hash60(F.col("_w")), F.lit(n_buckets)).alias("_b"),
     )
-    stats = toks.groupBy("_b").agg(
+
+
+def dsir_bucket_stats(toks: DataFrame) -> DataFrame:
+    """Per-bucket (target count, raw count) — plain integer counters, so
+    partial frames from independent batches MERGE by re-aggregation
+    (:func:`merge_dsir_stats`); one map-combined aggregate, 8-byte keys."""
+    return toks.groupBy("_b").agg(
         F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("_t_cnt"),
         F.count(F.lit(1)).alias("_r_cnt"),
     )
+
+
+def merge_dsir_stats(parts: list[DataFrame]) -> DataFrame:
+    """Merge per-batch bucket-stat frames into the global frame — counter
+    addition, exactly what a cross-batch incremental DSIR store replays
+    instead of re-scanning history. Input order is immaterial."""
+    if not parts:
+        raise ValueError("no stats frames to merge")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("_b").agg(
+        F.sum("_t_cnt").alias("_t_cnt"), F.sum("_r_cnt").alias("_r_cnt")
+    )
+
+
+def dsir_terms(stats: DataFrame, n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """Per-bucket integer micro-nat log-ratio terms from the stats frame
+    (Laplace smoothing, e6 quantization AFTER the transcendental)."""
     tot = Window.partitionBy()
-    terms = stats.select(
+    return stats.select(
         "_b",
         F.floor(
             (
@@ -507,6 +552,13 @@ def dsir_importance_weights(
         .cast("long")
         .alias("_term_e6"),
     )
+
+
+def dsir_score(
+    toks: DataFrame, terms: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document exact BIGINT term sums from the exploded-token frame
+    and the broadcast terms frame; returns (id, n_tok, logw_e6, logw)."""
     return (
         toks.join(F.broadcast(terms), "_b")
         .groupBy(id_col)

@@ -84,6 +84,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (added as they land; each new entry MUST enter the window or the
     # evidence rule goes red)
     "dsir_importance_resample",
+    "dsir_incremental_stats",
     "doremi_domain_weights",
     "retrieval_ndcg_audit",
     "langid_confusion_audit",

@@ -2798,9 +2798,10 @@ _DSIR_ID_HASH = text.DUCKDB_HASH60_SQL.format(
 )
 
 
-@query(
-    "dsir_importance_resample",
-    oracle=f"""
+#: from-scratch DSIR replay — shared by the one-shot entry AND the
+#: incremental-stats entry (whose whole claim is batch-merged ==
+#: from-scratch, so the SAME oracle must hash-match both)
+_DSIR_ORACLE = f"""
     WITH tok AS (
       SELECT doc_id, lang = 'en' AS is_t,
              unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
@@ -2834,7 +2835,12 @@ _DSIR_ID_HASH = text.DUCKDB_HASH60_SQL.format(
       FROM docw JOIN documents d USING (doc_id))
     SELECT doc_id, lang, source, n_tok, logw, skey
     FROM keyed ORDER BY skey DESC, tb, doc_id LIMIT 50
-    """,
+    """
+
+
+@query(
+    "dsir_importance_resample",
+    oracle=_DSIR_ORACLE,
     tags=("tier-c", "data_mix", "sample_hash", "quality", "dsir", "bench-heavy"),
 )
 def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2975,6 +2981,50 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return doremi_reweight(dom, rounds=10, eta_denom=1).orderBy("domain")
+
+
+@query(
+    "dsir_incremental_stats",
+    oracle=_DSIR_ORACLE,
+    tags=("tier-c", "data_mix", "dsir", "incremental", "incr_agg"),
+)
+def dsir_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch INCREMENTAL DSIR (operators/sampling.merge_dsir_stats):
+    the corpus arrives in three hash-disjoint batches, each contributing
+    only its |buckets|-row (t_cnt, r_cnt) counter frame — the mergeable
+    state — and the merged stats drive term derivation and scoring. The
+    oracle is the from-scratch replay VERBATIM (_DSIR_ORACLE, same
+    statement as dsir_importance_resample): the hash match IS the claim
+    that batch-merged stats equal a full re-scan, i.e. the importance
+    model of a continuously-ingested corpus stays current without
+    touching history — the weighted_sample_merged_docs discipline
+    applied to distribution state rather than sample state. Per batch
+    the persisted state is 64 rows of integers; the only full-corpus
+    pass is the final scoring scan, which any refresh needs anyway."""
+    from sql4pandas_spark.operators.sampling import (
+        dsir_bucket_stats,
+        dsir_bucket_tokens,
+        dsir_score,
+        dsir_terms,
+        gumbel_topk,
+        merge_dsir_stats,
+    )
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    d = t["documents"]
+    is_t = F.col("lang") == "en"
+    parts = [
+        dsir_bucket_stats(
+            dsir_bucket_tokens(d.filter(F.col("doc_id") % 3 == b), is_t)
+        )
+        for b in range(3)
+    ]
+    terms = dsir_terms(merge_dsir_stats(parts))
+    w = dsir_score(dsir_bucket_tokens(d, is_t), terms)
+    scored = w.join(d.select("doc_id", "lang", "source"), "doc_id")
+    return gumbel_topk(scored, "logw", k=50).select(
+        "doc_id", "lang", "source", "n_tok", "logw", "skey"
+    )
 
 
 @query(

@@ -873,3 +873,40 @@ def test_langid_confusion_exposes_collapse(spark):
         lang != "en" and all(c["lang_pred"] != lang for c in cells)
         for lang, cells in by_lang.items()
     )
+
+
+# ---------------------- incremental DSIR stats
+
+
+def test_merge_dsir_stats_equals_global(spark):
+    """Counter mergeability: per-batch bucket stats re-aggregated equal
+    the from-scratch global stats frame exactly; empty input raises."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.sampling import (
+        dsir_bucket_stats,
+        dsir_bucket_tokens,
+        merge_dsir_stats,
+    )
+    from sql4pandas_spark.sources.parquet import table
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    is_t = F.col("lang") == "en"
+    parts = [
+        dsir_bucket_stats(
+            dsir_bucket_tokens(d.filter(F.col("doc_id") % 3 == b), is_t)
+        )
+        for b in range(3)
+    ]
+    merged = {
+        r["_b"]: (r["_t_cnt"], r["_r_cnt"])
+        for r in merge_dsir_stats(parts).collect()
+    }
+    want = {
+        r["_b"]: (r["_t_cnt"], r["_r_cnt"])
+        for r in dsir_bucket_stats(dsir_bucket_tokens(d, is_t)).collect()
+    }
+    assert merged == want
+    with _pytest.raises(ValueError):
+        merge_dsir_stats([])
