@@ -85,6 +85,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # evidence rule goes red)
     "dsir_importance_resample",
     "dsir_incremental_stats",
+    "stream_dsir_stats",
     "doremi_domain_weights",
     "retrieval_ndcg_audit",
     "langid_confusion_audit",

@@ -6306,6 +6306,55 @@ def stream_quantile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("pct")
 
 
+@query(
+    "stream_dsir_stats",
+    oracle=_DSIR_ORACLE,
+    tags=("tier-c", "scan_stream", "foreach_batch", "dsir", "incr_agg"),
+)
+def stream_dsir_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DSIR stats maintenance
+    (streaming/sketches.run_dsir_stats_stream): documents arrive as a
+    file stream in two micro-batches and fold into the versioned
+    bucket-counter store — per batch a 64-row integer frame, merged by
+    per-bucket addition through the exactly-once version chain (additive
+    counters double-count under renumbered replay, so the misalignment
+    guard is load-bearing). Terms derive from the LATEST state and score
+    the corpus; the oracle is the from-scratch replay VERBATIM
+    (_DSIR_ORACLE, shared with the one-shot and batch-incremental
+    entries): one hash now pins all three maintenance disciplines —
+    one-shot == batch-merged == stream-maintained. This is the
+    production shape: the importance model of a continuously-ingested
+    corpus stays current per drain without re-scanning history."""
+    from sql4pandas_spark.operators.sampling import (
+        dsir_score,
+        dsir_bucket_tokens,
+        dsir_terms,
+        gumbel_topk,
+    )
+    from sql4pandas_spark.streaming import sketches as sk
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    d = t["documents"]
+    is_t = F.col("lang") == "en"
+    root, land, ckpt = _scratch_dirs("dsir_store", "dsir_landing", "dsir_ckpt")
+    os.makedirs(land, exist_ok=True)
+    sk.empty_state(spark, "_b long, _t_cnt long, _r_cnt long", root)
+
+    for i, pred in enumerate(
+        (F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1)
+    ):
+        _stage_changeset_file(d.filter(pred), land, f"docs_{i:02d}.parquet")
+        stream = spark.readStream.schema(d.schema).parquet(land)
+        sk.run_dsir_stats_stream(stream, root, is_t, checkpoint=ckpt)
+
+    terms = dsir_terms(sk.latest_state(spark, root))
+    w = dsir_score(dsir_bucket_tokens(d, is_t), terms)
+    scored = w.join(d.select("doc_id", "lang", "source"), "doc_id")
+    return gumbel_topk(scored, "logw", k=50).select(
+        "doc_id", "lang", "source", "n_tok", "logw", "skey"
+    )
+
+
 #: Second front-end statement — the array/JSON/math rename families
 #: (list_* higher-order lambdas, json_extract_string, the log()-is-log10
 #: semantic trap, to_hex), again ONE string for both engines.

@@ -234,3 +234,42 @@ def run_histogram_stream(
         checkpoint=checkpoint,
         timeout_sec=timeout_sec,
     )
+
+
+def run_dsir_stats_stream(
+    stream: DataFrame,
+    store_root: str,
+    is_target,
+    checkpoint: str | None = None,
+) -> str:
+    """Fold a DOCUMENT stream into the versioned DSIR bucket-counter
+    store: per micro-batch the state contribution is
+    ``dsir_bucket_stats(dsir_bucket_tokens(batch))`` — a |buckets|-row
+    integer counter frame — and the merge is per-bucket addition, the
+    same counter algebra `operators/sampling.merge_dsir_stats` applies
+    across batches. Exactly-once versioning is load-bearing here for
+    the same reason as the count-min grid: counters double-count under
+    renumbered replay. The read-out (`dsir_terms` → `dsir_score`) never
+    re-scans ingested history; ``is_target`` is the unbound boolean
+    Column defining the target slice (e.g. ``F.col("lang") == "en"``)."""
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.sampling import (
+        dsir_bucket_stats,
+        dsir_bucket_tokens,
+    )
+
+    def batch_state(df: DataFrame) -> DataFrame:
+        return dsir_bucket_stats(dsir_bucket_tokens(df, is_target))
+
+    def merge(prev: DataFrame, cur: DataFrame) -> DataFrame:
+        return (
+            prev.unionByName(cur)
+            .groupBy("_b")
+            .agg(
+                F.sum("_t_cnt").alias("_t_cnt"),
+                F.sum("_r_cnt").alias("_r_cnt"),
+            )
+        )
+
+    return run_sketch_stream(stream, store_root, batch_state, merge, checkpoint)
