@@ -87,6 +87,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dsir_incremental_stats",
     "stream_dsir_stats",
     "doremi_domain_weights",
+    "doremi_mix_apply",
     "retrieval_ndcg_audit",
     "langid_confusion_audit",
     "ivf_recall_census",

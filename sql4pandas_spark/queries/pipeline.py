@@ -2877,7 +2877,7 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _doremi_oracle(rounds: int) -> str:
+def _doremi_ctes(rounds: int) -> list[str]:
     """DuckDB replay of operators/sampling.doremi_reweight over the
     per-language cross-model loss frame, rounds UNROLLED into generated
     CTEs (the _pagerank_oracle recipe): per round one weighted-mean
@@ -2933,7 +2933,11 @@ def _doremi_oracle(rounds: int) -> str:
             f" + 100000000) // 1)) // 1000000 AS u"
             f" FROM w{p}) AS t{k})"
         )
-    joined = ",\n    ".join(ctes)
+    return ctes
+
+
+def _doremi_oracle(rounds: int) -> str:
+    joined = ",\n    ".join(_doremi_ctes(rounds))
     return (
         f"WITH {joined}\n    SELECT domain, loss_e6, weight_e9"
         f" FROM w{rounds} ORDER BY domain"
@@ -3024,6 +3028,100 @@ def dsir_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = w.join(d.select("doc_id", "lang", "source"), "doc_id")
     return gumbel_topk(scored, "logw", k=50).select(
         "doc_id", "lang", "source", "n_tok", "logw", "skey"
+    )
+
+
+_DOREMI_MIX_HASH = text.DUCKDB_HASH60_SQL.format(
+    expr="'mix:' || CAST(doc_id AS VARCHAR)"
+)
+
+
+def _doremi_mix_oracle() -> str:
+    ctes = _doremi_ctes(10) + [
+        "q AS (SELECT domain, weight_e9 * 100 // 1000000000 AS quota"
+        " FROM w10)",
+        f"""ranked AS (
+      SELECT lang AS domain, doc_id,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY ({_DOREMI_MIX_HASH}), doc_id) AS rn
+      FROM documents)""",
+        "kept AS (SELECT r.domain, r.doc_id FROM ranked r"
+        " JOIN q USING (domain) WHERE rn <= quota)",
+    ]
+    joined = ",\n    ".join(ctes)
+    return (
+        f"WITH {joined}\n"
+        "    SELECT q.domain, q.quota,"
+        " CAST(count(k.doc_id) AS BIGINT) AS n_kept,"
+        " CAST(coalesce(sum(k.doc_id), 0) AS BIGINT) AS kept_id_sum\n"
+        "    FROM q LEFT JOIN kept k ON k.domain = q.domain\n"
+        "    GROUP BY q.domain, q.quota ORDER BY q.domain"
+    )
+
+
+@query(
+    "doremi_mix_apply",
+    oracle=_doremi_mix_oracle(),
+    tags=("tier-c", "data_mix", "doremi", "quota", "sample_hash"),
+)
+def doremi_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DoReMi loop CLOSED: the learned domain weights become the mix
+    a training job actually consumes — per-language quota =
+    weight_e9·100 DIV 1e9 of a 100-doc budget, filled by deterministic
+    hash order (salted portable hash, doc_id tie-break) so the kept SET
+    is engine- and partitioning-stable. The census row per domain
+    carries the quota, the kept count, AND kept_id_sum — a membership
+    checksum, so swapping even one document flips the hash (counts
+    alone would pass a wrong-membership mix). Oracle replays loss →
+    10 MW rounds → quotas → ranked fill in one statement. Plan note:
+    the per-domain rank runs as a |langs|-partition window at fixture
+    scale; at 100 TB the documented swap-in is quota_sample's two-phase
+    hash pre-filter generalized to per-stratum quotas (the broadcast
+    quota frame already has the per-stratum cutoffs)."""
+    from pyspark.sql import Window
+
+    from sql4pandas_spark.operators.sampling import doremi_reweight
+    from sql4pandas_spark.operators.text import crossmodel_surprisal, portable_hash60
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    sc = crossmodel_surprisal(docs, F.col("lang") == "en")
+    dom = (
+        sc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy(F.col("lang").alias("domain"))
+        .agg(
+            F.expr("sum(surprisal_sum_e6) DIV sum(n_tokens)").alias(
+                "loss_e6"
+            )
+        )
+    )
+    w = doremi_reweight(dom, rounds=10, eta_denom=1)
+    q = w.select(
+        "domain", F.expr("weight_e9 * 100 DIV 1000000000").alias("quota")
+    )
+    h = portable_hash60(
+        F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))
+    )
+    win = Window.partitionBy("domain").orderBy(h.asc(), F.col("doc_id"))
+    ranked = docs.select(
+        F.col("lang").alias("domain"), "doc_id"
+    ).withColumn("rn", F.row_number().over(win))
+    kept = ranked.join(F.broadcast(q), "domain").filter(
+        F.col("rn") <= F.col("quota")
+    )
+    agg = kept.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("doc_id").alias("_s")
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        q.join(agg, "domain", "left")
+        .select(
+            "domain",
+            "quota",
+            F.coalesce(F.col("_n"), zero).alias("n_kept"),
+            F.coalesce(F.col("_s"), zero).alias("kept_id_sum"),
+        )
+        .orderBy("domain")
     )
 
 

