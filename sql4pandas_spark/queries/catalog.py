@@ -88,6 +88,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_dsir_stats",
     "doremi_domain_weights",
     "doremi_mix_apply",
+    "fact_refresh_merge_q1",
     "retrieval_ndcg_audit",
     "langid_confusion_audit",
     "ivf_recall_census",

@@ -3552,6 +3552,81 @@ def scrub_passages_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fact_refresh_merge_q1",
+    oracle="""
+    WITH ins AS (
+      SELECT l_orderkey + 100000000 AS l_orderkey, l_partkey, l_suppkey,
+             l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+             l_returnflag, l_linestatus, l_shipdate
+      FROM lineitem WHERE l_orderkey % 37 = 3),
+    post AS (
+      SELECT * FROM lineitem WHERE l_orderkey % 97 <> 0
+      UNION ALL SELECT * FROM ins)
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                         AS sum_qty,
+           round(sum(l_extendedprice), 2)                    AS sum_base,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4)                         AS avg_qty,
+           count(*)                                          AS count_order
+    FROM post
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("tier-c", "merge_upsert", "pipeline", "agg_group"),
+)
+def fact_refresh_merge_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H refresh-function-style maintenance on the FACT table: an
+    RF1-like insert batch (shifted-key copies of the %37 residue orders'
+    lines) and an RF2-like delete batch (every line of the %97 residue
+    orders) flow through the same keyed MERGE the CDC family uses
+    (operators/maintenance.merge_upsert on (l_orderkey, l_linenumber)),
+    and the post-state is verified by RE-RUNNING the Q1 pricing summary
+    — every sum/avg/count is load-bearing against a mis-applied insert
+    or an un-deleted line. This is the warehouse-maintenance loop on the
+    biggest table: changes are orders smaller than the snapshot, so the
+    anti-join side broadcasts and the fact table never shuffles (the
+    merge_upsert scale note); the summary is q1's own one-scan
+    aggregate shape. Insert keys shift by 1e8 — disjoint from live and
+    deleted keys at any test SF, so the changeset is key-unique and the
+    no-seq_col contract holds."""
+    from sql4pandas_spark.operators.maintenance import merge_upsert
+
+    t = register_tables(spark, sf_dir, ("lineitem",))
+    li = t["lineitem"]
+    ins = li.filter(F.col("l_orderkey") % 37 == 3).withColumn(
+        "l_orderkey", F.col("l_orderkey") + F.lit(100_000_000)
+    )
+    key_cols = ["l_orderkey", "l_linenumber"]
+    dels = li.filter(F.col("l_orderkey") % 97 == 0).select(
+        *[
+            F.col(c)
+            if c in key_cols
+            else F.lit(None).cast(f.dataType).alias(c)
+            for c, f in zip(li.columns, li.schema.fields)
+        ]
+    )
+    changes = (
+        ins.withColumn("op", F.lit(None).cast("string"))
+        .unionByName(dels.withColumn("op", F.lit("delete")))
+    )
+    post = merge_upsert(li, changes, key_cols)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        post.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
     "merge_upsert_documents",
     oracle="""
     WITH snap AS (SELECT doc_id, lang, n_chars FROM documents),

@@ -990,3 +990,37 @@ def test_doremi_mix_apply_quotas_and_membership(spark):
     # budget: quotas sum to <= 100 and > 90 (floor losses only)
     total_q = sum(r["quota"] for r in rows.values())
     assert 90 < total_q <= 100
+
+
+def test_fact_refresh_changes_are_load_bearing(spark):
+    """The refresh genuinely moves the Q1 summary: post-state differs
+    from the unmaintained summary in count_order for at least one group,
+    and inserted keys live strictly above the shift while deleted keys
+    are gone."""
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.maintenance import merge_upsert
+    from sql4pandas_spark.queries.pipeline import fact_refresh_merge_q1
+    from sql4pandas_spark.queries.relational import q1_pricing_summary
+    from sql4pandas_spark.sources.parquet import table
+
+    sf = "/root/testdata/sf0.001"
+    post = {(r["l_returnflag"], r["l_linestatus"]): r["count_order"]
+            for r in fact_refresh_merge_q1(spark, sf).collect()}
+    pre = {(r["l_returnflag"], r["l_linestatus"]): r["count_order"]
+           for r in q1_pricing_summary(spark, sf).collect()}
+    assert post != pre
+    li = table(spark, sf, "lineitem")
+    ins = li.filter(F.col("l_orderkey") % 37 == 3).withColumn(
+        "l_orderkey", F.col("l_orderkey") + F.lit(100_000_000)
+    ).withColumn("op", F.lit(None).cast("string"))
+    key_cols = ["l_orderkey", "l_linenumber"]
+    dels = li.filter(F.col("l_orderkey") % 97 == 0).select(
+        *[F.col(c) if c in key_cols else F.lit(None).cast(f.dataType).alias(c)
+          for c, f in zip(li.columns, li.schema.fields)]
+    ).withColumn("op", F.lit("delete"))
+    out = merge_upsert(li, ins.unionByName(dels), key_cols)
+    assert out.filter(F.col("l_orderkey") % 97 == 0).filter(
+        F.col("l_orderkey") < 100_000_000).count() == 0
+    n_ins = li.filter(F.col("l_orderkey") % 37 == 3).count()
+    assert out.filter(F.col("l_orderkey") >= 100_000_000).count() == n_ins
