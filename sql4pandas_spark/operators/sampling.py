@@ -666,9 +666,21 @@ def doremi_reweight(
         raise ValueError(
             f"eta_denom must be a positive divisor of {_DOREMI_OFF}"
         )
-    n = loss.count()
+    counts = loss.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count(loss_col).alias("_nn"),
+    ).collect()[0]
+    n = counts["_n"]
     if n == 0:
         return loss.withColumn("weight_e9", F.lit(0).cast("long"))
+    if counts["_nn"] != n:
+        # a NULL loss would propagate through the weighted mean and NULL
+        # every weight three expressions later — fail at the source with
+        # the domain count instead (the same one action derives n)
+        raise ValueError(
+            f"doremi_reweight: {n - counts['_nn']} of {n} domains have "
+            f"NULL {loss_col} — score or drop them first"
+        )
     w = loss.select(
         domain_col,
         F.col(loss_col).cast("long").alias(loss_col),

@@ -49,7 +49,13 @@ def cosine_cols(a, b):
     the norms, float32→double casts per element (§2.12 #9). Normalizing
     by both norms matches DuckDB's ``list_cosine_similarity`` even when
     vectors are only approximately unit — dot-only would diverge in the
-    4th decimal. Pure whole-stage-codegen expressions, no UDF."""
+    4th decimal. Pure whole-stage-codegen expressions, no UDF.
+
+    Precondition: vectors must have non-zero norm — a zero vector makes
+    the normalizing division 0/0, which is an ANSI DIVIDE_BY_ZERO abort
+    on Spark but NaN in DuckDB's list_cosine_similarity, so no silent
+    cross-engine answer exists to paper over; filter or re-embed zero
+    vectors first (the fixture embeddings are unit-norm)."""
 
     def _fold(arr):
         return F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v)

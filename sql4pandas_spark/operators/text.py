@@ -1527,7 +1527,13 @@ def crossmodel_surprisal(
     Scale shape unchanged: model counts are one map-combined aggregate
     over the slice, (N, V, s_oov) one broadcast row, docs pre-reduced to
     (doc, token, count) before the vocab join. Returns
-    (id_col, n_tokens, surprisal_sum_e6)."""
+    (id_col, n_tokens, surprisal_sum_e6).
+
+    Precondition: the model slice must contain at least one token —
+    an empty slice has N + V = 0 and ln(0) NULLs the OOV scalar, which
+    then NULLs every score through the coalesce; there is no defined
+    "surprisal under no model" to return instead (the round-14 property
+    differential pins the guard input shape)."""
     toks = df.select(
         id_col, model_pred.alias("_in_model"), tokens(text_col).alias("_w")
     )

@@ -1024,3 +1024,15 @@ def test_fact_refresh_changes_are_load_bearing(spark):
         F.col("l_orderkey") < 100_000_000).count() == 0
     n_ins = li.filter(F.col("l_orderkey") % 37 == 3).count()
     assert out.filter(F.col("l_orderkey") >= 100_000_000).count() == n_ins
+
+
+def test_doremi_null_loss_raises(spark):
+    import pytest as _pytest
+
+    from sql4pandas_spark.operators.sampling import doremi_reweight
+
+    loss = spark.createDataFrame(
+        [("a", 5_000_000), ("b", None)], "domain string, loss_e6 long"
+    )
+    with _pytest.raises(ValueError, match="NULL loss_e6"):
+        doremi_reweight(loss)
