@@ -238,15 +238,23 @@ class Engine:
         parameterized intervals, in-parens IGNORE NULLS, and literal
         re-escaping — the same statement text that runs on the reference
         engine runs here unchanged, and plans like hand-written Spark
-        SQL (pushdown/pruning plan-asserted). Proven at catalog width:
-        214 of the 230 oracle statements execute verbatim with matching
-        value hashes (tools/transpile_sweep.py; the 16 skips are
-        enumerated loud-failing unshared constructs). Default: Spark
-        SQL.
+        SQL (pushdown/pruning plan-asserted). Proven at catalog width by
+        tools/transpile_sweep.py (the remaining skips are enumerated
+        loud-failing unshared constructs). Default: Spark SQL.
+
+        ``WITH RECURSIVE`` statements whose recursion uses deduplicating
+        ``UNION`` — the fixpoint-closure form Spark's native recursion
+        rejects — run through the semi-naive iterative executor
+        (plans/recursive.py); their Result is materialized rather than
+        lazy, because driver-coordinated iteration has to execute to know
+        the fixpoint. Everything else stays lazy.
         """
         from sql4pandas_spark.functions.transpile import to_spark_sql
+        from sql4pandas_spark.plans.recursive import run_recursive_sql
 
-        return Result(self.spark.sql(to_spark_sql(statement, dialect)))
+        return Result(
+            run_recursive_sql(self.spark, to_spark_sql(statement, dialect))
+        )
 
     def cursor(self) -> Cursor:
         return Cursor(self)

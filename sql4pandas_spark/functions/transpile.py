@@ -1075,6 +1075,179 @@ def _rewrite_param_interval(statement: str) -> str:
         )
 
 
+_EXCLUDE_PARENS = re.compile(r"(\*\s*)EXCLUDE\s*\(", re.IGNORECASE)
+_EXCLUDE_BARE = re.compile(r"(\*\s*)EXCLUDE\s+([A-Za-z_][A-Za-z0-9_]*)", re.IGNORECASE)
+
+
+def _rewrite_exclude(statement: str) -> str:
+    """DuckDB ``* EXCLUDE (a, b)`` / ``* EXCLUDE a`` → Spark
+    ``* EXCEPT (a, b)`` — same column-subtraction star, different
+    keyword. Only the star-adjacent spelling rewrites; EXCLUDE as a
+    plain identifier elsewhere is untouched."""
+    parts = re.split(rf"({_PROTECTED_SRC})", statement, flags=re.VERBOSE)
+    for i in range(0, len(parts), 2):
+        p = _EXCLUDE_PARENS.sub(r"\1EXCEPT (", parts[i])
+        parts[i] = _EXCLUDE_BARE.sub(r"\1EXCEPT (\2)", p)
+    return "".join(parts)
+
+
+#: clause keywords that terminate a QUALIFY predicate at depth 0.
+_QUALIFY_TERMINATORS = ("ORDER", "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT")
+
+
+def _any_depth_keyword(s: str, kw: str) -> tuple[int, int | None] | None:
+    """(pos, innermost enclosing '(' index) of the first unprotected,
+    word-bounded ``kw`` at ANY depth; None when absent."""
+    pat = re.compile(rf"{kw}\b", re.IGNORECASE)
+    stack: list[int] = []
+    i = 0
+    while i < len(s):
+        m = _PROTECTED.match(s, i)
+        if m:
+            i = m.end()
+            continue
+        c = s[i]
+        if c == "(":
+            stack.append(i)
+        elif c == ")":
+            if stack:
+                stack.pop()
+        elif i == 0 or s[i - 1] not in _IDENT_CHARS:
+            mm = pat.match(s, i)
+            if mm:
+                return i, (stack[-1] if stack else None)
+        i += 1
+    return None
+
+
+def _matching_paren(s: str, open_idx: int) -> int:
+    depth = 0
+    i = open_idx
+    while i < len(s):
+        m = _PROTECTED.match(s, i)
+        if m:
+            i = m.end()
+            continue
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise ValueError("transpile_duckdb: unbalanced parentheses")
+
+
+def _top_keyword_positions(s: str, kw: str) -> list[int]:
+    """All depth-0 unprotected word-bounded positions of ``kw`` in ``s``."""
+    out: list[int] = []
+    pat = re.compile(rf"{kw}\b", re.IGNORECASE)
+    depth = 0
+    i = 0
+    while i < len(s):
+        m = _PROTECTED.match(s, i)
+        if m:
+            i = m.end()
+            continue
+        c = s[i]
+        if c in "([{":
+            depth += 1
+        elif c in ")]}":
+            depth -= 1
+        elif depth == 0 and (i == 0 or s[i - 1] not in _IDENT_CHARS):
+            if pat.match(s, i):
+                out.append(i)
+        i += 1
+    return out
+
+
+def _rewrite_qualify_branch(s: str) -> str:
+    """Rewrite the first depth-0 QUALIFY in ``s`` (a SELECT statement or
+    set-operation branch) into the subquery-plus-WHERE form::
+
+        SELECT <list> FROM … QUALIFY <pred> <tail>
+        → SELECT * EXCEPT (__qualify) FROM
+            (SELECT <list>, (<pred>) AS __qualify FROM …) WHERE __qualify <tail>
+
+    The predicate is computed INSIDE the subquery, so it may reference
+    select-list aliases (Spark's lateral column aliases cover that, window
+    aliases included), inline window expressions, or base columns absent
+    from the select list — the three QUALIFY idioms."""
+    q = _find_top_keyword(s, "QUALIFY")
+    assert q is not None
+    q_start, q_end = q
+    after = s[q_end:]
+    term_rel = [
+        pos
+        for kw in _QUALIFY_TERMINATORS
+        for pos in _top_keyword_positions(after, kw)[:1]
+    ]
+    pred_end_rel = min(term_rel) if term_rel else len(after)
+    pred = after[:pred_end_rel].strip()
+    tail = after[pred_end_rel:]
+
+    sel_positions = [p for p in _top_keyword_positions(s[:q_start], "SELECT")]
+    if not sel_positions:
+        raise ValueError("transpile_duckdb: QUALIFY without an owning SELECT")
+    sp = sel_positions[-1]
+    body = s[sp:q_start]
+    if re.match(r"SELECT\s+DISTINCT\b", body, re.IGNORECASE):
+        raise ValueError(
+            "transpile_duckdb: QUALIFY combined with SELECT DISTINCT is "
+            "not supported (DISTINCT applies after QUALIFY and the "
+            "subquery rewrite cannot preserve that ordering) — "
+            "deduplicate in an outer query instead"
+        )
+    if any(
+        re.match(r"GROUP\s+BY\s+ALL\b", body[p:], re.IGNORECASE)
+        for p in _top_keyword_positions(body, "GROUP")
+    ):
+        raise ValueError(
+            "transpile_duckdb: QUALIFY combined with GROUP BY ALL is not "
+            "supported (the injected predicate column would change what "
+            "ALL resolves to) — spell out the grouping keys"
+        )
+    from_kw = _find_top_keyword(body, "FROM")
+    if from_kw is None:
+        raise ValueError(
+            "transpile_duckdb: QUALIFY requires a FROM clause in its SELECT"
+        )
+    extended = (
+        body[: from_kw[0]].rstrip()
+        + f", ({pred}) AS __qualify "
+        + body[from_kw[0] :]
+    )
+    return (
+        s[:sp]
+        + "SELECT * EXCEPT (__qualify) FROM ("
+        + extended
+        + ") WHERE __qualify"
+        + (" " if tail and not tail[0].isspace() else "")
+        + tail
+    )
+
+
+def _rewrite_qualify(statement: str) -> str:
+    """Rewrite every QUALIFY clause (any nesting depth, innermost scope
+    first) into the subquery form — Spark has no QUALIFY spelling."""
+    for _ in range(32):
+        hit = _any_depth_keyword(statement, "QUALIFY")
+        if hit is None:
+            return statement
+        pos, open_idx = hit
+        if open_idx is None:
+            statement = _rewrite_qualify_branch(statement)
+        else:
+            close = _matching_paren(statement, open_idx)
+            inner = statement[open_idx + 1 : close]
+            statement = (
+                statement[: open_idx + 1]
+                + _rewrite_qualify_branch(inner)
+                + statement[close:]
+            )
+    raise ValueError("transpile_duckdb: more than 32 QUALIFY clauses")
+
+
 def _find_top_keyword(s: str, kw: str) -> tuple[int, int] | None:
     """(start, end) of the first depth-0, unprotected, word-bounded ``kw``."""
     pat = re.compile(rf"{kw}\b", re.IGNORECASE)
@@ -1247,6 +1420,8 @@ def transpile_duckdb(statement: str) -> str:
     statement = _rewrite_lateral_unnest(statement)
     statement = _rewrite_cast_unnest(statement)
     statement = _rewrite_param_interval(statement)
+    statement = _rewrite_qualify(statement)
+    statement = _rewrite_exclude(statement)
     statement = _rewrite_calls_fixpoint(statement)
 
     def _sub(m: re.Match) -> str:

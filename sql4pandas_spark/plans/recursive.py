@@ -1,0 +1,413 @@
+"""Recursive CTE execution: ``WITH RECURSIVE … UNION [ALL] …`` on Spark.
+
+Spark 4 executes ``WITH RECURSIVE`` natively only when the recursive member
+is attached with ``UNION ALL`` (Catalyst's ResolveWithCTE raises
+``UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE`` for the deduplicating ``UNION``
+form). That is exactly backwards from what fixpoint queries over graphs
+need: on a cyclic edge set the dedup IS the termination argument — a
+``UNION ALL`` closure re-enumerates paths forever, while ``UNION`` closes
+over the (finite) row set. DuckDB/Postgres run the ``UNION`` form with
+semi-naive evaluation: each round the recursive member sees only the rows
+NEWLY added in the previous round (the "working table"), new rows are
+deduplicated against everything seen so far, and the loop stops when a
+round adds nothing.
+
+:func:`run_recursive_sql` reproduces those semantics with a
+driver-coordinated loop over plain DataFrame operations:
+
+- the statement's CTE chain is parsed (protected-token aware: string
+  literals, quoted identifiers and comments never confuse the scan);
+- CTEs before the recursive one are registered as temp views in order, and
+  the ones the recursive member actually reads are materialized ONCE with
+  ``localCheckpoint`` — they are loop invariants, and hoisting them means
+  each round's job reads a materialized input instead of recomputing the
+  CTE chain per iteration;
+- the seed member runs once (deduplicated for ``UNION``); then each round
+  re-registers the *frontier* (last round's new rows) under the CTE name,
+  runs the recursive member, deduplicates, and anti-joins against the
+  accumulated result with NULL-SAFE equality (``<=>``) so a NULL-bearing
+  row cannot resurrect itself forever;
+- every frontier is ``localCheckpoint``-ed (eager) — the same lineage
+  discipline as ``operators/graph.pagerank`` — and the accumulator is
+  re-checkpointed every few rounds so plan depth stays bounded by a
+  constant, not by the round count;
+- a round cap (default 100) turns a non-converging recursion into a LOUD
+  error instead of an infinite job stream.
+
+Statements with no self-referencing CTE, or whose recursion uses only
+``UNION ALL``, pass straight to ``spark.sql`` — Catalyst's native recursion
+is the fast path and this module never wraps it.
+
+Scale: per round the work is one join of the (checkpointed) frontier
+against materialized invariants plus one distinct + anti-join shuffle on
+the accumulated key set — the textbook semi-naive transitive-closure plan.
+Nothing data-sized is ever collected to the driver; the only driver-side
+state is view names and a round counter. Termination checks are
+``isEmpty()`` on an already-checkpointed frontier (a take(1), not a count).
+
+Supported shape (matches DuckDB's): any number of INDEPENDENT
+self-referencing CTEs per statement (each runs its own fixpoint, in chain
+order), linear or non-linear, interleaved freely with plain CTEs.
+Mutual/forward recursion between CTEs raises loudly, as does a CTE name
+that would shadow an existing table or view (this executor registers the
+CTE as a temp view, and silently clobbering a registered table is worse
+than an error).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql4pandas_spark.functions.transpile import _PROTECTED
+
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+_WITH_RECURSIVE = re.compile(r"WITH\s+RECURSIVE\b", re.IGNORECASE)
+_AS = re.compile(r"AS\b", re.IGNORECASE)
+_UNION = re.compile(r"UNION\b(\s+ALL\b)?", re.IGNORECASE)
+
+#: default round cap — generous for log-depth closures (a 2^100-node forest
+#: would converge first) while bounding a genuinely divergent recursion.
+MAX_ROUNDS = 100
+
+#: re-checkpoint the accumulator every this many rounds: each frontier is
+#: already a checkpointed leaf, so the accumulator's plan is a union tree
+#: whose depth this constant bounds.
+_ACC_CHECKPOINT_EVERY = 8
+
+
+@dataclass(frozen=True)
+class _Cte:
+    name: str
+    cols: tuple[str, ...] | None
+    body: str
+
+
+@dataclass(frozen=True)
+class _Parsed:
+    ctes: tuple[_Cte, ...]
+    rest: str
+
+
+def _skip_ws_comments(s: str, i: int) -> int:
+    """Advance past whitespace and comments (never past literals)."""
+    while i < len(s):
+        if s[i].isspace():
+            i += 1
+            continue
+        if s.startswith("--", i) or s.startswith("/*", i):
+            m = _PROTECTED.match(s, i)
+            if m:
+                i = m.end()
+                continue
+        break
+    return i
+
+
+def _match_paren(s: str, i: int) -> int:
+    """Index of the ``)`` closing the ``(`` at ``i`` (protected-span aware)."""
+    assert s[i] == "("
+    depth = 0
+    while i < len(s):
+        m = _PROTECTED.match(s, i)
+        if m:
+            i = m.end()
+            continue
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise ValueError("recursive CTE: unbalanced parentheses in statement")
+
+
+def _code_segments(s: str):
+    """Yield (start, text) for the unprotected code segments of ``s``."""
+    pos = 0
+    for m in _PROTECTED.finditer(s):
+        if m.start() > pos:
+            yield pos, s[pos : m.start()]
+        pos = m.end()
+    if pos < len(s):
+        yield pos, s[pos:]
+
+
+def _references(sql: str, name: str) -> bool:
+    """True when ``sql`` mentions ``name`` as a word outside literals,
+    quoted identifiers and comments (the same token discipline the
+    transpiler uses; a column that happens to share the CTE's name is a
+    documented false positive, as it is in every token-level dialect
+    tool)."""
+    pat = re.compile(rf"\b{re.escape(name)}\b", re.IGNORECASE)
+    return any(pat.search(text) for _, text in _code_segments(sql))
+
+
+def parse_with_recursive(statement: str) -> _Parsed | None:
+    """Parse ``WITH RECURSIVE name [(cols)] AS (body), … rest``.
+
+    Returns None when the statement does not start with ``WITH RECURSIVE``
+    (after whitespace/comments) — the caller then runs it natively.
+    """
+    i = _skip_ws_comments(statement, 0)
+    m = _WITH_RECURSIVE.match(statement, i)
+    if not m:
+        return None
+    i = m.end()
+    ctes: list[_Cte] = []
+    while True:
+        i = _skip_ws_comments(statement, i)
+        mi = _IDENT.match(statement, i)
+        if not mi:
+            raise ValueError(
+                f"recursive CTE: expected a CTE name at offset {i}"
+            )
+        name = mi.group(0)
+        i = _skip_ws_comments(statement, mi.end())
+        cols: tuple[str, ...] | None = None
+        if i < len(statement) and statement[i] == "(":
+            j = _match_paren(statement, i)
+            cols = tuple(c.strip() for c in statement[i + 1 : j].split(","))
+            i = _skip_ws_comments(statement, j + 1)
+        ma = _AS.match(statement, i)
+        if not ma:
+            raise ValueError(
+                f"recursive CTE: expected AS after CTE name {name!r}"
+            )
+        i = _skip_ws_comments(statement, ma.end())
+        if i >= len(statement) or statement[i] != "(":
+            raise ValueError(
+                f"recursive CTE: expected ( after {name!r} AS"
+            )
+        j = _match_paren(statement, i)
+        ctes.append(_Cte(name=name, cols=cols, body=statement[i + 1 : j]))
+        i = _skip_ws_comments(statement, j + 1)
+        if i < len(statement) and statement[i] == ",":
+            i += 1
+            continue
+        break
+    return _Parsed(ctes=tuple(ctes), rest=statement[i:])
+
+
+def _split_union(body: str) -> tuple[list[str], list[str]]:
+    """Split a CTE body on depth-0 UNION / UNION ALL.
+
+    Returns (parts, seps) with len(seps) == len(parts) - 1; each sep is
+    'UNION' or 'UNION ALL' (normalized upper-case).
+    """
+    parts: list[str] = []
+    seps: list[str] = []
+    depth = 0
+    i = 0
+    start = 0
+    while i < len(body):
+        m = _PROTECTED.match(body, i)
+        if m:
+            i = m.end()
+            continue
+        c = body[i]
+        if c in "([{":
+            depth += 1
+        elif c in ")]}":
+            depth -= 1
+        elif depth == 0 and (i == 0 or not (body[i - 1].isalnum() or body[i - 1] == "_")):
+            mu = _UNION.match(body, i)
+            if mu:
+                parts.append(body[start : i])
+                seps.append("UNION ALL" if mu.group(1) else "UNION")
+                i = mu.end()
+                start = i
+                continue
+        i += 1
+    parts.append(body[start:])
+    return parts, seps
+
+
+class RecursionLimitExceeded(RuntimeError):
+    """The fixpoint loop hit the round cap without converging."""
+
+
+def _null_safe_anti(new: DataFrame, acc: DataFrame) -> DataFrame:
+    """new rows not already in acc, with NULL-safe equality on every
+    column — a plain equi-anti-join would let a NULL-bearing row re-enter
+    the frontier every round (NULL = NULL is never true) and spin the
+    loop forever."""
+    n, a = new.alias("n"), acc.alias("a")
+    cond = reduce(
+        lambda x, y: x & y,
+        [F.col(f"n.`{c}`").eqNullSafe(F.col(f"a.`{c}`")) for c in acc.columns],
+    )
+    return n.join(a, cond, "left_anti")
+
+
+def _align(df: DataFrame, like: DataFrame) -> DataFrame:
+    """Positionally rename + cast ``df`` to ``like``'s schema (UNION
+    member matching is positional in SQL)."""
+    if len(df.columns) != len(like.columns):
+        raise ValueError(
+            "recursive CTE: recursive member returns "
+            f"{len(df.columns)} columns, seed returns {len(like.columns)}"
+        )
+    renamed = df.toDF(*like.columns)
+    return renamed.select(
+        *[F.col(f"`{f.name}`").cast(f.dataType) for f in like.schema.fields]
+    )
+
+
+def run_recursive_sql(
+    spark: SparkSession, statement: str, *, max_rounds: int = MAX_ROUNDS
+) -> DataFrame:
+    """Execute a Spark-dialect SQL statement, routing ``WITH RECURSIVE``
+    statements whose recursion uses deduplicating ``UNION`` through the
+    semi-naive fixpoint loop. Everything else — including native
+    ``UNION ALL`` recursion — goes straight to ``spark.sql``."""
+    parsed = parse_with_recursive(statement)
+    if parsed is None:
+        return spark.sql(statement)
+
+    # forward references (incl. mutual recursion) are unsupported in the
+    # source dialect too — but here they could silently resolve to a real
+    # table of the same name, so reject them loudly.
+    names = [c.name for c in parsed.ctes]
+    for idx, c in enumerate(parsed.ctes):
+        for later in names[idx + 1 :]:
+            if later != c.name and _references(c.body, later):
+                raise ValueError(
+                    f"recursive CTE: {c.name!r} references {later!r}, "
+                    "which is defined later in the WITH chain — forward/"
+                    "mutual recursion is not supported"
+                )
+
+    # Classify every self-referencing CTE: seed/step split + round mode.
+    # A statement may hold several INDEPENDENT recursive CTEs (the
+    # incremental-dedup oracles replay one closure per batch); each gets
+    # its own fixpoint loop, in chain order.
+    rec_specs: dict[int, tuple[str, str, str]] = {}  # idx -> (seed, step, mode)
+    for i, c in enumerate(parsed.ctes):
+        if not _references(c.body, c.name):
+            continue
+        parts, seps = _split_union(c.body)
+        is_rec_part = [_references(p, c.name) for p in parts]
+        n_seed = is_rec_part.index(True)
+        if n_seed == 0:
+            # No non-recursive member — not a well-formed recursion. The
+            # common cause is a FALSE POSITIVE of the token-level reference
+            # check (the CTE's name used as a table alias inside its own
+            # body, e.g. ``e AS (SELECT * FROM VALUES … AS e(src, dst))``),
+            # which is a perfectly good plain CTE. Treat it as one; a
+            # genuinely seedless recursion then fails loudly in analysis
+            # as an unresolved relation instead of silently looping.
+            continue
+        if not all(is_rec_part[n_seed:]):
+            raise ValueError(
+                f"recursive CTE {c.name!r}: non-recursive members must "
+                "all precede recursive members"
+            )
+        rec_seps = seps[n_seed - 1 :]  # separators attaching recursive members
+        if all(s == "UNION ALL" for s in rec_seps):
+            mode = "ALL"
+        elif all(s == "UNION" for s in rec_seps):
+            mode = "DISTINCT"
+        else:
+            raise ValueError(
+                f"recursive CTE {c.name!r}: mixed UNION and UNION ALL "
+                "around the recursive members is ambiguous — use one"
+            )
+        seed_sql = ""
+        for k, p in enumerate(parts[:n_seed]):
+            seed_sql += (f" {seps[k - 1]} " if k else "") + p
+        # recursive members joined with UNION ALL: in DISTINCT mode the
+        # per-round distinct + anti-join below dedups across members.
+        rec_specs[i] = (seed_sql, " UNION ALL ".join(parts[n_seed:]), mode)
+
+    if not rec_specs:
+        return spark.sql(statement)  # RECURSIVE keyword, no self-reference
+    if all(mode == "ALL" for _, _, mode in rec_specs.values()):
+        return spark.sql(statement)  # native Catalyst recursion handles it
+
+    created: list[str] = []
+    # Catalyst's constraint propagation hits a NoSuchElementException
+    # (UnionBase.rewriteConstraints: "key not found: <attr>") when
+    # optimizing the accumulator — a Union of a checkpointed seed with
+    # anti-join frontiers. Constraints are an optimizer nicety, not a
+    # correctness input, so they are disabled for the duration of the
+    # fixpoint loop and restored after (the final result is materialized
+    # inside the window, so callers never re-optimize under it).
+    _CONSTRAINT_CONF = "spark.sql.constraintPropagation.enabled"
+    prev_constraints = spark.conf.get(_CONSTRAINT_CONF, "true")
+
+    def _register(name: str, df: DataFrame) -> None:
+        if name not in created and spark.catalog.tableExists(name):
+            raise ValueError(
+                f"recursive CTE: name {name!r} would shadow an existing "
+                "table/view for the duration of the fixpoint loop — "
+                "rename the CTE"
+            )
+        df.createOrReplaceTempView(name)
+        if name not in created:
+            created.append(name)
+
+    def _fixpoint(c: _Cte, seed_sql: str, step_sql: str, mode: str) -> DataFrame:
+        seed = spark.sql(seed_sql)
+        if c.cols:
+            seed = seed.toDF(*c.cols)
+        if mode == "DISTINCT":
+            seed = seed.distinct()
+        acc = seed.localCheckpoint(eager=True)
+        frontier = acc
+        for rnd in range(1, max_rounds + 1):
+            _register(c.name, frontier)
+            new = _align(spark.sql(step_sql), acc)
+            if mode == "DISTINCT":
+                frontier = _null_safe_anti(new.distinct(), acc)
+            else:  # UNION ALL rounds: the working table is last round's
+                frontier = new  # rows verbatim, duplicates and all
+            frontier = frontier.localCheckpoint(eager=True)
+            if frontier.isEmpty():
+                return acc
+            acc = acc.union(frontier)
+            if rnd % _ACC_CHECKPOINT_EVERY == 0:
+                acc = acc.localCheckpoint(eager=True)
+        raise RecursionLimitExceeded(
+            f"recursive CTE {c.name!r} did not converge within "
+            f"{max_rounds} rounds; raise max_rounds if the recursion "
+            "is genuinely that deep, or check it for divergence "
+            "(UNION ALL semantics with a cycle, a monotonically "
+            "growing column, …)"
+        )
+
+    try:
+        spark.conf.set(_CONSTRAINT_CONF, "false")
+        # The whole CTE chain becomes temp views, in order (Catalyst
+        # inlines non-materialized views, so plain CTEs still optimize as
+        # if textually present). A plain CTE that a LATER fixpoint loop
+        # reads per round is a loop invariant — materialize it once.
+        later_steps = list(rec_specs.items())
+        for i, c in enumerate(parsed.ctes):
+            if i in rec_specs:
+                seed_sql, step_sql, mode = rec_specs[i]
+                acc = _fixpoint(c, seed_sql, step_sql, mode)
+                _register(c.name, acc)
+                continue
+            df = spark.sql(f"SELECT * FROM ({c.body})")
+            if c.cols:
+                df = df.toDF(*c.cols)
+            if any(
+                j > i and _references(step, c.name)
+                for j, (_, step, _) in later_steps
+            ):
+                df = df.localCheckpoint(eager=True)
+            _register(c.name, df)
+
+        # materialize before the finally-block drops the temp views the
+        # plan reads; the caller gets a plain (checkpointed) DataFrame.
+        return spark.sql(parsed.rest).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(_CONSTRAINT_CONF, prev_constraints)
+        for name in created:
+            spark.catalog.dropTempView(name)

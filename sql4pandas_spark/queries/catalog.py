@@ -83,6 +83,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- round-14 NEW entries (0 greens) --
     # (added as they land; each new entry MUST enter the window or the
     # evidence rule goes red)
+    "recursive_cte_reachability",
+    "recursive_cte_hierarchy",
+    "qualify_top3_orders",
+    "exclude_groupby_all_orders",
     "dsir_importance_resample",
     "dsir_incremental_stats",
     "stream_dsir_stats",
@@ -172,8 +176,10 @@ def load_catalog() -> dict[str, QuerySpec]:
     :data:`DRIVER_PRIORITY` first."""
     # Imports deferred so `import sql4pandas_spark` stays cheap.
     from sql4pandas_spark.queries import (  # noqa: F401
+        dialect_sugar,
         functions_lib,
         pipeline,
+        recursive_queries,
         relational,
         streaming_queries,
         udfs,

@@ -31,12 +31,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #: Every skip fails LOUDLY in Catalyst's parser/analyzer or in the
 #: transpiler itself — none is a silent value divergence (the sweep ended
 #: round 11 at 0 MISMATCH).
-_R_RECURSIVE_UNION = (
-    "WITH RECURSIVE … UNION (deduplicating) — Spark 4 recursive CTEs "
-    "accept only UNION ALL, and the dedup is load-bearing for "
-    "connected-components termination; the operator's Spark form uses "
-    "iterative label propagation instead (operators/dedup.py)"
-)
 _R_SUBQ_IN_HOF = (
     "scalar subquery inside a higher-order-function lambda — Catalyst "
     "rejects subquery expressions in HOFs; the operator's Spark form "
@@ -47,16 +41,9 @@ _R_ASOF = (
     "the window/merge as-of join (operators/joins.py)"
 )
 SKIP_REASONS: dict[str, str] = {
-    "dedup_near_minhash": _R_RECURSIVE_UNION,
-    "dedup_keep_best_doc": _R_RECURSIVE_UNION,
-    "split_leakage_audit": _R_RECURSIVE_UNION,
-    "incremental_near_dedup_batches": _R_RECURSIVE_UNION,
-    "cluster_safe_split": _R_RECURSIVE_UNION,
-    "incremental_pipeline_batches": _R_RECURSIVE_UNION,
-    "dedup_cluster_stats": _R_RECURSIVE_UNION,
-    "dedup_components_documents": _R_RECURSIVE_UNION,
-    "entity_resolution_parts": _R_RECURSIVE_UNION,
-    "semantic_dedup_clusters": _R_RECURSIVE_UNION,
+    # WITH RECURSIVE … UNION (deduplicating) oracles — 10 entries through
+    # round 13 — now execute via the semi-naive fixpoint executor
+    # (plans/recursive.py) and MATCH; the skip class is retired.
     "ivf_full_probe_top10": _R_SUBQ_IN_HOF,
     "sim_query_top10": _R_SUBQ_IN_HOF,
     "hybrid_rrf_top10": _R_SUBQ_IN_HOF,
@@ -87,6 +74,7 @@ def run_sweep(
     parse/analyze/execute the transpiled text (the loud class).
     """
     from sql4pandas_spark.functions.transpile import transpile_duckdb
+    from sql4pandas_spark.plans.recursive import run_recursive_sql
     from sql4pandas_spark.queries.catalog import load_catalog
     from sql4pandas_spark.sources.parquet import register_tables
 
@@ -99,7 +87,7 @@ def run_sweep(
         res = con.execute(spec.oracle)
         orows, ocols = res.fetchall(), [d[0] for d in res.description]
         try:
-            sdf = spark.sql(transpile_duckdb(spec.oracle))
+            sdf = run_recursive_sql(spark, transpile_duckdb(spec.oracle))
             srows = [tuple(r) for r in sdf.collect()]
             scols = sdf.columns
         except Exception as ex:  # noqa: BLE001 - classify, don't abort
