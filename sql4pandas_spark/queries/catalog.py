@@ -87,6 +87,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "recursive_cte_hierarchy",
     "qualify_top3_orders",
     "exclude_groupby_all_orders",
+    "logreg_train_trajectory",
     "dsir_importance_resample",
     "dsir_incremental_stats",
     "stream_dsir_stats",
@@ -182,6 +183,7 @@ def load_catalog() -> dict[str, QuerySpec]:
         recursive_queries,
         relational,
         streaming_queries,
+        training_queries,
         udfs,
         windows,
     )
