@@ -1227,6 +1227,334 @@ def _rewrite_qualify_branch(s: str) -> str:
     )
 
 
+#: function names whose argument-shape rewrites expand into higher-order
+#: lambdas — a scalar subquery in their arguments must be hoisted first
+#: (Catalyst: UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY.HIGHER_ORDER_FUNCTION).
+_HOF_EXPANDING = (
+    "list_cosine_similarity",
+    "list_sum",
+    "list_avg",
+    "list_reduce",
+    "list_transform",
+    "list_filter",
+)
+
+_SELECT_CLAUSE_END = (
+    "WHERE", "GROUP", "HAVING", "WINDOW", "QUALIFY", "ORDER", "LIMIT",
+    "OFFSET", "UNION", "INTERSECT", "EXCEPT",
+)
+
+
+def _enclosing_paren_stack(s: str, pos: int) -> list[int]:
+    """Indices of the ``(`` characters enclosing ``pos``, outermost first."""
+    stack: list[int] = []
+    i = 0
+    while i < pos:
+        m = _PROTECTED.match(s, i)
+        if m:
+            i = m.end()
+            continue
+        if s[i] == "(":
+            stack.append(i)
+        elif s[i] == ")":
+            if stack:
+                stack.pop()
+        i += 1
+    return stack
+
+
+def _find_subq_in_hof(statement: str) -> tuple[int, int] | None:
+    """Span (start, end_exclusive) of the first ``(SELECT …)`` nested in
+    the argument list of a HOF-expanding call; None when absent."""
+    for m in re.finditer(r"\b([A-Za-z_][A-Za-z0-9_]*)\s*\(", statement):
+        if m.group(1).lower() not in _HOF_EXPANDING:
+            continue
+        spans = _spans_of(statement)
+        if any(a <= m.start() < b for a, b in spans):
+            continue
+        open_idx = m.end() - 1
+        close_idx = _find_balanced(statement, open_idx)
+        sm = re.compile(r"\(\s*SELECT\b", re.IGNORECASE).search(
+            statement, open_idx + 1, close_idx
+        )
+        if sm is None:
+            continue
+        if any(a <= sm.start() < b for a, b in spans):
+            continue
+        return sm.start(), _find_balanced(statement, sm.start()) + 1
+    return None
+
+
+def _hoist_hof_scalar_subqueries(statement: str) -> str:
+    """Hoist scalar subqueries out of HOF-expanding call arguments:
+    ``list_cosine_similarity(a, (SELECT …))`` becomes a 1-row
+    ``CROSS JOIN (SELECT (SELECT …) AS __sqN) __sqtN`` on the owning
+    SELECT plus a plain column reference in the argument — Catalyst
+    broadcasts the row, and the lambda the call expands into no longer
+    contains a subquery expression. Assumes the subquery is uncorrelated
+    (DuckDB's in-lambda subqueries in this dialect are); a correlated one
+    fails loudly at analysis as an unresolved column."""
+    for n in range(16):
+        found = _find_subq_in_hof(statement)
+        if found is None:
+            return statement
+        sub_start, sub_end = found
+        subq = statement[sub_start:sub_end]
+        # owning SELECT scope: nearest enclosing paren group that opens
+        # with SELECT (a subquery), else the whole statement
+        scope_a, scope_b = 0, len(statement)
+        for open_idx in reversed(_enclosing_paren_stack(statement, sub_start)):
+            close_idx = _find_balanced(statement, open_idx)
+            inner_start = _ws(statement, open_idx + 1)
+            if re.compile(r"SELECT\b", re.IGNORECASE).match(statement, inner_start):
+                scope_a, scope_b = open_idx + 1, close_idx
+                break
+        scope = statement[scope_a:scope_b]
+        rel_sub = sub_start - scope_a
+        sels = [p for p in _top_keyword_positions(scope, "SELECT") if p <= rel_sub]
+        if not sels:
+            raise ValueError(
+                "transpile_duckdb: cannot hoist subquery out of HOF — no "
+                "owning SELECT found"
+            )
+        sel = sels[-1]
+        froms = [p for p in _top_keyword_positions(scope, "FROM") if p > sel]
+        if not froms:
+            raise ValueError(
+                "transpile_duckdb: cannot hoist subquery out of HOF — the "
+                "owning SELECT has no FROM clause to attach the 1-row join"
+            )
+        terms = [
+            p
+            for kw in _SELECT_CLAUSE_END
+            for p in _top_keyword_positions(scope, kw)
+            if p > froms[0]
+        ]
+        inject = min(terms) if terms else len(scope)
+        ref = f"__sqt{n}.__sq{n}"
+        joined = f" CROSS JOIN (SELECT {subq} AS __sq{n}) __sqt{n} "
+        if inject <= rel_sub:  # subquery sits after FROM (e.g. in WHERE)
+            new_scope = (
+                scope[:inject]
+                + joined
+                + scope[inject:rel_sub]
+                + ref
+                + scope[rel_sub + len(subq) :]
+            )
+        else:  # subquery sits in the select list, before the join point
+            new_scope = (
+                scope[:rel_sub]
+                + ref
+                + scope[rel_sub + len(subq) : inject]
+                + joined
+                + scope[inject:]
+            )
+        statement = statement[:scope_a] + new_scope + statement[scope_b:]
+    raise ValueError(
+        "transpile_duckdb: more than 16 scalar subqueries inside "
+        "higher-order-function arguments"
+    )
+
+
+#: clause keywords that terminate an ASOF ON condition at depth 0.
+_ASOF_COND_END = (
+    "WHERE", "GROUP", "ORDER", "LIMIT", "OFFSET", "UNION", "INTERSECT",
+    "EXCEPT", "HAVING", "WINDOW", "QUALIFY", "JOIN", "ASOF", "LEFT",
+    "RIGHT", "INNER", "CROSS", "FULL",
+)
+
+_INEQ = re.compile(r"(<=|>=|<|>)")
+_QUAL_COL = re.compile(r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)\s*$")
+
+
+def _split_top_and(cond: str) -> list[str]:
+    """Split a boolean expression on depth-0 unprotected AND keywords."""
+    parts: list[str] = []
+    depth = 0
+    i = 0
+    start = 0
+    pat = re.compile(r"AND\b", re.IGNORECASE)
+    while i < len(cond):
+        m = _PROTECTED.match(cond, i)
+        if m:
+            i = m.end()
+            continue
+        c = cond[i]
+        if c in "([{":
+            depth += 1
+        elif c in ")]}":
+            depth -= 1
+        elif depth == 0 and (i == 0 or cond[i - 1] not in _IDENT_CHARS):
+            mm = pat.match(cond, i)
+            if mm:
+                parts.append(cond[start:i])
+                i = mm.end()
+                start = i
+                continue
+        i += 1
+    parts.append(cond[start:])
+    return parts
+
+
+def _rewrite_asof_join(statement: str) -> str:
+    """DuckDB ``ASOF [LEFT] JOIN rel alias ON <eq-keys AND ineq>`` →
+    Spark ``[LEFT] JOIN LATERAL (SELECT * FROM rel alias WHERE <cond>
+    ORDER BY <asof col> <dir> LIMIT 1) alias ON true``.
+
+    The as-of match ("the single right row with the greatest/least
+    timestamp satisfying the condition") is exactly a per-left-row
+    ORDER BY + LIMIT 1 — Spark has no ASOF spelling but decorrelates the
+    LATERAL form to the WindowGroupLimit + join plan (plan-asserted by
+    ``lateral_top_orders``), so nothing here is a nested loop. The
+    inequality conjunct names the as-of column and its direction:
+    ``l.ts >= r.ts`` (right side small) → latest-at-or-before → DESC;
+    ``l.ts <= r.ts`` → earliest-at-or-after → ASC. Strictness rides along
+    in the WHERE untouched. Left-side text before ASOF is untouched —
+    outer references stay correlated into the lateral subquery.
+    RIGHT/FULL ASOF variants and multi-inequality conditions raise."""
+    for _ in range(16):
+        hit = _any_depth_keyword(statement, "ASOF")
+        if hit is None:
+            return statement
+        pos, _open = hit
+        s = statement
+        i = pos + len("ASOF")
+        i = _ws(s, i)
+        left_kw = ""
+        m = re.compile(r"(LEFT|RIGHT|FULL|INNER)\b", re.IGNORECASE).match(s, i)
+        if m:
+            kw = m.group(1).upper()
+            if kw in ("RIGHT", "FULL"):
+                raise ValueError(
+                    f"transpile_duckdb: ASOF {kw} JOIN is not supported"
+                )
+            left_kw = "LEFT " if kw == "LEFT" else ""
+            i = _ws(s, m.end())
+        mj = re.compile(r"JOIN\b", re.IGNORECASE).match(s, i)
+        if not mj:
+            raise ValueError("transpile_duckdb: expected JOIN after ASOF")
+        i = _ws(s, mj.end())
+        if s[i] == "(":
+            j = _find_balanced(s, i)
+            rel = s[i : j + 1]
+            i = _ws(s, j + 1)
+        else:
+            mr = re.compile(r"[A-Za-z_][A-Za-z0-9_.]*").match(s, i)
+            if not mr:
+                raise ValueError("transpile_duckdb: expected relation after ASOF JOIN")
+            rel = mr.group(0)
+            i = _ws(s, mr.end())
+        ma = re.compile(r"(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)\b", re.IGNORECASE).match(s, i)
+        if not ma or ma.group(1).upper() == "ON":
+            # a bare table/CTE name is its own alias (``ASOF LEFT JOIN c
+            # ON …``); a parenthesized subquery has no name to fall back on
+            if rel[0] == "(":
+                raise ValueError(
+                    "transpile_duckdb: ASOF JOIN on a subquery requires "
+                    "an alias on the right relation"
+                )
+            alias = rel.rsplit(".", 1)[-1]
+            rel_with_alias = rel
+        else:
+            alias = ma.group(1)
+            rel_with_alias = f"{rel} {alias}"
+            i = _ws(s, ma.end())
+        mo = re.compile(r"ON\b", re.IGNORECASE).match(s, i)
+        if not mo:
+            raise ValueError("transpile_duckdb: expected ON after ASOF JOIN relation")
+        cond_start = mo.end()
+        # condition runs to the next depth-0 clause keyword or scope end
+        ends = [
+            p
+            for kw in _ASOF_COND_END
+            for p in _top_keyword_positions(s[cond_start:], kw)[:1]
+        ]
+        cond_end = cond_start + (min(ends) if ends else len(s) - cond_start)
+        # ... but never past the enclosing scope's closing paren
+        close = len(s)
+        depth = 0
+        k = cond_start
+        while k < cond_end:
+            mm = _PROTECTED.match(s, k)
+            if mm:
+                k = mm.end()
+                continue
+            if s[k] == "(":
+                depth += 1
+            elif s[k] == ")":
+                depth -= 1
+                if depth < 0:
+                    close = k
+                    break
+            k += 1
+        cond_end = min(cond_end, close)
+        cond = s[cond_start:cond_end].strip()
+
+        ineq_conjs = []
+        for conj in _split_top_and(cond):
+            mi = _ineq_on_alias(conj, alias)
+            if mi is not None:
+                ineq_conjs.append(mi)
+        if len(ineq_conjs) != 1:
+            raise ValueError(
+                "transpile_duckdb: ASOF JOIN needs exactly one inequality "
+                f"conjunct on the right alias, found {len(ineq_conjs)}"
+            )
+        asof_col, direction = ineq_conjs[0]
+        replacement = (
+            f"{left_kw}JOIN LATERAL (SELECT * FROM {rel_with_alias} "
+            f"WHERE {cond} ORDER BY {alias}.{asof_col} {direction} LIMIT 1) "
+            f"{alias} ON true "
+        )
+        statement = s[:pos] + replacement + s[cond_end:]
+    raise ValueError("transpile_duckdb: more than 16 ASOF JOINs")
+
+
+def _ws(s: str, i: int) -> int:
+    while i < len(s) and s[i].isspace():
+        i += 1
+    return i
+
+
+def _find_balanced(s: str, i: int) -> int:
+    """Index of the ``)`` matching the ``(`` at ``i`` (protected-aware)."""
+    depth = 0
+    while i < len(s):
+        m = _PROTECTED.match(s, i)
+        if m:
+            i = m.end()
+            continue
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise ValueError("transpile_duckdb: unbalanced parentheses")
+
+
+def _ineq_on_alias(conj: str, alias: str) -> tuple[str, str] | None:
+    """If ``conj`` is ``x <op> y`` with exactly one side a qualified column
+    of ``alias``, return (column, sort direction): the right side must be
+    the LATEST at-or-before (DESC) when it sits on the small side of the
+    inequality, the EARLIEST at-or-after (ASC) when on the large side."""
+    m = _INEQ.search(conj)
+    if not m:
+        return None
+    lhs, op, rhs = conj[: m.start()], m.group(1), conj[m.end() :]
+    lq, rq = _QUAL_COL.match(lhs), _QUAL_COL.match(rhs)
+    l_is = lq is not None and lq.group(1).lower() == alias.lower()
+    r_is = rq is not None and rq.group(1).lower() == alias.lower()
+    if l_is == r_is:  # both or neither side is the right alias
+        return None
+    if r_is:  # other <op> alias.col
+        col = rq.group(2)
+        return col, ("DESC" if op in (">", ">=") else "ASC")
+    col = lq.group(2)  # alias.col <op> other
+    return col, ("DESC" if op in ("<", "<=") else "ASC")
+
+
 def _rewrite_qualify(statement: str) -> str:
     """Rewrite every QUALIFY clause (any nesting depth, innermost scope
     first) into the subquery form — Spark has no QUALIFY spelling."""
@@ -1420,6 +1748,8 @@ def transpile_duckdb(statement: str) -> str:
     statement = _rewrite_lateral_unnest(statement)
     statement = _rewrite_cast_unnest(statement)
     statement = _rewrite_param_interval(statement)
+    statement = _hoist_hof_scalar_subqueries(statement)
+    statement = _rewrite_asof_join(statement)
     statement = _rewrite_qualify(statement)
     statement = _rewrite_exclude(statement)
     statement = _rewrite_calls_fixpoint(statement)

@@ -846,3 +846,138 @@ def k_anonymity_audit(
             " ELSE 0 END"
         ).alias("risk_ppm"),
     )
+
+
+def distinct_n_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """distinct-n lexical diversity per group (Li et al. 2016's distinct-1
+    / distinct-2): unique n-grams over total n-gram occurrences, the
+    standard degenerate-text detector — template-generated or looping
+    sources collapse toward 0 while natural prose stays high. The ratios
+    are e6 fixed-point integers (floor of an exact-double quotient whose
+    distance to any integer is >= 1/total, far above ulp at these
+    magnitudes), so the census hash-compares across engines.
+
+    Scale: n-grams assemble row-locally from the token array (JVM HOFs,
+    no UDF); each n needs one two-stage distinct-count aggregate keyed by
+    (group, gram) — map-side partials, no data-sized driver state.
+    Documents shorter than n tokens contribute nothing to distinct-n
+    (the top_ngrams contract)."""
+    from sql4pandas_spark.operators.text import tokens
+
+    tokd = df.select(F.col(group_col).alias("grp"), tokens(text_col).alias("_w"))
+    w = F.col("_w")
+
+    def _census(gram_col, n: int) -> DataFrame:
+        return (
+            tokd.select("grp", F.explode(gram_col).alias("gram"))
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias(f"n_{n}grams"),
+                F.countDistinct("gram").alias(f"uniq_{n}grams"),
+            )
+        )
+
+    uni = _census(w, 1)
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1)
+            ),
+        ),
+    )
+    bi = _census(bigrams, 2)
+    ratio = lambda u, t: F.floor(  # noqa: E731
+        u.cast("double") * F.lit(1000000.0) / t.cast("double")
+    ).cast("long")
+    return (
+        uni.join(bi, "grp", "left")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_1grams",
+            "uniq_1grams",
+            ratio(F.col("uniq_1grams"), F.col("n_1grams")).alias("distinct1_e6"),
+            F.coalesce("n_2grams", F.lit(0)).alias("n_2grams"),
+            F.coalesce("uniq_2grams", F.lit(0)).alias("uniq_2grams"),
+            F.when(
+                F.col("n_2grams") > 0,
+                ratio(F.col("uniq_2grams"), F.col("n_2grams")),
+            ).alias("distinct2_e6"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def zipf_slope_by_group(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    top_ranks: int = 50,
+) -> DataFrame:
+    """Zipf-conformance audit per group: the OLS slope of ln(frequency)
+    against ln(rank) over the top-R token ranks. Natural language sits
+    near slope -1; templated/synthetic sources bend the curve — this is
+    the corpus-health check a data owner runs per source/language before
+    mixing.
+
+    Determinism discipline (the PSI/e6 convention): ln() is quantized to
+    an e6 INTEGER once per (group, token) row — after the transcendental,
+    before any cross-row arithmetic — so the regression's five sums are
+    order-free integer sums; the final slope/r2 divide the exact integer
+    moments in double (identical int64→double conversion both engines)
+    and round to 6dp. Ranks tie-break (count DESC, token ASC); the
+    rank<=R window filter takes Spark's WindowGroupLimit pushdown, so no
+    group ever fully sorts its vocabulary."""
+    from pyspark.sql import Window
+
+    from sql4pandas_spark.operators.text import tokens
+
+    counts = (
+        df.select(F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("t"))
+        .groupBy("grp", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    win = Window.partitionBy("grp").orderBy(F.desc("c"), F.asc("t"))
+    ranked = (
+        counts.withColumn("r", F.row_number().over(win))
+        .filter(F.col("r") <= top_ranks)
+        .select(
+            "grp",
+            F.round(F.log(F.col("r").cast("double")) * 1e6).cast("long").alias("x"),
+            F.round(F.log(F.col("c").cast("double")) * 1e6).cast("long").alias("y"),
+        )
+    )
+    m = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    # degenerate moments go NULL, not divide-by-zero: den = 0 means a
+    # single rank (no regression), deny = 0 a perfectly flat frequency
+    # profile (r2 undefined)
+    return m.select(
+        F.col("grp").alias(group_col),
+        F.col("n").alias("n_ranks"),
+        F.when(
+            den != 0, F.round(num.cast("double") / den.cast("double"), 6)
+        ).alias("slope"),
+        F.when(
+            (den != 0) & (deny != 0),
+            F.round(
+                (num.cast("double") * num.cast("double"))
+                / (den.cast("double") * deny.cast("double")),
+                6,
+            ),
+        ).alias("r2"),
+    ).orderBy(group_col)

@@ -88,6 +88,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "qualify_top3_orders",
     "exclude_groupby_all_orders",
     "logreg_train_trajectory",
+    "diversity_distinct_n",
+    "zipf_slope_by_lang",
     "dsir_importance_resample",
     "dsir_incremental_stats",
     "stream_dsir_stats",

@@ -10750,3 +10750,109 @@ def incremental_boilerplate_batches(spark: SparkSession, sf_dir: str) -> DataFra
         rows,
         "batch_id int, n_docs long, lines_removed long, store_line_rows long",
     )
+
+
+@query(
+    "diversity_distinct_n",
+    oracle="""
+    WITH toks AS (
+      SELECT lang,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         t -> t <> '') AS w
+      FROM documents),
+    uni AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_1grams,
+             CAST(count(DISTINCT g) AS BIGINT) AS uniq_1grams
+      FROM (SELECT lang, unnest(w) AS g FROM toks) GROUP BY lang),
+    bi AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_2grams,
+             CAST(count(DISTINCT g) AS BIGINT) AS uniq_2grams
+      FROM (SELECT lang,
+                   unnest(CASE WHEN len(w) >= 2
+                          THEN [array_to_string(list_slice(w, i, i + 1), ' ')
+                                FOR i IN range(1, len(w))]
+                          ELSE CAST([] AS VARCHAR[]) END) AS g
+            FROM toks) GROUP BY lang)
+    SELECT u.lang, u.n_1grams, u.uniq_1grams,
+           CAST(floor(CAST(u.uniq_1grams AS DOUBLE) * 1000000.0 / u.n_1grams)
+                AS BIGINT) AS distinct1_e6,
+           COALESCE(b.n_2grams, 0) AS n_2grams,
+           COALESCE(b.uniq_2grams, 0) AS uniq_2grams,
+           CASE WHEN b.n_2grams > 0
+                THEN CAST(floor(CAST(b.uniq_2grams AS DOUBLE) * 1000000.0
+                                / b.n_2grams) AS BIGINT) END AS distinct2_e6
+    FROM uni u LEFT JOIN bi b ON u.lang = b.lang
+    ORDER BY u.lang
+    """,
+    tags=("tier-c", "text_analysis", "profile", "ngram_stats", "diversity"),
+)
+def diversity_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct-1 / distinct-2 lexical diversity per language
+    (operators/profile.distinct_n_diversity; Li et al. 2016's diversity
+    metric) — the degenerate-text detector a corpus owner reads next to
+    the Zipf audit: template loops and synthetic floods collapse the
+    unique-over-total n-gram ratio while natural prose stays high. Ratios
+    are e6 fixed-point (floor of an exact-double quotient), so the census
+    hash-matches; per-n cost is one two-stage distinct aggregate keyed by
+    (lang, gram) with map-side partials."""
+    from sql4pandas_spark.operators.profile import distinct_n_diversity
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    return distinct_n_diversity(t["documents"])
+
+
+@query(
+    "zipf_slope_by_lang",
+    oracle="""
+    WITH toks AS (
+      SELECT lang,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         t -> t <> '') AS w
+      FROM documents),
+    counts AS (
+      SELECT lang, g AS t, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT lang, unnest(w) AS g FROM toks) GROUP BY lang, g),
+    ranked AS (
+      SELECT lang,
+             CAST(round(ln(CAST(r AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+             CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+      FROM (SELECT lang, c,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY c DESC, t) AS r
+            FROM counts)
+      WHERE r <= 50),
+    m AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM ranked GROUP BY lang)
+    SELECT lang, n AS n_ranks,
+           CASE WHEN n * sxx - sx * sx <> 0 THEN
+             round(CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope,
+           CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0 THEN
+             round((CAST(n * sxy - sx * sy AS DOUBLE)
+                    * CAST(n * sxy - sx * sy AS DOUBLE))
+                   / (CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS r2
+    FROM m ORDER BY lang
+    """,
+    tags=("tier-c", "profile", "text_analysis", "audit", "zipf"),
+)
+def zipf_slope_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-conformance audit per language
+    (operators/profile.zipf_slope_by_group): OLS slope of ln(freq) vs
+    ln(rank) over each language's top-50 token ranks, with r^2 — natural
+    text sits near slope -1, and a source whose slope or fit drifts is
+    the first thing to quarantine before a mix. ln() is e6-quantized once
+    per (lang, token) row (the PSI discipline: integer sums after the
+    transcendental), the five regression moments are order-free integer
+    sums, and the final division happens on exactly-equal doubles in both
+    engines. The rank<=50 window filter rides WindowGroupLimit — no
+    language ever sorts its full vocabulary."""
+    from sql4pandas_spark.operators.profile import zipf_slope_by_group
+
+    t = register_tables(spark, sf_dir, ("documents",))
+    return zipf_slope_by_group(t["documents"])

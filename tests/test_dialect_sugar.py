@@ -88,6 +88,136 @@ def test_exclude_only_rewrites_star_adjacent():
     assert transpile_duckdb(src) == src
 
 
+# ----------------------------------------------------- subquery hoist
+
+
+def test_hof_scalar_subquery_hoists_to_cross_join():
+    out = _flat(
+        transpile_duckdb(
+            "SELECT list_cosine_similarity(v, (SELECT v FROM q WHERE k = 0)) "
+            "AS sim FROM t"
+        )
+    )
+    assert "CROSS JOIN (SELECT (SELECT v FROM q WHERE k = 0) AS __sq0) __sqt0" in out
+    assert "__sqt0.__sq0" in out
+    assert "(SELECT v FROM q WHERE k = 0))" not in out.split("CROSS JOIN")[0]
+
+
+def test_hof_subquery_in_where_clause_hoists():
+    out = _flat(
+        transpile_duckdb(
+            "SELECT id FROM t WHERE list_sum((SELECT vec FROM q WHERE k = 1)) > 2"
+        )
+    )
+    # join attaches before WHERE, reference replaces the subquery
+    assert out.index("CROSS JOIN") < out.index("WHERE")
+    assert "__sqt0.__sq0" in out
+
+
+def test_hof_subquery_inside_nested_select_scope():
+    out = _flat(
+        transpile_duckdb(
+            "SELECT * FROM (SELECT list_sum((SELECT v FROM q)) AS s FROM t) z"
+        )
+    )
+    # hoist stays inside the inner subquery's scope
+    inner = out[out.index("(SELECT") : out.rindex(") z")]
+    assert "CROSS JOIN" in inner
+
+
+def test_plain_scalar_subquery_not_hoisted():
+    src = "SELECT (SELECT max(x) FROM q) AS m FROM t"
+    assert transpile_duckdb(src) == src
+
+
+# ------------------------------------------------------------ asof
+
+
+def test_asof_backward_rewrites_to_lateral_desc():
+    out = _flat(
+        transpile_duckdb(
+            "SELECT p.id, c.ts FROM purchases p ASOF LEFT JOIN clicks c "
+            "ON p.user_id = c.user_id AND p.ts >= c.ts"
+        )
+    )
+    assert "LEFT JOIN LATERAL (SELECT * FROM clicks c WHERE" in out
+    assert "ORDER BY c.ts DESC LIMIT 1) c ON true" in out
+
+
+def test_asof_forward_and_inner_variants():
+    fwd = _flat(
+        transpile_duckdb(
+            "SELECT p.id FROM p ASOF JOIN c ON p.k = c.k AND p.ts <= c.ts"
+        )
+    )
+    assert "JOIN LATERAL" in fwd and "LEFT JOIN" not in fwd
+    assert "ORDER BY c.ts ASC LIMIT 1" in fwd
+
+
+def test_asof_reversed_inequality_normalizes_direction():
+    # c.ts <= p.ts spells the same backward join as p.ts >= c.ts
+    out = _flat(
+        transpile_duckdb(
+            "SELECT p.id FROM p ASOF LEFT JOIN c ON p.k = c.k AND c.ts <= p.ts"
+        )
+    )
+    assert "ORDER BY c.ts DESC LIMIT 1" in out
+
+
+def test_asof_subquery_right_side_keeps_alias():
+    out = _flat(
+        transpile_duckdb(
+            "SELECT p.id FROM p ASOF LEFT JOIN (SELECT * FROM ev) c "
+            "ON p.k = c.k AND p.ts >= c.ts"
+        )
+    )
+    assert "LATERAL (SELECT * FROM (SELECT * FROM ev) c WHERE" in out
+
+
+def test_asof_right_and_full_rejected():
+    with pytest.raises(ValueError, match="ASOF RIGHT"):
+        transpile_duckdb(
+            "SELECT 1 FROM p ASOF RIGHT JOIN c ON p.k = c.k AND p.ts >= c.ts"
+        )
+
+
+def test_asof_needs_exactly_one_inequality():
+    with pytest.raises(ValueError, match="exactly one inequality"):
+        transpile_duckdb(
+            "SELECT 1 FROM p ASOF JOIN c ON p.k = c.k"
+        )
+    with pytest.raises(ValueError, match="exactly one inequality"):
+        transpile_duckdb(
+            "SELECT 1 FROM p ASOF JOIN c "
+            "ON p.ts >= c.ts AND p.t2 >= c.t2"
+        )
+
+
+def test_asof_e2e_matches_duckdb(spark, duck):
+    """The rewritten ASOF executes on Spark and equals DuckDB's native
+    ASOF row-for-row, and the decorrelation keeps WindowGroupLimit."""
+    from sql4pandas_spark.sources.parquet import register_tables
+
+    import tests.conftest as cf
+
+    register_tables(spark, cf.SF_SMALL, ("events",))
+    q = """
+    SELECT p.event_id, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id LIMIT 100
+    """
+    sdf = spark.sql(transpile_duckdb(q))
+    got = sorted(map(tuple, sdf.collect()))
+    exp = sorted(map(tuple, duck.execute(q).fetchall()))
+    assert [(a, (b.replace(tzinfo=None) if b is not None else None)) for a, b in got] == [
+        (a, b) for a, b in exp
+    ]
+    plan = sdf._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
 # ------------------------------------------------------- end-to-end
 
 

@@ -1036,3 +1036,68 @@ def test_doremi_null_loss_raises(spark):
     )
     with _pytest.raises(ValueError, match="NULL loss_e6"):
         doremi_reweight(loss)
+
+
+# ------------------- distinct-n diversity / Zipf slope (session 3)
+
+
+def test_distinct_n_diversity_known_values(spark):
+    from sql4pandas_spark.operators.profile import distinct_n_diversity
+
+    df = spark.createDataFrame(
+        [
+            # degenerate: one token repeated -> distinct1 = 1/4, distinct2 = 1/3
+            (1, "loop", "a a a a"),
+            # fully diverse: all tokens and bigrams unique
+            (2, "rich", "w x y z"),
+            # too short for bigrams
+            (3, "tiny", "solo"),
+        ],
+        "doc_id BIGINT, lang STRING, text STRING",
+    )
+    out = {r["lang"]: r.asDict() for r in distinct_n_diversity(df).collect()}
+    assert out["loop"]["distinct1_e6"] == 250_000      # 1/4
+    assert out["loop"]["distinct2_e6"] == 333_333      # 1/3 floored
+    assert out["rich"]["distinct1_e6"] == 1_000_000
+    assert out["rich"]["distinct2_e6"] == 1_000_000
+    assert out["tiny"]["n_2grams"] == 0
+    assert out["tiny"]["distinct2_e6"] is None
+
+
+def test_zipf_slope_exact_power_law_is_minus_one(spark):
+    """A planted corpus with freq(rank r) = 64 >> (r-1) (exact halving)
+    regresses ln f on ln r with slope ln(1/2)/ln(2) ... not constant —
+    instead use f(r) = C / r exactly at ranks 1,2,4: ln f = ln C - ln r,
+    slope exactly -1 up to the e6 quantization of ln."""
+    from sql4pandas_spark.operators.profile import zipf_slope_by_group
+
+    # counts 12, 6, 3 at ranks 1, 2, 3 is NOT 1/r; build true 1/r with
+    # counts 12, 6, 4, 3 at ranks 1, 2, 3, 4 (12/r integral for r<=4)
+    rows = []
+    words = ["w1", "w2", "w3", "w4"]
+    for rank, w in enumerate(words, start=1):
+        rows.extend((i, "zz", w) for i in range(12 // rank))
+    df = spark.createDataFrame(
+        [(i, lang, w) for i, (j, lang, w) in enumerate(rows)],
+        "doc_id BIGINT, lang STRING, text STRING",
+    )
+    out = zipf_slope_by_group(df, top_ranks=10).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["n_ranks"] == 4
+    assert abs(row["slope"] + 1.0) < 1e-3  # -1 up to ln-quantization
+    assert row["r2"] > 0.999999
+
+
+def test_zipf_rank_tiebreak_deterministic(spark):
+    """Equal counts order by token ascending — the rank assignment (and
+    so the quantized ln(rank) sums) cannot depend on shuffle order."""
+    from sql4pandas_spark.operators.profile import zipf_slope_by_group
+
+    df = spark.createDataFrame(
+        [(i, "aa", w) for i, w in enumerate(["b", "a", "c", "a", "b", "c"])],
+        "doc_id BIGINT, lang STRING, text STRING",
+    )
+    out1 = zipf_slope_by_group(df.repartition(8)).collect()
+    out2 = zipf_slope_by_group(df.coalesce(1)).collect()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]

@@ -31,28 +31,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #: Every skip fails LOUDLY in Catalyst's parser/analyzer or in the
 #: transpiler itself — none is a silent value divergence (the sweep ended
 #: round 11 at 0 MISMATCH).
-_R_SUBQ_IN_HOF = (
-    "scalar subquery inside a higher-order-function lambda — Catalyst "
-    "rejects subquery expressions in HOFs; the operator's Spark form "
-    "broadcasts the lookup instead (operators/similarity.py)"
-)
-_R_ASOF = (
-    "ASOF JOIN syntax — no Spark spelling; the operator's Spark form is "
-    "the window/merge as-of join (operators/joins.py)"
-)
 SKIP_REASONS: dict[str, str] = {
-    # WITH RECURSIVE … UNION (deduplicating) oracles — 10 entries through
-    # round 13 — now execute via the semi-naive fixpoint executor
-    # (plans/recursive.py) and MATCH; the skip class is retired.
-    "ivf_full_probe_top10": _R_SUBQ_IN_HOF,
-    "sim_query_top10": _R_SUBQ_IN_HOF,
-    "hybrid_rrf_top10": _R_SUBQ_IN_HOF,
-    "ann_ivf_persistent_top10": _R_SUBQ_IN_HOF,
-    "asof_join_purchase_click": _R_ASOF,
-    "asof_join_tolerance": _R_ASOF,
-    "asof_join_forward": _R_ASOF,
-    "asof_join_nearest": _R_ASOF,
-    "asof_join_nulls": _R_ASOF,
+    # EMPTY since round-14 session 3 — every oracled statement in the
+    # catalog executes verbatim on Spark with a matching value hash. The
+    # three historical skip classes were each retired by a structural
+    # front-end feature: WITH RECURSIVE … UNION (10 entries) → the
+    # semi-naive fixpoint executor (plans/recursive.py); ASOF JOIN syntax
+    # (5 entries) → the decorrelated LATERAL rewrite (_rewrite_asof_join);
+    # scalar subqueries inside higher-order-function lambdas (4 entries) →
+    # the 1-row CROSS JOIN hoist (_hoist_hof_scalar_subqueries).
 }
 
 
