@@ -198,3 +198,85 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+#: e8 fixed-point scale for HITS scores — one decade below PageRank's e9
+#: so the per-round ``raw * SCALE`` rescaling product stays far inside
+#: int64 (raw <= n·SCALE; n·SCALE² must be < 2^63).
+HITS_SCALE = 10**8
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Integer-quantized HITS (Kleinberg): mutually-reinforcing hub and
+    authority scores over a directed edge frame — the complement of
+    :func:`pagerank` for crawl curation (a page can be a weak authority
+    but a strong hub, i.e. a good LINK SOURCE; directories and index
+    pages score high hub, canonical content high authority).
+
+    Fixed-point e8 integers with L1 normalization each half-round:
+    ``auth_raw(v) = Σ_{u→v} hub(u)`` then ``auth = auth_raw · SCALE DIV
+    Σauth_raw`` (and symmetrically for hubs over the authority frame) —
+    all sums are int64 (order-free) and the rescale is a floor division
+    of non-negative ints, so every round replays bit-exactly in a DuckDB
+    oracle and total score stays SCALE up to n floor-units per side.
+
+    Scale shape (the pagerank discipline): per round two edge-frame
+    joins + two 8-byte-key aggregates; the L1 total is a 1-row aggregate
+    broadcast back (``crossJoin(broadcast(...))`` — bounded metadata,
+    no driver collect); score state is |nodes| rows; lineage truncated
+    with localCheckpoint every round. Returns (node, auth_e8, hub_e8)."""
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("hits: empty edge frame")
+    e = e.localCheckpoint(eager=True)
+
+    def _normalized(raw: DataFrame, out_col: str) -> DataFrame:
+        joined = nodes.join(raw, "node", "left").select(
+            "node",
+            F.coalesce(F.col("_raw"), F.lit(0).cast("long")).alias("_raw"),
+        )
+        tot = joined.agg(F.sum("_raw").alias("_tot"))
+        return (
+            joined.crossJoin(F.broadcast(tot))
+            .select(
+                "node",
+                F.expr(f"_raw * {HITS_SCALE} DIV _tot").alias(out_col),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    hub = nodes.withColumn("hub_e8", F.lit(HITS_SCALE // n).cast("long"))
+    hub = hub.localCheckpoint(eager=True)
+    auth = None
+    for _ in range(iterations):
+        auth_raw = (
+            e.join(hub, e["_src"] == hub["node"])
+            .select(F.col("_dst").alias("node"), F.col("hub_e8").alias("_c"))
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_raw"))
+        )
+        auth = _normalized(auth_raw, "auth_e8")
+        hub_raw = (
+            e.join(auth, e["_dst"] == auth["node"])
+            .select(F.col("_src").alias("node"), F.col("auth_e8").alias("_c"))
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_raw"))
+        )
+        hub = _normalized(hub_raw, "hub_e8")
+    return (
+        auth.join(hub, "node")
+        .select("node", "auth_e8", "hub_e8")
+        .orderBy("node")
+    )

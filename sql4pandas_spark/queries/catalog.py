@@ -90,6 +90,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "logreg_train_trajectory",
     "diversity_distinct_n",
     "zipf_slope_by_lang",
+    "domain_hits_scores",
     "dsir_importance_resample",
     "dsir_incremental_stats",
     "stream_dsir_stats",

@@ -10856,3 +10856,74 @@ def zipf_slope_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = register_tables(spark, sf_dir, ("documents",))
     return zipf_slope_by_group(t["documents"])
+
+
+def _hits_oracle(iters: int = 8) -> str:
+    """DuckDB replay of operators/graph.hits, loop UNROLLED into CTEs
+    (the _pagerank_ctes discipline): each half-round references its
+    predecessor exactly ONCE — the L1 total is an unpartitioned window
+    sum inside the same scan (the oracle-side spelling of the operator's
+    broadcast 1-row aggregate), never a second scalar-subquery reference
+    that would make both engines inline the chain exponentially."""
+    S = 100000000
+    ctes = [
+        f"e AS MATERIALIZED ({_LINKGRAPH_SQL})",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "h0 AS (SELECT node, CAST(100000000 // (SELECT count(*) FROM nodes)"
+        " AS BIGINT) AS hub FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""ar{k} AS (
+      SELECT e.dst AS node, CAST(sum(h.hub) AS BIGINT) AS raw
+      FROM h{k - 1} h JOIN e ON e.src = h.node GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""a{k} AS (
+      SELECT node, CAST(raw * {S} // tot AS BIGINT) AS auth FROM (
+        SELECT n.node, COALESCE(ar.raw, CAST(0 AS BIGINT)) AS raw,
+               sum(COALESCE(ar.raw, CAST(0 AS BIGINT))) OVER () AS tot
+        FROM nodes n LEFT JOIN ar{k} ar ON ar.node = n.node) t)"""
+        )
+        ctes.append(
+            f"""hr{k} AS (
+      SELECT e.src AS node, CAST(sum(a.auth) AS BIGINT) AS raw
+      FROM a{k} a JOIN e ON e.dst = a.node GROUP BY e.src)"""
+        )
+        ctes.append(
+            f"""h{k} AS (
+      SELECT node, CAST(raw * {S} // tot AS BIGINT) AS hub FROM (
+        SELECT n.node, COALESCE(hr.raw, CAST(0 AS BIGINT)) AS raw,
+               sum(COALESCE(hr.raw, CAST(0 AS BIGINT))) OVER () AS tot
+        FROM nodes n LEFT JOIN hr{k} hr ON hr.node = n.node) t)"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT a.node, a.auth AS auth_e8, h.hub AS hub_e8
+    FROM a{iters} a JOIN h{iters} h ON h.node = a.node
+    ORDER BY a.node"""
+    )
+
+
+@query(
+    "domain_hits_scores",
+    oracle=_hits_oracle(8),
+    tags=("tier-c", "graph", "hits", "quality", "iterative"),
+)
+def domain_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the domain link graph
+    (operators/graph.hits) — the mutually-reinforcing complement of
+    domain_pagerank's single authority signal: index/directory domains
+    score high HUB (they point at good content), canonical-content
+    domains high AUTHORITY (good hubs point at them); crawl curation
+    reads both before deciding what a domain is FOR. Integer e8
+    fixed-point with L1 normalization per half-round, so all 8 rounds
+    replay bit-exactly in the unrolled oracle. The squaring edge family
+    concentrates in-degree on quadratic-residue domains, so authorities
+    genuinely separate from hubs (pinned). Per round: two edge joins +
+    two 8-byte aggregates; the L1 total broadcasts as a 1-row frame."""
+    from sql4pandas_spark.operators.graph import hits
+
+    register_tables(spark, sf_dir, ("documents",))
+    return hits(spark.sql(_LINKGRAPH_SQL), iterations=8)

@@ -1101,3 +1101,45 @@ def test_zipf_rank_tiebreak_deterministic(spark):
     out1 = zipf_slope_by_group(df.repartition(8)).collect()
     out2 = zipf_slope_by_group(df.coalesce(1)).collect()
     assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
+
+
+# ------------------------------------------- HITS hubs & authorities
+
+
+def test_hits_mass_conservation_and_separation(spark):
+    from sql4pandas_spark.operators.graph import HITS_SCALE, hits
+
+    # star: hub h points at authorities a1..a3; a1 also points at a2
+    edges = spark.createDataFrame(
+        [("h", "a1"), ("h", "a2"), ("h", "a3"), ("a1", "a2")],
+        "src STRING, dst STRING",
+    )
+    out = {r["node"]: (r["auth_e8"], r["hub_e8"]) for r in hits(edges, 4).collect()}
+    n = len(out)
+    for total in (sum(a for a, _ in out.values()), sum(h for _, h in out.values())):
+        assert HITS_SCALE - n <= total <= HITS_SCALE  # floor slack only
+    # the pure hub dominates hub scores, never authority
+    assert out["h"][1] > max(v[1] for k, v in out.items() if k != "h")
+    assert out["h"][0] == 0
+    # a2 (cited by both h and a1) is the top authority
+    assert out["a2"][0] == max(a for a, _ in out.values())
+
+
+def test_hits_empty_edges_fails_loudly(spark):
+    import pytest as _pytest
+
+    from sql4pandas_spark.operators.graph import hits
+
+    empty = spark.createDataFrame([], "src STRING, dst STRING")
+    with _pytest.raises(ValueError, match="empty edge frame"):
+        hits(empty)
+
+
+def test_hits_partitioning_invariant(spark):
+    from sql4pandas_spark.operators.graph import hits
+
+    rows = [(f"n{i % 7}", f"n{(i * i + 1) % 7}") for i in range(40) if i % 7 != (i * i + 1) % 7]
+    df = spark.createDataFrame(sorted(set(rows)), "src STRING, dst STRING")
+    a = [tuple(r) for r in hits(df.repartition(16), 4).collect()]
+    b = [tuple(r) for r in hits(df.coalesce(1), 4).collect()]
+    assert a == b
