@@ -468,3 +468,62 @@ def scd2_history(
     return changes.withColumn("valid_to_seq", nxt).withColumn(
         "is_current", F.col("valid_to_seq").isNull()
     )
+
+
+def init_join_view(
+    left: DataFrame, right: DataFrame, on: list[str]
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Materialize an equi-join view V = left ⋈ right plus the two side
+    snapshots it was built from — the starting state for
+    :func:`refresh_join_view`. All three frames are localCheckpoint-ed:
+    they are the maintained state, re-read every refresh."""
+    view = left.join(right, on).localCheckpoint(eager=True)
+    return (
+        left.localCheckpoint(eager=True),
+        right.localCheckpoint(eager=True),
+        view,
+    )
+
+
+def refresh_join_view(
+    state: tuple[DataFrame, DataFrame, DataFrame],
+    on: list[str],
+    delta_left: DataFrame | None = None,
+    delta_right: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Incremental maintenance of an equi-join materialized view under
+    APPEND batches — the classic delta-join identity::
+
+        ΔV = ΔL ⋈ R  ∪  L ⋈ ΔR  ∪  ΔL ⋈ ΔR
+        V' = V ∪ ΔV,   L' = L ∪ ΔL,   R' = R ∪ ΔR
+
+    The point at 100 TB: every term joins a BATCH-sized delta against a
+    snapshot, so the deltas are explicitly ``broadcast()`` and the big
+    snapshots never shuffle — a refresh costs O(|Δ| + matched rows), not
+    a recompute of L ⋈ R (pytest plan-asserts the BroadcastHashJoin on
+    every delta term). Append-only by design: deletes/updates belong to
+    the keyed MERGE family (:func:`merge_upsert` + a view rebuild of the
+    affected keys), not this identity — a delta with key overlap into
+    existing rows would double-count, exactly as in any bag-semantics
+    IVM. New view/snapshots are checkpointed; lineage stays flat across
+    arbitrarily many refreshes."""
+    left, right, view = state
+    zero_l = delta_left is None
+    zero_r = delta_right is None
+    parts = []
+    if not zero_l:
+        parts.append(F.broadcast(delta_left).join(right, on))
+    if not zero_r:
+        parts.append(left.join(F.broadcast(delta_right), on))
+    if not zero_l and not zero_r:
+        parts.append(F.broadcast(delta_left).join(F.broadcast(delta_right), on))
+    new_view = view
+    for p in parts:
+        new_view = new_view.unionByName(p)
+    new_left = left if zero_l else left.unionByName(delta_left)
+    new_right = right if zero_r else right.unionByName(delta_right)
+    return (
+        new_left.localCheckpoint(eager=True),
+        new_right.localCheckpoint(eager=True),
+        new_view.localCheckpoint(eager=True),
+    )

@@ -91,6 +91,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "diversity_distinct_n",
     "zipf_slope_by_lang",
     "domain_hits_scores",
+    "incr_join_view_batches",
     "dsir_importance_resample",
     "dsir_incremental_stats",
     "stream_dsir_stats",

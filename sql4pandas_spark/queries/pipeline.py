@@ -10927,3 +10927,62 @@ def domain_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_tables(spark, sf_dir, ("documents",))
     return hits(spark.sql(_LINKGRAPH_SQL), iterations=8)
+
+
+@query(
+    "incr_join_view_batches",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+    tags=("tier-c", "incr_agg", "matview", "join_inner", "pipeline"),
+)
+def incr_join_view_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance
+    (operators/maintenance.refresh_join_view): the orders ⋈ customer view
+    starts from the pre-1996 orders and the %3=0 customer cohort, then
+    folds forward two append batches on EACH side through the delta-join
+    identity ΔV = ΔL⋈R ∪ L⋈ΔR ∪ ΔL⋈ΔR — never recomputing the base
+    join. Both cross terms are load-bearing: later customer batches must
+    pick up EARLIER orders (L⋈ΔR) and later orders earlier customers
+    (ΔL⋈R), and same-refresh pairs only via ΔL⋈ΔR — drop any term and
+    the census hash breaks. Deltas broadcast so the snapshots never
+    shuffle (plan-pinned in pytest). The oracle is the ground-truth full
+    join over the complete tables — equality proves the maintained view
+    is indistinguishable from a rebuild."""
+    from sql4pandas_spark.operators.maintenance import (
+        init_join_view,
+        refresh_join_view,
+    )
+
+    t = register_tables(spark, sf_dir, ("orders", "customer"))
+    o, c = t["orders"], t["customer"]
+    o_base = o.filter(F.col("o_orderdate") < "1996-01-01")
+    o_b1 = o.filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    o_b2 = o.filter(F.col("o_orderdate") >= "1997-01-01")
+    c = c.withColumnRenamed("c_custkey", "o_custkey")
+    c_base = c.filter(F.col("o_custkey") % 3 == 0)
+    c_b1 = c.filter(F.col("o_custkey") % 3 == 1)
+    c_b2 = c.filter(F.col("o_custkey") % 3 == 2)
+
+    state = init_join_view(o_base, c_base, ["o_custkey"])
+    state = refresh_join_view(state, ["o_custkey"], o_b1, c_b1)
+    state = refresh_join_view(state, ["o_custkey"], o_b2, c_b2)
+    view = state[2]
+    return (
+        view.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -1143,3 +1143,64 @@ def test_hits_partitioning_invariant(spark):
     a = [tuple(r) for r in hits(df.repartition(16), 4).collect()]
     b = [tuple(r) for r in hits(df.coalesce(1), 4).collect()]
     assert a == b
+
+
+# --------------------------------- incremental join-view maintenance
+
+
+def test_join_view_refresh_equals_rebuild(spark):
+    from sql4pandas_spark.operators.maintenance import (
+        init_join_view,
+        refresh_join_view,
+    )
+
+    left = spark.createDataFrame(
+        [(k, f"l{k}") for k in range(12)], "k BIGINT, lv STRING"
+    )
+    right = spark.createDataFrame(
+        [(k, f"r{k}") for k in range(0, 12, 2)], "k BIGINT, rv STRING"
+    )
+    lb = left.filter("k % 3 = 0")
+    l1 = left.filter("k % 3 = 1")
+    l2 = left.filter("k % 3 = 2")
+    rb, r1 = right.filter("k < 6"), right.filter("k >= 6")
+    state = init_join_view(lb, rb, ["k"])
+    state = refresh_join_view(state, ["k"], l1, r1)
+    state = refresh_join_view(state, ["k"], l2, None)
+    got = sorted(tuple(r) for r in state[2].collect())
+    exp = sorted(tuple(r) for r in left.join(right, ["k"]).collect())
+    assert got == exp
+
+
+def test_join_view_delta_terms_broadcast(spark):
+    """Every delta term must broadcast the batch side — a refresh that
+    shuffles the snapshot is a rebuild in disguise."""
+    from sql4pandas_spark.operators.maintenance import init_join_view
+
+    from pyspark.sql import functions as F
+
+    left = spark.range(1000).withColumnRenamed("id", "k")
+    right = spark.range(500).withColumnRenamed("id", "k")
+    state = init_join_view(left, right, ["k"])
+    delta = spark.range(5).withColumnRenamed("id", "k")
+    term = F.broadcast(delta).join(state[1], ["k"])
+    plan = term._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_join_view_all_three_terms_load_bearing(spark):
+    """Dropping any delta-join term loses rows: old-left x new-right,
+    new-left x old-right, and new x new pairs all exist in the fixture."""
+    from sql4pandas_spark.operators.maintenance import (
+        init_join_view,
+        refresh_join_view,
+    )
+
+    left = spark.createDataFrame([(1, "old_l"), (2, "new_l"), (3, "new_l")], "k BIGINT, lv STRING")
+    right = spark.createDataFrame([(2, "old_r"), (1, "new_r"), (3, "new_r")], "k BIGINT, rv STRING")
+    state = init_join_view(left.filter("lv = 'old_l'"), right.filter("rv = 'old_r'"), ["k"])
+    state = refresh_join_view(
+        state, ["k"], left.filter("lv = 'new_l'"), right.filter("rv = 'new_r'")
+    )
+    got = sorted((r["k"]) for r in state[2].collect())
+    assert got == [1, 2, 3]  # L⋈ΔR, ΔL⋈R, ΔL⋈ΔR one row each
