@@ -236,11 +236,14 @@ class Engine:
         list_sum, regexp flags, …), the bracket grammar (TYPE[], list
         literals, 1-based access, comprehensions), struct literals, **,
         parameterized intervals, in-parens IGNORE NULLS, and literal
-        re-escaping — the same statement text that runs on the reference
+        re-escaping, plus the structural rewrites (QUALIFY, * EXCLUDE,
+        ASOF JOIN syntax, scalar-subquery hoisting out of HOF
+        arguments) — the same statement text that runs on the reference
         engine runs here unchanged, and plans like hand-written Spark
         SQL (pushdown/pruning plan-asserted). Proven at catalog width by
-        tools/transpile_sweep.py (the remaining skips are enumerated
-        loud-failing unshared constructs). Default: Spark SQL.
+        tools/transpile_sweep.py: every oracled statement in the catalog
+        executes verbatim with a matching value hash (empty skip list).
+        Default: Spark SQL.
 
         ``WITH RECURSIVE`` statements whose recursion uses deduplicating
         ``UNION`` — the fixpoint-closure form Spark's native recursion

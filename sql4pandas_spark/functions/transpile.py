@@ -1095,9 +1095,13 @@ def _rewrite_exclude(statement: str) -> str:
 _QUALIFY_TERMINATORS = ("ORDER", "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT")
 
 
-def _any_depth_keyword(s: str, kw: str) -> tuple[int, int | None] | None:
+def _any_depth_keyword(
+    s: str, kw: str, start: int = 0
+) -> tuple[int, int | None] | None:
     """(pos, innermost enclosing '(' index) of the first unprotected,
-    word-bounded ``kw`` at ANY depth; None when absent."""
+    word-bounded ``kw`` at ANY depth at or after ``start``; None when
+    absent. The paren stack is tracked from the string start so
+    ``start`` never desynchronizes scope depth."""
     pat = re.compile(rf"{kw}\b", re.IGNORECASE)
     stack: list[int] = []
     i = 0
@@ -1112,7 +1116,7 @@ def _any_depth_keyword(s: str, kw: str) -> tuple[int, int | None] | None:
         elif c == ")":
             if stack:
                 stack.pop()
-        elif i == 0 or s[i - 1] not in _IDENT_CHARS:
+        elif i >= start and (i == 0 or s[i - 1] not in _IDENT_CHARS):
             mm = pat.match(s, i)
             if mm:
                 return i, (stack[-1] if stack else None)
@@ -1412,8 +1416,9 @@ def _rewrite_asof_join(statement: str) -> str:
     in the WHERE untouched. Left-side text before ASOF is untouched —
     outer references stay correlated into the lateral subquery.
     RIGHT/FULL ASOF variants and multi-inequality conditions raise."""
-    for _ in range(16):
-        hit = _any_depth_keyword(statement, "ASOF")
+    scan_from = 0
+    for _ in range(64):
+        hit = _any_depth_keyword(statement, "ASOF", start=scan_from)
         if hit is None:
             return statement
         pos, _open = hit
@@ -1432,7 +1437,10 @@ def _rewrite_asof_join(statement: str) -> str:
             i = _ws(s, m.end())
         mj = re.compile(r"JOIN\b", re.IGNORECASE).match(s, i)
         if not mj:
-            raise ValueError("transpile_duckdb: expected JOIN after ASOF")
+            # ASOF used as an ordinary identifier (DuckDB keeps it
+            # contextual) — not a join; skip this occurrence
+            scan_from = pos + 1
+            continue
         i = _ws(s, mj.end())
         if s[i] == "(":
             j = _find_balanced(s, i)

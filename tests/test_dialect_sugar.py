@@ -174,6 +174,11 @@ def test_asof_subquery_right_side_keeps_alias():
     assert "LATERAL (SELECT * FROM (SELECT * FROM ev) c WHERE" in out
 
 
+def test_asof_as_plain_identifier_untouched():
+    src = "SELECT asof FROM t WHERE asof > 1"
+    assert transpile_duckdb(src) == src
+
+
 def test_asof_right_and_full_rejected():
     with pytest.raises(ValueError, match="ASOF RIGHT"):
         transpile_duckdb(
