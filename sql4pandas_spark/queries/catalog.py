@@ -92,6 +92,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "zipf_slope_by_lang",
     "domain_hits_scores",
     "incr_join_view_batches",
+    "stream_stream_left_join",
     "dsir_importance_resample",
     "dsir_incremental_stats",
     "stream_dsir_stats",

@@ -475,3 +475,88 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "stream_stream_left_join",
+    oracle="""
+    WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+                  - INTERVAL 2 HOUR AS w),
+    matched AS (
+      SELECT c.user_id, c.ts FROM c JOIN p
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR),
+    nullpad AS (
+      SELECT c.user_id, c.ts FROM c CROSS JOIN wm
+      WHERE NOT EXISTS (SELECT 1 FROM p
+                        WHERE p.user_id = c.user_id
+                          AND p.ts >= c.ts
+                          AND p.ts <= c.ts + INTERVAL 1 HOUR)
+        AND c.ts + INTERVAL 1 HOUR < wm.w)
+    SELECT (SELECT count(*) FROM matched) AS n_matched,
+           (SELECT count(*) FROM nullpad) AS n_nullpad,
+           (SELECT COALESCE(CAST(sum(user_id) AS BIGINT), 0) FROM nullpad)
+             AS sum_null_user,
+           (SELECT COALESCE(CAST(sum(epoch_us(ts) // 1000000) AS BIGINT), 0)
+            FROM nullpad) AS sum_null_ts_s
+    """,
+    tags=("tier-c", "stream_stream_join", "scan_stream", "watermark"),
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER join: every click joins purchases of the
+    same user within the following hour; clicks with no purchase emit a
+    NULL-padded row once their join window expires from the state store.
+    The two hard requirements (both sides watermarked + an explicit time
+    constraint) let the engine bound state AND know when an unmatched row
+    is safe to emit.
+
+    The drained result is DETERMINISTIC because the emission rule is the
+    documented watermark contract, which the oracle spells out: matched
+    pairs emit eagerly (all of them — verified equal to the batch inner
+    join), and a NULL-padded row emits iff its window end has passed the
+    query watermark, i.e. ``c_ts + 1h < min(max_click_ts, max_purchase_ts)
+    - 2h`` (Spark's multiple-watermark policy takes the MIN across inputs;
+    availableNow's final no-data micro-batch advances the watermark once
+    more so expired state flushes). Clicks inside the final watermark
+    horizon stay buffered at shutdown BY DESIGN — a restart with more
+    data would emit them; hashing their absence pins that semantics. The
+    census sums user ids and floor-epoch-seconds over the null-padded set (seconds, not micros: an e16-microsecond sum would overflow int64 within a few hundred thousand rows),
+    so the hash pins the exact row set, not just counts."""
+    from sql4pandas_spark.streaming.windows import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("interval 1 hour")),
+        "left_outer",
+    )
+    out = run_available_now(joined, mode="append")
+    is_null = F.col("p_ts").isNull()
+    return out.agg(
+        F.count(F.when(~is_null, 1)).alias("n_matched"),
+        F.count(F.when(is_null, 1)).alias("n_nullpad"),
+        F.coalesce(
+            F.sum(F.when(is_null, F.col("c_user"))), F.lit(0)
+        ).cast("long").alias("sum_null_user"),
+        F.coalesce(
+            F.sum(F.when(is_null, F.expr("unix_micros(c_ts) DIV 1000000"))),
+            F.lit(0),
+        ).cast("long").alias("sum_null_ts_s"),
+    )

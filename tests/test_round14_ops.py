@@ -1204,3 +1204,39 @@ def test_join_view_all_three_terms_load_bearing(spark):
     )
     got = sorted((r["k"]) for r in state[2].collect())
     assert got == [1, 2, 3]  # L⋈ΔR, ΔL⋈R, ΔL⋈ΔR one row each
+
+
+# --------------------------------------- stream-stream LEFT OUTER join
+
+
+def test_stream_stream_left_join_matches_oracle_contract(spark, duck):
+    """Drained outer-join census equals the oracle's spelled-out
+    watermark contract (matched = batch inner join; null-pads below the
+    combined-watermark horizon) — run twice to pin drain determinism."""
+    import tests.conftest as cf
+    from sql4pandas_spark.queries.catalog import load_catalog
+
+    spec = load_catalog()["stream_stream_left_join"]
+    exp = duck.execute(spec.oracle).fetchall()
+    for _ in range(2):
+        got = [tuple(r) for r in spec.build(spark, cf.SF_SMALL).collect()]
+        assert got == [tuple(r) for r in exp]
+
+
+def test_stream_stream_left_join_tail_is_withheld(spark, duck):
+    """The unmatched click nearest the stream end must NOT null-pad (its
+    window never passes the final watermark) — the census would drift by
+    exactly that row if the drain over-emitted."""
+    import tests.conftest as cf
+    from sql4pandas_spark.queries.catalog import load_catalog
+
+    spec = load_catalog()["stream_stream_left_join"]
+    got = spec.build(spark, cf.SF_SMALL).collect()[0]
+    unmatched_all = duck.execute("""
+        WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+        SELECT count(*) FROM c WHERE NOT EXISTS
+          (SELECT 1 FROM p WHERE p.user_id = c.user_id
+            AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+    """).fetchone()[0]
+    assert got["n_nullpad"] < unmatched_all  # the tail stays buffered
