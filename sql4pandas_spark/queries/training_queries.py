@@ -86,6 +86,7 @@ w{k} AS (
     oracle=_logreg_oracle(),
     tags=(
         "tier-c",
+        "bench-heavy",
         "classifier",
         "model_training",
         "quality",
