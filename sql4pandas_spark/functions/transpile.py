@@ -1165,6 +1165,58 @@ def _top_keyword_positions(s: str, kw: str) -> list[int]:
     return out
 
 
+def _select_alias_map(select_list: str) -> dict[str, str]:
+    """alias (lowercased) -> defining expression, for explicit ``expr AS
+    alias`` items of a select list."""
+    out: dict[str, str] = {}
+    for item in _split_top(select_list, ","):
+        it = item.strip()
+        m = re.search(
+            r"\bAS\s+([A-Za-z_][A-Za-z0-9_]*)\s*$", it, re.IGNORECASE
+        )
+        if m and not any(
+            a <= m.start() < b for a, b in _spans_of(it)
+        ):
+            out[m.group(1).lower()] = it[: m.start()].strip()
+    return out
+
+
+def _expand_aliases(pred: str, aliases: dict[str, str]) -> str:
+    """Replace word-bounded select-list alias references in ``pred`` with
+    their parenthesized defining expressions (repeatedly, for aliases
+    defined in terms of earlier aliases). Qualified references (``t.x``)
+    and call positions (``x(...)``) are left alone. This removes every
+    lateral-column-alias dependency from the injected predicate — Spark
+    resolves lateral aliases in plain expressions but rejects them INSIDE
+    window expressions (LATERAL_COLUMN_ALIAS_IN_WINDOW), and substitution
+    sidesteps the whole class."""
+    if not aliases:
+        return pred
+    for _ in range(5):
+        changed = False
+        parts = re.split(rf"({_PROTECTED_SRC})", pred, flags=re.VERBOSE)
+        for i in range(0, len(parts), 2):
+            def _sub(m: re.Match) -> str:
+                nonlocal changed
+                name = m.group(0)
+                repl = aliases.get(name.lower())
+                if repl is None:
+                    return name
+                start = m.start()
+                before = m.string[:start].rstrip()
+                after = m.string[m.end() :].lstrip()
+                if before.endswith(".") or after.startswith("("):
+                    return name
+                changed = True
+                return f"({repl})"
+
+            parts[i] = re.sub(r"\b[A-Za-z_][A-Za-z0-9_]*\b", _sub, parts[i])
+        pred = "".join(parts)
+        if not changed:
+            return pred
+    return pred
+
+
 def _rewrite_qualify_branch(s: str) -> str:
     """Rewrite the first depth-0 QUALIFY in ``s`` (a SELECT statement or
     set-operation branch) into the subquery-plus-WHERE form::
@@ -1173,10 +1225,13 @@ def _rewrite_qualify_branch(s: str) -> str:
         → SELECT * EXCEPT (__qualify) FROM
             (SELECT <list>, (<pred>) AS __qualify FROM …) WHERE __qualify <tail>
 
-    The predicate is computed INSIDE the subquery, so it may reference
-    select-list aliases (Spark's lateral column aliases cover that, window
-    aliases included), inline window expressions, or base columns absent
-    from the select list — the three QUALIFY idioms."""
+    The predicate is computed INSIDE the subquery with select-list alias
+    references textually EXPANDED to their defining expressions
+    (:func:`_expand_aliases`), so alias references (aggregate and window
+    aliases included, even inside OVER clauses), inline window
+    expressions, and base columns absent from the select list all work —
+    the three QUALIFY idioms. Catalyst de-duplicates the repeated window
+    spec, so expansion costs nothing at runtime."""
     q = _find_top_keyword(s, "QUALIFY")
     assert q is not None
     q_start, q_end = q
@@ -1216,6 +1271,8 @@ def _rewrite_qualify_branch(s: str) -> str:
         raise ValueError(
             "transpile_duckdb: QUALIFY requires a FROM clause in its SELECT"
         )
+    select_list = body[len("SELECT") : from_kw[0]]
+    pred = _expand_aliases(pred, _select_alias_map(select_list))
     extended = (
         body[: from_kw[0]].rstrip()
         + f", ({pred}) AS __qualify "

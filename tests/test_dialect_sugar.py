@@ -24,7 +24,9 @@ def test_qualify_alias_predicate_rewrites_to_subquery():
         )
     )
     assert out.startswith("SELECT * EXCEPT (__qualify) FROM (")
-    assert "(rn <= 2) AS __qualify" in out
+    # alias reference expanded to its defining expression: no lateral
+    # column alias survives into the injected predicate
+    assert "((row_number() OVER (ORDER BY id)) <= 2) AS __qualify" in out
     assert out.endswith(") WHERE __qualify")
 
 
@@ -250,6 +252,51 @@ def test_qualify_plans_with_window_group_limit(spark):
     df = load_catalog()["qualify_top3_orders"].build(spark, cf.SF_SMALL)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+_QUALIFY_GRID = [
+    # alias reference, per-group rank
+    "SELECT o_custkey, o_orderkey, row_number() OVER (PARTITION BY o_custkey"
+    " ORDER BY o_orderkey) AS rn FROM orders QUALIFY rn <= 2",
+    # inline window, no alias
+    "SELECT o_orderkey FROM orders QUALIFY"
+    " rank() OVER (ORDER BY o_orderkey) <= 5",
+    # predicate over a base column NOT in the select list
+    "SELECT o_orderkey FROM orders QUALIFY"
+    " row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) = 1"
+    " AND o_custkey % 2 = 0",
+    # boolean combination of two window expressions
+    "SELECT o_orderkey FROM orders QUALIFY"
+    " row_number() OVER (ORDER BY o_orderkey) <= 10 AND"
+    " row_number() OVER (ORDER BY o_orderkey DESC) <= 10000",
+    # after WHERE and GROUP BY (windows over aggregated rows)
+    "SELECT o_custkey, count(*) AS n FROM orders WHERE o_orderkey % 3 = 0"
+    " GROUP BY o_custkey QUALIFY rank() OVER (ORDER BY n DESC, o_custkey)"
+    " <= 4",
+    # with ORDER BY + LIMIT tail
+    "SELECT o_orderkey, lag(o_orderkey) OVER (ORDER BY o_orderkey) AS prev"
+    " FROM orders QUALIFY prev IS NOT NULL ORDER BY o_orderkey LIMIT 7",
+    # inside a CTE, aggregated outside
+    "WITH t AS (SELECT o_custkey, o_orderkey, row_number() OVER"
+    " (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn FROM orders"
+    " QUALIFY rn = 1) SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT)"
+    " AS s FROM t",
+]
+
+
+@pytest.mark.parametrize("stmt", _QUALIFY_GRID)
+def test_qualify_grid_matches_duckdb(spark, duck, stmt):
+    """Every QUALIFY idiom in the grid produces identical rows on both
+    engines — the rewrite's semantics differential, beyond the two
+    catalog entries' shapes."""
+    from sql4pandas_spark.sources.parquet import register_tables
+
+    import tests.conftest as cf
+
+    register_tables(spark, cf.SF_SMALL, ("orders",))
+    got = sorted(map(tuple, spark.sql(transpile_duckdb(stmt)).collect()))
+    exp = sorted(map(tuple, duck.execute(stmt).fetchall()))
+    assert got == exp, stmt
 
 
 def test_qualify_equals_handwritten_window_filter(spark):
