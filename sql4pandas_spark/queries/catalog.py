@@ -93,6 +93,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "domain_hits_scores",
     "incr_join_view_batches",
     "stream_stream_left_join",
+    "truncation_loss_census",
+    "dup_source_matrix",
     "dsir_importance_resample",
     "dsir_incremental_stats",
     "stream_dsir_stats",

@@ -10986,3 +10986,99 @@ def incr_join_view_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "truncation_loss_census",
+    oracle="""
+    WITH n AS (
+      SELECT CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  t -> t <> '')) AS BIGINT) AS nt
+      FROM documents),
+    l AS (SELECT CAST(max_len AS BIGINT) AS max_len
+          FROM (VALUES (128), (512), (2048)) AS t(max_len))
+    SELECT l.max_len,
+           CAST(count(CASE WHEN n.nt > l.max_len THEN 1 END) AS BIGINT)
+             AS n_truncated,
+           CAST(sum(n.nt) AS BIGINT) AS tokens_total,
+           CAST(sum(greatest(n.nt - l.max_len, 0)) AS BIGINT) AS tokens_lost,
+           CAST(sum(greatest(n.nt - l.max_len, 0)) * 1000000
+                // sum(n.nt) AS BIGINT) AS lost_ppm
+    FROM n CROSS JOIN l GROUP BY l.max_len ORDER BY l.max_len
+    """,
+    tags=("tier-c", "text_analysis", "profile", "text_tokenize"),
+)
+def truncation_loss_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length decision census: for each candidate max sequence
+    length, how many documents would truncate and what integer-ppm share
+    of corpus tokens is lost — the number a pretraining owner reads
+    before fixing the context window (the complement of
+    pack_sequences_bins, which assumes the length and measures packing
+    efficiency). One token-count scan cross-joined with a 3-row literal
+    length dim (broadcast); the ppm is an exact integer division."""
+    t = register_tables(spark, sf_dir, ("documents",))
+    from sql4pandas_spark.operators.text import tokens
+
+    n = t["documents"].select(
+        F.size(tokens(F.col("text"))).cast("long").alias("nt")
+    )
+    lens = spark.createDataFrame([(128,), (512,), (2048,)], "max_len BIGINT")
+    lost = F.greatest(F.col("nt") - F.col("max_len"), F.lit(0))
+    return (
+        n.crossJoin(F.broadcast(lens))
+        .groupBy("max_len")
+        .agg(
+            F.count(F.when(F.col("nt") > F.col("max_len"), 1)).alias(
+                "n_truncated"
+            ),
+            F.sum("nt").alias("tokens_total"),
+            F.sum(lost).alias("tokens_lost"),
+            F.expr(
+                "CAST(sum(greatest(nt - max_len, 0)) * 1000000"
+                " DIV sum(nt) AS BIGINT)"
+            ).alias("lost_ppm"),
+        )
+        .orderBy("max_len")
+    )
+
+
+@query(
+    "dup_source_matrix",
+    oracle="""
+    WITH d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+    p AS (
+      SELECT least(a.source, b.source) AS source_a,
+             greatest(a.source, b.source) AS source_b
+      FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id)
+    SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM p GROUP BY source_a, source_b ORDER BY source_a, source_b
+    """,
+    tags=("tier-c", "dedup_exact", "profile", "audit"),
+)
+def dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-provenance matrix: exact-duplicate PAIRS counted per
+    unordered source pair — the audit that tells a corpus owner WHERE
+    duplication comes from (mirrors within one source vs cross-source
+    scraping overlap), read next to dedup_cluster_stats' headline rate.
+    Pairs join on the text digest (narrow key, the dedup_exact
+    discipline — document text never shuffles), doc_id < doc_id kills
+    self/reversed pairs, least/greatest folds the matrix to its upper
+    triangle. Output is |sources|^2-bounded."""
+    t = register_tables(spark, sf_dir, ("documents",))
+    d = t["documents"].select(
+        "doc_id", "source", F.md5(F.col("text")).alias("h")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.least(F.col("a.source"), F.col("b.source")).alias("source_a"),
+        F.greatest(F.col("a.source"), F.col("b.source")).alias("source_b"),
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
