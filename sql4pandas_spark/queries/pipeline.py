@@ -11045,7 +11045,12 @@ def truncation_loss_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dup_source_matrix",
     oracle="""
-    WITH d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, 'mirror', text
+      FROM documents WHERE doc_id % 37 = 5),
+    d AS (SELECT doc_id, source, md5(text) AS h FROM corpus),
     p AS (
       SELECT least(a.source, b.source) AS source_a,
              greatest(a.source, b.source) AS source_b
@@ -11060,14 +11065,24 @@ def dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     unordered source pair — the audit that tells a corpus owner WHERE
     duplication comes from (mirrors within one source vs cross-source
     scraping overlap), read next to dedup_cluster_stats' headline rate.
-    Pairs join on the text digest (narrow key, the dedup_exact
-    discipline — document text never shuffles), doc_id < doc_id kills
-    self/reversed pairs, least/greatest folds the matrix to its upper
-    triangle. Output is |sources|^2-bounded."""
+    The fixture corpus has NO exact duplicates below sf0.1, so a planted
+    'mirror' source (a shifted-id replica of the %37=5 cohort — the
+    cross-source scraping-overlap scenario) keeps the matrix non-vacuous
+    at every scale; sf0.1's natural duplicate groups ride along. Pairs
+    join on the text digest (narrow key, the dedup_exact discipline —
+    document text never shuffles), doc_id < doc_id kills self/reversed
+    pairs, least/greatest folds the matrix to its upper triangle. Output
+    is |sources|^2-bounded."""
     t = register_tables(spark, sf_dir, ("documents",))
-    d = t["documents"].select(
-        "doc_id", "source", F.md5(F.col("text")).alias("h")
+    docs = t["documents"]
+    corpus = docs.select("doc_id", "source", "text").unionByName(
+        docs.filter(F.col("doc_id") % 37 == 5).select(
+            (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+            F.lit("mirror").alias("source"),
+            "text",
+        )
     )
+    d = corpus.select("doc_id", "source", F.md5(F.col("text")).alias("h"))
     a, b = d.alias("a"), d.alias("b")
     pairs = a.join(
         b,
