@@ -61,6 +61,9 @@ BNLJ_ALLOWED = {
                                  # 64-long arrays — data-volume-independent
                                  # by design (that's the whole point of the
                                  # set sketch)
+    "truncation_loss_census",    # 3-row literal max_len dim broadcast-cross-
+                                 # joined against the token-count frame — the
+                                 # declared constant-size length spine
 }
 
 #: Row-at-a-time Python evaluation is allowed only in the declared UDTF
