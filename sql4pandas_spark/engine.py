@@ -186,17 +186,26 @@ class Engine:
         pandas frames upload via Arrow (columnar, zero row-wise pickling).
         Note the NULL-semantics upgrade: pandas NaN/NaT become real SQL NULLs.
         """
+        from sql4pandas_spark.sources.parquet import invalidate_registered_views
+
         df = (
             self.spark.createDataFrame(data)
             if isinstance(data, pd.DataFrame)
             else data
         )
         df.createOrReplaceTempView(name)
+        # the user frame may shadow a fixture table's name — drop the
+        # register_tables memo so the next fixture registration re-binds
+        invalidate_registered_views(self.spark, (name,))
 
     def register_parquet(self, name: str, path: str) -> None:
-        from sql4pandas_spark.sources.parquet import normalize_ntz
+        from sql4pandas_spark.sources.parquet import (
+            invalidate_registered_views,
+            normalize_ntz,
+        )
 
         normalize_ntz(self.spark.read.parquet(path)).createOrReplaceTempView(name)
+        invalidate_registered_views(self.spark, (name,))
 
     def register_fixtures(self, sf_dir: str) -> None:
         """Register the ten fixture tables from a scale-factor directory."""
@@ -217,7 +226,10 @@ class Engine:
                 f"register_stream({name!r}) expects a streaming DataFrame "
                 "(spark.readStream...); use register() for batch inputs"
             )
+        from sql4pandas_spark.sources.parquet import invalidate_registered_views
+
         stream.createOrReplaceTempView(name)
+        invalidate_registered_views(self.spark, (name,))
 
     def register_events_stream(self, sf_dir: str, name: str = "events_stream") -> None:
         """Register the fixture events table as a streaming view (timestamp

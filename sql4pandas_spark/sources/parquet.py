@@ -99,6 +99,40 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _load(spark, sf_dir, name)
 
 
+#: session -> {view name -> sf_dir currently registered}. Each
+#: ``createOrReplaceTempView`` is a ~6-8 ms driver↔JVM catalog round-trip
+#: (measured, r14); every catalog builder starts with register_tables, so an
+#: un-memoized implementation re-pays up to 10 of them PER QUERY BUILD even
+#: though the view already points at the right DataFrame. Registration is
+#: skipped only when THIS module registered the same (name, sf_dir) on the
+#: same session; anything that replaces a view behind our back must call
+#: :func:`invalidate_registered_views` (Engine.register* does). Weak-keyed
+#: like _df_cache so a stopped session's entries die with it.
+_view_registry: "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def invalidate_registered_views(
+    spark: SparkSession, names: tuple[str, ...] | None = None
+) -> None:
+    """Forget that ``names`` (default: all) are registered on ``spark``.
+
+    Call after replacing a temp view OUTSIDE register_tables (e.g.
+    ``Engine.register`` binding a user frame to a fixture table's name, or a
+    test swapping in a doctored view) so the next register_tables re-registers
+    instead of trusting the memo.
+    """
+    reg = _view_registry.get(spark)
+    if reg is None:
+        return
+    if names is None:
+        reg.clear()
+        return
+    for name in names:
+        reg.pop(name, None)
+
+
 def register_tables(
     spark: SparkSession,
     sf_dir: str = DEFAULT_SF_DIR,
@@ -107,12 +141,17 @@ def register_tables(
     """Register every fixture table as a temp view named after the table.
 
     Idempotent (``createOrReplaceTempView``) and lazy — call it at the top of
-    any query builder; repeated calls only re-read parquet footers.
+    any query builder; repeated calls only re-read parquet footers, and a view
+    this module already registered for the same sf_dir is not re-registered
+    (dict lookup instead of a catalog round-trip — see _view_registry).
     """
     configure_session(spark)
+    registry = _view_registry.setdefault(spark, {})
     out: dict[str, DataFrame] = {}
     for name in tables:
         df = _load(spark, sf_dir, name)
-        df.createOrReplaceTempView(name)
+        if registry.get(name) != sf_dir:
+            df.createOrReplaceTempView(name)
+            registry[name] = sf_dir
         out[name] = df
     return out

@@ -112,7 +112,12 @@ def test_gapfill_fills_injected_gaps(spark):
     )]
     assert len(hours) >= 3
     victim = hours[1]
+    from sql4pandas_spark.sources.parquet import invalidate_registered_views
+
     ev.filter(F.date_trunc("hour", "ts") != victim).createOrReplaceTempView("events")
+    # the raw clobber bypasses register_tables' memo — invalidate so the
+    # finally-block restore below actually re-registers the real view
+    invalidate_registered_views(spark, ("events",))
     try:
         # rebuild via the same operator body, but over the gapped view
         gapped = spark.sql("SELECT * FROM events")
