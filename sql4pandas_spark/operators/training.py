@@ -7,16 +7,18 @@ changes"; this module is where those weights come from).
 The whole optimization runs as Spark aggregates over the corpus; the only
 driver-side state per round is the |buckets|-sized gradient vector (a
 bounded collect, same discipline as the BPE trainer's 1-row argmax) and
-the integer weight vector itself. Per round the data-sized work is:
+the integer weight vector itself. Per round the data-sized work is one
+scan of the checkpointed per-doc BUCKET-COUNT vectors: the dot product is
+``sum_b count_b * w_b`` (arithmetically identical to summing the weight
+per token occurrence, but O(|buckets|) per doc instead of O(tokens)), and
+the gradient is a single global aggregate of ``cu * count_b`` per bucket
+— |buckets| int64 sums, partial-combined map-side, 1 row shuffled per
+task. No explode, no per-occurrence rows ever cross an exchange.
 
-- one map-side higher-order ``aggregate`` over each doc's bucket array
-  (the dot product — zero shuffles, weights ride in as an array literal
-  exactly like the scorer's),
-- one explode + 8-group aggregate for the gradient (map-side partial
-  combine makes the shuffle |buckets| rows per task).
-
-The feature frame (doc_id, bucket array, token count, label) is computed
-ONCE and localCheckpoint-ed — it is the loop invariant.
+The feature frame (doc_id, bucket-count vector, token count, label) is
+computed ONCE and localCheckpoint-ed — it is the loop invariant; token
+arrays are folded into the |buckets|-sized count vector at that point, so
+per-round cost no longer scales with tokens per document at all.
 
 Bit-exact across engines BY CONSTRUCTION, so a DuckDB oracle can replay
 the entire optimization trajectory:
@@ -108,29 +110,53 @@ def hashed_feature_frame(
     )
 
 
-def _round_frame(feat: DataFrame, weights: list[int]) -> DataFrame:
-    """Per-bucket integer gradient sums for the current weights.
+def _count_vector(n_buckets: int):
+    """``bcounts[b]`` = number of token occurrences hashed to bucket ``b``
+    — the loop-invariant fold of the per-token bucket array into a fixed
+    |buckets|-sized vector, computed once at checkpoint time."""
+    def _is(bi: int):
+        # closure factory: HOF lambdas must be single-parameter (a 2-arg
+        # lambda would be read as the (element, index) form)
+        return lambda b: b == F.lit(bi)
 
-    dot is an exact int64 fold over the bucket array (map-side); the
-    per-occurrence contribution ``cu = round((s - y) * 2^20 / n)`` is one
-    deterministic double expression; explode + groupBy(bucket) sums int64
-    with map-side partial aggregation."""
-    w_arr = F.array(*[F.lit(int(w)).cast("long") for w in weights])
-    dot = F.aggregate(
-        F.col("buckets"),
+    return F.array(
+        *[
+            F.size(F.filter(F.col("buckets"), _is(bi))).cast("long")
+            for bi in range(n_buckets)
+        ]
+    )
+
+
+def _round_gradient(feat: DataFrame, weights: list[int]) -> list[int]:
+    """Per-bucket integer gradient sums for the current weights, from the
+    (doc_id, bcounts, n, y) count-vector frame.
+
+    ``dot = sum_b bcounts[b] * w_b`` is exactly the per-occurrence weight
+    sum (integer multiply-add, order-free); the per-doc contribution
+    ``cu = round((s - y) * 2^20 / n)`` is one deterministic double
+    expression; the gradient for bucket b is the int64 sum of
+    ``cu * bcounts[b]`` over docs — a single global aggregate with
+    map-side partial combine, so each task ships |buckets| longs."""
+    dot = sum(
+        (F.element_at("bcounts", bi + 1) * F.lit(int(w)) for bi, w in enumerate(weights)),
         F.lit(0).cast("long"),
-        lambda acc, b: acc + F.element_at(w_arr, (b + 1).cast("int")),
     )
     z = dot.cast("double") / (F.lit(float(SCALE)) * F.col("n").cast("double"))
     s = F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
     cu = F.round(
         (s - F.col("y").cast("double")) * F.lit(float(SCALE)) / F.col("n").cast("double")
     ).cast("long")
-    return (
-        feat.select(F.explode("buckets").alias("b"), cu.alias("cu"))
-        .groupBy("b")
-        .agg(F.sum("cu").alias("g"))
+    row = (
+        feat.select(cu.alias("cu"), "bcounts")
+        .agg(
+            *[
+                F.sum(F.col("cu") * F.element_at("bcounts", bi + 1)).alias(f"g{bi}")
+                for bi in range(len(weights))
+            ]
+        )
+        .collect()[0]
     )
+    return [int(row[f"g{bi}"] or 0) for bi in range(len(weights))]
 
 
 def train_hashed_logreg(
@@ -149,8 +175,10 @@ def train_hashed_logreg(
     same IEEE double quotient the SQL oracle's
     ``floor(CAST(g * LR_NUM AS DOUBLE)/nd)`` produces, so the driver-side
     ints and an engine-side replay cannot drift."""
-    feat = hashed_feature_frame(df, text_col, id_col, n_buckets).localCheckpoint(
-        eager=True
+    feat = (
+        hashed_feature_frame(df, text_col, id_col, n_buckets)
+        .select("doc_id", _count_vector(n_buckets).alias("bcounts"), "n", "y")
+        .localCheckpoint(eager=True)
     )
     n_docs = feat.count()
     if n_docs == 0:
@@ -158,8 +186,7 @@ def train_hashed_logreg(
     weights = [0] * n_buckets
     out: list[RoundState] = []
     for rnd in range(1, rounds + 1):
-        grad = {int(r["b"]): int(r["g"]) for r in _round_frame(feat, weights).collect()}
-        g = [grad.get(b, 0) for b in range(n_buckets)]
+        g = _round_gradient(feat, weights)
         weights = [
             w - math.floor(gb * LR_NUM / n_docs) for w, gb in zip(weights, g)
         ]

@@ -103,9 +103,11 @@ def logreg_train_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal). The returned frame is the ENTIRE optimization trajectory
     (step, bucket, gradient, post-update weight) — the oracle re-derives
     every round from the data as unrolled CTEs, so the hash pins each
-    intermediate state bit-for-bit. Per round: one map-side dot-product
-    fold + one 8-group integer aggregate; the feature frame is
-    checkpointed once (loop invariant)."""
+    intermediate state bit-for-bit. Per round: one scan of the
+    checkpointed per-doc bucket-COUNT vectors (dot = sum_b count_b * w_b,
+    arithmetically identical to the per-occurrence weight sum) folded
+    into a single global |buckets|-sum aggregate — no explode, per-round
+    cost independent of tokens per document."""
     from sql4pandas_spark.operators.training import (
         train_hashed_logreg,
         trajectory_frame,

@@ -128,6 +128,56 @@ def test_gradient_at_zero_weights_is_analytic(doc_texts):
     assert g1 == expect
 
 
+def test_count_vector_gradient_equals_per_occurrence(spark):
+    """The r14 optimization folds each doc's token-bucket array into a
+    |buckets|-count vector at checkpoint time; per-round dot products and
+    gradients are then integer multiply-adds over the counts. Pin the
+    equivalence against an explicit per-occurrence computation at NONZERO
+    weights (round 1 alone would only exercise w=0)."""
+    from pyspark.sql import functions as F
+
+    from sql4pandas_spark.operators.training import (
+        _count_vector,
+        _round_gradient,
+        hashed_feature_frame,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the hat sat"),
+            (2, "a quick brown fox jumps over dogs"),
+            (3, "of the people by the people for the people"),
+            (4, "x y z"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    raw = hashed_feature_frame(df, n_buckets=N_BUCKETS)
+    feat = raw.select(
+        "doc_id", _count_vector(N_BUCKETS).alias("bcounts"), "n", "y"
+    )
+    # count vector must be the exact histogram of the bucket array
+    for row in raw.select("doc_id", "buckets").join(
+        feat.select("doc_id", "bcounts"), "doc_id"
+    ).collect():
+        hist = [0] * N_BUCKETS
+        for b in row["buckets"]:
+            hist[b] += 1
+        assert list(row["bcounts"]) == hist, row["doc_id"]
+
+    weights = [3 << 18, -(5 << 17), 0, 1 << 20, -(1 << 19), 7, -13, 1 << 16]
+    got = _round_gradient(feat, weights)
+    # independent per-occurrence replay (the pre-r14 formulation)
+    exp = [0] * N_BUCKETS
+    for row in raw.collect():
+        dot = sum(weights[b] for b in row["buckets"])  # exact int
+        z = dot / (float(SCALE) * row["n"])
+        s = 0.5 + z / (2.0 * (1.0 + abs(z)))
+        cu = _round_away((s - row["y"]) * float(SCALE) / row["n"])
+        for b in row["buckets"]:
+            exp[b] += cu
+    assert got == exp
+
+
 def test_empty_corpus_fails_loudly(spark):
     from sql4pandas_spark.operators.training import train_hashed_logreg
 
