@@ -303,6 +303,32 @@ def test_label_components_nonconvergence_raises(spark):
         label_components(nodes, chain, max_iter=2)
 
 
+def test_connected_components_sum_convergence_check(spark):
+    """The r14 convergence check compares exact decimal label sums across
+    rounds (min-propagation is elementwise monotone non-increasing, so an
+    unchanged sum proves a fixpoint). Pin the cases the check must not
+    confuse: an empty pair set terminates immediately with empty labels,
+    and a deep chain (diameter > 1) still fully merges — a premature
+    'converged' would leave mid-chain labels unmerged."""
+    from sql4pandas_spark.operators.dedup import connected_components
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(chain).collect()}
+    assert got == {i: 0 for i in range(10)}
+
+    # non-numeric ids take the join-based fallback — same labels
+    schain = spark.createDataFrame(
+        [(f"n{i}", f"n{i + 1}") for i in range(4)], "id_a string, id_b string"
+    )
+    sgot = {r["doc_id"]: r["cluster_id"] for r in connected_components(schain).collect()}
+    assert sgot == {f"n{i}": "n0" for i in range(5)}
+
+
 # ------------------------------------ round-11 versioned-store retention
 
 
