@@ -480,15 +480,49 @@ def fuzzy_key_pairs(
             .select(F.col(col).alias("doc_id"), "sig")
         )
 
+    # explicit ROUND-ROBIN spread of the distinct key frames, BEFORE the
+    # signature computation. Two reasons, both measured at sf0.1:
+    #
+    # - the distinct's post-shuffle output is tiny (|distinct keys| short
+    #   strings), so AQE's coalesce collapses it to one partition — and
+    #   everything DOWNSTREAM of it (MinHash signatures: n_hashes
+    #   affine-min passes over the gram array per key, the dominant
+    #   per-key CPU of this operator; band explode) then runs as ONE
+    #   task (profiled: a 1.75 s serial signature stage while 31 cores
+    #   idled). A user-specified repartition count is exempt from
+    #   coalescing, and the narrow ops after it inherit the width, so
+    #   sigs/bands/the verify probe all run at n_spread tasks. (An
+    #   earlier form repartitioned AFTER banding — that spread only the
+    #   already-computed band rows and left the signature stage serial.)
+    #
+    # - keyless, NOT hash(band_key): AQE turns the band join into a
+    #   broadcast hash join whenever one side's band frame fits (always
+    #   at bench scale — the frames are |distinct keys|×n_bands narrow
+    #   rows), and a broadcast probe needs no co-partitioning.
+    #   Hash-spreading by band_key would put every probe row of a HOT
+    #   band (the low-diversity-key regime) in ONE task, which then
+    #   evaluates that band's whole n_l×n_r Levenshtein volume alone.
+    #   Round-robin gives every task an even share of probe rows. In the
+    #   too-big-to-broadcast regime the planner inserts its own band_key
+    #   exchange for the sort-merge join (8-byte keys — cheap), where
+    #   hot bands are ``salt_hot_bands``'s job instead.
+    try:
+        n_spread = int(
+            left.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    except ValueError:  # e.g. "auto" under some AQE configurations
+        n_spread = 32
     lnorm = (
         left.select(_norm(left_key).alias("_lnorm"))
         .filter(F.col("_lnorm").isNotNull())
         .distinct()
+        .repartition(n_spread)
     )
     rnorm = (
         right.select(_norm(right_key).alias("_rnorm"))
         .filter(F.col("_rnorm").isNotNull())
         .distinct()
+        .repartition(n_spread)
     )
     lb = band_keys(_sigs(lnorm, "_lnorm"), n_bands, rows_per_band).select(
         F.col("doc_id").alias("_lnorm"), "band_key"
@@ -496,21 +530,6 @@ def fuzzy_key_pairs(
     rb = band_keys(_sigs(rnorm, "_rnorm"), n_bands, rows_per_band).select(
         F.col("doc_id").alias("_rnorm"), "band_key"
     )
-    # explicit co-partitioning: the band frames are tiny RELATIVE TO THEIR
-    # JOIN OUTPUT (band collisions fan out), so AQE's post-shuffle coalesce
-    # — which only sees the small input — would run the exploding join +
-    # Levenshtein verify on a handful of tasks. A user-specified partition
-    # count is exempt from coalescing; spreading on band_key keeps the
-    # join co-partitioned. (Measured at sf0.1: the coalesced plan ran the
-    # verify single-task for ~15 min.)
-    try:
-        n_spread = int(
-            left.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        )
-    except ValueError:  # e.g. "auto" under some AQE configurations
-        n_spread = 32
-    lb = lb.repartition(n_spread, "band_key")
-    rb = rb.repartition(n_spread, "band_key")
     if salt_hot_bands:
         # the salted path consumes each band frame twice (hot-band counts
         # + the split join); checkpoint so the MinHash signatures compute
@@ -521,20 +540,31 @@ def fuzzy_key_pairs(
         raw = _salted_band_candidates(lb, rb, salt_hot_bands, hot_band_product)
     else:
         raw = lb.join(rb, "band_key").select("_lnorm", "_rnorm")
-    # cheap JVM length prefilter BEFORE the distinct: keys within d edits
-    # differ in length by <= d, and band collisions between unrelated keys
-    # are the bulk of the candidate volume — dropping them here shrinks
-    # both the distinct's shuffle and the Levenshtein verify (an O(L*L)
-    # dynamic program per pair vs an O(1) length compare).
-    cand = raw.filter(
-        F.abs(F.length("_lnorm") - F.length("_rnorm")) <= F.lit(max_distance)
-    ).distinct()
-    # thresholded Levenshtein: the banded DP short-circuits once distance
-    # exceeds max_distance (returns -1), O(d*L) per pair instead of O(L*L)
-    # — and the returned value IS the exact distance when within bound.
+    # Verify BEFORE deduplicating. A pair that collides in k of the bands
+    # used to be shuffled k times into a `distinct` over tens of millions
+    # of string pairs — the measured wall-clock of this operator at sf0.1
+    # was that distinct's exchange, not the verify. The thresholded
+    # Levenshtein on short keys costs ~1-2 µs, far less than shuffling the
+    # pair, so the length prefilter + banded DP both run PIPELINED inside
+    # the band-join tasks (no exchange touches the raw candidate volume),
+    # and the dedup shuffles only the MATCHED pairs — orders of magnitude
+    # fewer rows. `key_distance` is a pure function of the pair, so
+    # distinct-then-verify and verify-then-distinct produce the same set.
+    #
+    # - length prefilter: keys within d edits differ in length by <= d,
+    #   an O(1) compare dropping most unrelated band collisions;
+    # - thresholded Levenshtein: the banded DP short-circuits once
+    #   distance exceeds max_distance (returns -1), O(d*L) per pair
+    #   instead of O(L*L) — and the returned value IS the exact distance
+    #   when within bound.
     dist = F.levenshtein("_lnorm", "_rnorm", max_distance)
-    matched = cand.withColumn("key_distance", dist).filter(
-        F.col("key_distance") >= 0
+    matched = (
+        raw.filter(
+            F.abs(F.length("_lnorm") - F.length("_rnorm")) <= F.lit(max_distance)
+        )
+        .withColumn("key_distance", dist)
+        .filter(F.col("key_distance") >= 0)
+        .distinct()
     )
     # map normalized matches back to every ORIGINAL key spelling
     lmap = (
