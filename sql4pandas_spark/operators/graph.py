@@ -115,7 +115,16 @@ def pagerank(
                 "node",
                 (F.lit(base) + F.expr(damped)).cast("long").alias("rank_e9"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the checkpoint still truncates the query plan (the
+            # returned frame wraps the checkpoint RDD in both modes), but
+            # materialization is deferred to the consumer — the whole
+            # power iteration runs as ONE scheduled job pipeline instead
+            # of paying a job barrier per round (the loop has no per-round
+            # driver decision, unlike connected_components' convergence
+            # check). Blocks still cache on first compute, so the two
+            # consumers of a round's state (contrib join + dangling share)
+            # never recompute it. Loop-INVARIANT frames above stay eager.
+            .localCheckpoint(eager=False)
         )
     return ranks
 
@@ -195,7 +204,9 @@ def label_propagation(
                     "community"
                 ),
             )
-            .localCheckpoint(eager=True)
+            # lazy per-round state checkpoint — see pagerank: plan still
+            # truncated, no per-round job barrier (fixed round count)
+            .localCheckpoint(eager=False)
         )
     return labels
 
@@ -254,7 +265,11 @@ def hits(
                 "node",
                 F.expr(f"_raw * {HITS_SCALE} DIV _tot").alias(out_col),
             )
-            .localCheckpoint(eager=True)
+            # lazy per-half-round state checkpoint — see pagerank: plan
+            # still truncated, no job barrier per half-round (fixed
+            # iteration count); blocks cache on first compute so the two
+            # consumers (next half-round join + final result join) share
+            .localCheckpoint(eager=False)
         )
 
     hub = nodes.withColumn("hub_e8", F.lit(HITS_SCALE // n).cast("long"))
