@@ -265,11 +265,14 @@ def hits(
                 "node",
                 F.expr(f"_raw * {HITS_SCALE} DIV _tot").alias(out_col),
             )
-            # lazy per-half-round state checkpoint — see pagerank: plan
-            # still truncated, no job barrier per half-round (fixed
-            # iteration count); blocks cache on first compute so the two
-            # consumers (next half-round join + final result join) share
-            .localCheckpoint(eager=False)
+            # EAGER, unlike pagerank/label_propagation's lazy per-round
+            # state: each half-round's L1 total is a broadcast subquery
+            # over `joined`, which itself reads the previous half-round's
+            # state — with a lazy chain the 16 nested broadcast builds
+            # serialize against query planning and measured ~20% SLOWER
+            # at sf0.01 (A/B'd round 14); the eager barrier keeps each
+            # broadcast build a cheap job over already-cached blocks.
+            .localCheckpoint(eager=True)
         )
 
     hub = nodes.withColumn("hub_e8", F.lit(HITS_SCALE // n).cast("long"))
