@@ -156,6 +156,8 @@ def minhash_signatures(
     affine maps mod the Mersenne prime 2^31-1. a*x stays < 2^62 so the mult
     cannot overflow ANSI int64.
     """
+    from sql4pandas_spark.operators.spread import spread_for_compute
+
     sh = shingles(text_col, shingle_n).alias("shingles")
     base = F.transform(F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31)))
 
@@ -169,8 +171,13 @@ def minhash_signatures(
             for a, b in _affine_params(n_hashes)
         ]
     )
+    # project to the two needed columns, then spread: the n_hashes
+    # affine-min passes per document dwarf one exchange of (id, text)
+    # rows, and without the spread a single-row-group scan serializes
+    # the whole signature stage (operators/spread.py)
+    spread = spread_for_compute(df.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
     return (
-        df.select(F.col(id_col).alias("doc_id"), sh)
+        spread.select("doc_id", sh)
         .withColumn("base_hashes", base)
         .withColumn("sig", sig)
         .drop("base_hashes")
@@ -577,9 +584,16 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
           CAST(0 AS BIGINT), (acc, x) -> acc + x)
         """
     )
+    from sql4pandas_spark.operators.spread import spread_for_compute
+
+    # project + spread before the per-token md5 hashing and 60-bit vote
+    # fold — the dominant per-doc CPU (operators/spread.py)
+    spread = spread_for_compute(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    )
     return (
-        df.withColumn("_hashes", hashes)
-        .select(F.col(id_col).alias("doc_id"), sig.alias("simhash"))
+        spread.withColumn("_hashes", hashes)
+        .select("doc_id", sig.alias("simhash"))
     )
 
 

@@ -278,11 +278,14 @@ def winnow_fingerprint(
             F.size(F.array_distinct(mins)).alias("n_windows"),
         )
 
+    from sql4pandas_spark.operators.spread import spread_for_compute
+
     # hash array let_col-bound: the inline form recomputed EVERY token's
     # md5 hash per window position — O(tokens² md5 calls) per doc
     # (measured 20 s → see BASELINE.md round-7; round-7 fix)
     fp = let_col(F.transform(tokens(text_col), portable_hash60), per_hashes)
-    return df.select(
+    # project + spread before the per-token md5 rolls (operators/spread.py)
+    return spread_for_compute(df.select("doc_id", F.col(text_col))).select(
         "doc_id", fp.alias("_fp")
     ).select("doc_id", "_fp.fingerprint", "_fp.n_windows")
 
