@@ -237,10 +237,16 @@ def hits(
     oracle and total score stays SCALE up to n floor-units per side.
 
     Scale shape (the pagerank discipline): per round two edge-frame
-    joins + two 8-byte-key aggregates; the L1 total is a 1-row aggregate
-    broadcast back (``crossJoin(broadcast(...))`` — bounded metadata,
-    no driver collect); score state is |nodes| rows; lineage truncated
-    with localCheckpoint every round. Returns (node, auth_e8, hub_e8)."""
+    joins + two 8-byte-key aggregates; the L1 total is a 1-row scalar
+    COLLECT off the half-round's lazily-checkpointed raw frame (the
+    label-sum / BPE-argmax bounded-metadata discipline — the collect's
+    full-scan aggregate materializes and caches the frame in the same
+    job, and the normalization rides as a literal-division projection
+    over the cached leaf); score state is |nodes| rows of live scores
+    (zero-score nodes drop inside the loop — arithmetically inert, see
+    ``_normalized`` — and re-fill in the final select); lineage is
+    truncated by the per-half-round checkpoint leaves. Returns
+    (node, auth_e8, hub_e8)."""
     e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
     nodes = (
         e.select(F.col("_src").alias("node"))
@@ -254,25 +260,33 @@ def hits(
     e = e.localCheckpoint(eager=True)
 
     def _normalized(raw: DataFrame, out_col: str) -> DataFrame:
-        joined = nodes.join(raw, "node", "left").select(
+        # SPARSE: zero-score nodes are dropped inside the loop — they are
+        # arithmetically inert (a missing node contributes 0 to the next
+        # half-round's edge sums exactly like an explicit 0 row, and
+        # Σ_raw is unchanged because every dropped row is zero) — and the
+        # final select re-fills them from `nodes`, so each value replays
+        # the oracle's zero-FILLED formulation bit-exactly while the
+        # per-round plan skips the |nodes|-row fill join entirely.
+        #
+        # The L1 total is COLLECTED as a 1-row scalar (the label-sum /
+        # BPE-argmax bounded-metadata discipline) off a LAZY checkpoint:
+        # the collect's full-scan aggregate materializes and caches the
+        # raw frame in the same job, and the normalization then rides as
+        # a literal-division projection over the cached leaf — one job
+        # with three stages per half-round where the broadcast-subquery
+        # form paid an eager checkpoint plus a fill join plus a broadcast
+        # total build (five AQE stage materializations over fixture-sized
+        # frames).
+        raw = raw.localCheckpoint(eager=False)
+        tot = raw.agg(F.sum("_raw")).collect()[0][0]
+        if tot is None:  # raw is EMPTY (unreachable past the n==0 guard
+            tot = 1  # for a nonempty edge frame); keep the literal valid —
+            # the projection over an empty frame yields no rows either way
+        return raw.select(
             "node",
-            F.coalesce(F.col("_raw"), F.lit(0).cast("long")).alias("_raw"),
-        )
-        tot = joined.agg(F.sum("_raw").alias("_tot"))
-        return (
-            joined.crossJoin(F.broadcast(tot))
-            .select(
-                "node",
-                F.expr(f"_raw * {HITS_SCALE} DIV _tot").alias(out_col),
-            )
-            # EAGER, unlike pagerank/label_propagation's lazy per-round
-            # state: each half-round's L1 total is a broadcast subquery
-            # over `joined`, which itself reads the previous half-round's
-            # state — with a lazy chain the 16 nested broadcast builds
-            # serialize against query planning and measured ~20% SLOWER
-            # at sf0.01 (A/B'd round 14); the eager barrier keeps each
-            # broadcast build a cheap job over already-cached blocks.
-            .localCheckpoint(eager=True)
+            F.expr(f"_raw * {HITS_SCALE} DIV CAST({tot} AS BIGINT)").alias(
+                out_col
+            ),
         )
 
     hub = nodes.withColumn("hub_e8", F.lit(HITS_SCALE // n).cast("long"))
@@ -285,16 +299,27 @@ def hits(
             .groupBy("node")
             .agg(F.sum("_c").alias("_raw"))
         )
-        auth = _normalized(auth_raw, "auth_e8")
+        # auth/hub stay lazy projections over their cached raw leaves, so
+        # plan depth per half-round is constant (join against a projected
+        # LogicalRDD) and no second barrier is needed.
+        auth = _normalized(auth_raw, "auth_e8").withColumnRenamed(
+            "node", "_anode"
+        )
         hub_raw = (
-            e.join(auth, e["_dst"] == auth["node"])
+            e.join(auth, F.col("_dst") == F.col("_anode"))
             .select(F.col("_src").alias("node"), F.col("auth_e8").alias("_c"))
             .groupBy("node")
             .agg(F.sum("_c").alias("_raw"))
         )
         hub = _normalized(hub_raw, "hub_e8")
+    zero = F.lit(0).cast("long")
     return (
-        auth.join(hub, "node")
-        .select("node", "auth_e8", "hub_e8")
+        nodes.join(auth.withColumnRenamed("_anode", "node"), "node", "left")
+        .join(hub, "node", "left")
+        .select(
+            "node",
+            F.coalesce("auth_e8", zero).alias("auth_e8"),
+            F.coalesce("hub_e8", zero).alias("hub_e8"),
+        )
         .orderBy("node")
     )
