@@ -175,8 +175,19 @@ def train_hashed_logreg(
     same IEEE double quotient the SQL oracle's
     ``floor(CAST(g * LR_NUM AS DOUBLE)/nd)`` produces, so the driver-side
     ints and an engine-side replay cannot drift."""
+    # spread BEFORE the per-token feature pass (operators/spread.py): the
+    # per-doc cost is one md5 hash per token plus the stopword filter —
+    # the SimHash class of CPU — and the documents fixture scans as ONE
+    # row-group task, serializing the checkpoint below on a single core.
+    # Projected to the two consumed columns first so the exchange carries
+    # only (id, text).
+    from sql4pandas_spark.operators.spread import spread_for_compute
+
+    spread = spread_for_compute(
+        df.select(F.col(id_col).alias(id_col), F.col(text_col))
+    )
     feat = (
-        hashed_feature_frame(df, text_col, id_col, n_buckets)
+        hashed_feature_frame(spread, text_col, id_col, n_buckets)
         .select("doc_id", _count_vector(n_buckets).alias("bcounts"), "n", "y")
         .localCheckpoint(eager=True)
     )
