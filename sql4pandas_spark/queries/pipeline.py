@@ -694,12 +694,15 @@ def ann_ivf_query_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     facts (result cardinality) plus a recall-vs-exact bound the oracle
     replays as literal true. Measured recall@10 is 0.5 at sf0.001 AND
     sf0.01; the declared floor is 0.3 (same as tests/test_similarity.py).
-    Everything stays declarative — the recall join is a left-semi on the
-    exact top-10 (TakeOrderedAndProject both sides, no driver collect).
-    The index (centroids + persisted cell assignment) builds once per
-    session per dataset (cache_key=sf_dir) — see
-    operators/similarity.build_ivf_index for the partitionBy("cell")
-    scale path."""
+    Everything stays declarative — the recall join is a left join marking
+    the exact top-10 (TakeOrderedAndProject both sides, no driver
+    collect), and n_ann + hits fold in ONE aggregate over it so the ANN
+    probe subtree is planned and executed once instead of twice (the
+    ann_lsh_top10 restructure; exact's vec_ids are unique so the left
+    join preserves ann's cardinality). The index (centroids + persisted
+    cell assignment) builds once per session per dataset
+    (cache_key=sf_dir) — see operators/similarity.build_ivf_index for
+    the partitionBy("cell") scale path."""
     t = register_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"].filter(F.col("vec_id") != 0)
     qvec = _query_vector(sf_dir)
@@ -707,16 +710,12 @@ def ann_ivf_query_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, qvec, k=10, cache_key=f"{sf_dir}:no_vec0"
     )
     exact = similarity.cosine_query_topk(emb, qvec, k=10)
-    hits = (
-        ann.select("vec_id")
-        .join(exact.select("vec_id"), "vec_id", "left_semi")
-        .agg(F.count(F.lit(1)).alias("hits"))
+    marked = ann.select("vec_id").join(
+        exact.select("vec_id").withColumn("_hit", F.lit(True)), "vec_id", "left"
     )
-    return (
-        ann.agg(F.count(F.lit(1)).alias("n_ann"))
-        .crossJoin(hits)
-        .select("n_ann", (F.col("hits") >= 3).alias("recall_ok"))
-    )
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_ann"), F.count("_hit").alias("hits")
+    ).select("n_ann", (F.col("hits") >= 3).alias("recall_ok"))
 
 
 @query(
@@ -1047,22 +1046,26 @@ def ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_ivf_query_top10): the oracle hash-checks result cardinality plus a
     pair-recall-vs-exact floor of 0.4 (measured 0.6 at sf0.001, 0.7 at
     sf0.01; tests/test_similarity.py asserts ≥0.5 at k=20). The recall
-    join is a left-semi on the exact top-10 pair keys — fully declarative,
-    no driver collect."""
+    join is a left join marking the exact top-10 pair keys — fully
+    declarative, no driver collect; n_ann and hits fold in ONE aggregate
+    over that join so the LSH subtree (explode × 8 tables + bucket
+    self-join + rescoring) is planned and executed once instead of twice
+    (Catalyst does not dedupe repeated non-exchange subtrees — measured
+    2× at sf0.01)."""
     t = register_tables(spark, sf_dir, ("embeddings",))
     emb = t["embeddings"]
     lsh = similarity.ann_lsh_topk(emb, k=10)
     exact = similarity.cosine_pairs_topk(emb, k=10)
-    hits = (
-        lsh.select("id_a", "id_b")
-        .join(exact.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
-        .agg(F.count(F.lit(1)).alias("hits"))
+    # exact's pair keys are unique (top-k of distinct pairs), so the left
+    # join preserves lsh's cardinality: count(*) = n_ann, count(_hit) = hits
+    marked = lsh.select("id_a", "id_b").join(
+        exact.select("id_a", "id_b").withColumn("_hit", F.lit(True)),
+        ["id_a", "id_b"],
+        "left",
     )
-    return (
-        lsh.agg(F.count(F.lit(1)).alias("n_ann"))
-        .crossJoin(hits)
-        .select("n_ann", (F.col("hits") >= 4).alias("recall_ok"))
-    )
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_ann"), F.count("_hit").alias("hits")
+    ).select("n_ann", (F.col("hits") >= 4).alias("recall_ok"))
 
 
 @query(
