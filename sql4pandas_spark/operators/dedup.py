@@ -1010,19 +1010,29 @@ def incremental_near_dedup(
             .distinct()
             .localCheckpoint(eager=True)  # materialize BEFORE the store append
         )
-        adm_sigs = sigs.join(admitted_ids, "doc_id", "left_semi")
+        # persist the admitted-signature semi-join: the two store writes
+        # below are independent actions over the same lineage — unpersisted,
+        # each would re-run the full sigs⋈admitted pass (one extra scan of
+        # the cached signature frame per batch)
+        adm_sigs = sigs.join(admitted_ids, "doc_id", "left_semi").persist()
         # an empty batch must not write: zero-row appends create dirs
         # holding only _SUCCESS and the NEXT batch's store read fails
         # UNABLE_TO_INFER_SCHEMA instead of seeing an empty store (same
         # defect class the round-8 property differential caught in the
-        # passage-gram store)
-        if not adm_sigs.isEmpty():
-            adm_sigs.select("doc_id", "shingles").write.mode("append").parquet(
-                sh_dir
-            )
-            band_keys(adm_sigs, n_bands, rows_per_band).write.mode("append").parquet(
-                bands_dir
-            )
+        # passage-gram store). Emptiness is probed on admitted_ids — it is
+        # already checkpointed (a take(1) over cached blocks) and adm_sigs
+        # is empty iff admitted_ids is (admitted ids are drawn from sigs'
+        # own doc_ids), so the probe costs no semi-join job.
+        try:
+            if not admitted_ids.isEmpty():
+                adm_sigs.select("doc_id", "shingles").write.mode("append").parquet(
+                    sh_dir
+                )
+                band_keys(adm_sigs, n_bands, rows_per_band).write.mode(
+                    "append"
+                ).parquet(bands_dir)
+        finally:
+            adm_sigs.unpersist()
         return batch.join(
             admitted_ids.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
         )
