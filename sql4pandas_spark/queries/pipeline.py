@@ -6845,11 +6845,18 @@ def segment_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = register_tables(spark, sf_dir, ("events",))
+    # materialize the distinct (key, item) set ONCE: five subtrees below
+    # reference it (two signature batches, the per-key counts, both sides
+    # of the exact-intersection self-join) and ReuseExchange only shares
+    # the shuffle, not the post-shuffle dedup aggregate — unmaterialized,
+    # the distinct pass executes five times per run (same discipline as
+    # doc_fingerprints' simhash checkpoint at pipeline.py:991)
     d = (
         t["events"]
         .filter(F.col("user_id").isNotNull())
         .select(F.col("event_type").alias("key"), F.col("user_id").alias("item"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     s1 = minhash_set_signatures(d.filter(F.col("item") % 2 == 0), "key", "item")
     s2 = minhash_set_signatures(d.filter(F.col("item") % 2 == 1), "key", "item")
