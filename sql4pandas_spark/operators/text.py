@@ -1294,6 +1294,7 @@ def gopher_rules(
     id_col: str = "doc_id",
     min_words: int = 50,
     max_words: int = 100_000,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The Gopher quality-rule gate (Rae et al. 2021 §A1.1 — the published
     heuristic filter every English pretraining pipeline starts from):
@@ -1310,7 +1311,15 @@ def gopher_rules(
     fraction, …) — no float ratio for engines to disagree on, so the
     whole gate is value-replayable bit-exactly. Row-local higher-order
     expressions over the let_col-bound token and line arrays; one scan,
-    zero shuffles, zero UDFs."""
+    zero shuffles, zero UDFs.
+
+    ``extra_cols`` names input columns carried through to the output
+    unchanged (between ``id_col`` and the rule columns) — the gate is
+    row-local, so a caller that needs upstream columns alongside the
+    verdict passes them through here instead of re-joining the gate
+    output back to its own input (a 1:1 self-join that would execute
+    the upstream subtree twice; Catalyst does not dedupe repeated
+    non-exchange subtrees)."""
     stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
 
     def per_doc(w):
@@ -1351,8 +1360,8 @@ def gopher_rules(
         "r_word_count", "r_mean_word_len", "r_alpha_words",
         "r_bullet_lines", "r_ellipsis_lines", "r_stopwords",
     ]
-    out = df.select(id_col, g.alias("_g")).select(
-        id_col, "_g.n_words", *[f"_g.{r}" for r in rules]
+    out = df.select(id_col, *extra_cols, g.alias("_g")).select(
+        id_col, *extra_cols, "_g.n_words", *[f"_g.{r}" for r in rules]
     )
     keep_col = F.col(rules[0])
     for r in rules[1:]:

@@ -1453,7 +1453,16 @@ def corpus_assembly_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     space-split tokens (its budget unit). Plan: one scan feeds the gate
     (row-local HOFs), one dedup shuffle on 32-byte digests, a broadcast rate join
     for the mix, one source-keyed window for packing — the same shapes
-    the standalone entries declare."""
+    the standalone entries declare.
+
+    Each stage frame is materialized ONCE (localCheckpoint) before the
+    next stage and the census union read it: the four per-stage censuses
+    otherwise each re-instantiate the whole upstream chain (measured: the
+    gate executed 4x, the dedup window 3x, the mix 2x — Catalyst does not
+    dedupe repeated non-exchange subtrees), exactly what a production
+    assembly avoids by writing each stage out. The gate itself rides the
+    planted frame via gopher_rules extra_cols instead of the old 1:1
+    join-back of the verdict onto its own input."""
     from pyspark.sql import Window
 
     from sql4pandas_spark.operators.sampling import temperature_sample
@@ -1461,10 +1470,17 @@ def corpus_assembly_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_tables(spark, sf_dir, ("documents",))
     docs = spark.sql(_ASSEMBLY_PLANTED_SQL)
-    gate = gopher_rules(docs, min_words=20).filter(F.col("keep")).select(
-        "doc_id", F.col("n_words").alias("n")
+    gated = (
+        gopher_rules(
+            docs, min_words=20, extra_cols=("lang", "source", "text")
+        )
+        .filter(F.col("keep"))
+        .select(
+            "doc_id", "lang", "source", "text",
+            F.col("n_words").alias("n"),
+        )
+        .localCheckpoint(eager=True)
     )
-    gated = docs.select("doc_id", "lang", "source", "text").join(gate, "doc_id")
     # Dedup window keys on the 32-byte sha2 digest, not the raw text —
     # same groups (the collision caveat operators/dedup.py documents),
     # but the shuffle/sort comparator never touches multi-KB keys. The
@@ -1476,8 +1492,11 @@ def corpus_assembly_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         gated.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+        .localCheckpoint(eager=True)
     )
-    mixed = temperature_sample(deduped, "lang", alpha=0.5, target_total=300)
+    mixed = temperature_sample(
+        deduped, "lang", alpha=0.5, target_total=300
+    ).localCheckpoint(eager=True)
     packed = pack_sequences(mixed, budget_tokens=256)
 
     def census(df: DataFrame, stage: str, key: str) -> DataFrame:
@@ -8983,7 +9002,18 @@ def _crawl_chain_df(
     """The extract → strip → gate chain frame (doc_id, domain,
     n_lines_removed, n_words, keep) — shared by the plain, the
     rank-weighted, and the URL-dedup-fronted entries. ``planted``
-    overrides the (doc_id, domain, html) source frame."""
+    overrides the (doc_id, domain, html) source frame.
+
+    Shape (round-14): html_to_text is the chain's per-row CPU wall and
+    strip_boilerplate references its input THREE times (line votes,
+    domain counts, removal join) — so the extracted frame is spread to
+    the session width (the scan is single-row-group at fixture scale)
+    and materialized ONCE via localCheckpoint instead of re-running the
+    regex extractor per reference. The gate then rides the stripped
+    frame directly (gopher_rules extra_cols) — the old 1:1 self-join on
+    doc_id executed the whole extract+strip subtree twice and added an
+    Exchange for nothing."""
+    from sql4pandas_spark.operators.spread import spread_for_compute
     from sql4pandas_spark.operators.text import (
         gopher_rules,
         html_to_text,
@@ -8992,17 +9022,20 @@ def _crawl_chain_df(
 
     register_tables(spark, sf_dir, ("documents",))
     p = planted if planted is not None else spark.sql(_CRAWL_PLANTED_SQL)
-    extracted = p.select(
+    extracted = spread_for_compute(
+        p.select("doc_id", "domain", "html")
+    ).select(
         "doc_id", "domain", html_to_text(F.col("html")).alias("text")
-    )
+    ).localCheckpoint(eager=True)
     stripped = strip_boilerplate(extracted, min_pct=60, min_docs=2)
-    gated = gopher_rules(
-        stripped.select("doc_id", F.col("clean_text").alias("text")),
+    return gopher_rules(
+        stripped.select(
+            "doc_id", "domain", "n_lines_removed",
+            F.col("clean_text").alias("text"),
+        ),
         min_words=30,
-    )
-    return stripped.select("doc_id", "domain", "n_lines_removed").join(
-        gated.select("doc_id", "n_words", "keep"), "doc_id"
-    )
+        extra_cols=("domain", "n_lines_removed"),
+    ).select("doc_id", "domain", "n_lines_removed", "n_words", "keep")
 
 
 @query(
@@ -9503,16 +9536,20 @@ def url_dedup_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, as production curation does — duplicate pages must not
     multiply votes). Output: chain columns + canonical URL +
     n_dup_urls, replayed end-to-end by one spliced oracle."""
+    from sql4pandas_spark.operators.spread import spread_for_compute
     from sql4pandas_spark.operators.text import canonical_url
 
     register_tables(spark, sf_dir, ("documents",))
     base = spark.sql(_CRAWL_PLANTED_SQL)
-    urls = spark.sql(_URL_VARIANTS_SQL)
+    urls = spread_for_compute(spark.sql(_URL_VARIANTS_SQL))
     canon = urls.select("doc_id", canonical_url(F.col("url")).alias("curl"))
+    # The survivor frame is referenced twice (chain source + the final
+    # join-back) and sits on top of the whole canonicalizer pipeline —
+    # materialize it once; it is |unique URLs|-bounded and skinny.
     surv = canon.groupBy("curl").agg(
         F.min("doc_id").alias("doc_id"),
         F.count(F.lit(1)).alias("n_dup_urls"),
-    )
+    ).localCheckpoint(eager=True)
     planted = surv.join(base, "doc_id").select("doc_id", "domain", "html")
     chain = _crawl_chain_df(spark, sf_dir, planted=planted)
     return (

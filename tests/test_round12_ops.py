@@ -619,6 +619,36 @@ def test_gopher_rules_known_values(spark):
     assert not out[5]["r_ellipsis_lines"] and out[5]["r_bullet_lines"]
 
 
+def test_gopher_rules_extra_cols_passthrough(spark):
+    """extra_cols carries input columns through unchanged and yields
+    exactly what the old join-back formulation computed (the round-14
+    optimization replaced a 1:1 self-join on doc_id with the
+    passthrough; the gate columns themselves must not move)."""
+    from sql4pandas_spark.operators.text import gopher_rules
+
+    clean = (
+        "the quick brown fox jumps over that lazy dog and then runs "
+        "to be with all of them again today because every good line "
+        "needs enough plain words to clear the floor easily in the end"
+    )
+    df = spark.createDataFrame(
+        [(1, "en", clean), (2, "de", "aa bb"), (3, "fr", clean + " extra")],
+        "doc_id long, lang string, text string",
+    )
+    through = gopher_rules(df, min_words=30, extra_cols=("lang",))
+    joined = df.select("doc_id", "lang").join(
+        gopher_rules(df, min_words=30), "doc_id"
+    ).select(*through.columns)
+    assert through.columns[:3] == ["doc_id", "lang", "n_words"]
+    assert sorted(map(tuple, through.collect())) == sorted(
+        map(tuple, joined.collect())
+    )
+    # default stays column-identical to the pre-change contract
+    assert gopher_rules(df, min_words=30).columns[0:2] == [
+        "doc_id", "n_words",
+    ]
+
+
 def test_gopher_rules_integer_threshold_edges(spark):
     """The exact cross-multiplied boundaries: mean word length exactly 3
     and exactly 10 pass (inclusive); alpha fraction exactly 0.8 fails
