@@ -909,6 +909,13 @@ def ivf_recall_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sim"
             ),
         )
+        # cand carries the corpus x 8-centroid assignment subtree and
+        # feeds BOTH the ANN top-k and the n_cand census — materialize
+        # it once (skinny (qid, vec_id, sim) rows) instead of running
+        # the assignment twice. cent/qry stay lazy: checkpointing the
+        # 8/5-row picks A/B'd slower (three extra job barriers for
+        # frames whose recompute is one TakeOrdered pass).
+        .localCheckpoint(eager=True)
     )
     w_topk = Window.partitionBy("qid").orderBy(F.desc("sim"), F.col("vec_id"))
     ann = (
@@ -2354,10 +2361,15 @@ def retrieval_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT — no float accumulation anywhere. At least one term scores
     ndcg_e6 < 1e6 (pytest-pinned): a census where system == ideal
     everywhere would audit nothing. Plan: ONE tokenized scan feeds all
-    corpus stats (1-row broadcast); per query the top-10s compile to
-    TakeOrderedAndProject (per-partition heaps) with the rank window
-    running over the 10 surviving rows; the discount join is a 10-row
-    literal array lookup."""
+    corpus stats (1-row broadcast); a second single pass scores EVERY
+    term at once (a row-local term-struct explode) and materializes the
+    skinny (term, doc_id, gain, bm25) frame, so the nine per-term
+    consumers (n_rel, system top-10, ideal top-10 x 3 terms) read the
+    checkpointed leaf instead of each re-running scan+stats (measured:
+    18 corpus scans -> 2); the top-10s compile to TakeOrderedAndProject
+    (per-partition heaps) with the rank window running over the 10
+    surviving rows; the discount join is a 10-row literal array
+    lookup."""
     from pyspark.sql import Window
 
     from sql4pandas_spark.operators.retrieval import dcg_e6_expr
@@ -2379,8 +2391,8 @@ def retrieval_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.25)
         + F.lit(0.75) * F.size("_toks").cast("double") / F.col("_avgdl")
     )
-    out = None
-    for i, term in enumerate(_BM25_TERMS):
+
+    def term_struct(i: int, term: str):
         tf_d = F.size(
             F.filter("_toks", lambda x: x == F.lit(term))
         ).cast("double")
@@ -2389,11 +2401,28 @@ def retrieval_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.col("_n_docs") - F.col(f"_df_{i}") + F.lit(0.5))
             / (F.col(f"_df_{i}") + F.lit(0.5))
         )
-        scored = base.select(
-            "doc_id",
+        return F.struct(
+            F.lit(term).alias("term"),
             tf_d.cast("long").alias("gain"),
             F.round(idf * tf_d * F.lit(2.2) / (tf_d + nrm), 4).alias("bm25"),
-        ).filter(F.col("gain") > 0)
+        )
+
+    scored_all = (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[term_struct(i, tm) for i, tm in enumerate(_BM25_TERMS)]
+                )
+            ).alias("_s"),
+        )
+        .select("doc_id", "_s.term", "_s.gain", "_s.bm25")
+        .filter(F.col("gain") > 0)
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for term in _BM25_TERMS:
+        scored = scored_all.filter(F.col("term") == term).drop("term")
         w_sys = Window.orderBy(F.desc("bm25"), F.col("doc_id"))
         sys10 = (
             scored.orderBy(F.desc("bm25"), "doc_id")
@@ -7522,19 +7551,28 @@ def bigram_gate_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = register_tables(spark, sf_dir, ("documents",))
     docs = t["documents"]
+    from pyspark.sql import Window
+
     scored = (
         bigram_backoff_surprisal(docs, docs.filter(F.col("doc_id") % 3 != 0))
         .filter(F.col("n_bigrams") > 0)
         .join(docs.select("doc_id", "lang"), "doc_id")
         .select("doc_id", "lang", F.col("avg_surprisal_e6").alias("avg_e6"))
     )
-    th = scored.groupBy("lang").agg(
-        (F.percentile("avg_e6", F.lit(0.75)) * 4)
-        .cast("long")
-        .alias("threshold_e6x4")
-    )
+    # the p75 threshold rides a per-language window over the scored frame
+    # instead of a groupBy + broadcast join-back: the join-back formulation
+    # referenced `scored` twice, re-executing the whole bigram-count/
+    # backoff subtree per reference (Catalyst does not dedupe repeated
+    # non-exchange subtrees) — the window computes the identical
+    # percentile over the identical per-language rows in ONE pass, on the
+    # same (doc_id, lang, avg_e6)-skinny shuffle the rollup needs anyway
     return (
-        scored.join(F.broadcast(th), "lang")
+        scored.withColumn(
+            "threshold_e6x4",
+            (F.percentile("avg_e6", F.lit(0.75)).over(
+                Window.partitionBy("lang")
+            ) * 4).cast("long"),
+        )
         .groupBy("lang", "threshold_e6x4")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -29,8 +29,6 @@ BNLJ_ALLOWED = {
     "q22_idle_customers",        # 1-row balance threshold
     "hll_sketch_users",          # 1-row merged-sketch estimate
     "tablesample_orders",        # 1-row population stats
-    "ann_ivf_query_top10",       # 1-row recall counter
-    "ann_lsh_top10",             # 1-row recall counter
     "incremental_dedup_batches", # 1-row per-batch kept counts
     "incremental_near_dedup_batches",  # 1-row per-batch admitted counts
     "stratified_sample_mix",     # 1-row population total for the frac bound
