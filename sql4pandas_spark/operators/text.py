@@ -1650,6 +1650,15 @@ def bigram_backoff_surprisal(
         F.explode("_w").alias("_t")
     )
     ref_u = ref_toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_cu"))
+    # the unigram count frame feeds THREE consumers (the (N, V)
+    # normalizer and both context/token count joins) and each reference
+    # re-runs the full reference-corpus explode + count (Catalyst does
+    # not dedupe repeated non-exchange subtrees) — materialize the
+    # |vocab|-bounded skinny frame once. Batch-only guard: a streaming
+    # reference cannot checkpoint (none exists today; the guard keeps
+    # the operator honest if one appears).
+    if not ref.isStreaming:
+        ref_u = ref_u.localCheckpoint(eager=True)
     nv = ref_u.agg(F.sum("_cu").alias("_n"), F.count(F.lit(1)).alias("_v"))
 
     per_db = _doc_bigrams(df).groupBy(id_col, "_p", "_c").agg(

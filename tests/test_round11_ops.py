@@ -459,6 +459,33 @@ def test_bigram_backoff_is_load_bearing(spark):
     assert out.filter(F.col("surprisal_sum_e6") < 0).count() == 0
 
 
+def test_bigram_backoff_exact_values_through_checkpointed_counts(spark):
+    """Exact e6 surprisal values through all three unigram-count
+    consumers (the (N,V) normalizer and both count joins now read ONE
+    materialized frame — round-14): seen bigram scores ln(c(p)/c(p,w)),
+    backoff scores ln((N+V)/(alpha*(c(w)+1))), each e6-rounded once."""
+    import math
+
+    from sql4pandas_spark.operators.text import bigram_backoff_surprisal
+
+    ref = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    # ref unigrams: a=3, b=3, c=1 -> N=7, V=3; bigrams: (a,b)=3, (b,a)=1,
+    # (b,c)=1
+    score = spark.createDataFrame(
+        [(10, "a b c d")], "doc_id long, text string"
+    )
+    row = bigram_backoff_surprisal(score, ref).collect()[0]
+    s_ab = round(math.log(3 / 3) * 1e6)          # seen: c(a)=3, c(a,b)=3
+    s_bc = round(math.log(3 / 1) * 1e6)          # seen: c(b)=3, c(b,c)=1
+    s_cd = round(math.log((7 + 3) / (0.4 * (0 + 1))) * 1e6)  # backoff, c(d)=0
+    assert row["n_bigrams"] == 3 and row["n_backoff"] == 1
+    assert row["surprisal_sum_e6"] == s_ab + s_bc + s_cd
+    assert row["avg_surprisal_e6"] == (s_ab + s_bc + s_cd) // 3
+
+
 def test_bigram_backoff_degenerate_text_scores_high(spark):
     """'the the the ...' is cheap under unigrams but must be expensive
     under bigrams when the reference never repeats tokens."""
