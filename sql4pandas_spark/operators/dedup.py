@@ -493,8 +493,15 @@ def prefix_filter_jaccard_pairs(
     explode + both verify sides); the two verify sides are
     plan-identical so Catalyst serves them from one exchange, leaving
     ~one extra tokenize+sort recompute for the prefix branch — at
-    warehouse scale, persist the doc-array frame to storage once and
-    reuse it (the near-dedup signature pattern, dedup.py:259).
+    warehouse scale, persist the doc-array frame TO STORAGE once and
+    reuse it (the near-dedup signature pattern, dedup.py:259). An
+    in-memory localCheckpoint of that frame was A/B'd in round 14 and
+    LOST 2x at sf0.1 (8.2 -> 18.1 s): serializing every document's full
+    sorted shingle-set array costs more than recomputing the one
+    duplicated branch. So did a window-based df-count replacing the
+    groupBy + join-back (15.2 s): millions of tiny per-shingle window
+    groups buffer where the hash aggregate map-side combines. Both
+    stay as-is on purpose.
     """
     t_e6 = round(threshold * 1_000_000)
     sh = df.select(
