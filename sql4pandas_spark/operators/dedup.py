@@ -285,16 +285,36 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
         (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType),
     )
 
-    def _label_sum(frame: DataFrame):
-        return frame.agg(
-            F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+    def _label_sums(frame: DataFrame):
+        """(sum(cluster_id), sum(doc_id)) as exact decimals, with a LOUD
+        overflow guard: under non-ANSI mode an overflowed decimal(38) sum
+        returns NULL, and silently comparing NULL == NULL would declare
+        convergence with under-merged clusters. A nonempty frame with a
+        NULL sum is therefore an error, never a fixpoint. (An EMPTY frame
+        legitimately sums to (None, None) — the empty-pair-graph case.)
 
-    # sentinel start skips a separate sum job over the initial identity
-    # labels (round 1 always changes a label when any edge exists)
-    prev_sum: object = object()
+        sum(doc_id) rides the SAME aggregate job: the doc_id set is
+        constant across rounds, so it equals the IDENTITY-label sum —
+        giving round 1 a correct previous-sum to compare against without
+        a separate pre-loop aggregate (a sentinel would force one extra
+        round on graphs whose first propagation is already a fixpoint,
+        e.g. self-loop-only pair sets)."""
+        row = frame.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s"),
+            F.sum(F.col("doc_id").cast("decimal(38,0)")).alias("ids"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        if row["n"] > 0 and (row["s"] is None or row["ids"] is None):
+            raise RuntimeError(
+                "connected_components: decimal(38) label sum overflowed — "
+                "the convergence check cannot be trusted; use the "
+                "join-based check for this id domain"
+            )
+        return row["s"], row["ids"]
+
+    prev_sum: object = None
     changed = 1
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         # label of each node <- min(own label, min neighbor label)
         neighbor_labels = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -306,7 +326,9 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
             .agg(F.min("cluster_id").alias("cluster_id"))
         ).localCheckpoint(eager=True)
         if numeric_ids:
-            cur_sum = _label_sum(new_labels)
+            cur_sum, identity_sum = _label_sums(new_labels)
+            if rnd == 0:
+                prev_sum = identity_sum  # labels started as the identity
             changed = 0 if cur_sum == prev_sum else 1
             prev_sum = cur_sum
         else:

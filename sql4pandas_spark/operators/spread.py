@@ -46,7 +46,22 @@ def spread_for_compute(df: DataFrame) -> DataFrame:
     exchange should carry only what the stage reads. Streaming frames
     pass through untouched (micro-batch sizing is the stream's own
     concern, and ``repartition`` barriers interact badly with
-    watermarks)."""
+    watermarks).
+
+    Inputs that already plan at >= the target width pass through too: a
+    100 TB parquet scan has natural file-split parallelism, and paying a
+    full exchange of (id, text) rows to "spread" it would be pure
+    overhead — the spread exists for inputs that arrive SERIAL
+    (single-row-group files, coalesced upstream aggregates). The probe
+    reads the planned partition count off the physical RDD (no job runs;
+    planning a fixture-sized frame is sub-millisecond) and falls back to
+    spreading if the plan cannot be inspected."""
     if df.isStreaming:
         return df
-    return df.repartition(compute_width(df.sparkSession))
+    width = compute_width(df.sparkSession)
+    try:
+        if df.rdd.getNumPartitions() >= width:
+            return df
+    except Exception:  # pragma: no cover - planning probe is best-effort
+        pass
+    return df.repartition(width)

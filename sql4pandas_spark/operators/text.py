@@ -1360,6 +1360,16 @@ def gopher_rules(
         "r_word_count", "r_mean_word_len", "r_alpha_words",
         "r_bullet_lines", "r_ellipsis_lines", "r_stopwords",
     ]
+    # extra_cols are passed through NEXT TO the generated columns — an
+    # extra col named like one of them would silently produce duplicate/
+    # ambiguous columns that break the keep fold or a consumer select
+    reserved = {id_col, "n_words", "keep", *rules}
+    clash = sorted(set(extra_cols) & reserved)
+    if clash:
+        raise ValueError(
+            f"gopher_rules: extra_cols {clash} collide with generated "
+            f"output columns (reserved: {sorted(reserved)})"
+        )
     out = df.select(id_col, *extra_cols, g.alias("_g")).select(
         id_col, *extra_cols, "_g.n_words", *[f"_g.{r}" for r in rules]
     )
