@@ -777,6 +777,16 @@ def _read_digest_store(spark, store_dir: str) -> DataFrame | None:
         raise
 
 
+#: Store-write file sizing for :func:`incremental_near_dedup` (guide §6:
+#: aim for output files in the 128 MB - 1 GB range). Records-per-file
+#: targets are scale-INDEPENDENT — they cap file size whether the batch
+#: admits 200 docs (one file) or 10^9 (thousands of bounded files):
+#: a shingle row is one distinct-shingle array per admitted doc (~KBs),
+#: a band row is one 8-byte key — so ~256Ki docs/file and ~8Mi band
+#: rows/file both land near the low end of the target range.
+_STORE_DOCS_PER_SHINGLE_FILE = 1 << 18
+_STORE_ROWS_PER_BAND_FILE = 1 << 23
+
 #: Digest assigned to NULL-text rows: under this operator's contract all
 #: NULL texts are the same content (IS NOT DISTINCT FROM semantics), so the
 #: first NULL-text row ever ingested wins and later ones are duplicates.
@@ -1048,18 +1058,37 @@ def incremental_near_dedup(
         # holding only _SUCCESS and the NEXT batch's store read fails
         # UNABLE_TO_INFER_SCHEMA instead of seeing an empty store (same
         # defect class the round-8 property differential caught in the
-        # passage-gram store). Emptiness is probed on admitted_ids — it is
-        # already checkpointed (a take(1) over cached blocks) and adm_sigs
-        # is empty iff admitted_ids is (admitted ids are drawn from sigs'
-        # own doc_ids), so the probe costs no semi-join job.
+        # passage-gram store). The count is probed on admitted_ids — it is
+        # already checkpointed (a scan of cached blocks) and adm_sigs is
+        # empty iff admitted_ids is (admitted ids are drawn from sigs' own
+        # doc_ids), so the probe costs no semi-join job — and it doubles
+        # as the store-write SIZING input below.
         try:
-            if not admitted_ids.isEmpty():
-                adm_sigs.select("doc_id", "shingles").write.mode("append").parquet(
-                    sh_dir
+            n_adm = admitted_ids.count()
+            if n_adm:
+                # Size the store files instead of inheriting adm_sigs'
+                # compute width: the semi-join output keeps the spread
+                # signature frame's partitioning (no exchange follows, so
+                # AQE never coalesces it), and writing it directly strews
+                # each batch's store across width-many tiny part files —
+                # profiled at sf0.01: 16 files/batch, 52 of 64 under 8 KiB,
+                # paying width write tasks + commits per batch and a
+                # many-file listing+open on EVERY later batch's store read
+                # (guide §6 small-files). The coalesce targets are
+                # records-per-file constants (scale-independent file-size
+                # rules, not cluster-size knobs): shingle rows are one
+                # array per admitted doc, band rows n_bands 8-byte keys
+                # per doc.
+                sh_files = max(1, -(-n_adm // _STORE_DOCS_PER_SHINGLE_FILE))
+                band_files = max(
+                    1, -(-(n_adm * n_bands) // _STORE_ROWS_PER_BAND_FILE)
                 )
-                band_keys(adm_sigs, n_bands, rows_per_band).write.mode(
-                    "append"
-                ).parquet(bands_dir)
+                adm_sigs.select("doc_id", "shingles").coalesce(
+                    sh_files
+                ).write.mode("append").parquet(sh_dir)
+                band_keys(adm_sigs, n_bands, rows_per_band).coalesce(
+                    band_files
+                ).write.mode("append").parquet(bands_dir)
         finally:
             adm_sigs.unpersist()
         return batch.join(

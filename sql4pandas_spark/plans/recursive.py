@@ -45,6 +45,17 @@ Nothing data-sized is ever collected to the driver; the only driver-side
 state is view names and a round counter. Termination checks are
 ``isEmpty()`` on an already-checkpointed frontier (a take(1), not a count).
 
+Measured negative results (do not retry without new evidence): fusing the
+per-round eager checkpoint with the isEmpty probe (lazy checkpoint
+materialized by one count) was neutral-to-negative (round 14); expanding
+TWO frontier generations per materialization (gen2 planned lazily on top
+of gen1's unmaterialized anti-join, pair checkpointed once with a
+generation tag — halves driver rounds) measured SLOWER in matched A/B at
+sf0.01 (warm medians 2.7/3.6 s one-step vs 4.1/4.6 s two-step, round 15):
+the doubled per-job plan depth (two chained join+distinct+anti subtrees
+under AQE) costs more than the saved job dispatches. The eager
+checkpoint's direct, shallow-plan materialization is the winning shape.
+
 Supported shape (matches DuckDB's): any number of INDEPENDENT
 self-referencing CTEs per statement (each runs its own fixpoint, in chain
 order), linear or non-linear, interleaved freely with plain CTEs.

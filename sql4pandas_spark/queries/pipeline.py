@@ -5021,15 +5021,28 @@ def incremental_pipeline_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         gated, gate_obs = filter_with_audit(
             scored, F.col("score") >= 0.5, f"pipe_gate_b{k}"
         )
-        gated = gated.select("doc_id", "text")
+        # Stage-leaf discipline (round 15): each stage's OUTPUT is
+        # materialized ONCE, so every downstream consumer — the next
+        # stage's operator jobs, the store writes inside it, the final
+        # split aggregate, and the observation recount fallbacks — reads
+        # a checkpointed leaf instead of replaying the whole upstream
+        # lineage (profiled at sf0.01: the scan+score+gate subtree
+        # re-executed 4-6x per batch through the chain's lazy returns).
+        # The gate observation rides the gated checkpoint's job; the
+        # stage checkpoints below fire ex_obs/near_obs the same way.
+        gated = gated.select("doc_id", "text").localCheckpoint(eager=True)
         kept_base = dedup.incremental_exact_dedup(
             gated, os.path.join(root, "exact"), batch_id=k
         )
         ex_obs = Observation(f"pipe_exact_b{k}")
-        kept = kept_base.observe(ex_obs, F.count(F.lit(1)).alias("n"))
+        kept = kept_base.observe(
+            ex_obs, F.count(F.lit(1)).alias("n")
+        ).localCheckpoint(eager=True)
         adm_base = dedup.incremental_near_dedup(kept, os.path.join(root, "near"))
         near_obs = Observation(f"pipe_near_b{k}")
-        adm = adm_base.observe(near_obs, F.count(F.lit(1)).alias("n"))
+        adm = adm_base.observe(
+            near_obs, F.count(F.lit(1)).alias("n")
+        ).localCheckpoint(eager=True)
         scrubbed = dedup.incremental_passage_scrub(
             adm, os.path.join(root, "grams"), min_tokens=50, batch_id=k
         )
@@ -5047,12 +5060,14 @@ def incremental_pipeline_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         g = observation_or_recount(
             gate_obs,
-            lambda: scored.agg(
-                F.count(F.lit(1)).alias("rows_seen"),
-                F.sum((F.col("score") >= 0.5).cast("long")).alias("rows_kept"),
-            )
-            .collect()[0]
-            .asDict(),
+            # score is 1:1 with the batch and the gated leaf holds exactly
+            # the score>=0.5 rows, so these counts equal the observation's
+            # values without re-running the scoring pass (a pruned scan
+            # count + a cached-leaf count instead)
+            lambda: {
+                "rows_seen": batch.count(),
+                "rows_kept": gated.count(),
+            },
         )
         rows.append((k, "gate_seen", int(g["rows_seen"])))
         rows.append((k, "gate_kept", int(g["rows_kept"])))

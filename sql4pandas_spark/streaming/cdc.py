@@ -198,13 +198,16 @@ def run_cdc_stream(
             df, snapshot_root, key_cols, batch_id, op_col=op_col, seq_col=seq_col
         )
 
-    q = (
-        changes_stream.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_sec)
-    if q.isActive:  # pragma: no cover - defensive stop on hang
-        q.stop()
+    from sql4pandas_spark.streaming.windows import pinned_stream_width
+
+    with pinned_stream_width(changes_stream.sparkSession):
+        q = (
+            changes_stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+        if q.isActive:  # pragma: no cover - defensive stop on hang
+            q.stop()
     return ckpt

@@ -128,15 +128,18 @@ def run_sketch_stream(
     def apply_batch(df: DataFrame, batch_id: int) -> None:
         sketch_apply_batch(batch_state_fn(df), store_root, merge_fn, batch_id)
 
-    q = (
-        stream.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_sec)
-    if q.isActive:  # pragma: no cover - defensive stop on hang
-        q.stop()
+    from sql4pandas_spark.streaming.windows import pinned_stream_width
+
+    with pinned_stream_width(stream.sparkSession):
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+        if q.isActive:  # pragma: no cover - defensive stop on hang
+            q.stop()
     return ckpt
 
 

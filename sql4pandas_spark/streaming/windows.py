@@ -18,12 +18,52 @@ from __future__ import annotations
 import os
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sql4pandas_spark.session import configure_session
 from sql4pandas_spark.sources.parquet import table
+
+#: Streaming state width (conf key / local default). A stateful streaming
+#: operator creates ONE state-store instance per shuffle partition, and the
+#: count is frozen into the checkpoint at the first micro-batch — in
+#: production it is a deliberate day-0 sizing decision (expected state
+#: bytes / 100-500 MB per partition; e.g. 200 GB of join state → 512-2048
+#: partitions, set via this conf), NOT the batch shuffle width. Inheriting
+#: the session's batch width makes every bounded drain pay width-many
+#: state-store commits + maintenance tasks per micro-batch for state that
+#: fits in one: profiled at sf0.01, a stateful drain at width 64 took
+#: 2.1-2.6 s vs 0.73-0.89 s at width 8 (2.7x) with identical results —
+#: the extra 56 instances were pure floor. The default 8 sizes the
+#: fixture-scale drains; any caller with real state sets the conf.
+STATE_PARTITIONS_CONF = "spark.s4ps.streaming.statePartitions"
+_DEFAULT_STATE_PARTITIONS = 8
+
+
+@contextmanager
+def pinned_stream_width(spark: SparkSession):
+    """Pin ``spark.sql.shuffle.partitions`` to the streaming state width
+    for the duration of a synchronous availableNow drain, restoring the
+    batch width after. The drains in this package (and cdc/sketches) are
+    single-threaded start→awaitTermination blocks, so the pin cannot leak
+    into a concurrent batch query; a resumed checkpoint keeps its own
+    frozen width regardless (Spark reads it from the offset metadata)."""
+    try:
+        width = int(
+            spark.conf.get(
+                STATE_PARTITIONS_CONF, str(_DEFAULT_STATE_PARTITIONS)
+            )
+        )
+    except ValueError:
+        width = _DEFAULT_STATE_PARTITIONS
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _stream_dir(sf_dir: str) -> str:
@@ -83,17 +123,18 @@ def run_available_now(
     the deterministic trigger for batch-equivalence testing."""
     name = f"s4ps_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="s4ps_ckpt_")
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_sec)
-    if q.isActive:  # pragma: no cover - defensive stop on hang
-        q.stop()
+    with pinned_stream_width(result.sparkSession):
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+        if q.isActive:  # pragma: no cover - defensive stop on hang
+            q.stop()
     return result.sparkSession.table(name)
 
 
@@ -195,15 +236,16 @@ def run_foreach_batch_parquet(
     shutil.rmtree(out_dir, ignore_errors=True)
     ckpt = tempfile.mkdtemp(prefix="s4ps_ckpt_")
 
-    q = (
-        result.writeStream.foreachBatch(
-            parquet_batch_writer(out_dir, exactly_once=exactly_once)
+    with pinned_stream_width(result.sparkSession):
+        q = (
+            result.writeStream.foreachBatch(
+                parquet_batch_writer(out_dir, exactly_once=exactly_once)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_sec)
-    if q.isActive:  # pragma: no cover - defensive stop on hang
-        q.stop()
+        q.awaitTermination(timeout_sec)
+        if q.isActive:  # pragma: no cover - defensive stop on hang
+            q.stop()
     return result.sparkSession.read.parquet(out_dir)

@@ -101,3 +101,77 @@ def test_gopher_extra_cols_collision_raises(spark):
     for bad in ("n_words", "keep", "r_stopwords", "doc_id"):
         with pytest.raises(ValueError, match="extra_cols"):
             gopher_rules(df, extra_cols=(bad,))
+
+
+# ---------------------- streaming state-width pin
+
+
+def test_pinned_stream_width_sets_and_restores(spark):
+    """The drain helpers pin spark.sql.shuffle.partitions to the streaming
+    state width (conf-driven, default 8) for the duration of a synchronous
+    availableNow drain and restore the batch width after — a stateful
+    operator creates one state-store instance per shuffle partition, so
+    inheriting the 64-partition batch width made every fixture-scale drain
+    pay 64 state-store commits per micro-batch."""
+    from sql4pandas_spark.streaming.windows import (
+        STATE_PARTITIONS_CONF,
+        _DEFAULT_STATE_PARTITIONS,
+        pinned_stream_width,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with pinned_stream_width(spark):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(
+            _DEFAULT_STATE_PARTITIONS
+        )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    spark.conf.set(STATE_PARTITIONS_CONF, "12")
+    try:
+        with pinned_stream_width(spark):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "12"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    finally:
+        spark.conf.unset(STATE_PARTITIONS_CONF)
+
+
+def test_pinned_width_drain_matches_batch(spark):
+    """A stateful aggregation drained at the pinned width must produce the
+    batch-identical result — the pin changes state-store instance count,
+    never values."""
+    from sql4pandas_spark.sources.parquet import table
+    from sql4pandas_spark.streaming.windows import (
+        read_events_stream,
+        run_available_now,
+        tumbling_hourly,
+    )
+    from tests.conftest import SF_SMALL, assert_frames_match
+
+    batch = tumbling_hourly(table(spark, SF_SMALL, "events")).toPandas()
+    got = run_available_now(
+        tumbling_hourly(read_events_stream(spark, SF_SMALL)), mode="complete"
+    ).toPandas()
+    assert_frames_match(got, batch)
+
+
+# ---------------------- incremental near-dedup store file sizing
+
+
+def test_near_dedup_store_files_bounded(spark, tmp_path):
+    """Store appends must coalesce to ceil(rows / records-per-file-target)
+    files instead of inheriting the signature frame's compute width —
+    fixture-scale batches land in exactly ONE file per store per batch
+    (guide §6 small-files: the width-many near-empty part files previously
+    paid width write tasks per batch and a many-file listing on every
+    later batch's store read)."""
+    import glob
+
+    from sql4pandas_spark.operators.dedup import incremental_near_dedup
+
+    store = str(tmp_path / "near")
+    rows = [(i, f"document text number {i} with shared shingle words") for i in range(40)]
+    batch = spark.createDataFrame(rows, ["doc_id", "text"])
+    incremental_near_dedup(batch, store).collect()
+    for sub in ("shingles", "bands"):
+        files = glob.glob(f"{store}/{sub}/part-*.parquet")
+        assert len(files) == 1, (sub, files)
