@@ -10,6 +10,14 @@ property files so a pass is reproducible.
 
 from __future__ import annotations
 
+import pytest
+
+#: whole-catalog sweep / heavy property tier — deselected by default so
+#: the standard run fits the driver's verification window (pytest.ini);
+#: runs via `-m slow` and in the pre-handoff full-suite ritual.
+pytestmark = pytest.mark.slow
+
+
 import datetime as dt
 import hashlib
 from collections import defaultdict

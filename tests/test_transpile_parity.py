@@ -21,6 +21,14 @@ lambdas (4 entries; the 1-row CROSS JOIN hoist).
 
 from __future__ import annotations
 
+import pytest
+
+#: whole-catalog sweep / heavy property tier — deselected by default so
+#: the standard run fits the driver's verification window (pytest.ini);
+#: runs via `-m slow` and in the pre-handoff full-suite ritual.
+pytestmark = pytest.mark.slow
+
+
 from tools.transpile_sweep import SKIP_REASONS, run_sweep
 
 MIN_MATCHES = 278  # floor just under the round-14 count of 286
