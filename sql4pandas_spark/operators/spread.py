@@ -27,6 +27,10 @@ other exchange uses, not a local constant.
 
 from __future__ import annotations
 
+import math
+import os
+from urllib.parse import unquote, urlparse
+
 from pyspark.sql import DataFrame
 
 
@@ -39,6 +43,55 @@ def compute_width(spark) -> int:
         return 32
 
 
+def _size_bytes(conf_val: str) -> int:
+    """Parse a Spark byte-size conf value ('128m', '1g', '134217728')."""
+    v = conf_val.strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if v and v[-1] == "b" and len(v) > 1 and v[-2] in units:
+        v = v[:-1]
+    if v and v[-1] in units:
+        return int(float(v[:-1]) * units[v[-1]])
+    return int(v)
+
+
+def planned_scan_tasks(df: DataFrame) -> int:
+    """Estimated scan-task parallelism of a frame's INPUT FILES —
+    ``sum(ceil(file_size / maxPartitionBytes))`` over ``df.inputFiles()``.
+
+    Deliberately an ANALYSIS-ONLY probe: ``inputFiles()`` walks the
+    analyzed plan's leaf relations and never runs the optimizer, the
+    physical planner, or codegen. The previous guard read
+    ``df.rdd.getNumPartitions()``, whose ``doExecute`` janino-compiles
+    the whole-stage source of the ENTIRE upstream plan on the driver —
+    and because generated source embeds fresh expression IDs per build,
+    the codegen cache never hits: profiled round 15, dedup_near_minhash
+    paid 30-40 s PER RUN at sf0.01 planning its MinHash signature
+    expression just to count partitions. File sizes come from local
+    stat; non-local URIs conservatively count 1 task per file.
+
+    Returns 0 (= unknown, callers should assume serial) for frames with
+    no file inputs (in-memory ranges, post-shuffle frames)."""
+    files = df.inputFiles()
+    if not files:
+        return 0
+    try:
+        mpb = _size_bytes(
+            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+        )
+    except Exception:  # pragma: no cover - conf parse is best-effort
+        mpb = 128 << 20
+    tasks = 0
+    for f in files:
+        parsed = urlparse(f)
+        path = unquote(parsed.path) if parsed.scheme in ("", "file") else None
+        try:
+            size = os.stat(path).st_size if path else None
+        except OSError:
+            size = None
+        tasks += max(1, math.ceil((size or 1) / mpb))
+    return tasks
+
+
 def spread_for_compute(df: DataFrame) -> DataFrame:
     """Round-robin repartition to the session's shuffle width, ahead of
     per-row work that dwarfs one exchange of the rows. Project the frame
@@ -48,19 +101,25 @@ def spread_for_compute(df: DataFrame) -> DataFrame:
     concern, and ``repartition`` barriers interact badly with
     watermarks).
 
-    Inputs that already plan at >= the target width pass through too: a
-    100 TB parquet scan has natural file-split parallelism, and paying a
-    full exchange of (id, text) rows to "spread" it would be pure
-    overhead — the spread exists for inputs that arrive SERIAL
-    (single-row-group files, coalesced upstream aggregates). The probe
-    reads the planned partition count off the physical RDD (no job runs;
-    planning a fixture-sized frame is sub-millisecond) and falls back to
-    spreading if the plan cannot be inspected."""
+    Inputs whose file layout already scans at >= the target width pass
+    through too: a 100 TB parquet scan has natural file-split
+    parallelism, and paying a full exchange of (id, text) rows to
+    "spread" it would be pure overhead — the spread exists for inputs
+    that arrive SERIAL (single-row-group files, coalesced upstream
+    aggregates). The probe is :func:`planned_scan_tasks` — analysis-only
+    (never plans physically or compiles; see its docstring for the
+    round-15 profile of why `.rdd` probing is disqualified). Known
+    miss, accepted: a frame whose lineage holds an exchange between the
+    scan and this point reports its SCAN width, so an AQE-coalesced
+    small aggregate over a wide scan is passed through — but a frame
+    that small is exactly the one whose extra exchange would have been
+    noise anyway. Falls back to spreading when the probe sees no file
+    inputs (unknown = assume serial)."""
     if df.isStreaming:
         return df
     width = compute_width(df.sparkSession)
     try:
-        if df.rdd.getNumPartitions() >= width:
+        if planned_scan_tasks(df) >= width:
             return df
     except Exception:  # pragma: no cover - planning probe is best-effort
         pass

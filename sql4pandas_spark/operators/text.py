@@ -406,8 +406,6 @@ def percent_normalize(col: Column) -> Column:
     ``_canonical_url_ctes``. ASCII-only by design: multi-byte UTF-8
     encodings are reserved-octet pairs and correctly keep their (now
     upper-cased) encoding."""
-    parts = F.split(col, "%", -1)
-
     def seg(p: Column) -> Column:
         hexu = F.upper(F.substring(p, 1, 2))
         is_hex = p.rlike("^[0-9A-Fa-f]{2}")
@@ -426,16 +424,22 @@ def percent_normalize(col: Column) -> Column:
             .otherwise(F.concat(F.lit("%"), p))
         )
 
-    return F.when(F.size(parts) <= 1, col).otherwise(
-        F.concat(
-            F.element_at(parts, 1),
-            F.array_join(
-                F.transform(
-                    F.slice(parts, F.lit(2), F.size(parts) - F.lit(1)), seg
+    # bind the split array once (round-15 let_col discipline): the inline
+    # form duplicated split(col) four times per reference site, and this
+    # operator is itself nested inside canonical_url
+    return let_col(
+        F.split(col, "%", -1),
+        lambda parts: F.when(F.size(parts) <= 1, col).otherwise(
+            F.concat(
+                F.element_at(parts, 1),
+                F.array_join(
+                    F.transform(
+                        F.slice(parts, F.lit(2), F.size(parts) - F.lit(1)), seg
+                    ),
+                    "",
                 ),
-                "",
-            ),
-        )
+            )
+        ),
     )
 
 
@@ -453,49 +457,84 @@ def canonical_url(col: Column) -> Column:
     see :func:`percent_normalize`); drop utm_*/gclid/fbclid tracking
     params and SORT the survivors (query-param order is not identity);
     strip one trailing slash from a non-root path. Pure regexp/HOF
-    expressions, whole-stage-codegen-friendly; the handful of repeated
-    sub-regexps per row is a constant factor, not the per-element
-    lambda blow-up let_col exists for. IDN hosts: see
+    expressions, whole-stage-codegen-friendly. IDN hosts: see
     :func:`idn_fold_host` (a genuinely non-SQL algorithm — the one
     Arrow-batched UDF in the URL family), composed BEFORE this
     canonicalizer by the idn entry.
+
+    Tree shape (round-15): every intermediate (the percent-normalized
+    url, the scheme-stripped rest, hostport, path, query) is bound ONCE
+    via :func:`let_col` instead of inlined per reference. Column
+    composition DUPLICATES subtrees multiplicatively — the inline form
+    nested percent_normalize ~30× and planned/compiled a multi-hundred-KB
+    projection, ~20 s of one-time driver planning+codegen per session
+    (profiled round 15: url_dedup_curation cold 23.8 s → warm 2.7 s with
+    jstack pinning GenerateUnsafeProjection/CodeFormatter). Value-
+    identical: let_col is evaluation-order restructuring only, and the
+    driver oracle hash-checks every URL-family entry at both SFs.
     """
-    u = percent_normalize(F.regexp_replace(F.trim(col), "#.*$", ""))
-    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
-    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
-    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
-    host = (
-        F.when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
-        .when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
-        .otherwise(hostport)
-    )
-    pathq = F.substring(rest, F.length(hostport) + F.lit(1), F.lit(1 << 20))
-    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
-    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
-    # Tracking params match on the NAME (the part before any `=`): a
-    # valueless `?gclid` must drop the same as `?gclid=x`, else two
-    # otherwise-identical URLs canonicalize apart.
-    params = F.array_sort(
-        F.filter(
-            F.split(query, "&"),
-            lambda p: (p != "")
-            & ~p.startswith("utm_")
-            & ~p.rlike("^(gclid|fbclid)(=|$)"),
+    trimmed = F.regexp_replace(F.trim(col), "#.*$", "")
+
+    def canon(u: Column) -> Column:
+        scheme_e = F.lower(
+            F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
         )
-    )
-    path_n = F.when(
-        (F.length(path) > 1) & path.endswith("/"),
-        F.substring(path, F.lit(1), F.length(path) - F.lit(1)),
-    ).otherwise(path)
-    return F.concat(
-        scheme,
-        F.lit("://"),
-        host,
-        path_n,
-        F.when(
-            F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
-        ).otherwise(F.lit("")),
-    )
+        rest_e = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+        return let_col(
+            scheme_e,
+            lambda scheme: let_col(rest_e, lambda rest: with_rest(scheme, rest)),
+        )
+
+    def with_rest(scheme: Column, rest: Column) -> Column:
+        hostport_e = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+        return let_col(
+            hostport_e, lambda hostport: with_hostport(scheme, rest, hostport)
+        )
+
+    def with_hostport(scheme: Column, rest: Column, hostport: Column) -> Column:
+        host = (
+            F.when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+            .when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+            .otherwise(hostport)
+        )
+        pathq_e = F.substring(rest, F.length(hostport) + F.lit(1), F.lit(1 << 20))
+        return let_col(
+            pathq_e, lambda pathq: with_pathq(scheme, host, pathq)
+        )
+
+    def with_pathq(scheme: Column, host: Column, pathq: Column) -> Column:
+        path_e = F.regexp_extract(pathq, r"^([^?]*)", 1)
+        query_e = F.regexp_extract(pathq, r"\?(.*)$", 1)
+        # Tracking params match on the NAME (the part before any `=`): a
+        # valueless `?gclid` must drop the same as `?gclid=x`, else two
+        # otherwise-identical URLs canonicalize apart.
+        params = F.array_sort(
+            F.filter(
+                F.split(query_e, "&"),
+                lambda p: (p != "")
+                & ~p.startswith("utm_")
+                & ~p.rlike("^(gclid|fbclid)(=|$)"),
+            )
+        )
+        path_n = let_col(
+            path_e,
+            lambda path: F.when(
+                (F.length(path) > 1) & path.endswith("/"),
+                F.substring(path, F.lit(1), F.length(path) - F.lit(1)),
+            ).otherwise(path),
+        )
+        return F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path_n,
+            F.when(
+                F.size(params) > 0,
+                F.concat(F.lit("?"), F.array_join(params, "&")),
+            ).otherwise(F.lit("")),
+        )
+
+    return let_col(percent_normalize(trimmed), canon)
 
 
 def idn_fold_host(col: Column) -> Column:

@@ -12,19 +12,27 @@ from pyspark.sql import functions as F
 # ---------------------- spread_for_compute: input-parallelism guard
 
 
-def test_spread_skips_already_parallel_input(spark):
-    """An input that already plans at >= the session shuffle width must
-    pass through UNTOUCHED — at 100 TB a parquet scan with natural
-    file-split parallelism must not pay a full (id, text) exchange for
-    nothing (the guard the round-14 verdict asked for)."""
+def test_spread_skips_already_parallel_input(spark, tmp_path):
+    """An input whose FILE LAYOUT already scans at >= the session shuffle
+    width must pass through UNTOUCHED — at 100 TB a parquet scan with
+    natural file-split parallelism must not pay a full (id, text)
+    exchange for nothing (the guard the round-14 verdict asked for).
+    The probe is analysis-only (df.inputFiles + file sizes): physically
+    planning the input just to count partitions janino-compiles the
+    whole upstream stage per build (round-15 profile: 30-40 s/run on the
+    MinHash signature frame), so the guard must key off the scan layout,
+    never the planned RDD."""
     from sql4pandas_spark.operators.spread import (
         compute_width,
+        planned_scan_tasks,
         spread_for_compute,
     )
 
     width = compute_width(spark)
-    wide = spark.range(0, 10_000, 1, width + 4).toDF("doc_id")
-    assert wide.rdd.getNumPartitions() == width + 4
+    out_dir = str(tmp_path / "wide_parquet")
+    spark.range(0, 10_000, 1, width + 4).toDF("doc_id").write.parquet(out_dir)
+    wide = spark.read.parquet(out_dir)
+    assert planned_scan_tasks(wide) >= width  # one task per part file
     out = spread_for_compute(wide)
     assert out is wide  # identical object: no exchange was added
 
