@@ -695,6 +695,34 @@ def ann_ivf_query_topk(
     return ivf_query_topk(index, query_vec, k=k, n_probe=n_probe)
 
 
+def _cluster_for_partitioned_write(
+    assigned: DataFrame, source: DataFrame
+) -> DataFrame:
+    """Cluster an assignment frame by its partition columns ahead of the
+    partitionBy write — but only when the assignment pass runs wide.
+
+    A partitioned write opens one file per (task, partition-value) pair:
+    a wide assignment pass writes tasks x cells tiny files (the guide §6
+    small-files trap), so at scale one exchange of the 8-byte
+    (vec_id, cell) pairs buys exactly one right-sized file per
+    (batch_id, cell) directory. A SERIAL input (the fixture's
+    single-row-group scan) already yields one file per directory, and
+    the exchange would be pure overhead — measured round 15: +1.5 s warm
+    per save at sf0.01 for zero file-count change — so narrow inputs
+    pass through. Parallelism is probed on ``source`` (the vector
+    table): the assignment is a 1:1 mapInPandas over it, which preserves
+    partitioning but hides ``inputFiles()``. Same analysis-only probe as
+    operators/spread (never plans physically, never compiles)."""
+    from sql4pandas_spark.operators.spread import planned_scan_tasks
+
+    try:
+        if planned_scan_tasks(source) <= 4:
+            return assigned
+    except Exception:  # pragma: no cover - probe is best-effort
+        return assigned
+    return assigned.repartition("batch_id", "cell")
+
+
 def save_ivf_index(index: IVFIndex, index_root: str) -> None:
     """Persist an IVF index as parquet sidecar metadata NEXT TO the vector
     table (the vectors themselves stay in their own table — the index is
@@ -714,7 +742,9 @@ def save_ivf_index(index: IVFIndex, index_root: str) -> None:
         1
     ).write.mode("overwrite").parquet(os.path.join(index_root, "centroids"))
     (
-        index.assigned.withColumn("batch_id", F.lit(0))
+        _cluster_for_partitioned_write(
+            index.assigned.withColumn("batch_id", F.lit(0)), index.emb
+        )
         .write.mode("overwrite")
         .partitionBy("batch_id", "cell")
         .parquet(os.path.join(index_root, "assigned"))
@@ -748,8 +778,12 @@ def add_to_ivf_index(
         raise ValueError("cannot add to an index built over an empty table")
     cents = np.stack([np.asarray(r.centroid, dtype=np.float64) for r in crows])
     (
-        _assign_to_cells(new_emb, id_col, cents)
-        .withColumn("batch_id", F.lit(batch_id))
+        _cluster_for_partitioned_write(
+            _assign_to_cells(new_emb, id_col, cents).withColumn(
+                "batch_id", F.lit(batch_id)
+            ),
+            new_emb,
+        )
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id", "cell")

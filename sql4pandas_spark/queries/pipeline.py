@@ -1045,7 +1045,7 @@ def sim_query_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_lsh_top10",
     oracle="SELECT CAST(10 AS BIGINT) AS n_ann, true AS recall_ok",
-    tags=("tier-c", "sim_search_ann"),
+    tags=("tier-c", "sim_search_ann", "bench-heavy"),
 )
 def ann_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 cosine pairs via random-hyperplane LSH buckets,
@@ -3275,7 +3275,7 @@ SELECT CAST((SELECT count(*) FROM admitted1) AS BIGINT) AS batch1_admitted,
 @query(
     "incremental_near_dedup_batches",
     oracle=_INCR_NEAR_ORACLE,
-    tags=("tier-c", "dedup_near", "incremental"),
+    tags=("tier-c", "dedup_near", "incremental", "bench-heavy"),
 )
 def incremental_near_dedup_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-batch incremental NEAR-dedup
@@ -9030,7 +9030,7 @@ def _crawl_chain_parts(p_sql: str | None = None) -> tuple[str, str]:
     "crawl_curation_chain",
     oracle=_crawl_chain_oracle(),
     tags=("tier-c", "html_extract", "boilerplate", "gopher_rules",
-          "pipeline", "quality"),
+          "pipeline", "quality", "bench-heavy"),
 )
 def crawl_curation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The crawl-curation front end END-TO-END in one hash-checked row
